@@ -1,0 +1,249 @@
+"""Endpoint catalog: declarative schema + candidate keys + PK per endpoint.
+
+Capability parity with the reference catalog (reference
+``etl/registry.py:37-167`` declares the 102-column ``directory``
+schema/PK; reference ``etl/mappers/directory.py:126-238`` declares the
+candidate-key fallbacks). Column names and alias lists are facts of the
+public Urban Institute IPEDS API surface.
+
+Design difference from the reference (intentional, Spark-first): the
+reference splits the contract across a SQL-type dict and a hand-written
+per-record Python mapper; here ONE table of ``(name, type, aliases)``
+drives everything —
+
+* ``struct_type(endpoint)``  → the typed Spark schema (≅ core DDL,
+  reference ``etl/core_io.py:26-54``),
+* ``mapper_columns(endpoint)`` → a generated list of cleaned/cast/
+  coalesced Column expressions (≅ the row mapper, but columnar:
+  whole-stage-codegen'd, no Python in the loop),
+* ``primary_key(endpoint)``  → merge/upsert conflict target.
+
+Field type codes: ``i``=int, ``l``=bigint, ``s``=string, ``d``=double.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ipeds_etl_spark.functions.cleaning import (
+    coalesce_pick,
+    safe_double,
+    safe_int,
+    safe_long,
+    safe_str,
+)
+
+
+@dataclass(frozen=True)
+class Field:
+    name: str
+    type: str  # i / l / s / d
+    aliases: tuple[str, ...] = ()
+
+    @property
+    def candidates(self) -> tuple[str, ...]:
+        return (self.name, *self.aliases)
+
+
+@dataclass(frozen=True)
+class Endpoint:
+    name: str
+    path: str  # API path template (ingest documentation)
+    fields: tuple[Field, ...]
+    pk: tuple[str, ...]
+    partition_by: tuple[str, ...] = ("year",)
+
+    def field(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+
+def _f(spec: str) -> Field:
+    """Parse ``"name:type"`` or ``"name:type:alias1|alias2"``."""
+    parts = spec.split(":")
+    aliases = tuple(parts[2].split("|")) if len(parts) > 2 else ()
+    return Field(parts[0], parts[1], aliases)
+
+
+# One row per institution-year from the IPEDS "directory" endpoint.
+# Aliases reflect observed field drift across API vintages.
+_DIRECTORY_FIELDS = tuple(
+    _f(s)
+    for s in [
+        # primary key
+        "unitid:i",
+        "year:i",
+        # identity / contact
+        "opeid:s",
+        "inst_name:s:institution_name|instnm|name",
+        "inst_alias:s",
+        "address:s",
+        "city:s",
+        "state_abbr:s:stabbr|state",
+        "zip:s:zip5|zip_code",
+        "phone_number:s:phone",
+        "url_school:s:website|web_address",
+        "url_fin_aid:s",
+        "url_application:s",
+        "url_netprice:s",
+        "url_veterans:s",
+        "url_athletes:s",
+        "url_disability_services:s",
+        "ein:s",
+        "duns:s",
+        "ueis:s",
+        "chief_admin_name:s",
+        "chief_admin_title:s",
+        "inst_system_name:s",
+        # geography
+        "fips:i",
+        "county_name:s",
+        "county_fips:i",
+        "region:i",
+        "urban_centric_locale:i:locale",
+        "cbsa:i",
+        "cbsa_type:i",
+        "csa:i",
+        "necta:i",
+        "congress_district_id:i",
+        "latitude:d:lat",
+        "longitude:d:lon|lng",
+        # status / attributes
+        "inst_status:i",
+        "sector:i:sector_cd",
+        "inst_control:i:control",
+        "institution_level:i:level|iclevel",
+        "inst_category:i",
+        "inst_size:i",
+        "degree_granting:i",
+        "title_iv_indicator:i",
+        "hbcu:i",
+        "tribal_college:i",
+        "land_grant:i",
+        "hospital:i",
+        "medical_degree:i",
+        "open_public:i",
+        "currently_active_ipeds:i",
+        "postsec_public_active:i",
+        "postsec_public_active_title_iv:i",
+        "primarily_postsecondary:i",
+        "offering_highest_degree:i",
+        "offering_highest_level:i",
+        "offering_undergrad:i",
+        "offering_grad:i",
+        "reporting_method:i",
+        "inst_system_flag:i",
+        "comparison_group:i",
+        "comparison_group_custom:i",
+        # mergers / deletions / dates
+        "newid:i",
+        "date_closed:s",
+        "year_deleted:i",
+        # Carnegie classifications
+        *[f"cc_basic_{y}:i" for y in (2000, 2010, 2015, 2018, 2021)],
+        *[
+            f"cc_{g}_{y}:i"
+            for g in ("instruc_undergrad", "instruc_grad", "undergrad", "enroll", "size_setting")
+            for y in (2010, 2015, 2018, 2021)
+        ],
+    ]
+)
+
+# Documented-but-absent endpoints in the reference snapshot
+# (reference architecture.md:42-43,53-55) — registered here so the view
+# layer (enrichment joins, KPIs, completions-by-CIP) has real contracts.
+_ADMISSIONS_FIELDS = tuple(
+    _f(s) for s in ["unitid:i", "year:i", "applied:i", "admitted:i", "enrolled:i"]
+)
+_COMPLETIONS_FIELDS = tuple(
+    _f(s) for s in ["unitid:i", "year:i", "cipcode:s", "award_level:i", "completions:i"]
+)
+
+REGISTRY: dict[str, Endpoint] = {
+    "directory": Endpoint(
+        name="directory",
+        path="ipeds/directory/{year}/",
+        fields=_DIRECTORY_FIELDS,
+        pk=("unitid", "year"),
+    ),
+    "admissions": Endpoint(
+        name="admissions",
+        path="ipeds/admissions-enrollment/{year}/",
+        fields=_ADMISSIONS_FIELDS,
+        pk=("unitid", "year"),
+    ),
+    "completions": Endpoint(
+        name="completions",
+        path="ipeds/completions-cip/{year}/",
+        fields=_COMPLETIONS_FIELDS,
+        pk=("unitid", "year", "cipcode", "award_level"),
+    ),
+}
+
+_SPARK_TYPES = {
+    "i": T.IntegerType(),
+    "l": T.LongType(),
+    "s": T.StringType(),
+    "d": T.DoubleType(),
+}
+_SAFE_CASTS = {"i": safe_int, "l": safe_long, "s": safe_str, "d": safe_double}
+
+
+def get_endpoint(name: str) -> Endpoint:
+    if name not in REGISTRY:
+        raise KeyError(f"endpoint {name!r} not registered; known: {sorted(REGISTRY)}")
+    return REGISTRY[name]
+
+
+def list_endpoints() -> list[str]:
+    return sorted(REGISTRY)
+
+
+def struct_type(endpoint: str) -> T.StructType:
+    """Typed Spark schema for the endpoint's core table."""
+    ep = get_endpoint(endpoint)
+    nullable = {f.name: f.name not in ep.pk for f in ep.fields}
+    return T.StructType(
+        [T.StructField(f.name, _SPARK_TYPES[f.type], nullable[f.name]) for f in ep.fields]
+    )
+
+
+def mapper_columns(endpoint: str, available: set[str] | None = None) -> list[Column]:
+    """Generated normalization expressions: one aliased Column per field.
+
+    Each output column = safe_cast(coalesce_pick(candidate columns)).
+    ``available`` restricts candidates to fields actually present in the
+    input (records from old API vintages lack some aliases); a field
+    with no present candidate becomes a typed NULL so output schema is
+    total and stable.
+    """
+    ep = get_endpoint(endpoint)
+    out: list[Column] = []
+    for f in ep.fields:
+        cands = [c for c in f.candidates if available is None or c in available]
+        if cands:
+            expr = _SAFE_CASTS[f.type](coalesce_pick(*[F.col(c) for c in cands]))
+        else:
+            expr = F.lit(None).cast(_SPARK_TYPES[f.type])
+        out.append(expr.alias(f.name))
+    return out
+
+
+def drift_report(endpoint: str, incoming_fields: set[str]) -> dict[str, list[str]]:
+    """Contract check (reference architecture.md:174): which incoming
+    fields are unknown to the registry, and which registry fields have
+    no incoming candidate. Logged by the pipeline, never fatal."""
+    ep = get_endpoint(endpoint)
+    known = {c for f in ep.fields for c in f.candidates}
+    return {
+        "unknown_incoming": sorted(incoming_fields - known),
+        "missing_candidates": sorted(
+            f.name for f in ep.fields if not (set(f.candidates) & incoming_fields)
+        ),
+    }
