@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no collect/serialization cost). The session is warmed once so JVM/
+codegen startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ipeds_etl_spark.session import get_spark  # noqa: E402
+from ipeds_etl_spark import queries as q  # noqa: E402
+
+#: Headline suite: one representative per operator family (scan+agg,
+#: window/top-1, multi-join, broadcast rollup, top-k, scalar cleaning,
+#: JSON round-trip, keyed merge, hashing).
+HEADLINE = [
+    "kpi_yearly",
+    "latest_per_key_agg",
+    "enrich_join",
+    "dim_lookup_agg",
+    "filter_between_topk",
+    "sentinel_clean",
+    "json_page_roundtrip",
+    "upsert_on_pk",
+    "stable_hash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("ipeds_etl_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm the JVM
+
+    registered = q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registered[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
