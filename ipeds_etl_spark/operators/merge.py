@@ -84,6 +84,50 @@ def upsert_on_hash(
     return changed_or_new.unionByName(kept.select(*changed_or_new.columns))
 
 
+def overwrite_partitions_staged(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_col: str = "year",
+) -> None:
+    """Replace the partitions ``df`` touches with ``df``'s rows, via a
+    staging write + directory swap.
+
+    Why not ``write.mode('overwrite')`` straight onto ``table_path``: a
+    merged plan *reads* the current table (the anti-join in
+    ``upsert_on_pk``), and overwriting the path a live plan's lineage
+    points at makes any later action on that plan fail with
+    FileNotFoundException — Spark re-scans source parquet lazily. The
+    staged write computes the whole new generation while the old files
+    are still intact, then swaps each touched partition directory in one
+    rename (metadata-only on HDFS; a production object store would use a
+    transactional table format's commit — Delta/Iceberg MERGE — which is
+    exactly this protocol done by the table layer). Untouched partitions
+    of a 100 TB table are never read, written, or renamed.
+    """
+    import os
+    import shutil
+    import uuid
+
+    staging = f"{table_path}__stage_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    os.makedirs(table_path, exist_ok=True)
+    for entry in os.listdir(staging):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        dst = os.path.join(table_path, entry)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(staging, entry), dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(table_path)
+
+
 def upsert_into_partitioned(
     spark: SparkSession,
     table_path: str,
@@ -92,13 +136,9 @@ def upsert_into_partitioned(
     partition_col: str = "year",
 ) -> None:
     """Merge ``source`` into a parquet table partitioned by
-    ``partition_col``, rewriting only the touched partitions.
-
-    Uses dynamic partition overwrite: read back just the partitions the
-    source touches, merge in memory, overwrite those partitions. The
-    untouched 99% of a 100 TB table is never read or written.
+    ``partition_col``, rewriting only the touched partitions. The
+    untouched remainder of a 100 TB table is never read or written.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         target = spark.read.parquet(table_path)
         exists = True
@@ -110,9 +150,4 @@ def upsert_into_partitioned(
         merged = upsert_on_pk(touched, source, pk)
     else:
         merged = _dedup_source(source, pk)
-    (
-        merged.repartition(partition_col)
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(table_path)
-    )
+    overwrite_partitions_staged(spark, merged, table_path, partition_col)

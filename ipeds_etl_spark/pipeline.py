@@ -1,0 +1,78 @@
+"""End-to-end pipeline runner: ingest → raw → core → lineage.
+
+The reference's notebook entry points (E1 raw load, E2 core load)
+composed into one callable. Each run is idempotent: re-running the same
+input leaves raw and core tables byte-identical (hash-guarded raw
+upsert + PK-keyed core merge), and appends one ``load_log`` row with
+relationally-computed insert/update counters.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark import lineage, registry
+from ipeds_etl_spark.plans.core_pipeline import map_from_raw, write_core
+from ipeds_etl_spark.sources import raw as raw_io
+
+
+def run_load(
+    spark: SparkSession,
+    endpoint: str,
+    year: int,
+    page_lists: list[list[dict]],
+    warehouse: str,
+) -> dict:
+    """Load one (endpoint, year): land raw pages, merge into core,
+    append lineage. Returns run metrics."""
+    started = datetime.now(timezone.utc)
+    ep = registry.get_endpoint(endpoint)
+    raw_path = f"{warehouse}/raw/{endpoint}"
+    core_path = f"{warehouse}/core/{endpoint}"
+    meta_path = f"{warehouse}/meta"
+
+    pages = raw_io.pages_from_fetched(spark, year, page_lists, endpoint_path=ep.path)
+    try:
+        existing = raw_io.scan_pages(spark, raw_path, [year]).select(*ep.pk[:0], "year", "page_number").limit(1).count()
+    except Exception:
+        existing = 0
+    raw_io.write_pages(spark, pages, raw_path)
+    lineage.append_source_trace(spark, meta_path, endpoint, pages)
+
+    try:
+        target = spark.read.schema(registry.struct_type(endpoint)).parquet(core_path)
+    except Exception:
+        target = spark.createDataFrame([], registry.struct_type(endpoint))
+    mapped = map_from_raw(spark, endpoint, raw_path, years=[year])
+    # Counts (and every other action on plans that scan the current core
+    # files) MUST run before the merge overwrites those files.
+    inserted, updated = lineage.merge_counts(target, mapped, list(ep.pk))
+    records_mapped = mapped.count()
+    write_core(spark, endpoint, mapped, core_path)
+    lineage.append_load_log(
+        spark, meta_path, endpoint, year, year, inserted, updated, started
+    )
+    return {
+        "endpoint": endpoint,
+        "year": year,
+        "pages": len(page_lists),
+        "records_mapped": records_mapped,
+        "rows_inserted": inserted,
+        "rows_updated": updated,
+        "raw_existing_before": existing,
+    }
+
+
+def drift_check(endpoint: str, records: DataFrame) -> dict:
+    """Contract check over exploded raw records (map<string,string>):
+    report incoming fields unknown to the registry (reference
+    architecture.md:174 — alert, don't fail)."""
+    keys = (
+        records.select(F.explode(F.map_keys(F.col("rec"))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return registry.drift_report(endpoint, {r["k"] for r in keys})

@@ -23,7 +23,8 @@ Field type codes: ``i``=int, ``l``=bigint, ``s``=string, ``d``=double.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -214,21 +215,28 @@ def struct_type(endpoint: str) -> T.StructType:
     )
 
 
-def mapper_columns(endpoint: str, available: set[str] | None = None) -> list[Column]:
+def mapper_columns(
+    endpoint: str,
+    available: set[str] | None = None,
+    getter: Callable[[str], Column] = F.col,
+) -> list[Column]:
     """Generated normalization expressions: one aliased Column per field.
 
     Each output column = safe_cast(coalesce_pick(candidate columns)).
     ``available`` restricts candidates to fields actually present in the
     input (records from old API vintages lack some aliases); a field
     with no present candidate becomes a typed NULL so output schema is
-    total and stable.
+    total and stable. ``getter`` maps a candidate name to a Column —
+    ``F.col`` for flat records, or a map/struct item accessor for
+    exploded JSON records (absent keys yield NULL, which
+    ``coalesce_pick`` already skips).
     """
     ep = get_endpoint(endpoint)
     out: list[Column] = []
     for f in ep.fields:
         cands = [c for c in f.candidates if available is None or c in available]
         if cands:
-            expr = _SAFE_CASTS[f.type](coalesce_pick(*[F.col(c) for c in cands]))
+            expr = _SAFE_CASTS[f.type](coalesce_pick(*[getter(c) for c in cands]))
         else:
             expr = F.lit(None).cast(_SPARK_TYPES[f.type])
         out.append(expr.alias(f.name))
