@@ -1,0 +1,164 @@
+"""Text-analysis Column expressions for the training-data pipeline.
+
+All JVM-side (``pyspark.sql.functions`` only — no Python UDFs): these
+run inside whole-stage codegen over the ``documents`` table and scale
+linearly with no shuffle. Each helper has an exact DuckDB-SQL twin used
+by the correctness oracles (list lambdas on that side), so the two
+engines produce bit-identical results.
+
+Capabilities (training-data extension set, not present in the
+reference, which processes tabular survey data only):
+
+* ``tokens``            — whitespace tokenization.
+* ``bpe_ish_tokens``    — GPT-2-style pre-tokenizer regex split
+  (letters / digits / punctuation runs), the standard proxy for a BPE
+  token count when no vocab is loaded.
+* ``word_shingles``     — k-word shingles (the MinHash/Jaccard unit).
+* ``char_ngrams``       — character n-grams.
+* ``quality metrics``   — length, punctuation ratio, stopword ratio,
+  mean word length, composite quality score.
+* ``lang_id_scores``    — stopword-profile language ID (argmax over
+  per-language stopword hit counts) — the classic n-gram/stopword
+  heuristic (Cavnar & Trenkle 1994 style, word-level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# GPT-2-ish pre-tokenizer classes: word runs, digit runs, single
+# non-space symbols. Java and RE2-style engines both support these
+# classes; \p{L}/\p{N} are unicode-aware in Spark AND DuckDB.
+BPE_ISH_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+#: tiny per-language stopword profiles (word-level heuristic).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "den", "ein"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "人"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ("it", "for", "on", "with", "as", "was", "at", "by")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped.
+    DuckDB twin: ``list_filter(regexp_split_to_array(text,'\\s+'), t -> len(t)>0)``."""
+    return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """GPT-2-style pre-tokens. DuckDB twin: ``regexp_extract_all(text, pattern)``."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """All k-word shingles (space-joined), in document order; shorter
+    documents yield their single full-text shingle. DuckDB twin via
+    ``list_transform(range(len(toks)-k+1), i -> array_to_string(toks[i+1:i+k], ' '))``
+    (DuckDB list slicing is 1-based inclusive)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-grams of the raw text (1 shingle per offset)."""
+    ln = F.length(text)
+    return F.when(ln < n, F.array(text)).otherwise(
+        F.transform(F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(text, i, n))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality metrics
+# ---------------------------------------------------------------------------
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^\p{L}\p{N}\s]"), 0))
+
+
+def stopword_count(text: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """The standard cheap quality signals, all exact-arithmetic so the
+    oracle can reproduce them: counts stay integers; ratios are formed
+    once, as double divisions of integer counts."""
+    n_char = F.length(text)
+    n_tok = token_count(text)
+    return {
+        "n_chars_m": n_char.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "n_punct": punct_count(text).cast("long"),
+        "n_stopwords": stopword_count(text).cast("long"),
+        "mean_token_len": (
+            F.aggregate(tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            .cast("double")
+            / n_tok
+        ),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (integer, order-free ⇒ exact)."""
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        pat = "(?i)\\b(" + "|".join(w for w in words if w.isascii()) + ")\\b"
+        cnt = F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        if lang == "zh":  # CJK has no word boundaries: count characters
+            cnt = F.size(F.regexp_extract_all(text, F.lit("[" + "".join(words) + "]"), 0))
+        out[lang] = cnt.cast("long")
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword score; deterministic tie-break by
+    language code so both engines pick the same winner."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    top_score = F.array_max(F.transform(pairs, lambda p: p["score"]))
+    winners = F.filter(pairs, lambda p: p["score"] == top_score)
+    return F.array_min(F.transform(winners, lambda p: p["lang"]))
+
+
+def lang_id_sql(text_expr: str) -> str:
+    """DuckDB twin of ``lang_id`` + ``lang_scores``: greatest-score
+    argmax with min-lang tie-break, as a scalar SQL expression set.
+    Returns (select-fragment) producing columns score_<lang>…, pred_lang.
+    """
+    frags = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        if lang == "zh":
+            pat = "[" + "".join(words) + "]"
+        else:
+            pat = "(?i)\\b(" + "|".join(w for w in words if w.isascii()) + ")\\b"
+        frags.append(
+            f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS score_{lang}"
+        )
+    langs = sorted(LANG_STOPWORDS)
+    structs = ", ".join(f"{{'score': score_{lg}, 'lang': '{lg}'}}" for lg in langs)
+    pred = (
+        "list_min(list_transform(list_filter("
+        f"[{structs}], p -> p.score = list_max([{', '.join('score_' + lg for lg in langs)}])"
+        "), p -> p.lang)) AS pred_lang"
+    )
+    return ", ".join(frags) + ", " + pred

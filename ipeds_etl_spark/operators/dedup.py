@@ -1,0 +1,271 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-aware and expressed with native DataFrame
+ops (no Python in the hot path):
+
+* ``exact_dedup``            — hash-groupBy on a content hash. One
+  shuffle on the 64-hex hash; at 100 TB this is the canonical
+  map-side-combinable pattern (partial aggregates push to mappers).
+* ``minhash_signatures`` / ``lsh_candidate_pairs`` — MinHash + banded
+  LSH (Broder 1997): shingle → 40-bit hash → n affine permutations →
+  per-band signature → self-join on (band, band-signature). Only
+  documents sharing a band bucket are ever paired, so the cross
+  product never materializes; the join shuffles on the band key.
+* ``simhash`` / ``simhash_near_pairs`` — Charikar 2002 bitwise
+  fingerprint; near-dup = Hamming distance ≤ k, found by the standard
+  pigeonhole block trick: split the fingerprint into k+1 blocks, join
+  on any exact block match (a pair within distance k must agree on at
+  least one block).
+* ``ngram_jaccard_pairs``    — exact n-gram Jaccard for candidate
+  pairs (array_intersect/array_union on shingle sets); used to verify
+  LSH candidates. Exact-arithmetic rational (ints divided once).
+* ``embedding_near_dups``    — cosine-similarity near-duplicates over
+  an embedding column; see ``operators.similarity`` for the kernels.
+
+Every constant (permutation family, band layout) is deterministic so
+the DuckDB oracles replicate results bit-for-bit (see
+``functions.hashing``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions.hashing import (
+    MERSENNE_P,
+    content_hash,
+    minhash_perms,
+    parity_hash,
+)
+from ipeds_etl_spark.functions.text import word_shingles
+
+# default MinHash geometry: 16 permutations × 4 rows/band = 4 bands.
+N_PERMS = 16
+ROWS_PER_BAND = 4
+
+# SimHash geometry: 40-bit fingerprints (the parity-hash width), and
+# Hamming radius 3 ⇒ 4 pigeonhole blocks of 10 bits.
+SIMHASH_BITS = 40
+HAMMING_K = 3
+N_BLOCKS = HAMMING_K + 1
+BLOCK_BITS = SIMHASH_BITS // N_BLOCKS
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the smallest id as
+    the canonical representative. Output: one row per input row with
+    (id, content_hash, group_size, keep)."""
+    h = content_hash(F.col(text_col)).alias("text_sha")
+    hashed = df.select(F.col(id_col), h)
+    return hashed.select(
+        id_col,
+        "text_sha",
+        F.count("*").over(_group(F.col("text_sha"))).alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(_group(F.col("text_sha")))).alias("keep"),
+    )
+
+
+def _group(c: Column):
+    from pyspark.sql import Window
+
+    return Window.partitionBy(c)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_perms: int = N_PERMS, shingle_k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature as ``sig: array<long>``.
+
+    shingle → parity hash (exploded) → groupBy doc, min over each
+    permutation. The min-aggregate is map-side combinable: executors
+    reduce their local shingles before the shuffle, so shuffle volume
+    is O(docs × n_perms), independent of document length.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).select(id_col, parity_hash(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perms(n_perms))
+    ]
+    sigs = shingled.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(n_perms)]).alias("sig")
+    )
+
+
+def lsh_band_buckets(
+    sigs: DataFrame, id_col: str, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Explode signatures into (band, band_key) bucket rows. band_key is
+    a stable string encoding of the band's signature slice."""
+    sig = F.col("sig")
+    n_bands = F.floor(F.size(sig) / rows_per_band).cast("int")
+    bands = F.transform(
+        F.sequence(F.lit(0), n_bands - 1),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                "_",
+            ).alias("band_key"),
+        ),
+    )
+    return sigs.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perms: int = N_PERMS,
+    rows_per_band: int = ROWS_PER_BAND,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
+    The self-join key is (band, band_key): only same-bucket rows pair,
+    and the shuffle is on the bucket key — skew only if a bucket is
+    genuinely hot (near-identical boilerplate), the case AQE skew-join
+    handles."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perms, shingle_k)
+    buckets = lsh_band_buckets(sigs, id_col, rows_per_band)
+    L = buckets.alias("l")
+    R = buckets.alias("r")
+    return (
+        L.join(
+            R,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash fingerprint over whitespace-token hashes.
+
+    bit_j(doc) = 1 iff sum over tokens of (±1 by token-hash bit j) > 0.
+    Computed as `bits` independent conditional-sum aggregates — one
+    groupBy, map-side combinable, zero UDFs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    ).select(id_col, parity_hash(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = HAMMING_K
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    via the pigeonhole block join (k+1 blocks ⇒ any qualifying pair
+    agrees exactly on ≥1 block)."""
+    fps = simhash(df, text_col, id_col)
+    mask = (1 << BLOCK_BITS) - 1
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), i * BLOCK_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("blk_val"),
+                )
+                for i in range(N_BLOCKS)
+            ]
+        )
+    ).alias("b")
+    bucketed = fps.select(id_col, "simhash", blocks).select(
+        id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val")
+    )
+    L, R = bucketed.alias("l"), bucketed.alias("r")
+    pairs = (
+        L.join(
+            R,
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.blk_val") == F.col("r.blk_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard over candidate pairs.
+
+    ``candidates`` (id_a, id_b) restricts the comparison set — pass the
+    LSH output to stay near-linear; without it this is the O(n²)
+    verifier (fine for oracles, wrong for 100 TB — callers at scale
+    must pre-bucket). Jaccard is |A∩B| / |A∪B| on distinct shingles,
+    computed as an exact integer ratio divided once.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+    )
+    if candidates is None:
+        L, R = sets.alias("l"), sets.alias("r")
+        paired = L.join(R, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    else:
+        paired = (
+            candidates.join(
+                sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+            )
+            .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .select(
+                F.struct(F.col("id_a").alias(id_col), F.col("sh_a").alias("sh")).alias("l"),
+                F.struct(F.col("id_b").alias(id_col), F.col("sh_b").alias("sh")).alias("r"),
+            )
+        )
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        paired.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

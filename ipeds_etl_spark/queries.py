@@ -502,9 +502,18 @@ def q_upsert_on_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_on_pk(target, source, ["o_orderkey"])
 
 
+def _load_extensions() -> None:
+    """Importing ``queries_ext`` registers the training-data extension
+    queries (dedup / similarity / text analysis / event windows) into
+    the same registry. Lazy to avoid a circular import at module load."""
+    from ipeds_etl_spark import queries_ext  # noqa: F401
+
+
 def queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(ORACLE_SQL)

@@ -1,0 +1,494 @@
+"""Training-data extension queries: dedup, similarity search, text
+analysis, time-series windows — registered into the same driver
+contract as the reference-surface queries (``queries.py``).
+
+Oracle strategy: every stochastic-looking construction (MinHash,
+SimHash, LSH bands, IVF centroids) is derandomized with the
+deterministic sha256-prefix hash family in ``functions.hashing``, so a
+DuckDB oracle can replicate the *exact* result with list lambdas and
+64-bit integer arithmetic — these queries are value-hash-checked, not
+just row-counted. Floating point parity holds because every float is
+produced by the same IEEE op sequence on both engines (index-order
+fold-left dot products; single divisions of exact integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions import text as TX
+from ipeds_etl_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_perms,
+    parity_hash,
+)
+from ipeds_etl_spark.operators import dedup as DD
+from ipeds_etl_spark.operators import similarity as SIM
+from ipeds_etl_spark.plans.views import exact_sum
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (kept in lockstep with functions/*.py)
+# ---------------------------------------------------------------------------
+_HASH10 = "CAST(concat('0x', substr(sha256({x}), 1, 10)) AS BIGINT)"
+_WS_TOKENS = r"list_filter(regexp_split_to_array({x}, '\s+'), t -> len(t) > 0)"
+_BPE_PAT = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+_PUNCT_PAT = r"[^\p{L}\p{N}\s]"
+_STOP_PAT = "(?i)\\b(" + "|".join(TX.STOPWORDS_EN) + ")\\b"
+# k=3 word shingles, 1-based inclusive DuckDB slices
+_SHINGLES = (
+    "CASE WHEN len({w}) < 3 THEN [array_to_string({w}, ' ')] "
+    "ELSE list_transform(range(len({w}) - 2), i -> array_to_string({w}[i+1:i+3], ' ')) END"
+)
+_DOT = (
+    "list_reduce(list_transform(range(len({a})), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+@_register(
+    "text_token_stats",
+    f"""
+    WITH t AS (
+      SELECT source,
+             len({_WS_TOKENS.format(x='text')}) AS ws,
+             len(regexp_extract_all(text, '{_BPE_PAT}')) AS bpe
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS sum_bpe_tokens,
+           CAST(MAX(ws) AS BIGINT) AS max_ws_tokens
+    FROM t GROUP BY source
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — per-source rollup.
+    One narrow scan + hash agg; regexes run JVM-side in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return (
+        d.select(
+            "source",
+            TX.token_count(text).cast("long").alias("ws"),
+            F.size(TX.bpe_ish_tokens(text)).cast("long").alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("sum_ws_tokens"),
+            F.sum("bpe").alias("sum_bpe_tokens"),
+            F.max("ws").alias("max_ws_tokens"),
+        )
+    )
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WS_TOKENS.format(x='text')} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_PUNCT_PAT}')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS BIGINT) AS n_stopwords,
+           CAST(len(regexp_extract_all(text, '{_PUNCT_PAT}')) AS DOUBLE) / len(text) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS DOUBLE) / len(w) AS stopword_ratio,
+           CAST(list_sum(list_transform(w, s -> len(s))) AS DOUBLE) / len(w) AS mean_token_len
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring signals per document — pure codegen expressions,
+    no shuffle at all (a map-only 100 TB pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    m = TX.quality_metrics(text)
+    return d.select(
+        "doc_id",
+        m["n_chars_m"].alias("n_chars_calc"),
+        m["n_tokens"].alias("n_tokens"),
+        m["n_punct"].alias("n_punct"),
+        m["n_stopwords"].alias("n_stopwords"),
+        (m["n_punct"].cast("double") / m["n_chars_m"]).alias("punct_ratio"),
+        (m["n_stopwords"].cast("double") / m["n_tokens"]).alias("stopword_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+@_register(
+    "text_lang_id",
+    f"""
+    WITH s AS (SELECT lang, {TX.lang_id_sql('text')} FROM documents)
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY lang, pred_lang
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion counts: stopword-profile argmax vs the
+    labeled ``lang`` column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH g AS (
+      SELECT doc_id, text,
+             CASE WHEN len(text) < 5 THEN [text]
+                  ELSE list_transform(range(len(text) - 4), i -> substr(text, i+1, 5))
+             END AS grams
+      FROM documents)
+    SELECT doc_id,
+           sha256(text) AS text_sha,
+           {_HASH10.format(x='text')} AS fp40,
+           array_to_string(
+             list_sort(list_distinct(list_transform(grams, s -> {_HASH10.format(x='s')})))[1:4],
+             '_') AS winnow_sketch
+    FROM g
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full content hash, 40-bit fingerprint,
+    and a winnowing-style bottom-4 sketch over char-5-gram hashes
+    (bottom-k of a rolling gram family — robust to small edits)."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    gram_hashes = F.transform(TX.char_ngrams(text, 5), lambda s: parity_hash(s))
+    return d.select(
+        "doc_id",
+        F.sha2(text, 256).alias("text_sha"),
+        parity_hash(text).alias("fp40"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(gram_hashes)), 1, 4).cast(
+                "array<string>"
+            ),
+            "_",
+        ).alias("winnow_sketch"),
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+@_register(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           sha256(text) AS text_sha,
+           CAST(count(*) OVER (PARTITION BY sha256(text)) AS BIGINT) AS group_size,
+           doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+    FROM documents
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: every row keeps its group size and
+    a deterministic keep/drop verdict (min doc_id is canonical)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(d, "text", "doc_id")
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB CTEs producing (doc_id, mh0..mh15)."""
+    w = _WS_TOKENS.format(x="text")
+    shingles = _SHINGLES.format(w="w")
+    perms = minhash_perms(DD.N_PERMS)
+    mins = ",\n             ".join(
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {w} AS w FROM documents),
+    sh AS (SELECT doc_id, {shingles} AS s FROM toks),
+    hv AS (SELECT doc_id, list_transform(s, x -> {_HASH10.format(x='x')}) AS hv FROM sh),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hv)"""
+
+
+def _band_key_sql(band: int) -> str:
+    cols = [f"mh{band * DD.ROWS_PER_BAND + r}" for r in range(DD.ROWS_PER_BAND)]
+    return " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+          for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (16 perms × 4 bands of 4 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.lsh_candidate_pairs(d, "text", "doc_id")
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    hv AS (SELECT doc_id, list_transform(w, t -> {_HASH10.format(x='t')}) AS h
+           FROM toks WHERE len(w) > 0),
+    fp AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range({DD.SIMHASH_BITS}), j ->
+               CASE WHEN list_sum(list_transform(h, x ->
+                      CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS simhash
+           FROM hv),
+    blocks AS (
+      SELECT doc_id, simhash, t.j AS blk,
+             (simhash >> (t.j * {DD.BLOCK_BITS})) & {(1 << DD.BLOCK_BITS) - 1} AS blk_val
+      FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(j))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.HAMMING_K}
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (40-bit fingerprint, Hamming ≤ 3,
+    pigeonhole block join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(d, "text", "doc_id")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    sh AS (SELECT doc_id, source, list_distinct({_SHINGLES.format(w='w')}) AS s FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard over same-source candidate pairs
+    (the blocked verifier stage of a dedup pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    L, R = sets.alias("l"), sets.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        L.join(
+            R,
+            on=[
+                F.col("l.source") == F.col("r.source"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+_COS_AB = _cos_sql("q.embedding", "c.embedding")
+
+
+@_register(
+    "emb_topk_bruteforce",
+    f"""
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_AB} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS INTEGER) AS "rank"
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5)
+    WHERE "rank" <= 5
+    """,
+)
+def q_emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 5):
+    the broadcast-queries × corpus-scan baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5
+    )
+
+
+def _ivf_sql() -> str:
+    """Shared CTEs: centroids (first 8 by vec_id) + corpus assignment."""
+    cos_vc = _cos_sql("v.embedding", "c.embedding")
+    return f"""
+    cent AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    scored AS (
+      SELECT v.vec_id, v.embedding, c.cid, {cos_vc} AS sim,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.cid DESC) AS rn
+      FROM embeddings v CROSS JOIN cent c),
+    assigned AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored WHERE rn = 1)"""
+
+
+@_register(
+    "emb_ivf_topk",
+    f"""
+    WITH {_ivf_sql()},
+    probes AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored
+               WHERE rn <= 2 AND vec_id < 5)
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             {_cos_sql("q.embedding", "n.embedding")} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos_sql("q.embedding", "n.embedding")} DESC, n.vec_id ASC)
+               AS INTEGER) AS "rank"
+      FROM probes q JOIN assigned n
+        ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id)
+    WHERE "rank" <= 5
+    """,
+)
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (8 deterministic centroids, 2 probes):
+    the scale path — each query touches ~1/4 of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=2,
+    )
+
+
+@_register(
+    "emb_near_dups",
+    f"""
+    WITH {_ivf_sql()}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+    """,
+)
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within shared IVF buckets
+    (cosine ≥ 0.4 — the corpus has no planted identicals; threshold
+    chosen to exercise the operator on real pairs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(e, "vec_id", "embedding", threshold=0.4, n_centroids=8)
+
+
+# ===========================================================================
+# Event-time windows (batch twin of the streaming path)
+# ===========================================================================
+@_register(
+    "events_window_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type — the batch
+    equivalent of the Structured Streaming job in ``streaming/``."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    m AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    s AS (
+      SELECT user_id,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m),
+    per_session AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (lag + running
+    sum — the deterministic batch formulation; the streaming module
+    uses ``session_window`` for the incremental case)."""
+    e = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = e.select("user_id", "ts", "event_id").withColumn(
+        "prev", F.lag("ts").over(w_order)
+    )
+    # exact-microsecond gap compare (cast-to-long would truncate seconds
+    # and disagree with the oracle's interval comparison)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev"))
+    marked = with_prev.withColumn(
+        "is_new",
+        F.when(F.col("prev").isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )

@@ -1,0 +1,133 @@
+"""Operator-level invariants for the dedup / similarity / text track.
+
+The DuckDB oracle gate (tools/check_correctness.py) proves engine
+parity; these tests prove *semantic* properties on crafted inputs:
+planted duplicates are found, near-misses are not, rankings are exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions.text import lang_id, token_count, word_shingles
+from ipeds_etl_spark.operators import dedup as DD
+from ipeds_etl_spark.operators import similarity as SIM
+
+DOCS = [
+    # (id, text) — 1/2 exact dups; 3 near-dup of 1; 4 unrelated
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3, "the quick brown fox jumps over the lazy dog again and again now"),
+    (4, "completely different content about spark shuffles and partitions here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    rows = {r["doc_id"]: r for r in DD.exact_dedup(docs, "text", "doc_id").collect()}
+    assert rows[1]["group_size"] == 2 and rows[2]["group_size"] == 2
+    assert rows[1]["keep"] is True and rows[2]["keep"] is False
+    assert rows[3]["keep"] is True and rows[4]["keep"] is True
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.lsh_candidate_pairs(docs, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs  # identical ⇒ identical signature ⇒ all bands
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup likely shares a band
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_distance_semantics(spark, docs):
+    fps = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs, "text", "doc_id").collect()}
+    assert fps[1] == fps[2]  # identical text ⇒ identical fingerprint
+    ham13 = bin(fps[1] ^ fps[3]).count("1")
+    ham14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_near_pairs(docs, "text", "doc_id").collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.0 < out[(1, 3)] < 1.0
+    assert (1, 4) not in out or out[(1, 4)] == 0.0
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    [row] = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert row["s"] == ["a b"]  # shorter than k ⇒ single full-text shingle
+
+
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is on a mat",), ("el perro y el gato en la casa",)],
+        "text string",
+    )
+    out = df.select(
+        token_count(F.col("text")).alias("n"), lang_id(F.col("text")).alias("lang")
+    ).collect()
+    assert out[0]["n"] == 9 and out[0]["lang"] == "en"
+    assert out[1]["lang"] == "es"
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id int, embedding array<float>")
+
+
+def test_brute_force_topk_exact_order(spark, vecs):
+    out = SIM.brute_force_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=4
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 1  # most similar first
+    assert order[-1] == 4  # anti-parallel last
+    assert all(abs(r["cos_sim"]) <= 1.0 + 1e-12 for r in out)
+
+
+def test_ivf_recall_on_clustered_input(spark, vecs):
+    # 2 centroids (ids 0,1 — both near the x-axis): each is its own
+    # bucket's representative, so the query must probe both buckets to
+    # see its nearest neighbor; with both probed, recall is exact.
+    out = SIM.ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=2, n_centroids=2, n_probe=2,
+    ).collect()
+    best = min(out, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 1
+
+
+def test_embedding_near_dups_threshold(spark, vecs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dups(
+            vecs, "vec_id", "embedding", threshold=0.95, n_centroids=1
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(a != 4 and b != 4 for a, b in pairs)
