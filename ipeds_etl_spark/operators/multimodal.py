@@ -1,0 +1,124 @@
+"""Multimodal columns: images/audio/video as opaque binary + metadata.
+
+Design (the Spark-native pattern for 100 TB multimodal corpora):
+
+* Payloads are ``binary`` columns carried alongside a typed metadata
+  struct ``(modality, media_format, n_bytes, byte_sha)`` — Parquet
+  stores them as byte arrays, Spark never interprets them until a
+  decode stage runs.
+* Decode / feature-extract runs as ``mapInPandas``: Arrow moves the
+  byte batches to Python in columnar blocks, the extractor processes a
+  whole batch per call (never row-at-a-time), and the output schema is
+  declared up front so the plan stays fully typed.
+* The actual media decoding (PIL/ffmpeg/torchaudio) is NOT available
+  in this environment: ``decode_media`` raises ``NotImplementedError``
+  unless ``allow_stub=True``, in which case a deterministic fake
+  decoder produces byte-derived features — the Spark-side plumbing
+  (schema, batching, partitioning) is real and tested either way.
+
+Scale notes: feature extraction is embarrassingly parallel (map-only,
+no shuffle); partition sizing is governed by payload bytes, so callers
+should ``repartition`` by target partition *bytes*, not row counts —
+see ``attach_payload(..., rows_per_partition=...)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("media_format", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_sha", T.StringType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def attach_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    modality: str = "image",
+    rows_per_partition: int | None = None,
+) -> DataFrame:
+    """Attach a synthetic binary payload + metadata struct to each row
+    (deterministic: UTF-8 bytes of the text column stand in for decoded
+    media in this container). Real ingestion would read the bytes from
+    object storage; everything downstream is format-agnostic."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    out = df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit("synthetic/utf8").alias("media_format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("byte_sha"),
+        ).alias("media_meta"),
+    )
+    if rows_per_partition:
+        out = out.repartition(max(1, out.count() // rows_per_partition))
+    return out
+
+
+def decode_media(payload: bytes, media_format: str, allow_stub: bool = False) -> bytes:
+    """Decode one media payload. Real decoders (PIL / ffmpeg / torchaudio)
+    are not installed in this container; with ``allow_stub`` a
+    deterministic fake returns the raw bytes unchanged."""
+    if not allow_stub:
+        raise NotImplementedError(
+            "media decoding requires PIL/ffmpeg/torchaudio, not available here; "
+            "pass allow_stub=True for the deterministic fake"
+        )
+    return payload
+
+
+def _stub_features(payload: bytes) -> list[float]:
+    """Deterministic fake feature vector: normalized byte histogram over
+    FEATURE_DIM buckets — a stand-in for a CNN/audio embedding with the
+    same shape contract."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = max(1, len(payload))
+    return [c / total for c in counts]
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Batch feature extraction over (doc_id, payload, media_meta) via
+    ``mapInPandas`` — Arrow-batched, schema-stable, map-only."""
+
+    def run(batches):
+        for pdf in batches:
+            feats = [_stub_features(p) for p in pdf["payload"]]
+            shas = [hashlib.sha256(p).hexdigest() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "modality": [m["modality"] for m in pdf["media_meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "byte_sha": shas,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

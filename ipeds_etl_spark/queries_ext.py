@@ -412,6 +412,30 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Multimodal (rows-only: stubbed decode — no SQL-expressible oracle)
+# ===========================================================================
+@_register("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction: documents → binary column +
+    metadata struct → Arrow-batched ``mapInPandas`` extractor. Decode
+    itself is stubbed (no media libs in this container); the schema,
+    batching, and partition plumbing are the real thing."""
+    from ipeds_etl_spark.operators.multimodal import attach_payload, extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_payload(d, "text", "doc_id", modality="image")
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "byte_sha",
+        F.round(F.element_at("feature", 1), 9).alias("f0"),
+        F.round(F.element_at("feature", 2), 9).alias("f1"),
+    )
+
+
+# ===========================================================================
 # Event-time windows (batch twin of the streaming path)
 # ===========================================================================
 @_register(

@@ -1,0 +1,88 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference is batch-only (year-at-a-time loop,
+``notebooks/10_load_endpoint.ipynb``); this module is the engine's
+streaming extension. Each job is the incremental twin of a batch query
+in ``queries_ext`` so results are cross-checkable:
+
+* ``windowed_counts``   ⟷ ``events_window_hourly`` — tumbling
+  event-time windows with a watermark for late data.
+* ``session_counts``    ⟷ ``events_sessionize`` — gap-based
+  ``session_window`` sessions (the stateful operator Spark maintains
+  incrementally; the batch twin derandomizes with lag+cumsum).
+
+Jobs take/return DataFrames (batch or streaming — the plans are
+identical by Structured Streaming's design), so tests can run them on
+a file stream with ``trigger(availableNow=True)`` and the same code
+deploys against Kafka/Kinesis by swapping the reader.
+
+Scale notes: state store size is bounded by the watermark horizon ×
+key cardinality; both jobs key on low-cardinality columns
+(event_type / user_id), and the shuffle into state is the same hash
+partitioning a batch groupBy would do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.sources.tables import load_table
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str, schema=None) -> DataFrame:
+    """File-based event stream (one parquet dir as an append source).
+    Kept separate so production readers (Kafka) can be swapped in."""
+    if schema is None:
+        schema = load_table(spark, sf_dir, "events").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events_stream")
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type with late-data
+    watermark; emits (window_start, event_type, n_events, sum_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions per user via ``session_window`` — Spark's
+    native stateful session operator (merges windows incrementally as
+    events arrive; the batch twin in ``queries_ext`` is lag+cumsum)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drain a streaming plan into an in-memory table with
+    ``availableNow`` (test/dev harness; production uses a real sink)."""
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
