@@ -36,6 +36,18 @@ HEADLINE = [
     "json_page_roundtrip",
     "upsert_on_pk",
     "stable_hash",
+    # training-data extension track
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_topk_bruteforce",
+    "emb_ivf_topk",
+    "events_window_hourly",
+    "events_sessionize",
+    "multimodal_features",
 ]
 
 

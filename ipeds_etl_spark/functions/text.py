@@ -59,12 +59,19 @@ def bpe_ish_tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """All k-word shingles (space-joined), in document order; shorter
-    documents yield their single full-text shingle. DuckDB twin via
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """All k-word shingles (space-joined) of a token-array column, in
+    document order; shorter documents yield their single full-text
+    shingle. DuckDB twin via
     ``list_transform(range(len(toks)-k+1), i -> array_to_string(toks[i+1:i+k], ' '))``
-    (DuckDB list slicing is 1-based inclusive)."""
-    toks = tokens(text)
+    (DuckDB list slicing is 1-based inclusive).
+
+    PERF: pass an already-projected token column (``df.select(tokens(
+    text).alias('toks'))`` first). Passing ``tokens(text)`` directly
+    embeds the tokenizer subtree inside the per-shingle lambda, and the
+    codegen re-tokenizes the document once per shingle — measured ~6×
+    slower at sf0.1. A separate projection is an optimizer barrier
+    (CollapseProject refuses to duplicate non-cheap expressions)."""
     n = F.size(toks)
     return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(
@@ -72,6 +79,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
     )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles straight from a text column — convenience form
+    for small inputs/tests; hot paths should project ``tokens`` first
+    and call ``shingles_of`` (see PERF note there)."""
+    return shingles_of(tokens(text), k)
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
@@ -94,19 +108,22 @@ def stopword_count(text: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Colum
     return F.size(F.regexp_extract_all(text, F.lit(pat), 0))
 
 
-def quality_metrics(text: Column) -> dict[str, Column]:
+def quality_metrics(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """The standard cheap quality signals, all exact-arithmetic so the
     oracle can reproduce them: counts stay integers; ratios are formed
-    once, as double divisions of integer counts."""
+    once, as double divisions of integer counts. Pass a pre-projected
+    ``toks`` column on hot paths (see ``shingles_of`` PERF note)."""
+    if toks is None:
+        toks = tokens(text)
     n_char = F.length(text)
-    n_tok = token_count(text)
+    n_tok = F.size(toks)
     return {
         "n_chars_m": n_char.cast("long"),
         "n_tokens": n_tok.cast("long"),
         "n_punct": punct_count(text).cast("long"),
         "n_stopwords": stopword_count(text).cast("long"),
         "mean_token_len": (
-            F.aggregate(tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
             .cast("double")
             / n_tok
         ),

@@ -38,7 +38,7 @@ from ipeds_etl_spark.functions.hashing import (
     minhash_perms,
     parity_hash,
 )
-from ipeds_etl_spark.functions.text import word_shingles
+from ipeds_etl_spark.functions.text import shingles_of, tokens, word_shingles
 
 # default MinHash geometry: 16 permutations × 4 rows/band = 4 bands.
 N_PERMS = 16
@@ -82,10 +82,12 @@ def minhash_signatures(
     reduce their local shingles before the shuffle, so shuffle volume
     is O(docs × n_perms), independent of document length.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).select(id_col, parity_hash(F.col("shingle")).alias("h"))
+    # tokens projected first — see shingles_of PERF note (6× at sf0.1)
+    shingled = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col), F.explode(shingles_of(F.col("toks"), shingle_k)).alias("shingle"))
+        .select(id_col, parity_hash(F.col("shingle")).alias("h"))
+    )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_perms(n_perms))
@@ -121,6 +123,36 @@ def lsh_band_buckets(
     )
 
 
+def pairs_within_buckets(
+    bucketed: DataFrame, bucket_cols: Sequence[str], payload: Column
+) -> DataFrame:
+    """All unordered pairs of ``payload`` values sharing a bucket,
+    WITHOUT a self-join: groupBy bucket → sorted distinct payload array
+    → inline pair expansion. One shuffle (on the bucket key) instead of
+    a join over a twice-computed input — at scale this halves the
+    upstream compute and removes a whole exchange. The payload struct's
+    FIRST field must be the orderable id; pairs come out with
+    ``a.<field> < b.<field>``. Pair expansion is quadratic per bucket —
+    inherent to bucketed near-dup search; hot buckets (boilerplate
+    near-identical content) are the LSH-tuning concern, not a join-
+    strategy concern."""
+    grouped = (
+        bucketed.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.array_sort(F.collect_set(payload)).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    xs = F.col("xs")
+    pairs = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.size(xs)), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -129,27 +161,18 @@ def lsh_candidate_pairs(
     rows_per_band: int = ROWS_PER_BAND,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
-    The self-join key is (band, band_key): only same-bucket rows pair,
-    and the shuffle is on the bucket key — skew only if a bucket is
-    genuinely hot (near-identical boilerplate), the case AQE skew-join
-    handles."""
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket —
+    via in-bucket pair expansion (``pairs_within_buckets``), so the
+    signature pipeline runs once and the only shuffles are the bucket
+    groupBy and the final distinct."""
     sigs = minhash_signatures(df, text_col, id_col, n_perms, shingle_k)
     buckets = lsh_band_buckets(sigs, id_col, rows_per_band)
-    L = buckets.alias("l")
-    R = buckets.alias("r")
-    return (
-        L.join(
-            R,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+    pairs = pairs_within_buckets(
+        buckets, ["band", "band_key"], F.struct(F.col(id_col).alias("id"))
     )
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -203,26 +226,22 @@ def simhash_near_pairs(
     bucketed = fps.select(id_col, "simhash", blocks).select(
         id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val")
     )
-    L, R = bucketed.alias("l"), bucketed.alias("r")
-    pairs = (
-        L.join(
-            R,
-            on=[
-                F.col("l.blk") == F.col("r.blk"),
-                F.col("l.blk_val") == F.col("r.blk_val"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+    # carry (id, fingerprint) through the pair expansion so Hamming is
+    # computed inline — no join back to the fingerprint table
+    pairs = pairs_within_buckets(
+        bucketed,
+        ["blk", "blk_val"],
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp")),
+    )
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
@@ -241,9 +260,9 @@ def ngram_jaccard_pairs(
     must pre-bucket). Jaccard is |A∩B| / |A∪B| on distinct shingles,
     computed as an exact integer ratio divided once.
     """
-    sets = df.select(
+    sets = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh"),
+        F.array_distinct(shingles_of(F.col("toks"), k)).alias("sh"),
     )
     if candidates is None:
         L, R = sets.alias("l"), sets.alias("r")

@@ -114,9 +114,11 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring signals per document — pure codegen expressions,
     no shuffle at all (a map-only 100 TB pass)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("toks")
+    )
     text = F.col("text")
-    m = TX.quality_metrics(text)
+    m = TX.quality_metrics(text, toks=F.col("toks"))
     return d.select(
         "doc_id",
         m["n_chars_m"].alias("n_chars_calc"),
@@ -298,10 +300,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard over same-source candidate pairs
     (the blocked verifier stage of a dedup pipeline)."""
     d = load_table(spark, sf_dir, "documents")
-    sets = d.select(
+    sets = d.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks")).select(
         "doc_id",
         "source",
-        F.array_distinct(TX.word_shingles(F.col("text"), 3)).alias("sh"),
+        F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh"),
     )
     L, R = sets.alias("l"), sets.alias("r")
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
