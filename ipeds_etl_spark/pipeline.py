@@ -66,6 +66,34 @@ def run_load(
     }
 
 
+def rebuild_gold(spark: SparkSession, endpoint: str, warehouse: str) -> dict[str, int]:
+    """Rebuild the serving (gold) tables from core — the Spark
+    equivalent of the reference's post-ETL materialized-view refresh
+    (reference ``architecture.md:85-87``): recompute and atomically
+    replace. Small outputs are coalesced to avoid small-file sprawl.
+
+    Tables (≅ reference ``ipeds_vw`` views, ``architecture.md:50-56``):
+    * ``institutions_latest`` — latest core row per institution (W1).
+    * ``yearly_counts``       — institutions per (year, state) (A2 shape).
+    """
+    ep = registry.get_endpoint(endpoint)
+    core = spark.read.parquet(f"{warehouse}/core/{endpoint}")
+    from pyspark.sql import Window
+
+    key = ep.pk[0]
+    w = Window.partitionBy(key).orderBy(F.col("year").desc())
+    latest = (
+        core.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    counts = core.groupBy("year", "state_abbr").agg(F.count("*").alias("n_institutions"))
+    out = {}
+    for name, df in (("institutions_latest", latest), ("yearly_counts", counts)):
+        path = f"{warehouse}/vw/{endpoint}_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path).count()
+    return out
+
+
 def drift_check(endpoint: str, records: DataFrame) -> dict:
     """Contract check over exploded raw records (map<string,string>):
     report incoming fields unknown to the registry (reference

@@ -502,6 +502,60 @@ def q_upsert_on_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_on_pk(target, source, ["o_orderkey"])
 
 
+# ---------------------------------------------------------------------------
+# U2 `upsert_on_hash` — hash-guarded merge (≅ DO UPDATE ... WHERE
+# target.source_hash IS DISTINCT FROM EXCLUDED.source_hash, reference
+# etl/raw_io.py:181-197). Source revises 1/3 of its keys; rows whose
+# content hash is unchanged must keep the TARGET version (provenance-
+# preserving — the ``origin`` marker proves which side survived).
+# ---------------------------------------------------------------------------
+@_register(
+    "upsert_on_hash",
+    """
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus,
+               sha256(o_orderstatus) AS source_hash, 'tgt' AS origin
+        FROM orders
+    ),
+    source AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               sha256(CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END) AS source_hash,
+               'src' AS origin
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    changed AS (
+        SELECT s.* FROM source s
+        WHERE NOT EXISTS (SELECT 1 FROM target t
+                          WHERE t.o_orderkey = s.o_orderkey
+                            AND t.source_hash IS NOT DISTINCT FROM s.source_hash)
+    )
+    SELECT * FROM changed
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.o_orderkey = t.o_orderkey)
+    """,
+)
+def q_upsert_on_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ipeds_etl_spark.operators.merge import upsert_on_hash
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    target = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.sha2("o_orderstatus", 256).alias("source_hash"),
+        F.lit("tgt").alias("origin"),
+    )
+    revised = F.when(F.col("o_orderkey") % 3 == 0, "X").otherwise(F.col("o_orderstatus"))
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        revised.alias("o_orderstatus"),
+        F.sha2(revised, 256).alias("source_hash"),
+        F.lit("src").alias("origin"),
+    )
+    return upsert_on_hash(target, source, ["o_orderkey"], "source_hash")
+
+
 def _load_extensions() -> None:
     """Importing ``queries_ext`` registers the training-data extension
     queries (dedup / similarity / text analysis / event windows) into

@@ -119,6 +119,19 @@ def test_second_year_partition_isolated(spark, warehouse):
     assert os.path.isdir(f"{warehouse}/core/directory/year=2021")
 
 
+def test_rebuild_gold(spark, warehouse):
+    out = pipeline.rebuild_gold(spark, "directory", warehouse)
+    latest = spark.read.parquet(f"{warehouse}/vw/directory_institutions_latest")
+    # one row per institution, and it is the 2021 vintage (both years loaded)
+    assert latest.count() == latest.select("unitid").distinct().count() == 5
+    assert {r["year"] for r in latest.collect()} == {2021}
+    counts = spark.read.parquet(f"{warehouse}/vw/directory_yearly_counts")
+    by_year = {r["year"]: r for r in counts.groupBy("year").agg(
+        F.sum("n_institutions").alias("n")).collect()}
+    assert by_year[2020]["n"] == 5 and by_year[2021]["n"] == 5
+    assert out["institutions_latest"] == 5
+
+
 def test_drift_check(spark, warehouse):
     pages = raw_io.scan_pages(spark, f"{warehouse}/raw/directory", [2020])
     rep = pipeline.drift_check("directory", raw_io.scan_records(pages))
