@@ -105,19 +105,36 @@ def _stub_features(payload: bytes) -> list[float]:
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Batch feature extraction over (doc_id, payload, media_meta) via
-    ``mapInPandas`` — Arrow-batched, schema-stable, map-only."""
+    ``mapInPandas`` — Arrow-batched, schema-stable, map-only.
+
+    The worker function is deliberately self-contained (imports and the
+    feature kernel live inside it, no module-global references) so
+    cloudpickle ships it by value: Python workers then need neither
+    this package on their ``sys.path`` nor an ``addPyFile`` — the
+    function runs under any externally-created SparkSession.
+    """
+    dim = FEATURE_DIM
 
     def run(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def feats_of(payload: bytes) -> list[float]:
+            counts = [0] * dim
+            for b in payload:
+                counts[b % dim] += 1
+            total = max(1, len(payload))
+            return [c / total for c in counts]
+
         for pdf in batches:
-            feats = [_stub_features(p) for p in pdf["payload"]]
-            shas = [hashlib.sha256(p).hexdigest() for p in pdf["payload"]]
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "modality": [m["modality"] for m in pdf["media_meta"]],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "byte_sha": shas,
-                    "feature": feats,
+                    "byte_sha": [_hl.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "feature": [feats_of(p) for p in pdf["payload"]],
                 }
             )
 

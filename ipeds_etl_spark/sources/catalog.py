@@ -3,7 +3,15 @@ schema listing and the env-check notebook probes)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def mask_credentials(url: str) -> str:
+    """Hide user:password in a connection-style URL for logs
+    (≅ reference env-check notebook ``mask``)."""
+    return re.sub(r"://([^:/@]+)(:[^@]*)?@", "://\\1:***@", url)
 
 
 def ping(spark: SparkSession) -> dict:
