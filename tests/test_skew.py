@@ -1,0 +1,57 @@
+"""Salted aggregation / join must be result-identical to the plain forms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 'hot' holds ~90% of rows
+    return spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, "hot").otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_matches_plain(spark, skewed):
+    plain = {
+        r["k"]: (r["total"], r["n"], r["mx"], r["mean"])
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["total"], r["n"], r["mx"], r["mean"])
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            {"total": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v"), "mean": ("avg", "v")},
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        pt, pn, pm, pa = plain[k]
+        st, sn, sm, sa = salted[k]
+        assert (pn, pm) == (sn, sm)
+        assert abs(pt - st) < 1e-6 and abs(pa - sa) < 1e-9
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "HOT LABEL")] + [(f"k{i}", f"L{i}") for i in range(0, 10_000, 10)],
+        "k string, label string",
+    )
+    plain = skewed.join(dim, "k").groupBy("k", "label").count()
+    salted = salted_join(skewed, dim, ["k"]).groupBy("k", "label").count()
+    p = {(r["k"], r["label"]): r["count"] for r in plain.collect()}
+    s = {(r["k"], r["label"]): r["count"] for r in salted.collect()}
+    assert p == s and len(p) > 0
