@@ -44,18 +44,40 @@ from pyspark.sql import functions as F
 SENTINEL_STRINGS = ("-1", "-2", "-3", "-1.0", "-2.0", "-3.0")
 SENTINEL_INTS = (-1, -2, -3)
 
-#: Regex accepted by ``safe_int``: optional sign, digits only (after trim).
+#: Regex accepted by ``safe_int``: optional sign, ASCII digits only.
 _INT_RE = r"^[+-]?\d+$"
+#: Regexes accepted by ``safe_double``: ASCII decimal/scientific forms
+#: plus the inf/nan words Python's float() accepts (case-insensitive).
+#: The guard exists because Spark's bare string→double parse is MORE
+#: permissive than the reference's Python float() — it accepts Java
+#: forms like "1.5f", "1d", and hex floats ("0x1p3"); the reference
+#: yields None for those, so we must too.
+_DBL_RE = r"(?i)^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|inf(inity)?)$"
+_NAN_RE = r"(?i)^[+-]?nan$"
+
+#: Documented deviations from CPython casting, all ASCII-policy driven
+#: (the oracle SQL and Spark must agree, and both are ASCII-regex
+#: engines by default): Python also accepts underscore separators
+#: ("1_000"), non-ASCII unicode digits ("٣"), and unicode whitespace
+#: around values; the engine yields NULL for all of those. IPEDS data
+#: contains none of them.
+
+
+def _strip(c: Column) -> Column:
+    """Strip leading/trailing ASCII whitespace — Python ``str.strip``
+    parity (``F.trim`` removes spaces only, so tab/newline-padded
+    values would leak through the sentinel and regex checks)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
 def is_missing(col: Column) -> Column:
     """Boolean Column: value is missing per IPEDS policy.
 
     True for NULL, empty/whitespace-only strings, and the sentinel
-    codes -1/-2/-3 whether numeric or stringified (trimmed).
+    codes -1/-2/-3 whether numeric or stringified (stripped).
     Legitimate negatives (e.g. -4, or -122.4 longitude) are NOT missing.
     """
-    s = F.trim(col.cast("string"))
+    s = _strip(col.cast("string"))
     return col.isNull() | (s == "") | s.isin(*SENTINEL_STRINGS)
 
 
@@ -68,29 +90,38 @@ def safe_int(col: Column) -> Column:
     """Sentinel-cleaned integer cast: int or NULL, never an error.
 
     Matches Python ``int(str)`` strictness: ``" 42 "`` → 42 but
-    ``"12.5"``/``"1e3"``/``"abc"`` → NULL.
+    ``"12.5"``/``"1e3"``/``"abc"`` → NULL. ``try_cast`` makes INT
+    overflow NULL (instead of raising) under ANSI sessions too.
     """
-    s = F.trim(clean_sentinels(col).cast("string"))
-    return F.when(s.rlike(_INT_RE), s).otherwise(F.lit(None)).cast("int")
+    s = _strip(clean_sentinels(col).cast("string"))
+    return F.when(s.rlike(_INT_RE), s).otherwise(F.lit(None)).try_cast("int")
 
 
 def safe_long(col: Column) -> Column:
     """``safe_int`` at BIGINT width."""
-    s = F.trim(clean_sentinels(col).cast("string"))
-    return F.when(s.rlike(_INT_RE), s).otherwise(F.lit(None)).cast("bigint")
+    s = _strip(clean_sentinels(col).cast("string"))
+    return F.when(s.rlike(_INT_RE), s).otherwise(F.lit(None)).try_cast("bigint")
 
 
 def safe_double(col: Column) -> Column:
     """Sentinel-cleaned double cast: float or NULL, never an error.
 
-    ``try_cast`` keeps null-on-malformed behavior even under an ANSI session.
+    Guarded by ``_DBL_RE`` so only Python-float()-shaped strings parse
+    (see the deviation note above); nan forms are routed explicitly
+    because Spark parses ``"NaN"`` but not ``"-nan"`` while Python
+    accepts both.
     """
-    return F.trim(clean_sentinels(col).cast("string")).try_cast("double")
+    s = _strip(clean_sentinels(col).cast("string"))
+    return (
+        F.when(s.rlike(_NAN_RE), F.lit(float("nan")))
+        .when(s.rlike(_DBL_RE), s.try_cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+    )
 
 
 def safe_str(col: Column) -> Column:
-    """Sentinel-cleaned trimmed string: NULL if empty after trim."""
-    return clean_sentinels(F.trim(col.cast("string")))
+    """Sentinel-cleaned stripped string: NULL if empty after strip."""
+    return clean_sentinels(_strip(col.cast("string")))
 
 
 def coalesce_pick(*cols: Column) -> Column:

@@ -50,21 +50,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def assign_centroids(
-    corpus: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
-) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the centroid list into an
-    array column, argmax cosine inside a single projection (no join, no
-    shuffle — the corpus scan stays embarrassingly parallel)."""
-    cent_rows = centroids.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    ).collect()
-    cents = F.array(
+def _collect_centroids(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """One driver collect of the (tiny) centroid list."""
+    return [
+        (r["cid"], list(r["cvec"]))
+        for r in centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        ).collect()
+    ]
+
+
+def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """Centroid list as a literal array column (broadcast-by-plan)."""
+    return F.array(
         *[
-            F.struct(F.lit(r["cid"]).alias("cid"), F.array(*[F.lit(float(v)) for v in r["cvec"]]).alias("cvec"))
-            for r in cent_rows
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
+            )
+            for cid, vec in cent_rows
         ]
     )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    cent_rows: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment: embed the centroid list as a plan
+    literal, argmax cosine inside a single projection (no join, no
+    shuffle — the corpus scan stays embarrassingly parallel). Callers
+    holding an already-collected centroid list pass ``cent_rows`` to
+    avoid a second driver job."""
+    if cent_rows is None:
+        cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    cents = _centroid_literal(cent_rows)
     scored = F.transform(
         cents,
         lambda c: F.struct(
@@ -122,17 +147,9 @@ def ivf_topk(
     buckets per query. Join key is centroid_id, so the shuffle moves
     each query to ~n_probe buckets instead of the whole corpus."""
     centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
-    assigned = assign_centroids(corpus, id_col, vec_col, centroids)
-
-    cent_rows = centroids.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    ).collect()
-    cents = F.array(
-        *[
-            F.struct(F.lit(r["cid"]).alias("cid"), F.array(*[F.lit(float(v)) for v in r["cvec"]]).alias("cvec"))
-            for r in cent_rows
-        ]
-    )
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
+    cents = _centroid_literal(cent_rows)
     probes = F.slice(
         F.reverse(
             F.array_sort(
