@@ -24,6 +24,8 @@ partitioning a batch groupBy would do.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,6 +73,17 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame, keys: Sequence[str] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful streaming exact-dedup: first arrival of each key wins,
+    re-deliveries within the watermark horizon are dropped — the
+    incremental twin of ``operators.dedup.exact_dedup``. State is
+    bounded by the watermark (Spark evicts keys older than the horizon),
+    which is what makes key-dedup feasible on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
 
 
 def run_to_memory(

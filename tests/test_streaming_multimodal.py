@@ -67,6 +67,22 @@ def test_session_counts_runs_stateful(spark, stream_dir):
     assert 0 < total <= spark.read.parquet(stream_dir).count()
 
 
+def test_dedup_stream_drops_redelivery(spark, stream_dir, tmp_path):
+    # stage the stream twice (simulated at-least-once redelivery)
+    src = spark.read.parquet(stream_dir)
+    d = str(tmp_path / "dup_stream")
+    src.write.mode("overwrite").parquet(d)
+    src.write.mode("append").parquet(d)
+    assert spark.read.parquet(d).count() == 2 * src.count()
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    jobs.run_to_memory(jobs.dedup_stream(stream), "dedup_stream")
+    out = spark.sql("SELECT * FROM dedup_stream")
+    assert out.count() == src.count()
+    assert out.select("event_id").distinct().count() == src.count()
+
+
 def test_decode_media_is_gated():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
