@@ -103,6 +103,87 @@ def _stub_features(payload: bytes) -> list[float]:
     return [c / total for c in counts]
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize stage: Arrow-batched ``mapInPandas`` with a typed
+    (payload, width, height) output. The pixel work is a stub (real
+    resize needs PIL — not in this container): payloads are
+    deterministically truncated/padded to width×height bytes, so batch
+    shapes, schema, and memory behavior match the real operator.
+    Worker closure is self-contained (ships by value)."""
+    w, h = width, height
+
+    def run(batches):
+        import pandas as _pd
+
+        target = w * h
+        for pdf in batches:
+            resized = [
+                bytes(p[:target]) + b"\x00" * max(0, target - len(p))
+                for p in pdf["payload"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": resized,
+                    "width": w,
+                    "height": h,
+                    "n_bytes": [len(p) for p in resized],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling: one input payload → ``n_frames`` output
+    rows (uniform strides), the row-expanding ``mapInPandas`` shape a
+    real ffmpeg-backed sampler would use. Frame decode is stubbed as
+    byte-range slicing."""
+    k = n_frames
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(1, len(p) // k)
+                for i in range(k):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(bytes(p[i * step : i * step + step]))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_index": _pd.Series(idxs, dtype="int32"),
+                    "frame_payload": frames,
+                    "n_bytes": _pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Batch feature extraction over (doc_id, payload, media_meta) via
     ``mapInPandas`` — Arrow-batched, schema-stable, map-only.

@@ -10,6 +10,8 @@ from ipeds_etl_spark.operators.multimodal import (
     attach_payload,
     decode_media,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 from ipeds_etl_spark.sources.tables import load_table
 from ipeds_etl_spark.streaming import jobs
@@ -102,3 +104,18 @@ def test_multimodal_feature_extraction(spark):
     # metadata hash agrees with extractor-recomputed hash (plumbing honest)
     meta = {r["doc_id"]: r["media_meta"]["byte_sha"] for r in media.collect()}
     assert all(meta[r["doc_id"]] == r["byte_sha"] for r in feats)
+
+
+def test_resize_and_frame_sample_shapes(spark):
+    d = load_table(spark, SF, "documents").limit(10)
+    media = attach_payload(d, "text", "doc_id", modality="video")
+    resized = resize_images(media, width=8, height=8).collect()
+    assert len(resized) == 10
+    assert all(r["n_bytes"] == 64 and r["width"] == 8 for r in resized)
+
+    frames = sample_frames(media, n_frames=4).collect()
+    assert len(frames) == 40  # row expansion: 4 frames per payload
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
