@@ -1,0 +1,77 @@
+"""Multi-endpoint pipeline: directory + admissions loaded through the
+same registry-driven path, then the reference's documented serving
+views built over the cores (reference ``architecture.md:53-55`` —
+``admissions_enriched``, ``yearly_kpis``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark import pipeline
+from ipeds_etl_spark.plans.views import enrich_join
+
+
+DIR_PAGES = [
+    [
+        {"unitid": 1, "year": 2022, "inst_name": "Alpha U", "state_abbr": "OR", "sector": 1},
+        {"unitid": 2, "year": 2022, "inst_name": "Beta C", "state_abbr": "CA", "sector": 2},
+    ]
+]
+ADM_PAGES = [
+    [
+        {"unitid": 1, "year": 2022, "applied": 1000, "admitted": 400, "enrolled": 200},
+        {"unitid": 2, "year": 2022, "applied": "500", "admitted": "-1", "enrolled": 50},
+        # unknown institution (no directory row) — left join keeps it
+        {"unitid": 9, "year": 2022, "applied": 10, "admitted": 5, "enrolled": 1},
+    ]
+]
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    pipeline.run_load(spark, "directory", 2022, DIR_PAGES, wh)
+    pipeline.run_load(spark, "admissions", 2022, ADM_PAGES, wh)
+    return wh
+
+
+def test_admissions_core_typed_and_cleaned(spark, warehouse):
+    adm = {r["unitid"]: r for r in spark.read.parquet(f"{warehouse}/core/admissions").collect()}
+    assert adm[1]["applied"] == 1000
+    assert adm[2]["applied"] == 500       # string -> int
+    assert adm[2]["admitted"] is None     # sentinel "-1" -> NULL
+    assert set(adm) == {1, 2, 9}
+
+
+def test_admissions_enriched_view(spark, warehouse):
+    adm = spark.read.parquet(f"{warehouse}/core/admissions")
+    d = spark.read.parquet(f"{warehouse}/core/directory").select(
+        "unitid", "year", "inst_name", "state_abbr", "sector"
+    )
+    enriched = enrich_join(adm, d, on=["unitid", "year"])
+    rows = {r["unitid"]: r for r in enriched.collect()}
+    assert rows[1]["inst_name"] == "Alpha U" and rows[1]["state_abbr"] == "OR"
+    assert rows[9]["inst_name"] is None  # left join preserves orphan facts
+    assert enriched.count() == 3
+
+
+def test_yearly_kpis_from_admissions(spark, warehouse):
+    adm = spark.read.parquet(f"{warehouse}/core/admissions")
+    kpis = adm.groupBy("year").agg(
+        (F.sum("admitted").cast("double") / F.sum("applied")).alias("accept_rate"),
+        (F.sum("enrolled").cast("double") / F.sum("admitted")).alias("yield_rate"),
+        F.sum("applied").alias("total_applied"),
+    )
+    [r] = kpis.collect()
+    # admitted: 400 + NULL + 5 = 405; applied: 1000+500+10 = 1510
+    assert r["total_applied"] == 1510
+    assert abs(r["accept_rate"] - 405 / 1510) < 1e-12
+    assert abs(r["yield_rate"] - 251 / 405) < 1e-12
+
+
+def test_lineage_tracks_both_endpoints(spark, warehouse):
+    log = spark.read.parquet(f"{warehouse}/meta/load_log")
+    by_ep = {r["endpoint"]: r for r in log.collect()}
+    assert by_ep["directory"]["rows_inserted"] == 2
+    assert by_ep["admissions"]["rows_inserted"] == 3
