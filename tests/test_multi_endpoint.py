@@ -70,6 +70,38 @@ def test_yearly_kpis_from_admissions(spark, warehouse):
     assert abs(r["yield_rate"] - 251 / 405) < 1e-12
 
 
+COMP_PAGES = [
+    [
+        {"unitid": 1, "year": 2022, "cipcode": "11.0701", "award_level": 5, "completions": 120},
+        {"unitid": 1, "year": 2022, "cipcode": "14.0901", "award_level": 5, "completions": 45},
+        {"unitid": 2, "year": 2022, "cipcode": "11.0701", "award_level": 7, "completions": 30},
+    ]
+]
+
+
+def test_completions_by_cip_view(spark, warehouse):
+    """Reference architecture.md:54 — program facts ⋈ tiny CIP-title
+    dim (broadcast), rolled up by title. 4-part composite PK endpoint."""
+    from ipeds_etl_spark.plans.views import dim_lookup
+
+    pipeline.run_load(spark, "completions", 2022, COMP_PAGES, wh := warehouse)
+    comp = spark.read.parquet(f"{wh}/core/completions")
+    assert comp.count() == 3  # composite PK (unitid,year,cipcode,award_level)
+
+    cip_dim = spark.createDataFrame(
+        [("11.0701", "Computer Science"), ("14.0901", "Computer Engineering")],
+        "cipcode string, cip_title string",
+    )
+    by_cip = (
+        dim_lookup(comp, cip_dim, code_col="cipcode", label_cols=["cip_title"])
+        .groupBy("cip_title")
+        .agg(F.sum("completions").alias("total"))
+    )
+    out = {r["cip_title"]: r["total"] for r in by_cip.collect()}
+    assert out["Computer Science"] == 150
+    assert out["Computer Engineering"] == 45
+
+
 def test_lineage_tracks_both_endpoints(spark, warehouse):
     log = spark.read.parquet(f"{warehouse}/meta/load_log")
     by_ep = {r["endpoint"]: r for r in log.collect()}
