@@ -53,6 +53,21 @@ def parity_hash(c: Column) -> Column:
     )
 
 
+#: hex digits for the wide (56-bit) hash — safe for plain comparisons,
+#: shifts, and xor, but NOT for the affine permutations (a*h would
+#: overflow signed-64); MinHash must stay on the 40-bit hash.
+WIDE_HEX_DIGITS = 14
+
+
+def parity_hash_wide(c: Column) -> Column:
+    """56-bit integer hash (14 sha256 hex digits). Used where hash
+    *width* matters (SimHash fingerprint bits) and no multiplication is
+    ever applied. DuckDB: ``CAST(concat('0x', substr(sha256(s),1,14)) AS BIGINT)``."""
+    return F.conv(F.substring(F.sha2(c.cast("string"), 256), 1, WIDE_HEX_DIGITS), 16, 10).cast(
+        "long"
+    )
+
+
 def parity_hash_sql(expr: str) -> str:
     """DuckDB SQL text computing ``parity_hash`` of ``expr``."""
     return f"CAST(concat('0x', substr(sha256({expr}), 1, {PARITY_HEX_DIGITS})) AS BIGINT)"

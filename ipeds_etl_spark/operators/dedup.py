@@ -37,6 +37,7 @@ from ipeds_etl_spark.functions.hashing import (
     content_hash,
     minhash_perms,
     parity_hash,
+    parity_hash_wide,
 )
 from ipeds_etl_spark.functions.text import shingles_of, tokens, word_shingles
 
@@ -44,9 +45,13 @@ from ipeds_etl_spark.functions.text import shingles_of, tokens, word_shingles
 N_PERMS = 16
 ROWS_PER_BAND = 4
 
-# SimHash geometry: 40-bit fingerprints (the parity-hash width), and
-# Hamming radius 3 ⇒ 4 pigeonhole blocks of 10 bits.
-SIMHASH_BITS = 40
+# SimHash geometry: 56-bit fingerprints (wide-hash width) and Hamming
+# radius 3 ⇒ 4 pigeonhole blocks of 14 bits. Block width is the
+# hot-bucket control: 14-bit block values (16k buckets/block) keep the
+# quadratic in-bucket pair expansion bounded as the corpus grows —
+# measured at sf0.1, 10-bit blocks produced a 727-doc bucket (264k
+# pairs from one bucket); 14-bit blocks cap it ~16× lower.
+SIMHASH_BITS = 56
 HAMMING_K = 3
 N_BLOCKS = HAMMING_K + 1
 BLOCK_BITS = SIMHASH_BITS // N_BLOCKS
@@ -201,7 +206,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS)
         F.explode(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
         ).alias("tok"),
-    ).select(id_col, parity_hash(F.col("tok")).alias("h"))
+    ).select(id_col, parity_hash_wide(F.col("tok")).alias("h"))
 
     n_lanes = -(-bits // _BITS_PER_LONG)
 

@@ -33,6 +33,7 @@ from ipeds_etl_spark.sources.tables import load_table
 # shared DuckDB SQL fragments (kept in lockstep with functions/*.py)
 # ---------------------------------------------------------------------------
 _HASH10 = "CAST(concat('0x', substr(sha256({x}), 1, 10)) AS BIGINT)"
+_HASH14 = "CAST(concat('0x', substr(sha256({x}), 1, 14)) AS BIGINT)"
 _WS_TOKENS = r"list_filter(regexp_split_to_array({x}, '\s+'), t -> len(t) > 0)"
 _BPE_PAT = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
 _PUNCT_PAT = r"[^\p{L}\p{N}\s]"
@@ -260,7 +261,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     f"""
     WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
-    hv AS (SELECT doc_id, list_transform(w, t -> {_HASH10.format(x='t')}) AS h
+    hv AS (SELECT doc_id, list_transform(w, t -> {_HASH14.format(x='t')}) AS h
            FROM toks WHERE len(w) > 0),
     fp AS (SELECT doc_id,
              CAST(list_sum(list_transform(range({DD.SIMHASH_BITS}), j ->
