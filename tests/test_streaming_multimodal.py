@@ -85,6 +85,37 @@ def test_dedup_stream_drops_redelivery(spark, stream_dir, tmp_path):
     assert out.select("event_id").distinct().count() == src.count()
 
 
+def test_stateful_running_totals_matches_batch(spark, stream_dir):
+    from ipeds_etl_spark.streaming.stateful import running_user_stats
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # update mode may emit a row per key per batch: last emit wins
+    out = spark.sql(
+        "SELECT user_id, n_events, total_value FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn "
+        " FROM user_stats) WHERE rn = 1"
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in out.collect()}
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in spark.read.parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("t"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+
 def test_decode_media_is_gated():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
