@@ -58,7 +58,11 @@ def main() -> None:
 
     spark = get_spark("ipeds_etl_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm the JVM
+    # Generic warm-up: JVM codegen, shuffle machinery, and the parquet
+    # vectorized-reader classpath (one tiny read). Billing JVM class
+    # loading to the first measured query would misstate its cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
 
     registered = q.queries()
     timings: dict[str, float] = {}

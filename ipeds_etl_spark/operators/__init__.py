@@ -1,1 +1,54 @@
-"""Relational + training-data operators built on DataFrame primitives."""
+"""Operator layer: merge, dedup, similarity, skew, bucketing, multimodal."""
+
+from ipeds_etl_spark.operators.bucketing import write_bucketed
+from ipeds_etl_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from ipeds_etl_spark.operators.merge import (
+    overwrite_partitions_staged,
+    upsert_into_partitioned,
+    upsert_on_hash,
+    upsert_on_pk,
+)
+from ipeds_etl_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from ipeds_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dups,
+    ivf_topk,
+)
+from ipeds_etl_spark.operators.skew import salted_agg, salted_join
+
+__all__ = [
+    "attach_payload",
+    "brute_force_topk",
+    "cosine",
+    "embedding_near_dups",
+    "exact_dedup",
+    "extract_features",
+    "ivf_topk",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "overwrite_partitions_staged",
+    "resize_images",
+    "salted_agg",
+    "salted_join",
+    "sample_frames",
+    "simhash",
+    "simhash_near_pairs",
+    "upsert_into_partitioned",
+    "upsert_on_hash",
+    "upsert_on_pk",
+    "write_bucketed",
+]
