@@ -138,6 +138,17 @@ def test_drift_check(spark, warehouse):
     assert "mystery_col" in rep["unknown_incoming"]
 
 
+def test_empty_load_is_noop(spark, warehouse):
+    """A year with zero fetched pages must not touch existing data and
+    must log a 0/0 run (reference: empty API responses are normal for
+    pre-coverage years)."""
+    before = spark.read.parquet(f"{warehouse}/core/directory").count()
+    metrics = pipeline.run_load(spark, "directory", 2019, [], warehouse)
+    assert metrics["records_mapped"] == 0
+    assert metrics["rows_inserted"] == 0 and metrics["rows_updated"] == 0
+    assert spark.read.parquet(f"{warehouse}/core/directory").count() == before
+
+
 def test_http_ingest_offline_pagination():
     calls = []
 
