@@ -503,6 +503,66 @@ def q_upsert_on_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P9 `row_mapper` — the registry-driven record normalizer (≅ reference
+# etl/mappers/directory.py:126-238) through its REAL code path: records
+# as map<string,string> (the raw-scan shape), every output column
+# generated as safe_cast(coalesce_pick(candidates)) by
+# registry.mapper_columns. Exercises alias fallback (instnm/stabbr),
+# sentinel skip, and typed casts in one pass.
+# ---------------------------------------------------------------------------
+@_register(
+    "registry_mapper",
+    """
+    WITH rec AS (
+        SELECT c_custkey,
+               CAST(c_custkey AS VARCHAR) AS unitid,
+               CASE c_custkey % 3 WHEN 0 THEN '-2' WHEN 1 THEN '' ELSE c_name END AS inst_name,
+               c_name AS instnm,
+               c_mktsegment AS stabbr,
+               CASE c_custkey % 4 WHEN 0 THEN '-1' WHEN 1 THEN 'abc' ELSE CAST(c_nationkey AS VARCHAR) END AS sector,
+               CAST(c_acctbal AS VARCHAR) AS latitude
+        FROM customer
+    )
+    SELECT CAST(trim(unitid) AS INT) AS unitid,
+           CAST(2020 AS INT) AS year,
+           COALESCE(
+             CASE WHEN inst_name IS NULL OR trim(inst_name) IN ('', '-1', '-2', '-3', '-1.0', '-2.0', '-3.0') THEN NULL ELSE trim(inst_name) END,
+             CASE WHEN instnm IS NULL OR trim(instnm) IN ('', '-1', '-2', '-3', '-1.0', '-2.0', '-3.0') THEN NULL ELSE trim(instnm) END
+           ) AS inst_name,
+           trim(stabbr) AS state_abbr,
+           CAST(CASE WHEN sector IS NULL OR trim(sector) IN ('', '-1', '-2', '-3', '-1.0', '-2.0', '-3.0') THEN NULL
+                     WHEN regexp_matches(trim(sector), '^[+-]?\\d+$') THEN trim(sector)
+                     ELSE NULL END AS INT) AS sector,
+           try_cast(trim(latitude) AS DOUBLE) AS latitude
+    FROM rec
+    """,
+)
+def q_registry_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ipeds_etl_spark import registry
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    rec = F.create_map(
+        F.lit("unitid"), k.cast("string"),
+        F.lit("year"), F.lit("2020"),
+        F.lit("inst_name"),
+        F.when(k % 3 == 0, "-2").when(k % 3 == 1, "").otherwise(F.col("c_name")),
+        F.lit("instnm"), F.col("c_name"),
+        F.lit("stabbr"), F.col("c_mktsegment"),
+        F.lit("sector"),
+        F.when(k % 4 == 0, "-1").when(k % 4 == 1, "abc").otherwise(F.col("c_nationkey").cast("string")),
+        F.lit("latitude"), F.col("c_acctbal").cast("string"),
+    )
+    recs = c.select(rec.alias("rec"))
+    cols = registry.mapper_columns(
+        "directory", getter=lambda name: F.col("rec").getItem(name)
+    )
+    return recs.select(*cols).select(
+        "unitid", "year", "inst_name", "state_abbr", "sector", "latitude"
+    )
+
+
+# ---------------------------------------------------------------------------
 # U2 `upsert_on_hash` — hash-guarded merge (≅ DO UPDATE ... WHERE
 # target.source_hash IS DISTINCT FROM EXCLUDED.source_hash, reference
 # etl/raw_io.py:181-197). Source revises 1/3 of its keys; rows whose
