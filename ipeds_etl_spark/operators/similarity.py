@@ -189,6 +189,69 @@ def ivf_topk(
     )
 
 
+def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane family: ±1 (Rademacher) entries
+    from sha256 of (plane, dim) — a published SimHash-for-vectors
+    construction (Charikar 2002), derandomized so the DuckDB oracle
+    can embed the identical planes as literals."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.sha256(f"rp:{p}:{d}".encode()).hexdigest(), 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def rp_lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit p = sign of the projection onto plane p."""
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec_col, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def rp_lsh_near_dups(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH: vectors sharing a
+    sign-pattern bucket (cosine-similar vectors collide with
+    probability (1 - θ/π)^n_planes) are paired and verified by exact
+    cosine. The alternative bucketing to IVF: no centroids to pick,
+    collision probability directly controlled by n_planes."""
+    planes = rp_planes(n_planes, dim)
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), rp_lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    L, R = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        L.join(
+            R,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     id_col: str,

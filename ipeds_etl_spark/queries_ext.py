@@ -418,6 +418,43 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(e, "vec_id", "embedding", threshold=0.4, n_centroids=8)
 
 
+def _rp_oracle_sql() -> str:
+    """Random-hyperplane LSH oracle with the same literal ±1 planes."""
+    from ipeds_etl_spark.operators.similarity import rp_planes
+
+    bits = []
+    for p, plane in enumerate(rp_planes(8, 64)):
+        arr = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+        proj = _DOT.format(a="embedding", b=arr)
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = "(" + " + ".join(bits) + ")"
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.3
+    """
+
+
+@_register("emb_rp_lsh_near_dups", None)
+def q_emb_rp_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs (8 Rademacher planes,
+    cosine-verified ≥ 0.3) — the bucketing alternative to IVF."""
+    from ipeds_etl_spark.operators.similarity import rp_lsh_near_dups
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_near_dups(e, "vec_id", "embedding", n_planes=8, dim=64, threshold=0.3)
+
+
+# register the oracle lazily-built SQL (needs the plane constants)
+from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES  # noqa: E402
+
+_ORACLES["emb_rp_lsh_near_dups"] = _rp_oracle_sql()
+
+
 # ===========================================================================
 # Multimodal (rows-only: stubbed decode — no SQL-expressible oracle)
 # ===========================================================================
