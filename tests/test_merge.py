@@ -75,3 +75,24 @@ def test_merged_pk_unique(spark):
     source = spark.createDataFrame([(i, "s") for i in range(50, 150)], "k int, s string")
     out = upsert_on_pk(target, source, ["k"])
     assert out.count() == out.select("k").distinct().count() == 150
+
+
+def test_upsert_into_partitioned_touches_only_loaded_years(spark, tmp_path):
+    import os
+
+    from ipeds_etl_spark.operators.merge import upsert_into_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2020, "b"), (3, 2021, "c")], "id int, year int, v string"
+    )
+    upsert_into_partitioned(spark, path, base, ["id", "year"])
+    files_2021 = set(os.listdir(f"{path}/year=2021"))
+
+    # merge revises 2020 only; 2021's files must be byte-untouched
+    rev = spark.createDataFrame([(2, 2020, "B"), (4, 2020, "d")], "id int, year int, v string")
+    upsert_into_partitioned(spark, path, rev, ["id", "year"])
+    assert set(os.listdir(f"{path}/year=2021")) == files_2021
+
+    rows = {(r["id"], r["year"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, 2020): "a", (2, 2020): "B", (3, 2021): "c", (4, 2020): "d"}
