@@ -11,16 +11,44 @@ from ipeds_etl_spark.functions.cleaning import (
     is_missing,
     safe_double,
     safe_int,
+    safe_long,
     safe_str,
     stable_hash,
 )
+from ipeds_etl_spark.functions.hashing import (
+    content_hash,
+    parity_hash,
+    parity_hash_wide,
+)
+from ipeds_etl_spark.functions.text import (
+    bpe_ish_tokens,
+    char_ngrams,
+    lang_id,
+    quality_metrics,
+    shingles_of,
+    token_count,
+    tokens,
+    word_shingles,
+)
 
 __all__ = [
+    "bpe_ish_tokens",
+    "char_ngrams",
     "clean_sentinels",
     "coalesce_pick",
+    "content_hash",
     "is_missing",
+    "lang_id",
+    "parity_hash",
+    "parity_hash_wide",
+    "quality_metrics",
     "safe_double",
     "safe_int",
+    "safe_long",
     "safe_str",
+    "shingles_of",
     "stable_hash",
+    "token_count",
+    "tokens",
+    "word_shingles",
 ]
