@@ -80,12 +80,16 @@ def rebuild_gold(spark: SparkSession, endpoint: str, warehouse: str) -> dict[str
     core = spark.read.parquet(f"{warehouse}/core/{endpoint}")
     from pyspark.sql import Window
 
-    key = ep.pk[0]
-    w = Window.partitionBy(key).orderBy(F.col("year").desc())
+    # latest row per non-year key part (institutions_latest shape);
+    # deterministic tie-break over the remaining PK parts
+    entity_keys = [k for k in ep.pk if k != "year"]
+    w = Window.partitionBy(*entity_keys).orderBy(F.col("year").desc())
     latest = (
         core.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
-    counts = core.groupBy("year", "state_abbr").agg(F.count("*").alias("n_institutions"))
+    # yearly rollup; sliced by state when the endpoint carries geography
+    count_dims = ["year"] + (["state_abbr"] if "state_abbr" in core.columns else [])
+    counts = core.groupBy(*count_dims).agg(F.count("*").alias("n_rows"))
     out = {}
     for name, df in (("institutions_latest", latest), ("yearly_counts", counts)):
         path = f"{warehouse}/vw/{endpoint}_{name}"

@@ -102,6 +102,15 @@ def test_completions_by_cip_view(spark, warehouse):
     assert out["Computer Engineering"] == 45
 
 
+def test_gold_rebuild_generalizes_to_admissions(spark, warehouse):
+    out = pipeline.rebuild_gold(spark, "admissions", warehouse)
+    assert out["institutions_latest"] == 3  # one latest row per unitid
+    counts = spark.read.parquet(f"{warehouse}/vw/admissions_yearly_counts")
+    assert "state_abbr" not in counts.columns  # no geography on admissions
+    [r] = counts.collect()
+    assert (r["year"], r["n_rows"]) == (2022, 3)
+
+
 def test_lineage_tracks_both_endpoints(spark, warehouse):
     log = spark.read.parquet(f"{warehouse}/meta/load_log")
     by_ep = {r["endpoint"]: r for r in log.collect()}

@@ -126,8 +126,9 @@ def test_rebuild_gold(spark, warehouse):
     assert latest.count() == latest.select("unitid").distinct().count() == 5
     assert {r["year"] for r in latest.collect()} == {2021}
     counts = spark.read.parquet(f"{warehouse}/vw/directory_yearly_counts")
+    assert "state_abbr" in counts.columns  # geography slice present for directory
     by_year = {r["year"]: r for r in counts.groupBy("year").agg(
-        F.sum("n_institutions").alias("n")).collect()}
+        F.sum("n_rows").alias("n")).collect()}
     assert by_year[2020]["n"] == 5 and by_year[2021]["n"] == 5
     assert out["institutions_latest"] == 5
 
