@@ -480,6 +480,100 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Extended aggregate families (absent in the reference; built-in Spark)
+# ===========================================================================
+@_register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+           CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS p95,
+           CAST(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS p99
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type (sort-based
+    aggregate). Values go through decimal(18,6) on both engines because
+    the interpolation formulas differ in final-ulp floating point."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), pct.alias("ps"))
+        .select(
+            "event_type",
+            "n",
+            F.element_at("ps", 1).cast("decimal(18,6)").cast("double").alias("p50"),
+            F.element_at("ps", 2).cast("decimal(18,6)").cast("double").alias("p95"),
+            F.element_at("ps", 3).cast("decimal(18,6)").cast("double").alias("p99"),
+        )
+    )
+
+
+@_register(
+    "kpi_rollup",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+    """,
+)
+def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal rollup (year, status) → year → grand
+    total — one pass, Spark expands the grouping sets internally."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("order_year"), "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice").alias("total_revenue"))
+    )
+
+
+@_register(
+    "customer_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+    """,
+)
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / UNION ALL / EXCEPT chain with SQL's left-to-right
+    set-op precedence, expressed with the DataFrame set operators."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey")
+    )
+    orders_1995 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    big_orders = o.filter(F.col("o_totalprice") > 350000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # SQL precedence: ((A INTERSECT B) UNION ALL C) EXCEPT D; EXCEPT
+    # and INTERSECT are DISTINCT-based (subtract/intersect), UNION ALL
+    # keeps duplicates until the final EXCEPT collapses them.
+    return (
+        building.intersect(orders_1995)
+        .unionAll(machinery)
+        .subtract(big_orders)
+        .select(F.col("c_custkey"))
+    )
+
+
+# ===========================================================================
 # Event-time windows (batch twin of the streaming path)
 # ===========================================================================
 @_register(
