@@ -513,6 +513,65 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_distinct_aggs",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_orders_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) over different columns in one agg —
+    exercises Spark's Expand-based multi-distinct rewrite."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_register(
+    "customers_semi_anti",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F') THEN 'has_f' ELSE 'no_f' END AS bucket
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+    """,
+)
+def q_customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (has orders) + anti-join (none above 400k) + a
+    semi-join-derived flag — the EXISTS/NOT EXISTS family as left_semi
+    / left_anti joins."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders")
+    keys_with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    keys_big = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    keys_f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    base = c.join(keys_with_orders, "c_custkey", "left_semi").join(
+        keys_big, "c_custkey", "left_anti"
+    )
+    flagged = base.join(
+        keys_f.withColumn("has_f", F.lit(True)), "c_custkey", "left"
+    )
+    return flagged.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("has_f"), "has_f").otherwise("no_f").alias("bucket"),
+    )
+
+
+@_register(
     "kpi_rollup",
     """
     SELECT year(o_orderdate) AS order_year,
