@@ -1,0 +1,50 @@
+"""Physical-plan regression guards for the headline queries.
+
+These pin the *shape* facts SCALE.md claims — shuffle counts, broadcast
+joins, no accidental Python stages — so a future edit that silently
+degrades a plan (adds an exchange, drops a broadcast, re-inlines a
+tokenizer into a lambda) fails here, not in a benchmark regression.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from audit_plans import audit  # noqa: E402
+
+from ipeds_etl_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+# query -> (max exchanges, min broadcast joins, max python stages)
+EXPECTATIONS = {
+    "kpi_yearly": (1, 0, 0),
+    "latest_per_key_agg": (1, 0, 0),
+    "enrich_join": (0, 3, 0),          # whole dim chain broadcasts
+    "dim_lookup_agg": (1, 2, 0),
+    "sentinel_clean": (0, 0, 0),       # map-only
+    "coalesce_pick": (0, 0, 0),
+    "stable_hash": (0, 0, 0),
+    "text_quality": (0, 0, 0),
+    "doc_fingerprint": (0, 0, 0),
+    "dedup_exact": (1, 0, 0),
+    "dedup_minhash_lsh": (3, 0, 0),    # sig agg + bucket agg + distinct
+    "dedup_simhash": (3, 0, 0),
+    "multimodal_features": (0, 0, 1),  # exactly the one Arrow stage
+    "events_window_hourly": (1, 0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTATIONS))
+def test_plan_shape(spark, name):
+    max_ex, min_bcast, max_py = EXPECTATIONS[name]
+    a = audit(q.queries()[name](spark, SF))
+    assert a["exchanges"] <= max_ex, f"{name}: {a['exchanges']} exchanges > {max_ex}"
+    assert a["broadcast_joins"] >= min_bcast, (
+        f"{name}: {a['broadcast_joins']} broadcast joins < {min_bcast}"
+    )
+    assert a["sortmerge_joins"] == 0, f"{name}: unexpected sort-merge join"
+    assert a["python_stages"] <= max_py, f"{name}: unexpected Python stage"
