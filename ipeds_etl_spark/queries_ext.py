@@ -479,6 +479,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_asof_last_purchase",
+    """
+    SELECT e.event_id,
+           e.user_id,
+           epoch_us(e.ts) AS ev_us,
+           epoch_us(p.ts) AS purchase_us,
+           p.value AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    purchase at-or-before it (checked against DuckDB's native ASOF)."""
+    from ipeds_etl_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"), purchases, keys=["user_id"], time_col="ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ev_us"),
+        F.unix_micros("ts_right").alias("purchase_us"),
+        "last_purchase_value",
+    )
+
+
 # ===========================================================================
 # Extended aggregate families (absent in the reference; built-in Spark)
 # ===========================================================================
