@@ -479,6 +479,86 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_oracle() -> str:
+    from ipeds_etl_spark.operators.sketches import kmv_estimate_sql
+
+    est = kmv_estimate_sql("CAST(user_id AS VARCHAR)", 64)
+    return f"""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(CAST({est} AS DECIMAL(18,6)) AS DOUBLE) AS kmv_users
+    FROM events GROUP BY event_type
+    """
+
+
+@_register("events_kmv_users")
+def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type, next to the exact count
+    — a cross-engine-verifiable approximate aggregate (HLL register
+    layouts differ per engine; a deterministic-hash KMV does not)."""
+    from ipeds_etl_spark.operators.sketches import kmv_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        kmv_estimate(F.col("user_id").cast("string"), 64)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("kmv_users"),
+    )
+
+
+from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES2  # noqa: E402
+
+_ORACLES2["events_kmv_users"] = _kmv_oracle()
+
+
+@_register(
+    "orders_range_join_periods",
+    """
+    WITH periods AS (
+      SELECT y AS period_year,
+             make_date(y, 1, 1) AS period_start,
+             make_date(y, 6, 30) AS period_end,
+             CASE WHEN y % 2 = 0 THEN 'H1-even' ELSE 'H1-odd' END AS period_label
+      FROM (SELECT DISTINCT year(o_orderdate) AS y FROM orders)
+    )
+    SELECT p.period_label,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN periods p
+      ON o.o_orderdate BETWEEN p.period_start AND p.period_end
+    GROUP BY p.period_label
+    """,
+)
+def q_orders_range_join_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: facts against a small derived period
+    dimension on BETWEEN — broadcast nested-loop at this dim size; the
+    scale path for large interval sets is bucketing both sides to
+    aligned time buckets and equi-joining on the bucket (same plan
+    family as the LSH band join)."""
+    o = load_table(spark, sf_dir, "orders")
+    periods = (
+        o.select(F.year("o_orderdate").alias("period_year"))
+        .distinct()
+        .select(
+            "period_year",
+            F.make_date("period_year", F.lit(1), F.lit(1)).alias("period_start"),
+            F.make_date("period_year", F.lit(6), F.lit(30)).alias("period_end"),
+            F.when(F.col("period_year") % 2 == 0, "H1-even")
+            .otherwise("H1-odd")
+            .alias("period_label"),
+        )
+    )
+    joined = o.join(
+        F.broadcast(periods),
+        on=F.col("o_orderdate").between(F.col("period_start"), F.col("period_end")),
+    )
+    return joined.groupBy("period_label").agg(
+        F.count("*").alias("n_orders"), exact_sum("o_totalprice").alias("revenue")
+    )
+
+
 @_register(
     "events_asof_last_purchase",
     """
