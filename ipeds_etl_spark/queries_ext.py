@@ -456,15 +456,53 @@ _ORACLES["emb_rp_lsh_near_dups"] = _rp_oracle_sql()
 
 
 # ===========================================================================
-# Multimodal (rows-only: stubbed decode — no SQL-expressible oracle)
+# Multimodal — value-checked: the stub extractor is a deterministic byte
+# histogram over the UTF-8 payload, so DuckDB can replicate it exactly by
+# reading byte values out of hex(encode(text)). The float features are a
+# single IEEE division of exact integers on both engines — bit-identical.
 # ===========================================================================
+def _byte_bucket_sql(h: str, n: str, bucket: int) -> str:
+    """Count of payload bytes with ``byte % 8 == bucket`` (byte i read
+    from the hex dump at chars 2i+1..2i+2)."""
+    return (
+        f"len(list_filter(range({n}), i -> "
+        f"(CAST(concat('0x', substr({h}, CAST(2*i+1 AS INT), 2)) AS INT) % 8) = {bucket}))"
+    )
+
+
+def _multimodal_oracle() -> str:
+    from ipeds_etl_spark.operators.multimodal import FEATURE_DIM
+
+    feats = ",\n           ".join(
+        f"CAST({_byte_bucket_sql('h', 'n', j)} AS DOUBLE) / greatest(n, 1) AS f{j}"
+        for j in range(FEATURE_DIM)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text, hex(encode(text)) AS h, strlen(text) AS n
+      FROM documents)
+    SELECT doc_id,
+           'image' AS modality,
+           CAST(n AS BIGINT) AS n_bytes,
+           sha256(text) AS byte_sha,
+           {feats}
+    FROM b
+    """
+
+
 @_register("multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction: documents → binary column +
     metadata struct → Arrow-batched ``mapInPandas`` extractor. Decode
     itself is stubbed (no media libs in this container); the schema,
-    batching, and partition plumbing are the real thing."""
-    from ipeds_etl_spark.operators.multimodal import attach_payload, extract_features
+    batching, and partition plumbing are the real thing — and the stub
+    is deterministic, so this row IS value-hash-checked against DuckDB
+    (full 8-bucket feature vector, exact IEEE parity)."""
+    from ipeds_etl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_payload,
+        extract_features,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     media = attach_payload(d, "text", "doc_id", modality="image")
@@ -474,9 +512,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         "n_bytes",
         "byte_sha",
-        F.round(F.element_at("feature", 1), 9).alias("f0"),
-        F.round(F.element_at("feature", 2), 9).alias("f1"),
+        *[F.element_at("feature", j + 1).alias(f"f{j}") for j in range(FEATURE_DIM)],
     )
+
+
+from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES_MM  # noqa: E402
+
+_ORACLES_MM["multimodal_features"] = _multimodal_oracle()
 
 
 def _kmv_oracle() -> str:
