@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ipeds_etl_spark import fsutil
+
 LOAD_LOG_SCHEMA = T.StructType(
     [
         T.StructField("load_id", T.LongType(), False),
@@ -66,7 +68,9 @@ def append_load_log(
     started_at: datetime,
 ) -> None:
     finished = datetime.now(timezone.utc).replace(tzinfo=None)
-    try:
+    # existence probe, not a bare except: a transient read failure must
+    # propagate rather than silently restart load_id numbering at 1
+    if fsutil.table_exists(spark, f"{meta_path}/load_log"):
         prev_max = (
             spark.read.schema(LOAD_LOG_SCHEMA)
             .parquet(f"{meta_path}/load_log")
@@ -74,7 +78,7 @@ def append_load_log(
             .first()[0]
             or 0
         )
-    except Exception:
+    else:
         prev_max = 0
     row = [
         (

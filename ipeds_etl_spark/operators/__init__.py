@@ -11,9 +11,16 @@ from ipeds_etl_spark.operators.dedup import (
 )
 from ipeds_etl_spark.operators.merge import (
     overwrite_partitions_staged,
+    recover_swaps,
     upsert_into_partitioned,
     upsert_on_hash,
     upsert_on_pk,
+)
+from ipeds_etl_spark.operators.txn import (
+    commit_overwrite_partitions,
+    read_table,
+    upsert_into_txn_table,
+    vacuum,
 )
 from ipeds_etl_spark.operators.multimodal import (
     attach_payload,
@@ -32,6 +39,7 @@ from ipeds_etl_spark.operators.skew import salted_agg, salted_join
 __all__ = [
     "attach_payload",
     "brute_force_topk",
+    "commit_overwrite_partitions",
     "cosine",
     "embedding_near_dups",
     "exact_dedup",
@@ -41,6 +49,8 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "overwrite_partitions_staged",
+    "read_table",
+    "recover_swaps",
     "resize_images",
     "salted_agg",
     "salted_join",
@@ -48,7 +58,9 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "upsert_into_partitioned",
+    "upsert_into_txn_table",
     "upsert_on_hash",
     "upsert_on_pk",
+    "vacuum",
     "write_bucketed",
 ]

@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ipeds_etl_spark import fsutil
+
 
 def _dedup_source(source: DataFrame, pk: Sequence[str]) -> DataFrame:
     """Keep one row per PK in the source (last-writer-wins needs a
@@ -84,6 +86,47 @@ def upsert_on_hash(
     return changed_or_new.unionByName(kept.select(*changed_or_new.columns))
 
 
+def recover_swaps(spark: SparkSession, table_path: str) -> None:
+    """Finish or roll back a crashed ``overwrite_partitions_staged``.
+
+    State machine (all names hidden from Spark readers): a commit
+    marker ``_commit_<txid>`` is created only after EVERY touched
+    partition is staged in as ``_swap_new_<txid>_<part>``, so
+
+    * marker absent → the crash happened before the commit point: the
+      staged ``_swap_new`` dirs (and the ``_stage`` dir) are garbage —
+      roll BACK by deleting them; the table stays on the old generation.
+    * marker present → the crash happened mid-publish: roll FORWARD
+      every remaining partition (rename old aside → new in → drop old),
+      finishing the new generation exactly as the writer would have.
+
+    Either way the table reads as one complete generation afterwards.
+    """
+    entries = fsutil.list_names(spark, table_path)
+    committed = {e.split("_commit_", 1)[1] for e in entries if e.startswith("_commit_")}
+    for entry in entries:
+        if entry.startswith("_stage_") and entry.split("_stage_", 1)[1] not in committed:
+            fsutil.delete(spark, f"{table_path}/{entry}")
+        if entry.startswith("_swap_new_"):
+            txid, part = entry.split("_swap_new_", 1)[1].split("_", 1)
+            if txid not in committed:  # rollback: uncommitted staging
+                fsutil.delete(spark, f"{table_path}/{entry}")
+            else:  # roll forward this partition's publish
+                dst = f"{table_path}/{part}"
+                old = f"{table_path}/_swap_old_{txid}_{part}"
+                if fsutil.path_exists(spark, dst):
+                    fsutil.rename(spark, dst, old)
+                fsutil.rename(spark, f"{table_path}/{entry}", dst)
+                fsutil.delete(spark, old)
+    for entry in entries:  # drop orphaned old-generation dirs + markers
+        if entry.startswith("_swap_old_"):
+            txid = entry.split("_swap_old_", 1)[1].split("_", 1)[0]
+            if txid in committed:
+                fsutil.delete(spark, f"{table_path}/{entry}")
+        if entry.startswith(("_commit_", "_stage_")):
+            fsutil.delete(spark, f"{table_path}/{entry}")
+
+
 def overwrite_partitions_staged(
     spark: SparkSession,
     df: DataFrame,
@@ -91,40 +134,57 @@ def overwrite_partitions_staged(
     partition_col: str = "year",
 ) -> None:
     """Replace the partitions ``df`` touches with ``df``'s rows, via a
-    staging write + directory swap.
+    staging write + marker-gated directory swap.
 
     Why not ``write.mode('overwrite')`` straight onto ``table_path``: a
     merged plan *reads* the current table (the anti-join in
     ``upsert_on_pk``), and overwriting the path a live plan's lineage
     points at makes any later action on that plan fail with
-    FileNotFoundException — Spark re-scans source parquet lazily. The
-    staged write computes the whole new generation while the old files
-    are still intact, then swaps each touched partition directory in one
-    rename (metadata-only on HDFS; a production object store would use a
-    transactional table format's commit — Delta/Iceberg MERGE — which is
-    exactly this protocol done by the table layer). Untouched partitions
-    of a 100 TB table are never read, written, or renamed.
+    FileNotFoundException — Spark re-scans source parquet lazily.
+
+    Crash safety (two-phase, all FS ops via the Hadoop FileSystem API):
+    the new generation is fully staged under hidden names inside the
+    table dir, a ``_commit_<txid>`` marker makes the commit decision
+    durable in one file create, and only then are partitions published
+    (rename old aside → rename new in → drop old; the destination is
+    never deleted before its replacement is adjacent). A crash at ANY
+    point is repaired by ``recover_swaps`` — run automatically at the
+    start of every write and by ``scan``/merge readers — to either the
+    complete old or the complete new generation, never a mix. For
+    multi-writer or reader-isolation requirements use
+    ``operators.txn.TxnTable`` (manifest pointer — readers never observe
+    the swap window at all). Untouched partitions of a 100 TB table are
+    never read, written, or renamed.
     """
-    import os
-    import shutil
     import uuid
 
-    staging = f"{table_path}__stage_{uuid.uuid4().hex[:8]}"
+    recover_swaps(spark, table_path)
+    txid = uuid.uuid4().hex[:8]
+    staging = f"{table_path}/_stage_{txid}"
     (
         df.repartition(partition_col)
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(staging)
     )
-    os.makedirs(table_path, exist_ok=True)
-    for entry in os.listdir(staging):
-        if not entry.startswith(f"{partition_col}="):
-            continue
-        dst = os.path.join(table_path, entry)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        shutil.move(os.path.join(staging, entry), dst)
-    shutil.rmtree(staging, ignore_errors=True)
+    parts = [
+        e for e in fsutil.list_names(spark, staging) if e.startswith(f"{partition_col}=")
+    ]
+    # phase 1: stage every partition in under a hidden name (invisible)
+    for part in parts:
+        fsutil.rename(spark, f"{staging}/{part}", f"{table_path}/_swap_new_{txid}_{part}")
+    # commit point: one durable file create
+    fsutil.write_text(spark, f"{table_path}/_commit_{txid}", "\n".join(parts))
+    # phase 2: publish
+    for part in parts:
+        dst = f"{table_path}/{part}"
+        old = f"{table_path}/_swap_old_{txid}_{part}"
+        if fsutil.path_exists(spark, dst):
+            fsutil.rename(spark, dst, old)
+        fsutil.rename(spark, f"{table_path}/_swap_new_{txid}_{part}", dst)
+        fsutil.delete(spark, old)
+    fsutil.delete(spark, f"{table_path}/_commit_{txid}")
+    fsutil.delete(spark, staging)
     spark.catalog.refreshByPath(table_path)
 
 
@@ -139,12 +199,9 @@ def upsert_into_partitioned(
     ``partition_col``, rewriting only the touched partitions. The
     untouched remainder of a 100 TB table is never read or written.
     """
-    try:
+    recover_swaps(spark, table_path)
+    if fsutil.table_exists(spark, table_path):
         target = spark.read.parquet(table_path)
-        exists = True
-    except Exception:
-        exists = False
-    if exists:
         parts = [r[0] for r in source.select(partition_col).distinct().collect()]
         touched = target.filter(F.col(partition_col).isin(parts))
         merged = upsert_on_pk(touched, source, pk)

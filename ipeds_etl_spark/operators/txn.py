@@ -1,0 +1,177 @@
+"""Manifest-committed partitioned tables: atomic multi-partition commits.
+
+The reference gets merge atomicity for free from Postgres — a whole
+upsert batch lands in one transaction (reference ``etl/core_io.py:146-153``).
+A filesystem table has no transactions, and the in-place swap in
+``operators.merge`` can only promise crash-*recoverable* (roll forward/
+back on next touch), not reader-isolated. This module closes that gap
+with the log-pointer protocol every transactional table format
+(Delta/Iceberg/Hive-ACID) uses, in its minimal form:
+
+Layout::
+
+    table/
+      _manifest/v00000001.json   # {"partitions": {"year=2010": "gen-ab12", ...}}
+      _manifest/v00000002.json   # later generations; highest version wins
+      _gen-ab12/year=2010/*.parquet
+      _gen-9f31/year=2011/*.parquet
+
+* A **generation dir** (``_gen-<txid>``) holds the freshly-written
+  partitions of one commit. It is written completely before the commit
+  and is invisible to readers until referenced (``_``-prefixed names
+  are hidden from Hadoop listings).
+* The **manifest** maps every live partition to the generation that
+  owns it. Commit = write ``_manifest/.tmp-<txid>`` then a single
+  atomic rename to the next version number. Readers resolve the highest
+  version; a crash anywhere before that rename leaves only garbage
+  dirs (cleaned by ``vacuum``), a crash after it leaves the new
+  generation fully visible. Old-or-new, never mixed — and concurrent
+  readers are isolated too, because nothing they can see is ever
+  renamed or deleted out from under them (until ``vacuum``).
+* Optimistic concurrency: if the version rename loses a race (target
+  exists), the writer re-reads the latest manifest, re-merges its
+  partition map, and retries at the next number — writers serialize on
+  the version counter without locks.
+
+Scale: a commit's cost is one staged write of the touched partitions +
+one small file rename, independent of table size; reads prune to
+manifest-listed partition dirs, so partition pruning works exactly as
+on a plain layout.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ipeds_etl_spark import fsutil
+
+_MANIFEST_DIR = "_manifest"
+
+
+def _manifest_versions(spark: SparkSession, table_path: str) -> list[str]:
+    return sorted(
+        n
+        for n in fsutil.list_names(spark, f"{table_path}/{_MANIFEST_DIR}")
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def read_manifest(spark: SparkSession, table_path: str) -> dict[str, str]:
+    """partition entry (``year=2010``) → generation dir name, or {} for
+    an empty/new table."""
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        return {}
+    text = fsutil.read_text(spark, f"{table_path}/{_MANIFEST_DIR}/{versions[-1]}")
+    return json.loads(text)["partitions"]
+
+
+def commit_overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_col: str = "year",
+) -> str:
+    """Atomically replace the partitions ``df`` touches. Returns the
+    committed manifest version name."""
+    txid = uuid.uuid4().hex[:8]
+    gen = f"_gen-{txid}"
+    gen_path = f"{table_path}/{gen}"
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(gen_path)
+    )
+    touched = {
+        e: gen
+        for e in fsutil.list_names(spark, gen_path)
+        if e.startswith(f"{partition_col}=")
+    }
+    fsutil.makedirs(spark, f"{table_path}/{_MANIFEST_DIR}")
+    while True:
+        current = read_manifest(spark, table_path)
+        versions = _manifest_versions(spark, table_path)
+        next_v = (int(versions[-1][1:-5]) if versions else 0) + 1
+        merged = {**current, **touched}
+        tmp = f"{table_path}/{_MANIFEST_DIR}/.tmp-{txid}"
+        fsutil.write_text(spark, tmp, json.dumps({"partitions": merged}, sort_keys=True))
+        final = f"{table_path}/{_MANIFEST_DIR}/v{next_v:08d}.json"
+        if fsutil.rename(spark, tmp, final):  # atomic commit point
+            spark.catalog.refreshByPath(table_path)
+            return f"v{next_v:08d}.json"
+        # lost the race: another writer took this version — retry on top
+        fsutil.delete(spark, tmp)
+
+
+def read_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Manifest-resolved read: one pruned scan per live generation,
+    unioned. Falls back to a plain parquet read for tables without a
+    manifest (compat with the in-place layout)."""
+    manifest = read_manifest(spark, table_path)
+    if not manifest:
+        return spark.read.parquet(table_path)
+    by_gen: dict[str, list[str]] = defaultdict(list)
+    for part, gen in manifest.items():
+        by_gen[gen].append(part)
+    scans = [
+        spark.read.option("basePath", f"{table_path}/{gen}").parquet(
+            *[f"{table_path}/{gen}/{part}" for part in sorted(parts)]
+        )
+        for gen, parts in sorted(by_gen.items())
+    ]
+    out = scans[0]
+    for s in scans[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def vacuum(spark: SparkSession, table_path: str) -> dict[str, int]:
+    """Garbage-collect: drop superseded manifest versions and any
+    generation dir the latest manifest no longer references (crashed
+    commits, fully-overwritten generations). Run when no reader still
+    holds plans over old generations."""
+    versions = _manifest_versions(spark, table_path)
+    live = set(read_manifest(spark, table_path).values())
+    dropped_gens = dropped_manifests = 0
+    for entry in fsutil.list_names(spark, table_path):
+        if entry.startswith("_gen-") and entry not in live:
+            fsutil.delete(spark, f"{table_path}/{entry}")
+            dropped_gens += 1
+    for v in versions[:-1]:
+        fsutil.delete(spark, f"{table_path}/{_MANIFEST_DIR}/{v}")
+        dropped_manifests += 1
+    for n in fsutil.list_names(spark, f"{table_path}/{_MANIFEST_DIR}"):
+        if n.startswith(".tmp-"):
+            fsutil.delete(spark, f"{table_path}/{_MANIFEST_DIR}/{n}")
+    return {"generations_removed": dropped_gens, "manifests_removed": dropped_manifests}
+
+
+def upsert_into_txn_table(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    pk: list[str],
+    partition_col: str = "year",
+) -> str:
+    """PK-keyed merge with an atomic commit: read the committed table,
+    merge the touched partitions (anti-join + union, same relational
+    form as ``operators.merge.upsert_on_pk``), commit as one new
+    generation. The reference's single-transaction upsert semantics
+    (``etl/core_io.py:146-153``) on a filesystem table."""
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.operators.merge import _dedup_source, upsert_on_pk
+
+    if read_manifest(spark, table_path):
+        target = read_table(spark, table_path)
+        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+        touched = target.filter(F.col(partition_col).isin(parts))
+        merged = upsert_on_pk(touched, source, pk)
+    else:
+        merged = _dedup_source(source, pk)
+    return commit_overwrite_partitions(spark, merged, table_path, partition_col)

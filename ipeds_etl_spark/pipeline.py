@@ -14,7 +14,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ipeds_etl_spark import lineage, registry
+from ipeds_etl_spark import fsutil, lineage, registry
 from ipeds_etl_spark.plans.core_pipeline import map_from_raw, write_core
 from ipeds_etl_spark.sources import raw as raw_io
 
@@ -35,16 +35,17 @@ def run_load(
     meta_path = f"{warehouse}/meta"
 
     pages = raw_io.pages_from_fetched(spark, year, page_lists, endpoint_path=ep.path)
-    try:
-        existing = raw_io.scan_pages(spark, raw_path, [year]).select(*ep.pk[:0], "year", "page_number").limit(1).count()
-    except Exception:
-        existing = 0
+    existing = (
+        raw_io.scan_pages(spark, raw_path, [year]).limit(1).count()
+        if fsutil.table_exists(spark, raw_path)
+        else 0
+    )
     raw_io.write_pages(spark, pages, raw_path)
     lineage.append_source_trace(spark, meta_path, endpoint, pages)
 
-    try:
+    if fsutil.table_exists(spark, core_path):
         target = spark.read.schema(registry.struct_type(endpoint)).parquet(core_path)
-    except Exception:
+    else:
         target = spark.createDataFrame([], registry.struct_type(endpoint))
     mapped = map_from_raw(spark, endpoint, raw_path, years=[year])
     # Counts (and every other action on plans that scan the current core

@@ -21,8 +21,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ipeds_etl_spark import registry
-from ipeds_etl_spark.operators.merge import overwrite_partitions_staged, upsert_on_pk
+from ipeds_etl_spark import fsutil, registry
+from ipeds_etl_spark.operators.merge import (
+    overwrite_partitions_staged,
+    recover_swaps,
+    upsert_on_pk,
+)
 from ipeds_etl_spark.sources import raw as raw_io
 
 
@@ -63,12 +67,13 @@ def write_core(
     PK, rewriting only the touched year partitions (staged swap — see
     ``operators.merge.overwrite_partitions_staged``)."""
     ep = registry.get_endpoint(endpoint)
-    try:
+    recover_swaps(spark, core_path)
+    if fsutil.table_exists(spark, core_path):
         target = spark.read.schema(registry.struct_type(endpoint)).parquet(core_path)
         loaded_years = [r[0] for r in mapped.select("year").distinct().collect()]
         touched = target.filter(F.col("year").isin(loaded_years))
         merged = upsert_on_pk(touched, mapped, ep.pk)
-    except Exception:
+    else:
         merged = upsert_on_pk(mapped.limit(0), mapped, ep.pk)
     overwrite_partitions_staged(spark, merged, core_path, "year")
 

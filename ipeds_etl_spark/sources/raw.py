@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ipeds_etl_spark.operators.merge import overwrite_partitions_staged, upsert_on_hash
+from ipeds_etl_spark import fsutil
+from ipeds_etl_spark.operators.merge import (
+    overwrite_partitions_staged,
+    recover_swaps,
+    upsert_on_hash,
+)
 
 RAW_SCHEMA = T.StructType(
     [
@@ -140,13 +145,17 @@ def write_pages(spark: SparkSession, pages: DataFrame, raw_path: str) -> None:
     """Hash-guarded landing: merge pages into the raw table, rewriting a
     (year, page_number) row only when its content hash changed. Only the
     touched year partitions are rewritten (dynamic partition overwrite).
+    Existence is probed via the FS (not a bare except): a transient read
+    failure on a real table must propagate, not silently rewrite the
+    touched partitions with only the incoming rows.
     """
-    try:
+    recover_swaps(spark, raw_path)
+    if fsutil.table_exists(spark, raw_path):
         target = spark.read.schema(RAW_SCHEMA).parquet(raw_path)
         years = [r[0] for r in pages.select("year").distinct().collect()]
         touched = target.filter(F.col("year").isin(years))
         merged = upsert_on_hash(touched, pages, ["year", "page_number"], "source_hash")
-    except Exception:
+    else:
         merged = pages
     overwrite_partitions_staged(
         spark, merged.select(*[f.name for f in RAW_SCHEMA.fields]), raw_path, "year"
@@ -157,7 +166,10 @@ def scan_pages(
     spark: SparkSession, raw_path: str, years: Sequence[int] | None = None
 ) -> DataFrame:
     """Read raw pages back, optionally pruned to specific years
-    (partition pruning — no data read outside the requested years)."""
+    (partition pruning — no data read outside the requested years).
+    Repairs any crashed swap first so a half-published generation is
+    never scanned."""
+    recover_swaps(spark, raw_path)
     df = spark.read.parquet(raw_path)
     if years is not None:
         df = df.filter(F.col("year").isin(list(years)))

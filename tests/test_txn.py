@@ -1,0 +1,164 @@
+"""Crash-safety of partition commits.
+
+Two protocols under test:
+
+* ``operators.merge.overwrite_partitions_staged`` — in-place layout,
+  two-phase swap with a commit marker; a crash at ANY point recovers
+  (via ``recover_swaps``) to the complete old or complete new
+  generation, never a mix. Crashes are injected by failing the k-th
+  filesystem op.
+* ``operators.txn`` — manifest-pointer commits: the commit point is a
+  single file rename, so readers are isolated even without recovery.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark import fsutil
+from ipeds_etl_spark.operators import txn
+from ipeds_etl_spark.operators.merge import (
+    overwrite_partitions_staged,
+    recover_swaps,
+)
+
+
+def _table(spark, rows):
+    return spark.createDataFrame(rows, "id int, year int, v string")
+
+
+def _snapshot(spark, path):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(path).select("id", "year", "v").collect()
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("id", "year", "v").collect())
+
+
+OLD = [(1, 2010, "old"), (2, 2010, "old"), (3, 2011, "old"), (4, 2012, "old")]
+NEW = [(1, 2010, "new"), (3, 2011, "new")]  # touches 2010+2011, not 2012
+AFTER_NEW = sorted([(1, 2010, "new"), (3, 2011, "new"), (4, 2012, "old")])
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_after(monkeypatch, n_renames_after_marker: int):
+    """Fail the (n+1)-th fsutil.rename issued after the commit marker
+    is written (phase 2); n=-1 means fail the marker write itself."""
+    real_rename, real_write = fsutil.rename, fsutil.write_text
+    state = {"marker": False, "renames": 0}
+
+    def write_text(spark, path, text):
+        if "_commit_" in path:
+            if n_renames_after_marker < 0:
+                raise _Boom("crash before commit point")
+            state["marker"] = True
+        return real_write(spark, path, text)
+
+    def rename(spark, src, dst):
+        if state["marker"]:
+            if state["renames"] == n_renames_after_marker:
+                raise _Boom(f"crash at publish rename {state['renames']}")
+            state["renames"] += 1
+        return real_rename(spark, src, dst)
+
+    monkeypatch.setattr(fsutil, "write_text", write_text)
+    monkeypatch.setattr(fsutil, "rename", rename)
+    return state
+
+
+@pytest.mark.parametrize("crash_at", [-1, 0, 1, 2, 3])
+def test_kill_mid_swap_recovers_to_old_or_new(spark, tmp_path, monkeypatch, crash_at):
+    """Crash injected before the commit marker (-1 → old generation
+    survives) and at every publish rename (0..3 → new generation is
+    completed by recovery). Never a mix."""
+    path = str(tmp_path / "t")
+    overwrite_partitions_staged(spark, _table(spark, OLD), path)
+    before = _snapshot(spark, path)
+
+    _crash_after(monkeypatch, crash_at)
+    with pytest.raises(_Boom):
+        overwrite_partitions_staged(spark, _table(spark, NEW), path)
+    monkeypatch.undo()
+
+    recover_swaps(spark, path)
+    spark.catalog.refreshByPath(path)
+    got = _snapshot(spark, path)
+    if crash_at < 0:
+        assert got == before  # rolled back: complete old generation
+    else:
+        assert got == AFTER_NEW  # rolled forward: complete new generation
+    # no hidden residue left behind
+    assert not [
+        n for n in fsutil.list_names(spark, path) if n.startswith(("_swap", "_commit", "_stage"))
+    ]
+
+
+def test_recovery_runs_on_next_write_and_scan(spark, tmp_path, monkeypatch):
+    """The crashed state is repaired implicitly by the next writer —
+    no operator ever reads a half-published table."""
+    path = str(tmp_path / "t")
+    overwrite_partitions_staged(spark, _table(spark, OLD), path)
+    _crash_after(monkeypatch, 1)
+    with pytest.raises(_Boom):
+        overwrite_partitions_staged(spark, _table(spark, NEW), path)
+    monkeypatch.undo()
+    # next write recovers, then applies its own overwrite on top
+    overwrite_partitions_staged(
+        spark, _table(spark, [(9, 2012, "newest")]), path
+    )
+    got = _snapshot(spark, path)
+    assert got == sorted([(1, 2010, "new"), (3, 2011, "new"), (9, 2012, "newest")])
+
+
+def test_txn_commit_is_atomic_and_isolated(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)
+    assert _rows(txn.read_table(spark, path)) == sorted(OLD)
+
+    # an uncommitted (crashed) generation is invisible to readers
+    _table(spark, [(7, 2010, "phantom")]).write.partitionBy("year").parquet(
+        f"{path}/_gen-deadbeef"
+    )
+    assert _rows(txn.read_table(spark, path)) == sorted(OLD)
+
+    # reader holding a pre-commit plan still resolves after a new commit
+    # (old generation files are never renamed/deleted by a commit)
+    old_reader = txn.read_table(spark, path)
+    txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)
+    assert _rows(old_reader) == sorted(OLD)
+    assert (
+        _rows(txn.read_table(spark, path)) == AFTER_NEW
+    )
+
+    # vacuum drops the phantom + superseded generations, keeps the live set
+    stats = txn.vacuum(spark, path)
+    assert stats["generations_removed"] >= 1
+    assert (
+        _rows(txn.read_table(spark, path)) == AFTER_NEW
+    )
+
+
+def test_txn_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.upsert_into_txn_table(spark, path, _table(spark, OLD), ["id", "year"])
+    txn.upsert_into_txn_table(spark, path, _table(spark, NEW), ["id", "year"])
+    once = _rows(txn.read_table(spark, path))
+    txn.upsert_into_txn_table(spark, path, _table(spark, NEW), ["id", "year"])
+    twice = _rows(txn.read_table(spark, path))
+    assert once == twice == sorted([(1, 2010, "new"), (2, 2010, "old"), (3, 2011, "new"), (4, 2012, "old")])
+
+
+def test_txn_read_prunes_to_manifest_partitions(spark, tmp_path):
+    """The manifest read plans one pruned scan per generation — the
+    partition column comes back typed and filterable."""
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)
+    txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)
+    got = _rows(txn.read_table(spark, path).filter(F.col("year") == 2012))
+    assert got == [(4, 2012, "old")]
