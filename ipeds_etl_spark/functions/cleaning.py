@@ -36,11 +36,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: IPEDS sentinel codes meaning missing / not-applicable / suppressed.
-#: The float string forms cover numeric DOUBLE columns whose values
-#: stringify as "-1.0" (the reference's check is numeric ``v in
-#: (-1,-2,-3)`` for numbers; known documented corner: the *string*
-#: "-1.0" is also treated as a sentinel here, where the reference's
-#: string check is exact-match on "-1"/"-2"/"-3").
+#:
+#: POLICY DECISION (intentional, pinned by
+#: ``tests/test_cleaning.py::test_float_string_sentinel_policy``):
+#: the float string forms "-1.0"/"-2.0"/"-3.0" are treated as
+#: sentinels, which the reference's *string* branch would not do (its
+#: ``_is_missing`` string check is exact-match {"-1","-2","-3"},
+#: reference ``etl/mappers/directory.py:46-48``). The reference still
+#: nulls a *numeric* -1.0 via its number branch (``v in (-1,-2,-3)``
+#: is True for float -1.0, ``directory.py:43-44``). Our raw layer
+#: deliberately erases the JSON number/string distinction (records
+#: travel as ``map<string,string>`` for schema-drift tolerance), so a
+#: JSON numeric ``-1.0`` and a JSON string ``"-1.0"`` both arrive as
+#: the string "-1.0" — an expression cannot reproduce the reference's
+#: type dispatch. Of the two reachable policies we take the cleaning-
+#: safe one: numeric-form sentinel strings are missing. The only
+#: behavioral divergence is a *quoted* "-1.0" in source JSON → NULL
+#: here vs -1.0 in the reference; real IPEDS payloads use bare
+#: numeric sentinels, where both engines agree.
 SENTINEL_STRINGS = ("-1", "-2", "-3", "-1.0", "-2.0", "-3.0")
 SENTINEL_INTS = (-1, -2, -3)
 

@@ -54,6 +54,35 @@ def test_safe_str_matrix(spark):
     assert _apply_str(spark, safe_str, vals) == expect
 
 
+def test_float_string_sentinel_policy(spark):
+    """Pins the DOCUMENTED DIVERGENCE from the reference on float-form
+    sentinel strings (see ``cleaning.SENTINEL_STRINGS``).
+
+    Reference (``etl/mappers/directory.py:43-48``): numeric -1.0 →
+    missing (number branch), but the *string* "-1.0" → kept (string
+    branch is exact-match "-1"/"-2"/"-3"). Our raw layer transports
+    records as ``map<string,string>``, erasing the number/string
+    distinction, so both arrive as "-1.0"; the engine takes the
+    cleaning-safe policy: missing. Agreements and the one divergence,
+    spelled out:
+
+    * numeric -1 / -1.0 → NULL   (both engines agree)
+    * string "-1"       → NULL   (both engines agree)
+    * string "-1.0"     → NULL here, -1.0 in the reference (DIVERGES —
+      intentional; unreachable distinction in our representation)
+    * string "-1.00"/"-1.5"/"-10" → kept (both engines agree: not
+      sentinel forms)
+    """
+    # the divergent + boundary string forms
+    vals = ["-1.0", "-2.0", "-3.0", "-1.00", "-1.5", "-10", "-1.0e0"]
+    expect = [None, None, None, -1.0, -1.5, -10.0, -1.0]
+    assert _apply_str(spark, safe_double, vals) == expect
+    # numeric doubles: both engines null the sentinel values
+    df = spark.createDataFrame([(-1.0,), (-2.0,), (-3.0,), (-1.25,)], "v double")
+    out = [r["o"] for r in df.select(safe_double(F.col("v")).alias("o")).collect()]
+    assert out == [None, None, None, -1.25]
+
+
 def test_clean_preserves_type_and_legit_negatives(spark):
     df = spark.createDataFrame([(-122.4,), (-1.0,), (3.5,)], "v double")
     out = [r["o"] for r in df.select(clean_sentinels(F.col("v")).alias("o")).collect()]
