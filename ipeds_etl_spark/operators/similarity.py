@@ -22,9 +22,13 @@ double precision, so DuckDB's oracle (``list_transform`` + index-order
   bucketed by centroid (pairs must share a bucket) to avoid the n²
   product.
 
-Determinism: centroids are the first ``n_centroids`` vectors by id —
-a published (if crude) seeding; k-means refinement would drop in here
-without changing the query shape.
+Determinism: centroids are seeded as the first ``n_centroids``
+vectors by id, then refined with ``kmeans_refine`` — deterministic
+Lloyd iterations whose means run in quantized integer space (scale by
+2^20, floor, exact BIGINT sums, one IEEE division back), so the final
+centroids are bit-identical regardless of engine or partitioning and
+the DuckDB oracle replays the refinement exactly. ``emb_ivf_recall``
+value-checks recall@k of the refined IVF against brute force.
 """
 
 from __future__ import annotations
@@ -102,6 +106,62 @@ def assign_centroids(
     )
 
 
+#: Quantization scale for the deterministic k-means mean: a power of
+#: two, so ``v * SCALE`` is EXACT in binary floating point (no
+#: rounding), making the whole refinement bit-reproducible across
+#: engines. 2^20 keeps |v|≤512 embeddings-sum well inside 2^53.
+KMEANS_SCALE = 1 << 20
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    n_iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations over the seed centroids.
+
+    Each iteration: assign every corpus vector to its nearest centroid
+    (cosine argmax, a map over a plan-literal centroid list — no join),
+    then recompute each centroid as the **quantized mean** of its
+    members: components are scaled by 2^20 (exact), floor(x+0.5)
+    rounded to BIGINT (exact), summed exactly, and divided back in one
+    IEEE step — so the refined centroids are bit-identical on any
+    engine/partitioning, which is what lets the DuckDB oracle replay
+    the refinement and value-check IVF end-to-end.
+
+    Scale: the mean aggregate is map-side combinable into
+    n_centroids × dim groups (512 here), so the shuffle is a few
+    hundred rows per input partition regardless of corpus size; the
+    driver collects only the (n_centroids × dim) sums per iteration.
+    Clusters that lose all members are dropped (mirroring the
+    relational formulation, where an empty group simply vanishes).
+    """
+    for _ in range(n_iters):
+        assigned = assign_centroids(corpus, id_col, vec_col, None, cent_rows=cent_rows)
+        comp = assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
+        sums = comp.groupBy("centroid_id", "pos").agg(
+            F.sum(
+                F.floor(F.col("col").cast("double") * KMEANS_SCALE + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums.collect():  # ≤ n_centroids × dim rows (metadata-sized)
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = (r["s"], r["n"])
+        cent_rows = [
+            (
+                cid,
+                [float(s) / n / KMEANS_SCALE for _, (s, n) in sorted(d.items())],
+            )
+            for cid, d in sorted(by_cid.items())
+        ]
+    return cent_rows
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,12 +202,17 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    n_iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` nearest centroid
     buckets per query. Join key is centroid_id, so the shuffle moves
-    each query to ~n_probe buckets instead of the whole corpus."""
+    each query to ~n_probe buckets instead of the whole corpus.
+    Centroids are seeded first-N-by-id then refined with ``n_iters``
+    deterministic Lloyd iterations (``kmeans_refine``)."""
     centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
     cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    if n_iters:
+        cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
     assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
     cents = _centroid_literal(cent_rows)
     probes = F.slice(
@@ -258,12 +323,16 @@ def embedding_near_dups(
     vec_col: str,
     threshold: float = 0.95,
     n_centroids: int = 8,
+    n_iters: int = 2,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) within shared
     centroid buckets — linear-ish at scale; recall bounded by bucketing
     (near-identical vectors land in the same bucket)."""
     centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
-    assigned = assign_centroids(corpus, id_col, vec_col, centroids)
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    if n_iters:
+        cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
+    assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
     L, R = assigned.alias("l"), assigned.alias("r")
     return (
         L.join(

@@ -359,16 +359,45 @@ def q_emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    """Shared CTEs: centroids (first 8 by vec_id) + corpus assignment."""
+def _ivf_sql(n_iters: int = 2, dim: int = 64) -> str:
+    """Shared CTEs: seed centroids (first 8 by vec_id), ``n_iters``
+    unrolled quantized-mean Lloyd iterations (bit-identical to
+    ``similarity.kmeans_refine``: scale 2^20 exact, floor(x+0.5) to
+    BIGINT, exact sums, one IEEE division back), then corpus
+    assignment against the refined centroids."""
+    from ipeds_etl_spark.operators.similarity import KMEANS_SCALE
+
     cos_vc = _cos_sql("v.embedding", "c.embedding")
-    return f"""
-    cent AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
-    scored AS (
+    parts = [
+        "cent0 AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 8)"
+    ]
+    for k in range(n_iters):
+        parts.append(
+            f"""a{k} AS (
+      SELECT v.vec_id, v.embedding, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.cid DESC) AS rn
+      FROM embeddings v CROSS JOIN cent{k} c)"""
+        )
+        parts.append(
+            f"""m{k} AS (
+      SELECT cid, i AS pos,
+             CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) / {KMEANS_SCALE}.0 AS mu
+      FROM a{k}, range({dim}) t(i) WHERE rn = 1 GROUP BY cid, i)"""
+        )
+        parts.append(
+            f"cent{k + 1} AS (SELECT cid, list(mu ORDER BY pos) AS embedding FROM m{k} GROUP BY cid)"
+        )
+    parts.append(
+        f"""scored AS (
       SELECT v.vec_id, v.embedding, c.cid, {cos_vc} AS sim,
              row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, c.cid DESC) AS rn
-      FROM embeddings v CROSS JOIN cent c),
-    assigned AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored WHERE rn = 1)"""
+      FROM embeddings v CROSS JOIN cent{n_iters} c)"""
+    )
+    parts.append(
+        "assigned AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored WHERE rn = 1)"
+    )
+    return ",\n    ".join(parts)
 
 
 @_register(
@@ -416,6 +445,74 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen to exercise the operator on real pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dups(e, "vec_id", "embedding", threshold=0.4, n_centroids=8)
+
+
+_IVF_PAIR_COS = _cos_sql("q.embedding", "n.embedding")
+
+
+@_register(
+    "emb_ivf_recall",
+    f"""
+    WITH {_ivf_sql()},
+    probes AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored
+               WHERE rn <= 2 AND vec_id < 5),
+    ivf AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_IVF_PAIR_COS} DESC, n.vec_id ASC) AS rnk
+      FROM probes q JOIN assigned n
+        ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id)
+      WHERE rnk <= 5),
+    brute AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5)
+      WHERE rnk <= 5)
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM brute b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the refined-centroid IVF against exact brute force,
+    per query — the quality gate for the approximate index. Exactly
+    reproducible (and therefore value-hash-checked) because the k-means
+    refinement is deterministic on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+    ivf = SIM.ivf_topk(
+        e, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+    )
+    hits = brute.alias("b").join(
+        ivf.alias("i"),
+        on=[
+            F.col("b.query_id") == F.col("i.query_id"),
+            F.col("b.neighbor_id") == F.col("i.neighbor_id"),
+        ],
+        how="left",
+    )
+    return (
+        hits.groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count("*").alias("k"),
+            F.count(F.col("i.neighbor_id")).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_5"),
+        )
+    )
 
 
 def _rp_oracle_sql() -> str:
