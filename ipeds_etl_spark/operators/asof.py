@@ -39,7 +39,15 @@ def asof_join(
     """Backward as-of join. Output = left columns + right payload
     columns (right columns other than keys/time) + ``{time_col}_right``
     (the matched right row's time, NULL when no match)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how in ['left', 'inner'], got {how!r}")
     rpayload = [c for c in right.columns if c not in (*keys, time_col)]
+    collisions = sorted(set(left.columns) & {f"{time_col}_right", *rpayload})
+    if collisions:
+        raise ValueError(
+            f"asof_join output columns collide with left columns: {collisions}; "
+            "rename the right payload (or left) columns before joining"
+        )
     R = right.select(
         *keys,
         F.col(time_col),

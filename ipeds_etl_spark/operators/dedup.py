@@ -29,6 +29,8 @@ the DuckDB oracles replicate results bit-for-bit (see
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -58,12 +58,19 @@ def attach_payload(
     text_col: str = "text",
     id_col: str = "doc_id",
     modality: str = "image",
-    rows_per_partition: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach a synthetic binary payload + metadata struct to each row
     (deterministic: UTF-8 bytes of the text column stand in for decoded
     media in this container). Real ingestion would read the bytes from
-    object storage; everything downstream is format-agnostic."""
+    object storage; everything downstream is format-agnostic.
+
+    Partition sizing is caller/conf-driven (``num_partitions``), never
+    computed here: a transform must not run hidden eager jobs (a
+    ``.count()`` inside a builder fires a full scan before the real
+    one). At ingest, size partitions by payload *bytes* via
+    ``spark.sql.files.maxPartitionBytes`` on the upstream scan, or pass
+    an explicit ``num_partitions`` derived from known corpus stats."""
     payload = F.encode(F.col(text_col), "UTF-8")
     out = df.select(
         F.col(id_col),
@@ -75,8 +82,8 @@ def attach_payload(
             F.sha2(payload, 256).alias("byte_sha"),
         ).alias("media_meta"),
     )
-    if rows_per_partition:
-        out = out.repartition(max(1, out.count() // rows_per_partition))
+    if num_partitions:
+        out = out.repartition(num_partitions)
     return out
 
 

@@ -83,7 +83,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big (skewed) side salted and the small side
     replicated ``n_salts``×. Output columns = big ∪ (small − keys),
-    like a plain ``join(on=...)``."""
+    like a plain ``join(on=...)``.
+
+    Only join types where the replicated small side cannot surface as
+    output rows on its own are allowed: under right/full the n_salts
+    copies of unmatched small rows would each emit a null-extended
+    duplicate."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows n_salts times"
+        )
     b = big.withColumn("__salt", _salt(big, n_salts))
     s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = b.join(s, [*on, "__salt"], how)

@@ -94,9 +94,25 @@ def rebuild_gold(spark: SparkSession, endpoint: str, warehouse: str) -> dict[str
     out = {}
     for name, df in (("institutions_latest", latest), ("yearly_counts", counts)):
         path = f"{warehouse}/vw/{endpoint}_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        _sized_coalesce(df).write.mode("overwrite").parquet(path)
         out[name] = spark.read.parquet(path).count()
     return out
+
+
+def _sized_coalesce(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Coalesce a gold-table write to ~``target_bytes`` output files
+    using the optimizer's size estimate (driver-side plan metadata, no
+    extra job). The reference's gold tables are ~10⁵ rows, where this
+    yields 1 file — but a single-task ``coalesce(1)`` would bottleneck
+    if a gold table is ever large; this scales the writer count with
+    the data instead."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+        )
+    except Exception:  # py4j/Connect API drift — fall back to planner default
+        return df
+    return df.coalesce(max(1, min(10_000, est // target_bytes + 1)))
 
 
 def drift_check(endpoint: str, records: DataFrame) -> dict:

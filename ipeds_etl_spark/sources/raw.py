@@ -64,6 +64,7 @@ def build_pages(
     page_size: int = PAGE_SIZE_DEFAULT,
     endpoint_path: str = "ipeds/directory/{year}/",
     api_base: str = "https://educationdata.example/api/v1",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Chunk a record DataFrame into raw pages with provenance columns.
 
@@ -71,13 +72,38 @@ def build_pages(
     pagination ⇒ deterministic hashes ⇒ idempotent re-ingest). Records
     are serialized to a JSON array payload; the content hash covers the
     payload text.
+
+    Scale: global numbering per year via a single window would sort
+    each year in one reducer. Instead, numbering is two-level: records
+    hash into ``n_buckets`` deterministic content buckets, a window
+    numbers within (year, bucket) — parallelism = years × buckets —
+    and per-bucket offsets (a years × buckets tiny frame) are
+    broadcast back to form the contiguous per-year index. The page
+    order within a year is (bucket, order_cols): content-deterministic,
+    independent of input partitioning, stable across re-ingests.
     """
     order_cols = list(order_cols or [c for c in records.columns if c != year_col])
-    w = Window.partitionBy(year_col).orderBy(*[F.col(c) for c in order_cols])
-    paged = records.withColumn(
-        "page_number", ((F.row_number().over(w) - 1) / page_size + 1).cast("int")
-    )
     rec_struct = F.struct(*[F.col(c) for c in records.columns])
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_buckets))
+    w_in = Window.partitionBy(year_col, "bucket").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    recs = records.withColumn("bucket", bucket).withColumn(
+        "rn", F.row_number().over(w_in) - 1
+    )
+    counts = recs.groupBy(year_col, "bucket").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy(year_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+    paged = recs.join(
+        F.broadcast(offsets.select(year_col, "bucket", "off")), [year_col, "bucket"]
+    ).withColumn(
+        "page_number",
+        (F.floor((F.col("rn") + F.col("off")) / page_size) + 1).cast("int"),
+    )
     pages = (
         paged.groupBy(F.col(year_col).cast("int").alias("year"), "page_number")
         .agg(F.to_json(F.sort_array(F.collect_list(rec_struct))).alias("payload"),
