@@ -130,8 +130,21 @@ def lsh_band_buckets(
     )
 
 
+#: Per-bucket population cap: one boilerplate bucket (near-identical
+#: content colliding into a single LSH band) must not OOM its task —
+#: the pair expansion is quadratic per bucket. 10k keeps the worst
+#: single-bucket expansion at ~5·10⁷ pairs and the agg buffer at ~10k
+#: structs; buckets this hot mean the band/block width needs retuning,
+#: which the overflow counter makes visible.
+MAX_BUCKET_SIZE_DEFAULT = 10_000
+
+
 def pairs_within_buckets(
-    bucketed: DataFrame, bucket_cols: Sequence[str], payload: Column
+    bucketed: DataFrame,
+    bucket_cols: Sequence[str],
+    payload: Column,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    overflow_col: str | None = None,
 ) -> DataFrame:
     """All unordered pairs of ``payload`` values sharing a bucket,
     WITHOUT a self-join: groupBy bucket → sorted distinct payload array
@@ -139,15 +152,40 @@ def pairs_within_buckets(
     a join over a twice-computed input — at scale this halves the
     upstream compute and removes a whole exchange. The payload struct's
     FIRST field must be the orderable id; pairs come out with
-    ``a.<field> < b.<field>``. Pair expansion is quadratic per bucket —
-    inherent to bucketed near-dup search; hot buckets (boilerplate
-    near-identical content) are the LSH-tuning concern, not a join-
-    strategy concern."""
-    grouped = (
-        bucketed.groupBy(*[F.col(c) for c in bucket_cols])
-        .agg(F.array_sort(F.collect_set(payload)).alias("xs"))
-        .filter(F.size("xs") > 1)
-    )
+    ``a.<field> < b.<field>``.
+
+    Hot-bucket bound: pair expansion is quadratic per bucket, so a
+    pathological bucket is capped at ``max_bucket_size`` members (the
+    ``max_bucket_size`` smallest payloads by sort order — deterministic).
+    The cap is applied INSIDE the aggregation (rank within bucket, then
+    a conditional ``collect_set``), so the agg buffer itself is bounded,
+    not just the expansion; the rank window shares the bucket-key
+    exchange with the groupBy, costing a sort but no extra shuffle.
+    Dropped members are counted per bucket and surfaced as
+    ``overflow_col`` on every emitted pair when requested (non-zero ⇒
+    results for that bucket are partial ⇒ widen the band/block key).
+    ``max_bucket_size=None`` disables the cap (oracle-exact mode).
+    """
+    grouped_keys = [F.col(c) for c in bucket_cols]
+    if max_bucket_size is None:
+        grouped = bucketed.groupBy(*grouped_keys).agg(
+            F.array_sort(F.collect_set(payload)).alias("xs"),
+            F.lit(0).cast("long").alias("__overflow"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols).orderBy(payload)
+        ranked = bucketed.withColumn("__rn", F.row_number().over(w))
+        grouped = ranked.groupBy(*grouped_keys).agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("__rn") <= max_bucket_size, payload))
+            ).alias("xs"),
+            F.sum(
+                F.when(F.col("__rn") > max_bucket_size, 1).otherwise(0)
+            ).alias("__overflow"),
+        )
+    grouped = grouped.filter(F.size("xs") > 1)
     xs = F.col("xs")
     pairs = F.flatten(
         F.transform(
@@ -157,7 +195,12 @@ def pairs_within_buckets(
             ),
         )
     )
-    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    out = grouped.select(F.explode(pairs).alias("p"), F.col("__overflow")).select(
+        "p.a", "p.b", F.col("__overflow")
+    )
+    if overflow_col:
+        return out.withColumnRenamed("__overflow", overflow_col)
+    return out.drop("__overflow")
 
 
 def lsh_candidate_pairs(

@@ -131,3 +131,32 @@ def test_embedding_near_dups_threshold(spark, vecs):
     }
     assert (0, 1) in pairs
     assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_hot_bucket_cap_bounds_expansion(spark):
+    """A planted 10k-member bucket stays bounded: with a 50-member cap
+    the expansion is C(50,2) pairs (not ~5*10^7) and the dropped count
+    is surfaced; normal buckets are untouched with overflow 0."""
+    from ipeds_etl_spark.operators.dedup import pairs_within_buckets
+
+    hot = spark.range(10_000).select(
+        F.lit("hot").alias("bucket"), F.col("id").cast("long").alias("id")
+    )
+    cold = spark.range(5).select(
+        F.lit("cold").alias("bucket"), (F.col("id") + 100_000).alias("id")
+    )
+    bucketed = hot.unionByName(cold)
+    payload = F.struct(F.col("id"))
+    pairs = pairs_within_buckets(
+        bucketed, ["bucket"], payload, max_bucket_size=50, overflow_col="n_dropped"
+    ).cache()
+    hot_pairs = pairs.filter(F.col("n_dropped") > 0)
+    assert hot_pairs.count() == 50 * 49 // 2
+    assert hot_pairs.agg(F.max("n_dropped")).first()[0] == 10_000 - 50
+    # kept members are the deterministic smallest-by-payload 50
+    assert hot_pairs.agg(F.max("b.id")).first()[0] == 49
+    cold_pairs = pairs.filter(F.col("n_dropped") == 0)
+    assert cold_pairs.count() == 5 * 4 // 2
+    # uncapped mode still exact for normal buckets
+    plain = pairs_within_buckets(cold, ["bucket"], payload, max_bucket_size=None)
+    assert plain.count() == 10
