@@ -25,10 +25,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-#: Shuffle partitions default. On a real cluster this should be set to
-#: ~2-3x total executor cores (or left to AQE coalescing from a high
-#: initial value); for local[32] test runs 32 is right-sized.
-DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+from ipeds_etl_spark.config import get_settings
 
 
 def get_spark(app_name: str = "ipeds_etl_spark", master: str | None = None) -> SparkSession:
@@ -37,16 +34,23 @@ def get_spark(app_name: str = "ipeds_etl_spark", master: str | None = None) -> S
     Honors an externally-created active session (e.g. the driver's) —
     in that case the session is returned as-is and engine code relies
     on per-expression ``try_cast`` rather than session conf.
+
+    Session knobs come from the frozen ``config.Settings`` object
+    (env-overridable: SHUFFLE_PARTITIONS / SPARK_GRAFT_CPUS,
+    SPARK_MASTER). On a real cluster set shuffle partitions to ~2-3x
+    total executor cores, or leave AQE coalescing to shrink from a
+    high initial value; for local[32] test runs 32 is right-sized.
     """
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
 
+    settings = get_settings()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.shuffle.partitions", str(settings.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -56,6 +60,8 @@ def get_spark(app_name: str = "ipeds_etl_spark", master: str | None = None) -> S
     )
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif settings.spark_master:
+        builder = builder.master(settings.spark_master)
+    else:
         builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
     return builder.getOrCreate()

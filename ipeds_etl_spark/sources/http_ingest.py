@@ -23,15 +23,17 @@ import urllib.parse
 import urllib.request
 from collections.abc import Callable
 
-DEFAULT_TIMEOUT = 30.0  # seconds (reference etl/config.py:124)
-DEFAULT_RETRIES = 3  # attempts (reference etl/config.py:126)
-DEFAULT_RPS = 4.0  # requests/second (reference etl/config.py:125)
+# Defaults live in config.Settings (env-overridable frozen object,
+# ≅ reference etl/config.py:124-126); None params below resolve there.
 
 Transport = Callable[[str], str]  # url -> response body (raises on failure)
 
 
 def _urllib_transport(url: str) -> str:
-    with urllib.request.urlopen(url, timeout=DEFAULT_TIMEOUT) as resp:  # noqa: S310
+    from ipeds_etl_spark.config import get_settings
+
+    timeout = get_settings().request_timeout_seconds
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
         if resp.status >= 400:
             raise OSError(f"HTTP {resp.status} for {url}")
         return resp.read().decode("utf-8")
@@ -40,11 +42,15 @@ def _urllib_transport(url: str) -> str:
 def get_with_retries(
     url: str,
     transport: Transport = _urllib_transport,
-    max_retries: int = DEFAULT_RETRIES,
+    max_retries: int | None = None,
     sleep: Callable[[float], None] = time.sleep,
 ) -> str:
     """GET with exponential backoff (1s, 2s, 4s…); raises after the last
     attempt fails."""
+    if max_retries is None:
+        from ipeds_etl_spark.config import get_settings
+
+        max_retries = get_settings().max_retries
     last_exc: Exception | None = None
     for attempt in range(max_retries):
         try:
@@ -61,7 +67,7 @@ def fetch_endpoint_pages(
     endpoint_path: str,
     year: int,
     transport: Transport = _urllib_transport,
-    rps: float = DEFAULT_RPS,
+    rps: float | None = None,
     sleep: Callable[[float], None] = time.sleep,
 ) -> list[list[dict]]:
     """Fetch ALL pages for one (endpoint, year); returns the per-page
@@ -70,6 +76,10 @@ def fetch_endpoint_pages(
     Follows ``next`` links, absolute or relative; rate-limits between
     page fetches.
     """
+    if rps is None:
+        from ipeds_etl_spark.config import get_settings
+
+        rps = get_settings().rate_limit_rps
     path = endpoint_path.replace("{year}", str(year)).lstrip("/")
     url: str | None = urllib.parse.urljoin(base_url.rstrip("/") + "/", path)
     pages: list[list[dict]] = []
