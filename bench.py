@@ -6,7 +6,9 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full computation,
 no collect/serialization cost). The session is warmed once so JVM/
-codegen startup is not billed to the first query.
+codegen startup is not billed to the first query, and each query is
+timed as the MEDIAN of 3 runs so round-over-round deltas are
+attributable to plan changes, not GC/scheduler noise.
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -64,13 +67,17 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
 
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     registered = q.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registered[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +88,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "aggregation": "median",
             }
         )
     )
