@@ -150,3 +150,70 @@ def test_resize_and_frame_sample_shapes(spark):
     for r in frames:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
+def test_windowed_counts_drops_late_data_past_watermark(spark, tmp_path):
+    """Out-of-order replay across microbatches: an event later than the
+    watermark horizon must be DROPPED (its window was finalized and
+    emitted exactly once); an out-of-order event still inside the
+    horizon must be counted. Sequencing is forced with
+    maxFilesPerTrigger=1 over mtime-ordered files."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "late_stream")
+    os.makedirs(d)
+
+    def ts(h, m):
+        return pd.Timestamp(2024, 1, 1, h, m)
+
+    batches = [
+        # batch 0: two events in [10:00,11:00) + one at 13:30 that
+        # advances the watermark to 11:30 (> window end) -> the 10:00
+        # window finalizes
+        [(1, ts(10, 5)), (2, ts(10, 20)), (3, ts(13, 30))],
+        # batch 1: on-time event; the 11:30 watermark takes effect
+        # (state eviction applies from the trigger after passage)
+        [(5, ts(14, 0))],
+        # batch 2: 10:40 is BEHIND the watermark and its window's
+        # state is gone -> dropped; 17:30 advances the watermark to
+        # 15:30 so the 13:00/14:00 windows finalize
+        [(4, ts(10, 40)), (6, ts(17, 30))],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "event_type": "click",
+                # micros, not pandas-default nanos (Spark reads
+                # TIMESTAMP(NANOS) parquet as long, not timestamp)
+                "ts": pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+                "value": 1.0,
+            }
+        )
+        f = f"{d}/batch-{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), f)
+        os.utime(f, (now + 10 * i, now + 10 * i))
+
+    schema = "event_id bigint, event_type string, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    jobs.run_to_memory(jobs.windowed_counts(stream), "late_win")
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_win").collect()
+    }
+    # 10:00 window: the two on-time events ONLY (10:40 replay dropped),
+    # emitted exactly once; 13:00 and 14:00 windows emitted on
+    # watermark passage; 17:00 window still open at stream end.
+    assert got == {10: 2, 13: 1, 14: 1}
+    n_rows = spark.sql("SELECT count(*) AS n FROM late_win").first()["n"]
+    assert n_rows == 3
