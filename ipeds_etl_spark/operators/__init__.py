@@ -1,6 +1,7 @@
 """Operator layer: merge, dedup, similarity, skew, bucketing, multimodal."""
 
 from ipeds_etl_spark.operators.bucketing import write_bucketed
+from ipeds_etl_spark.operators.components import connected_components, dedup_clusters
 from ipeds_etl_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -34,13 +35,23 @@ from ipeds_etl_spark.operators.similarity import (
     embedding_near_dups,
     ivf_topk,
 )
+from ipeds_etl_spark.operators.sampling import (
+    hash_sample,
+    split_column,
+    stratified_hash_sample,
+)
 from ipeds_etl_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
     "attach_payload",
     "brute_force_topk",
     "commit_overwrite_partitions",
+    "connected_components",
     "cosine",
+    "dedup_clusters",
+    "hash_sample",
+    "split_column",
+    "stratified_hash_sample",
     "embedding_near_dups",
     "exact_dedup",
     "extract_features",

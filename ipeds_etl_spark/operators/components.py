@@ -1,0 +1,99 @@
+"""Connected components over candidate-pair edge lists.
+
+The missing last stage of a dedup pipeline: LSH/SimHash emit *pairs*,
+but the keep/drop decision needs *clusters* — if A~B and B~C, one
+canonical survivor for {A,B,C}. Components = min-id label propagation
+(each node repeatedly adopts the smallest label among itself and its
+neighbors) — deterministic, converges in O(graph diameter) rounds.
+
+Spark shape per round: one join (edges ⋈ labels on dst) + one
+min-aggregate per src + one left join back — all hash-shuffles on node
+id. Lineage is truncated every round with ``localCheckpoint`` (an
+iterative plan otherwise grows unboundedly and re-executes from
+scratch each action); on a cluster with unreliable executors, swap in
+reliable ``checkpoint`` to HDFS. Dedup clusters have tiny diameters
+(near-dups of near-dups are near-dups), so rounds ≈ 2-4 in practice;
+the big-graph alternative (alternating large-star/small-star,
+Kiveris et al. 2014) drops in here if diameters ever grow.
+
+Determinism: the fixpoint (min reachable id per node) is unique — the
+DuckDB oracle computes the same labels with a recursive CTE and the
+driver value-hash-checks them (CORRECTNESS row ``dedup_components``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve an undirected edge list into components.
+
+    Returns ``(id, component_id)`` for every node that appears in an
+    edge; ``component_id`` is the minimum node id in the component
+    (the canonical survivor in dedup terms). Nodes with no candidate
+    pair are their own singleton component — join them back with a
+    left join + ``coalesce(component_id, id)`` if needed.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        # convergence probe: any label still shrinking? (one tiny
+        # driver-side count per round — inherent to fixpoint iteration)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component_id"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Components + per-cluster size and the keep/drop verdict
+    (canonical survivor = min id)."""
+    comps = connected_components(pairs, id_a, id_b)
+    w_size = F.count("*").over(Window.partitionBy("component_id"))
+    return comps.select(
+        "id",
+        "component_id",
+        w_size.cast("long").alias("component_size"),
+        (F.col("id") == F.col("component_id")).alias("keep"),
+    )

@@ -258,6 +258,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+          for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.id),
+    comps AS (SELECT id, min(comp) AS component_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
+           id = component_id AS keep
+    FROM comps
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: LSH candidate pairs → connected
+    components (min-label propagation, the iterative fixpoint) →
+    canonical-survivor verdict per document. The oracle replays the
+    fixpoint with a recursive CTE — the unique min-reachable-id
+    labeling makes an iterative Spark algorithm value-hash-checkable."""
+    from ipeds_etl_spark.operators.components import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(d, "text", "doc_id")
+    return dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+
+
+@_register(
     "dedup_simhash",
     f"""
     WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
@@ -328,6 +368,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+# ===========================================================================
+# Deterministic sampling / split assignment
+# ===========================================================================
+def _sampling_oracle() -> str:
+    from ipeds_etl_spark.operators.sampling import sample_bucket_sql
+
+    bkt = sample_bucket_sql("doc_id", salt="v1")
+    return f"""
+    WITH b AS (SELECT doc_id, source, {bkt} AS bkt FROM documents)
+    SELECT doc_id, source,
+           CASE WHEN bkt < 90 THEN 'train'
+                WHEN bkt < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           bkt < (CASE WHEN source IN ('src0','src1','src2') THEN 10
+                       WHEN source = 'src3' THEN 0 ELSE 100 END) AS sampled
+    FROM b
+    """
+
+
+@_register("docs_split_and_sample")
+def q_docs_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus construction: content-hash train/valid/test
+    split (90/5/5) + per-source stratified downsampling (10% for the
+    boilerplate-heavy sources, 0% for an excluded source, 100%
+    otherwise). Pure map-only codegen — zero shuffle at 100 TB; every
+    assignment is value-hash-checked against DuckDB."""
+    from ipeds_etl_spark.operators.sampling import sample_bucket, split_column
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    rates = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 10)
+        .when(F.col("source") == "src3", 0)
+        .otherwise(100)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        split_column(key, {"train": 90, "valid": 5, "test": 5}, salt="v1").alias(
+            "split"
+        ),
+        (sample_bucket(key, salt="v1") < rates).alias("sampled"),
+    )
+
+
+from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES_SAMPLE  # noqa: E402
+
+_ORACLES_SAMPLE["docs_split_and_sample"] = _sampling_oracle()
 
 
 # ===========================================================================

@@ -1,0 +1,87 @@
+"""Connected components (min-label fixpoint) and deterministic
+sampling operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators.components import connected_components, dedup_clusters
+
+
+def test_components_resolves_paths_triangles_and_pairs(spark):
+    # path 1-2-3-4-5 (diameter 4), triangle 10-11-12 (+ chord), pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_edge_order_invariant(spark):
+    edges = [(5, 4), (1, 2), (3, 2), (3, 4)]  # shuffled path, reversed ends
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_dedup_clusters_verdicts(spark):
+    pairs = spark.createDataFrame([(7, 3), (3, 9), (50, 60)], "id_a bigint, id_b bigint")
+    rows = {r["id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[3]["keep"] and rows[3]["component_size"] == 3
+    assert not rows[7]["keep"] and not rows[9]["keep"]
+    assert rows[50]["keep"] and rows[50]["component_size"] == 2
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    from ipeds_etl_spark.operators.sampling import hash_sample
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in hash_sample(df, "k", 20, salt="s").collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(13), "k", 20, salt="s").collect()}
+    assert a == b  # partitioning-independent
+    # membership is per-row stable: sampling a subset keeps the same keys
+    sub = {r["k"] for r in hash_sample(df.filter("k < 5000"), "k", 20, salt="s").collect()}
+    assert sub == {k for k in a if k < 5000}
+    # rate is approximately honored
+    assert 0.17 < len(a) / 10_000 < 0.23
+    # different salt re-rolls
+    c = {r["k"] for r in hash_sample(df, "k", 20, salt="other").collect()}
+    assert c != a
+
+
+def test_split_column_partitions_disjoint_exhaustive(spark):
+    from ipeds_etl_spark.operators.sampling import split_column
+
+    import pyspark.sql.functions as SF
+
+    df = spark.range(5_000).select(
+        SF.col("id"), split_column(SF.col("id"), {"train": 90, "valid": 5, "test": 5}).alias("s")
+    )
+    counts = {r["s"]: r["n"] for r in df.groupBy("s").agg(SF.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}  # exhaustive, no nulls
+    assert sum(counts.values()) == 5_000
+    assert counts["train"] > 8 * (counts["valid"] + counts["test"])
+
+
+def test_stratified_rates_and_validation(spark):
+    import pytest as _pytest
+
+    from ipeds_etl_spark.operators.sampling import (
+        hash_sample,
+        split_column,
+        stratified_hash_sample,
+    )
+    import pyspark.sql.functions as SF
+
+    df = spark.range(4_000).select(
+        SF.col("id"), (SF.col("id") % 2 == 0).cast("string").alias("g")
+    )
+    out = stratified_hash_sample(df, "id", "g", {"true": 100, "false": 0})
+    got = out.groupBy("g").count().collect()
+    assert {r["g"]: r["count"] for r in got} == {"true": 2_000}
+    with _pytest.raises(ValueError):
+        hash_sample(df, "id", 101)
+    with _pytest.raises(ValueError):
+        split_column(SF.col("id"), {"a": 50, "b": 40})
