@@ -2,6 +2,7 @@
 
 from ipeds_etl_spark.operators.bucketing import write_bucketed
 from ipeds_etl_spark.operators.components import connected_components, dedup_clusters
+from ipeds_etl_spark.operators.interval import interval_bucket_join
 from ipeds_etl_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -50,6 +51,7 @@ __all__ = [
     "cosine",
     "dedup_clusters",
     "hash_sample",
+    "interval_bucket_join",
     "split_column",
     "stratified_hash_sample",
     "embedding_near_dups",

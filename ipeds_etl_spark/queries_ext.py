@@ -789,6 +789,59 @@ def q_orders_range_join_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_range_join_bucketed",
+    """
+    WITH periods AS (
+      SELECT y AS period_year,
+             make_date(y, 1, 1) AS period_start,
+             make_date(y, 6, 30) AS period_end,
+             CASE WHEN y % 2 = 0 THEN 'H1-even' ELSE 'H1-odd' END AS period_label
+      FROM (SELECT DISTINCT year(o_orderdate) AS y FROM orders)
+    )
+    SELECT p.period_label,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN periods p
+      ON o.o_orderdate BETWEEN p.period_start AND p.period_end
+    GROUP BY p.period_label
+    """,
+)
+def q_orders_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-join SCALE path: same query as
+    ``orders_range_join_periods`` but through the bucketed equi-join
+    (``operators.interval``) — no BroadcastNestedLoopJoin anywhere in
+    the plan, so it survives interval sets too large to broadcast. The
+    oracle is the plain BETWEEN formulation: bucketing + residual
+    filter must be result-identical."""
+    from ipeds_etl_spark.operators.interval import interval_bucket_join
+
+    o = load_table(spark, sf_dir, "orders")
+    periods = (
+        o.select(F.year("o_orderdate").alias("period_year"))
+        .distinct()
+        .select(
+            "period_year",
+            F.make_date("period_year", F.lit(1), F.lit(1)).alias("period_start"),
+            F.make_date("period_year", F.lit(6), F.lit(30)).alias("period_end"),
+            F.when(F.col("period_year") % 2 == 0, "H1-even")
+            .otherwise("H1-odd")
+            .alias("period_label"),
+        )
+    )
+    joined = interval_bucket_join(
+        o.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_orderdate",
+        periods,
+        "period_start",
+        "period_end",
+        bucket_days=32,
+    )
+    return joined.groupBy("period_label").agg(
+        F.count("*").alias("n_orders"), exact_sum("o_totalprice").alias("revenue")
+    )
+
+
+@_register(
     "events_asof_last_purchase",
     """
     SELECT e.event_id,

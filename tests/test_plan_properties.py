@@ -48,3 +48,17 @@ def test_plan_shape(spark, name):
     )
     assert a["sortmerge_joins"] == 0, f"{name}: unexpected sort-merge join"
     assert a["python_stages"] <= max_py, f"{name}: unexpected Python stage"
+
+
+def test_bucketed_range_join_has_no_nested_loop(spark):
+    """The range-join scale path must plan as an equi-join on the time
+    bucket — a BroadcastNestedLoopJoin would mean the bucketing didn't
+    take and the operator degrades to O(facts x intervals)."""
+    df = q.queries()["orders_range_join_bucketed"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # and the plain formulation is indeed the nested-loop one (the
+    # contrast that justifies the operator)
+    plain = q.queries()["orders_range_join_periods"](spark, SF)
+    assert "BroadcastNestedLoopJoin" in plain._jdf.queryExecution().executedPlan().toString()
