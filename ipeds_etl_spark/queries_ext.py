@@ -1028,6 +1028,110 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_pivot_types",
+    """
+    SELECT user_id % 50 AS user_bucket,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase')
+                AS DOUBLE) AS purchase_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): event counts per type as columns, one row per
+    user bucket — ``groupBy().pivot()`` with an explicit value list, so
+    the plan is a single pass of conditional aggregates (no second job
+    to discover pivot values, which at 100 TB would be a full extra
+    scan)."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 50).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").alias("val"),
+        )
+    )
+    return out.select(
+        "user_bucket",
+        F.coalesce("click_n", F.lit(0)).alias("click"),
+        F.coalesce("view_n", F.lit(0)).alias("view"),
+        F.coalesce("purchase_n", F.lit(0)).alias("purchase"),
+        F.col("purchase_val").alias("purchase_value"),
+    )
+
+
+@_register(
+    "orders_profile",
+    """
+    SELECT 'o_totalprice' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_filled,
+           CAST(CAST(min(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS min_val,
+           CAST(CAST(max(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS max_val,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) / count(o_totalprice)
+                AS DECIMAL(18,6)) AS DOUBLE) AS mean_val,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(o_custkey) AS BIGINT),
+           CAST(CAST(min(o_custkey) AS DECIMAL(18,6)) AS DOUBLE),
+           CAST(CAST(max(o_custkey) AS DECIMAL(18,6)) AS DOUBLE),
+           CAST(CAST(SUM(CAST(o_custkey AS DECIMAL(18,6))) / count(o_custkey)
+                AS DECIMAL(18,6)) AS DOUBLE),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: one aggregate pass computing per-column
+    completeness, range, exact-decimal mean, and distinct counts —
+    the engine-side `df.summary()` with deterministic arithmetic. All
+    columns profile in ONE scan (a struct of aggregates per column),
+    then unpivot to rows."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def stats(c: str):
+        col = F.col(c)
+        dec = col.cast("decimal(18,6)")
+        return F.struct(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_filled"),
+            F.min(dec).cast("double").alias("min_val"),
+            F.max(dec).cast("double").alias("max_val"),
+            (F.sum(dec) / F.count(col)).cast("decimal(18,6)").cast("double").alias("mean_val"),
+            F.countDistinct(col).alias("n_distinct"),
+        ).alias(c)
+
+    one = o.agg(stats("o_totalprice"), stats("o_custkey"))
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"), F.col(c).alias("s")
+                    )
+                    for c in ("o_totalprice", "o_custkey")
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select(
+        "r.column_name",
+        F.col("r.s.n_rows").alias("n_rows"),
+        F.col("r.s.n_filled").alias("n_filled"),
+        F.col("r.s.min_val").alias("min_val"),
+        F.col("r.s.max_val").alias("max_val"),
+        F.col("r.s.mean_val").alias("mean_val"),
+        F.col("r.s.n_distinct").alias("n_distinct"),
+    )
+
+
 # ===========================================================================
 # Event-time windows (batch twin of the streaming path)
 # ===========================================================================
