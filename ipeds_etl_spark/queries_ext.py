@@ -1029,6 +1029,53 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_length_zscore",
+    """
+    WITH stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(text)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(len(text) AS BIGINT) * len(text)) AS BIGINT) AS s2
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source,
+           CAST(len(d.text) AS BIGINT) AS n_chars,
+           (CAST(len(d.text) AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+             / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * s.s1 / s.n) / s.n)
+             AS z_len
+    FROM documents d JOIN stats s ON d.source = s.source
+    """,
+)
+def q_docs_length_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped normalization (z-score of doc length within source) —
+    the feature-engineering shape: one exact-integer moments aggregate
+    per group, broadcast back, scalar math per row. Exact BIGINT sums
+    of x and x² make the derived doubles bit-identical across engines
+    and partitionings (every float comes from the same IEEE op
+    sequence), so a statistic usually considered 'approximately equal'
+    is value-hash-checked. Population variance, matching the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.length("text").cast("long")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    joined = d.select("doc_id", "source", x.alias("n_chars")).join(
+        F.broadcast(stats), "source"
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / F.col("n")
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ((F.col("n_chars").cast("double") - mean) / F.sqrt(var)).alias("z_len"),
+    )
+
+
+@_register(
     "events_pivot_types",
     """
     SELECT user_id % 50 AS user_bucket,

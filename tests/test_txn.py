@@ -162,3 +162,38 @@ def test_txn_read_prunes_to_manifest_partitions(spark, tmp_path):
     txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)
     got = _rows(txn.read_table(spark, path).filter(F.col("year") == 2012))
     assert got == [(4, 2012, "old")]
+
+
+def test_txn_version_race_retries(spark, tmp_path):
+    """Optimistic concurrency: if the target manifest version appears
+    between read and rename (another writer won), the commit retries on
+    top of the winner's manifest instead of clobbering it."""
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)  # v1
+
+    real_rename = fsutil.rename
+    raced = {"done": False}
+
+    def rename(spark_, src, dst):
+        # sneak a competing v2 in just before the first attempted rename
+        if "_manifest/v" in dst and not raced["done"]:
+            raced["done"] = True
+            import json
+
+            winner = dict(txn.read_manifest(spark_, path))
+            fsutil.write_text(
+                spark_, f"{path}/_manifest/.race", json.dumps({"partitions": winner})
+            )
+            real_rename(spark_, f"{path}/_manifest/.race", dst)
+        return real_rename(spark_, src, dst)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(fsutil, "rename", rename)
+        v = txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)
+    finally:
+        mp.undo()
+    assert v == "v00000003.json"  # lost v2 race, committed as v3
+    assert _rows(txn.read_table(spark, path)) == AFTER_NEW
