@@ -1029,6 +1029,80 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_chunk_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 40)) AS start
+      FROM toks WHERE len(w) > 0)
+    SELECT doc_id,
+           CAST(start // 40 AS INT) AS chunk_id,
+           CAST(start AS INT) AS start_token,
+           CAST(len(w[start+1:start+50]) AS INT) AS n_tokens,
+           sha256(array_to_string(w[start+1:start+50], ' ')) AS chunk_sha
+    FROM starts
+    """,
+)
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus chunking: overlapping token windows (size 50,
+    stride 40) per document — the canonical context-window prep op.
+    Pure Column plumbing: sequence → explode → slice, no UDTF/UDF, so
+    the whole row-expanding stage stays in JVM codegen (at 100 TB this
+    is a map-only pass whose output is ~n_tokens/stride rows per doc).
+    Chunk content is pinned by sha256 — the oracle proves the exact
+    window boundaries, not just counts."""
+    W, S = 50, 40
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    d = d.filter(F.size("w") > 0)
+    starts = d.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(S))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, W)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / S).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start_token"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha"),
+    )
+
+
+@_register(
+    "nation_top2_customers",
+    """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+    """,
+)
+def q_nation_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated lateral subquery (Spark 4 ``lateralJoin`` with
+    ``Column.outer()`` references): top-2 customers by balance per
+    nation — the J1 lateral-join family generalized beyond unnest.
+    Catalyst decorrelates this into a ranked window join under the
+    hood; the API-level correlation is what the reference's
+    CROSS JOIN LATERAL exercised."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer")
+    top2 = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return n.lateralJoin(top2).select("n_name", "c_custkey", "c_acctbal")
+
+
+@_register(
     "docs_length_zscore",
     """
     WITH stats AS (
