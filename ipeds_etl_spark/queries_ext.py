@@ -1103,6 +1103,105 @@ def q_nation_top2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: clicks by the same user within the hour before each
+    purchase — the equi-key + time-range self-join that becomes a
+    stream-stream join in Structured Streaming (watermarks on both
+    sides bound the buffered state; see
+    ``streaming/jobs.py::click_attribution_stream`` + its equivalence
+    test). Batch plan: user-key hash join with the range as a residual
+    condition — shuffles only on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    joined = p.join(
+        c,
+        on=[
+            p["user_id"] == c["user_id"],
+            F.col("c_ts").between(
+                F.col("p_ts") - F.expr("INTERVAL 1 HOUR"), F.col("p_ts")
+            ),
+        ],
+        how="left",
+    )
+    return joined.groupBy("purchase_id", p["user_id"], "p_ts").agg(
+        F.count("c_id").alias("n_clicks_1h")
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        "n_clicks_1h",
+    )
+
+
+@_register(
+    "docs_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len({_WS_TOKENS.format(x='text')}) AS n FROM documents),
+    packed AS (
+      SELECT source, doc_id, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks)
+    SELECT source,
+           CAST((cum - n) // 2048 AS INT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(n) AS DOUBLE) / 2048 AS fill_ratio
+    FROM packed
+    GROUP BY source, (cum - n) // 2048
+    """,
+)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy sequential packing of documents into
+    2048-token context windows per source (bin = where the doc's
+    running total starts) — the standard pre-training batching op.
+    One window + one agg, both on the source key: a single shuffle at
+    any corpus size. Deterministic order (doc_id) ⇒ deterministic
+    packing ⇒ value-checked bins."""
+    budget = 2048
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(TX.tokens(F.col("text"))).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = d.withColumn("cum", F.sum("n").over(w))
+    binned = packed.withColumn(
+        "bin_id", F.floor((F.col("cum") - F.col("n")) / budget).cast("int")
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        (F.sum("n").cast("double") / budget).alias("fill_ratio"),
+    )
+
+
+@_register(
     "docs_length_zscore",
     """
     WITH stats AS (

@@ -99,3 +99,42 @@ def run_to_memory(
         .start()
         .awaitTermination()
     )
+
+
+def click_attribution_stream(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same
+    user's clicks from the preceding hour. Watermarks on BOTH sides +
+    the time-range join condition let Spark bound the buffered state
+    (clicks older than purchase-watermark − 1h are evicted); without
+    them a stream-stream join would buffer forever. Batch twin:
+    ``queries_ext.q_events_click_attribution`` (inner-join rows; the
+    equivalence test compares against it)."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return p.join(
+        c,
+        on=[
+            F.col("p_user") == F.col("c_user"),
+            F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"),
+            F.col("c_ts") <= F.col("p_ts"),
+        ],
+        how="inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id")

@@ -217,3 +217,33 @@ def test_windowed_counts_drops_late_data_past_watermark(spark, tmp_path):
     assert got == {10: 2, 13: 1, 14: 1}
     n_rows = spark.sql("SELECT count(*) AS n FROM late_win").first()["n"]
     assert n_rows == 3
+
+
+def test_stream_stream_attribution_matches_batch(spark, stream_dir):
+    """Stream-stream time-range join (watermarked both sides) produces
+    exactly the batch inner-join pairs."""
+    schema = load_table(spark, SF, "events").schema
+    clicks = spark.readStream.schema(schema).parquet(stream_dir)
+    purchases = spark.readStream.schema(schema).parquet(stream_dir)
+    jobs.run_to_memory(
+        jobs.click_attribution_stream(clicks, purchases), "attrib_stream"
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attrib_stream").collect()
+    }
+    e = spark.read.parquet(stream_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    batch = p.join(
+        c,
+        on=[F.col("p_user") == F.col("c_user"),
+            F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"),
+            F.col("c_ts") <= F.col("p_ts")],
+    )
+    want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
