@@ -35,6 +35,16 @@ EXPECTATIONS = {
     "dedup_simhash": (3, 0, 0),
     "multimodal_features": (0, 0, 1),  # exactly the one Arrow stage
     "events_window_hourly": (1, 0, 0),
+    # round-2 additions
+    "docs_split_and_sample": (0, 0, 0),   # sampling must stay map-only
+    "docs_chunk_windows": (0, 0, 0),      # chunking is map-only row expansion
+    "docs_pack_sequences": (1, 0, 0),     # window + agg share the source key
+    "docs_length_zscore": (1, 1, 0),      # one moments agg + broadcast back
+    "events_click_attribution": (1, 1, 0),
+    "events_pivot_types": (2, 0, 0),
+    "orders_profile": (2, 0, 0),          # countDistinct Expand rewrite
+    "nation_top2_customers": (1, 1, 0),   # decorrelated to broadcast + window
+    "orders_range_join_bucketed": (2, 1, 0),
 }
 
 
