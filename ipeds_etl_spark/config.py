@@ -48,6 +48,11 @@ class Settings:
     #: Engine/session knobs (no reference analog — Spark-side).
     shuffle_partitions: int = 32
     spark_master: str = ""  # "" -> local[<cpus>] fallback in session.py
+    #: Driver heap for engine-created sessions. The 1g JVM default is
+    #: undersized for local[32]: 32 concurrent tasks through the
+    #: 102-column registry projection + parquet/zstd writers OOM it
+    #: (observed); in local mode the driver JVM IS the executor.
+    driver_memory: str = "8g"
     #: Logging (reference config.py:140-142).
     log_level: str = "INFO"
 

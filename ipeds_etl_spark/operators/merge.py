@@ -41,15 +41,23 @@ from ipeds_etl_spark import fsutil
 
 def _dedup_source(source: DataFrame, pk: Sequence[str]) -> DataFrame:
     """Keep one row per PK in the source (last-writer-wins needs a
-    deterministic rule; we use max_by over the full remaining row,
+    deterministic rule; we take the row whose payload struct is max,
     matching 'any one of the duplicate rows' semantics of executemany
-    upserts but deterministically)."""
+    upserts but deterministically).
+
+    One struct-valued ``max_by`` carries the whole winning row — NOT
+    one ``max_by(col, struct(payload))`` per column, which for the
+    102-column registry schema meant ~10⁴ expressions and an agg
+    buffer per column (measured: codegen blow-up and task OOM on a
+    default-sized heap). Single buffer, identical result (every
+    per-column max_by used the same ordering, so they always picked
+    the same winning row)."""
     payload = [c for c in source.columns if c not in pk]
     if not payload:
         return source.dropDuplicates(list(pk))
-    return source.groupBy(*pk).agg(
-        *[F.max_by(c, F.struct(*payload)).alias(c) for c in payload]
-    )
+    row = F.struct(*payload)
+    agged = source.groupBy(*pk).agg(F.max_by(row, row).alias("__row"))
+    return agged.select(*pk, *[F.col("__row")[c].alias(c) for c in payload])
 
 
 def upsert_on_pk(target: DataFrame, source: DataFrame, pk: Sequence[str]) -> DataFrame:

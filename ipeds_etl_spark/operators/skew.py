@@ -99,3 +99,71 @@ def salted_join(
     s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = b.join(s, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def detect_skew(
+    df: DataFrame,
+    keys: Sequence[str],
+    sample_fraction: float = 0.01,
+    hot_key_share: float = 0.2,
+    min_sample_rows: int = 10_000,
+) -> dict:
+    """Measure key skew from a cheap Bernoulli sample: one small job,
+    returns the hottest key's share of sampled rows and a salt
+    recommendation.
+
+    At 100 TB a full groupBy-count just to *decide* a strategy is
+    wasted work — a 1% sample bounds the measurement cost while a hot
+    key (by definition a large fraction of rows) is reliably visible
+    in any sample big enough (``min_sample_rows`` guards tiny inputs
+    by lifting the fraction). Sampling is seeded for reproducibility.
+    """
+    sampled = df.select(*keys).sample(fraction=sample_fraction, seed=42)
+    counts = sampled.groupBy(*keys).count()
+    top = counts.orderBy(F.col("count").desc()).limit(1).collect()
+    total = sampled.count()
+    if total < min_sample_rows:  # sample too small to judge: resample all
+        sampled = df.select(*keys)
+        counts = sampled.groupBy(*keys).count()
+        top = counts.orderBy(F.col("count").desc()).limit(1).collect()
+        total = sampled.count()
+    share = (top[0]["count"] / total) if top and total else 0.0
+    return {
+        "sampled_rows": total,
+        "hot_key": {k: top[0][k] for k in keys} if top else None,
+        "hot_key_share": share,
+        "skewed": share >= hot_key_share,
+        # spread the hot key over enough reducers to look like the median
+        "recommended_salts": max(2, min(64, int(share * 100))) if share >= hot_key_share else 1,
+    }
+
+
+def agg_with_skew_guard(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    sample_fraction: float = 0.01,
+    hot_key_share: float = 0.2,
+) -> DataFrame:
+    """Stats-driven aggregation: measure skew on a sample, then plan
+    either the plain one-shuffle groupBy (no hot key — salting would
+    only add a second shuffle) or the two-phase ``salted_agg``.
+    Results are identical either way (tested); only the physical plan
+    differs."""
+    stats = detect_skew(df, keys, sample_fraction, hot_key_share)
+    if stats["skewed"]:
+        return salted_agg(df, keys, aggs, n_salts=stats["recommended_salts"])
+    p1_specs = {}
+    for out, (spec, col) in aggs.items():
+        if spec == "avg":
+            p1_specs[f"__{out}_sum"] = ("sum", col)
+            p1_specs[f"__{out}_cnt"] = ("count", col)
+        else:
+            p1_specs[out] = (spec, col)
+    plain = df.groupBy(*keys).agg(
+        *[_ALGEBRAIC[s][0](c).alias(out) for out, (s, c) in p1_specs.items()]
+    )
+    for out, (spec, _) in aggs.items():
+        if spec == "avg":
+            plain = plain.withColumn(out, F.col(f"__{out}_sum") / F.col(f"__{out}_cnt"))
+    return plain.drop(*[c for c in plain.columns if c.startswith("__")])

@@ -61,12 +61,30 @@ def map_from_raw(
 
 
 def write_core(
-    spark: SparkSession, endpoint: str, mapped: DataFrame, core_path: str
+    spark: SparkSession,
+    endpoint: str,
+    mapped: DataFrame,
+    core_path: str,
+    backend: str = "inplace",
 ) -> None:
     """Merge mapped records into the core table keyed on the registry
-    PK, rewriting only the touched year partitions (staged swap — see
-    ``operators.merge.overwrite_partitions_staged``)."""
+    PK, rewriting only the touched year partitions.
+
+    ``backend="inplace"`` (default): plain partition-dir layout via the
+    crash-recoverable marker swap (``merge.overwrite_partitions_staged``)
+    — readable by any direct ``spark.read.parquet``.
+    ``backend="txn"``: manifest-committed layout (``operators.txn``) —
+    atomic multi-partition commit + reader isolation; read the table
+    back with ``txn.read_table``. Use on object stores or under
+    concurrent readers."""
     ep = registry.get_endpoint(endpoint)
+    if backend == "txn":
+        from ipeds_etl_spark.operators.txn import upsert_into_txn_table
+
+        upsert_into_txn_table(spark, core_path, mapped, list(ep.pk), "year")
+        return
+    if backend != "inplace":
+        raise ValueError(f"backend must be 'inplace' or 'txn', got {backend!r}")
     recover_swaps(spark, core_path)
     if fsutil.table_exists(spark, core_path):
         target = spark.read.schema(registry.struct_type(endpoint)).parquet(core_path)

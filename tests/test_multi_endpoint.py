@@ -116,3 +116,33 @@ def test_lineage_tracks_both_endpoints(spark, warehouse):
     by_ep = {r["endpoint"]: r for r in log.collect()}
     assert by_ep["directory"]["rows_inserted"] == 2
     assert by_ep["admissions"]["rows_inserted"] == 3
+
+
+def test_write_core_txn_backend(spark, tmp_path):
+    """Opt-in transactional core writes: same merge semantics, manifest
+    layout, readable via txn.read_table."""
+    from ipeds_etl_spark.operators import txn
+    from ipeds_etl_spark.plans.core_pipeline import write_core
+
+    core = str(tmp_path / "core_txn")
+    rows = [
+        {"unitid": "1", "year": "2020", "instnm": "Alpha U", "stabbr": "CA"},
+        {"unitid": "2", "year": "2020", "instnm": "Beta C", "stabbr": "NY"},
+    ]
+    recs = spark.createDataFrame(
+        [(2020, 1, r) for r in rows],
+        "page_year int, page_number int, rec map<string,string>",
+    )
+    from ipeds_etl_spark.plans.core_pipeline import map_records
+
+    mapped = map_records("directory", recs)
+    write_core(spark, "directory", mapped, core, backend="txn")
+    # re-run: idempotent under the txn backend too
+    write_core(spark, "directory", mapped, core, backend="txn")
+    out = txn.read_table(spark, core)
+    got = {r["unitid"]: r["inst_name"] for r in out.collect()}
+    assert got == {1: "Alpha U", 2: "Beta C"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_core(spark, "directory", mapped, core, backend="bogus")

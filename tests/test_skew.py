@@ -55,3 +55,31 @@ def test_salted_join_matches_plain(spark, skewed):
     p = {(r["k"], r["label"]): r["count"] for r in plain.collect()}
     s = {(r["k"], r["label"]): r["count"] for r in salted.collect()}
     assert p == s and len(p) > 0
+
+
+def test_detect_skew_flags_planted_hot_key(spark):
+    from ipeds_etl_spark.operators.skew import agg_with_skew_guard, detect_skew
+    import pyspark.sql.functions as SF
+
+    # 60% of rows share one key; the rest spread over 1000 keys
+    hot = spark.range(60_000).select(SF.lit(7).alias("k"), SF.col("id").alias("v"))
+    cold = spark.range(40_000).select((SF.col("id") % 1000 + 100).alias("k"), SF.col("id").alias("v"))
+    df = hot.unionByName(cold)
+    stats = detect_skew(df, ["k"], sample_fraction=0.05)
+    assert stats["skewed"] and stats["hot_key"] == {"k": 7}
+    assert 0.5 < stats["hot_key_share"] < 0.7
+    assert stats["recommended_salts"] >= 2
+
+    uniform = spark.range(100_000).select((SF.col("id") % 997).alias("k"), SF.col("id").alias("v"))
+    assert not detect_skew(uniform, ["k"], sample_fraction=0.05)["skewed"]
+
+    # guard picks a plan but the numbers are identical either way
+    guarded = {
+        (r["k"]): (r["total"], r["n"])
+        for r in agg_with_skew_guard(df, ["k"], {"total": ("sum", "v"), "n": ("count", "v")}).collect()
+    }
+    plain = {
+        (r["k"]): (r["total"], r["n"])
+        for r in df.groupBy("k").agg(SF.sum("v").alias("total"), SF.count("v").alias("n")).collect()
+    }
+    assert guarded == plain
