@@ -282,6 +282,84 @@ def rp_lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("int")
 
 
+def rp_planes_banded(
+    n_bands: int, planes_per_band: int, dim: int
+) -> list[list[list[float]]]:
+    """Independent Rademacher plane families per band (seeded
+    ``rpb:{band}:{plane}:{dim}``, disjoint from the single-band
+    family)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.sha256(f"rpb:{b}:{p}:{d}".encode()).hexdigest(), 16) & 1
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(planes_per_band)
+        ]
+        for b in range(n_bands)
+    ]
+
+
+def rp_lsh_banded_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int = 6,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Banded (amplified) RP-LSH near-dup pairs: vectors pair if they
+    collide in ANY of ``n_bands`` independent ``planes_per_band``-bit
+    sign buckets, then verify by exact cosine.
+
+    Why: one k-plane band has collision probability p^k with
+    p = 1 − θ/π — measured 0.018 recall at cos ≥ 0.3 with k = 8
+    (``emb_rp_lsh_recall``). OR-ing L independent bands amplifies to
+    1 − (1 − p^k)^L: smaller k per band + several bands trades a
+    constant factor of candidate pairs for orders of magnitude of
+    recall (``emb_rp_lsh_banded_recall`` measures it). Same knobs as
+    MinHash band amplification — this is LSH theory's standard
+    construction, relational form: explode each vector into its L
+    (band, bucket) keys, self-join on them, dedup pairs, verify.
+    """
+    fams = rp_planes_banded(n_bands, planes_per_band, dim)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                rp_lsh_bucket(F.col(vec_col), fams[b]).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(bands).alias("bb")
+    ).select(id_col, vec_col, "bb.band", "bb.bucket")
+    L_, R_ = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        L_.join(
+            R_,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def rp_lsh_near_dups(
     corpus: DataFrame,
     id_col: str,

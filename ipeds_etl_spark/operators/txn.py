@@ -60,13 +60,26 @@ def _manifest_versions(spark: SparkSession, table_path: str) -> list[str]:
     )
 
 
-def read_manifest(spark: SparkSession, table_path: str) -> dict[str, str]:
+def read_manifest(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict[str, str]:
     """partition entry (``year=2010``) → generation dir name, or {} for
-    an empty/new table."""
+    an empty/new table. ``version`` pins a historical manifest (time
+    travel); default is the latest."""
     versions = _manifest_versions(spark, table_path)
     if not versions:
         return {}
-    text = fsutil.read_text(spark, f"{table_path}/{_MANIFEST_DIR}/{versions[-1]}")
+    if version is None:
+        pick = versions[-1]
+    else:
+        pick = f"v{version:08d}.json"
+        if pick not in versions:
+            raise ValueError(
+                f"version {version} not found; available: "
+                f"{[int(v[1:-5]) for v in versions]} (older versions are "
+                "dropped by vacuum)"
+            )
+    text = fsutil.read_text(spark, f"{table_path}/{_MANIFEST_DIR}/{pick}")
     return json.loads(text)["partitions"]
 
 
@@ -108,11 +121,15 @@ def commit_overwrite_partitions(
         fsutil.delete(spark, tmp)
 
 
-def read_table(spark: SparkSession, table_path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
     """Manifest-resolved read: one pruned scan per live generation,
-    unioned. Falls back to a plain parquet read for tables without a
-    manifest (compat with the in-place layout)."""
-    manifest = read_manifest(spark, table_path)
+    unioned. ``version`` reads the table as of that commit (time
+    travel — generations are immutable, so any un-vacuumed version
+    reconstructs exactly). Falls back to a plain parquet read for
+    tables without a manifest (compat with the in-place layout)."""
+    manifest = read_manifest(spark, table_path, version=version)
     if not manifest:
         return spark.read.parquet(table_path)
     by_gen: dict[str, list[str]] = defaultdict(list)

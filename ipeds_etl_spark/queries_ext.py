@@ -642,6 +642,144 @@ from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES  # noqa: E402
 _ORACLES["emb_rp_lsh_near_dups"] = _rp_oracle_sql()
 
 
+def _rp_bucket_sql() -> str:
+    """DuckDB expression for the 8-plane Rademacher bucket id."""
+    from ipeds_etl_spark.operators.similarity import rp_planes
+
+    bits = []
+    for pl, plane in enumerate(rp_planes(8, 64)):
+        arr = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+        proj = _DOT.format(a="embedding", b=arr)
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _rp_recall_oracle() -> str:
+    """LSH pairs vs exact all-pairs at the same threshold → recall."""
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_rp_bucket_sql()} AS bucket FROM embeddings),
+    lsh AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= 0.3),
+    exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {cos_ab} >= 0.3)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(l.id_a) AS BIGINT) AS n_found,
+           CAST(count(l.id_a) AS DOUBLE) / count(*) AS recall
+    FROM exact e LEFT JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """
+
+
+@_register("emb_rp_lsh_recall")
+def q_emb_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the RP-LSH near-dup pairs against the exact
+    all-pairs-at-threshold ground truth — the quality gate for the
+    hyperplane bucketing (collision probability (1-θ/π)^n_planes).
+    The exact side is O(n²) by definition: it runs at oracle scale to
+    *measure* the approximation; production uses the LSH side alone."""
+    from ipeds_etl_spark.operators.similarity import cosine, rp_lsh_near_dups
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lsh = rp_lsh_near_dups(e, "vec_id", "embedding", n_planes=8, dim=64, threshold=0.3)
+    L, R = e.alias("a"), e.alias("b")
+    exact = (
+        L.join(R, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    hit = exact.join(
+        lsh.select("id_a", "id_b").withColumn("found", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("found").alias("n_found"),
+        (F.count("found").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+_ORACLES["emb_rp_lsh_recall"] = _rp_recall_oracle()
+
+
+def _rp_banded_bucketed_sql(n_bands: int = 6, planes_per_band: int = 4) -> str:
+    from ipeds_etl_spark.operators.similarity import rp_planes_banded
+
+    fams = rp_planes_banded(n_bands, planes_per_band, 64)
+    selects = []
+    for b, planes in enumerate(fams):
+        bits = []
+        for pl, plane in enumerate(planes):
+            arr = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+            proj = _DOT.format(a="embedding", b=arr)
+            bits.append(f"CASE WHEN {proj} > 0 THEN {1 << pl} ELSE 0 END")
+        selects.append(
+            f"SELECT vec_id, embedding, {b} AS band, "
+            f"({' + '.join(bits)}) AS bucket FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _rp_banded_recall_oracle() -> str:
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH bucketed AS ({_rp_banded_bucketed_sql()}),
+    lsh AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= 0.3),
+    exact AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {cos_ab} >= 0.3)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(l.id_a) AS BIGINT) AS n_found,
+           CAST(count(l.id_a) AS DOUBLE) / count(*) AS recall
+    FROM exact e LEFT JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """
+
+
+@_register("emb_rp_lsh_banded_recall")
+def q_emb_rp_lsh_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of BANDED RP-LSH (6 bands × 4 planes, OR-amplified:
+    1-(1-p⁴)⁶) against the exact threshold pairs — demonstrating the
+    amplification the single-band measurement (``emb_rp_lsh_recall``,
+    0.018) motivates. Same exact-side caveat: ground truth is O(n²),
+    run at oracle scale to measure."""
+    from ipeds_etl_spark.operators.similarity import cosine, rp_lsh_banded_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lsh = rp_lsh_banded_pairs(
+        e, "vec_id", "embedding", n_bands=6, planes_per_band=4, dim=64, threshold=0.3
+    )
+    L, R = e.alias("a"), e.alias("b")
+    exact = (
+        L.join(R, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    hit = exact.join(
+        lsh.select("id_a", "id_b").withColumn("found", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("found").alias("n_found"),
+        (F.count("found").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+_ORACLES["emb_rp_lsh_banded_recall"] = _rp_banded_recall_oracle()
+
+
 # ===========================================================================
 # Multimodal — value-checked: the stub extractor is a deterministic byte
 # histogram over the UTF-8 payload, so DuckDB can replicate it exactly by
@@ -1198,6 +1336,35 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").alias("n_tokens"),
         (F.sum("n").cast("double") / budget).alias("fill_ratio"),
+    )
+
+
+@_register(
+    "docs_vocabulary",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    all_terms AS (SELECT doc_id, unnest(w) AS term FROM toks)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS total_tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM all_terms GROUP BY term HAVING count(DISTINCT doc_id) >= 25
+    """,
+)
+def q_docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus-wide term frequency + document
+    frequency (the exact counts behind TF-IDF — idf = log(N/df) is
+    left to the consumer so every emitted number is an exact integer,
+    engine-independent). Explode + one hash agg: term counts combine
+    map-side, shuffle is O(distinct terms)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("total_tf"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= 25)
     )
 
 

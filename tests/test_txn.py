@@ -197,3 +197,20 @@ def test_txn_version_race_retries(spark, tmp_path):
         mp.undo()
     assert v == "v00000003.json"  # lost v2 race, committed as v3
     assert _rows(txn.read_table(spark, path)) == AFTER_NEW
+
+
+def test_txn_time_travel(spark, tmp_path):
+    """Versioned manifests + immutable generations = time travel: any
+    un-vacuumed version reads back exactly; vacuum invalidates history."""
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)  # v1
+    txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)  # v2
+    assert _rows(txn.read_table(spark, path, version=1)) == sorted(OLD)
+    assert _rows(txn.read_table(spark, path, version=2)) == AFTER_NEW
+    assert _rows(txn.read_table(spark, path)) == AFTER_NEW
+    with pytest.raises(ValueError, match="not found"):
+        txn.read_manifest(spark, path, version=9)
+    txn.vacuum(spark, path)  # drops v1 and any generation only v1 used
+    with pytest.raises(ValueError, match="not found"):
+        txn.read_manifest(spark, path, version=1)
+    assert _rows(txn.read_table(spark, path)) == AFTER_NEW
