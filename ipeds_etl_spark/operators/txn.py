@@ -143,7 +143,9 @@ def read_table(
     ]
     out = scans[0]
     for s in scans[1:]:
-        out = out.unionByName(s)
+        # schema evolution across generations: a commit may add (or
+        # drop) columns; older generations null-fill the missing ones
+        out = out.unionByName(s, allowMissingColumns=True)
     return out
 
 

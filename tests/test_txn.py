@@ -214,3 +214,19 @@ def test_txn_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="not found"):
         txn.read_manifest(spark, path, version=1)
     assert _rows(txn.read_table(spark, path)) == AFTER_NEW
+
+
+def test_txn_schema_evolution_across_generations(spark, tmp_path):
+    """A later commit may add columns; reads union generations by name
+    and null-fill what older generations lack."""
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)
+    widened = spark.createDataFrame(
+        [(1, 2010, "new", "extra")], "id int, year int, v string, note string"
+    )
+    txn.commit_overwrite_partitions(spark, widened, path)
+    out = txn.read_table(spark, path)
+    assert set(out.columns) == {"id", "year", "v", "note"}
+    rows = {r["id"]: (r["v"], r["note"]) for r in out.collect()}
+    assert rows[1] == ("new", "extra")
+    assert rows[3] == ("old", None) and rows[4] == ("old", None)
