@@ -51,6 +51,14 @@ HEADLINE = [
     "events_window_hourly",
     "events_sessionize",
     "multimodal_features",
+    # round-2 additions (suite total covers 26 queries from here on;
+    # compare per-query medians round-over-round, not the total)
+    "dedup_components",
+    "docs_split_and_sample",
+    "docs_chunk_windows",
+    "docs_pack_sequences",
+    "events_click_attribution",
+    "orders_range_join_bucketed",
 ]
 
 
