@@ -1519,6 +1519,139 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "customer_order_window_funcs",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS INTEGER) AS yr_rank,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS INTEGER) AS yr_dense_rank,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_customer_order_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/offset/frame window family in one pass —
+    row_number, rank, dense_rank, ntile, percent_rank, cume_dist,
+    lag/lead, and a running decimal-exact frame sum — all over ONE
+    partition spec (Catalyst collapses same-spec functions into a
+    single Window operator: one shuffle, one sort)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wy = Window.partitionBy("o_custkey").orderBy(F.year("o_orderdate"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wy).alias("yr_rank"),
+        F.dense_rank().over(wy).alias("yr_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@_register(
+    "orders_calendar_dims",
+    """
+    SELECT year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           CAST(count(*) FILTER (WHERE isodow(o_orderdate) <= 5) AS BIGINT) AS weekday_orders,
+           CAST(count(*) FILTER (WHERE isodow(o_orderdate) > 5) AS BIGINT) AS weekend_orders,
+           strftime(min(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS month_start,
+           strftime(max(last_day(o_orderdate)), '%Y-%m-%d') AS month_end,
+           strftime(min(o_orderdate + INTERVAL 90 DAY), '%Y-%m-%d') AS first_due
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def q_orders_calendar_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family: truncation, last_day, date
+    arithmetic, ISO weekday classification (Spark's ``dayofweek`` is
+    1=Sunday; the portable ISO form is ``(dayofweek+5)%7+1`` —
+    pinned against DuckDB's native ``isodow``)."""
+    o = load_table(spark, sf_dir, "orders")
+    isodow = (F.dayofweek("o_orderdate") + 5) % 7 + 1
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.when(isodow <= 5, 1)).alias("weekday_orders"),
+            F.count(F.when(isodow > 5, 1)).alias("weekend_orders"),
+            F.date_format(
+                F.min(F.date_trunc("month", "o_orderdate")), "yyyy-MM-dd"
+            ).alias("month_start"),
+            F.date_format(F.max(F.last_day("o_orderdate")), "yyyy-MM-dd").alias(
+                "month_end"
+            ),
+            F.date_format(F.min(F.date_add("o_orderdate", 90)), "yyyy-MM-dd").alias(
+                "first_due"
+            ),
+        )
+    )
+
+
+@_register(
+    "part_name_fuzzy_pairs",
+    """
+    WITH p AS (SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey <= 300)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+)
+def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: Levenshtein edit distance between part names,
+    blocked by brand (the blocking key keeps the pair space linear-ish
+    — same discipline as every other pair operator here). Exact
+    integer distances, identical in both engines."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select("p_partkey", "p_brand", "p_name")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.p_brand") == F.col("b.p_brand"),
+                F.col("a.p_partkey") < F.col("b.p_partkey"),
+            ],
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+    )
+
+
 # ===========================================================================
 # Event-time windows (batch twin of the streaming path)
 # ===========================================================================
