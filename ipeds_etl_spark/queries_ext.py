@@ -1127,6 +1127,47 @@ def q_kpi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kpi_cube",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           o_orderpriority,
+           CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+    """,
+)
+def q_kpi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE (every grouping-set combination) with GROUPING()
+    indicator columns — the disambiguation a real report needs, since
+    a NULL group key in cube output can mean 'subtotal' or a genuinely
+    NULL value. Completes the grouping-sets family next to
+    ``kpi_rollup``; one pass via Spark's Expand."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"), "o_orderpriority", "o_totalprice"
+    )
+    return (
+        o.cube("order_year", "o_orderpriority")
+        .agg(
+            F.grouping(F.col("order_year")).cast("int").alias("g_year"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_revenue"),
+        )
+        .select(
+            "order_year",
+            "o_orderpriority",
+            "g_year",
+            "g_priority",
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+@_register(
     "customer_set_ops",
     """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

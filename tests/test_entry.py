@@ -25,3 +25,17 @@ def test_every_query_builds_and_runs_tiny(spark):
 def test_oracles_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_every_query_has_an_oracle():
+    """Regression guard: EVERY registered query must carry a DuckDB
+    oracle — the correctness gate's strongest setting. A new rows-only
+    query is a deliberate decision, not a drift."""
+    import __spark_entry__ as m
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(qs) == set(oracles), (
+        f"queries without oracles: {sorted(set(qs) - set(oracles))}; "
+        f"orphan oracles: {sorted(set(oracles) - set(qs))}"
+    )
+    assert len(qs) >= 58
