@@ -40,6 +40,13 @@ def connected_components(
     (the canonical survivor in dedup terms). Nodes with no candidate
     pair are their own singleton component — join them back with a
     left join + ``coalesce(component_id, id)`` if needed.
+
+    Raises ``RuntimeError`` if the fixpoint has not converged after
+    ``max_iters`` rounds (graph diameter > ``max_iters``): partially-
+    propagated labels are silently WRONG and must never flow into
+    keep/drop verdicts. Raise ``max_iters`` (rounds are O(diameter))
+    or switch to the large-star/small-star formulation for
+    pathological-diameter graphs.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -55,6 +62,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -80,7 +88,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} rounds "
+            "(graph diameter exceeds max_iters) — labels would be silently "
+            "wrong; raise max_iters or use a star-contraction variant"
+        )
     return labels.select("id", F.col("comp").alias("component_id"))
 
 

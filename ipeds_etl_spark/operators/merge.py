@@ -94,12 +94,60 @@ def upsert_on_hash(
     return changed_or_new.unionByName(kept.select(*changed_or_new.columns))
 
 
-def recover_swaps(spark: SparkSession, table_path: str) -> None:
+def _publish_partition(spark: SparkSession, table_path: str, txid: str, part: str) -> None:
+    """Phase-2 publish of ONE partition: old aside → new in → drop old.
+
+    The old copy is deleted only after the new generation is verifiably
+    at ``dst`` — a failed Hadoop ``rename`` returns False rather than
+    raising, and silently proceeding to ``delete(old)`` would destroy
+    the only remaining copy of the partition. Idempotent: re-running
+    after a crash (or concurrently with another recoverer that already
+    finished the step) is safe — every rename failure is re-checked
+    against the end-state it was supposed to produce before either
+    raising or tolerating it.
+
+    Staged/aside copies live NESTED under ``_swap_new_<txid>/`` and
+    ``_swap_old_<txid>/`` parents: Spark's hidden-path filter does NOT
+    skip ``_``-prefixed names that contain ``=`` (they parse as
+    partition dirs and poison partition inference for any concurrent
+    reader), but an ``=``-free hidden parent is skipped with its whole
+    subtree.
+    """
+    src = f"{table_path}/_swap_new_{txid}/{part}"
+    dst = f"{table_path}/{part}"
+    old = f"{table_path}/_swap_old_{txid}/{part}"
+    fsutil.makedirs(spark, f"{table_path}/_swap_old_{txid}")
+    if fsutil.path_exists(spark, src):
+        if fsutil.path_exists(spark, dst) and not fsutil.rename(spark, dst, old):
+            # tolerated only if some other recoverer moved dst aside
+            if fsutil.path_exists(spark, dst):
+                raise OSError(
+                    f"swap {txid}: cannot move old generation aside: {dst} -> {old}"
+                )
+        if not fsutil.rename(spark, src, dst):
+            # tolerated only if some other recoverer completed the publish
+            if fsutil.path_exists(spark, src) or not fsutil.path_exists(spark, dst):
+                raise OSError(
+                    f"swap {txid}: publish rename failed for {dst} "
+                    f"(staged copy left at {src}; old generation left at {old})"
+                )
+    elif not fsutil.path_exists(spark, dst):
+        raise OSError(
+            f"swap {txid}: partition {part} lost — neither staged ({src}) "
+            f"nor published ({dst}); NOT deleting {old}"
+        )
+    # the new generation is at dst — only now is the old copy garbage
+    fsutil.delete(spark, old)
+
+
+def recover_swaps(
+    spark: SparkSession, table_path: str, *, rollback_uncommitted: bool = True
+) -> None:
     """Finish or roll back a crashed ``overwrite_partitions_staged``.
 
     State machine (all names hidden from Spark readers): a commit
     marker ``_commit_<txid>`` is created only after EVERY touched
-    partition is staged in as ``_swap_new_<txid>_<part>``, so
+    partition is staged in as ``_swap_new_<txid>/<part>``, so
 
     * marker absent → the crash happened before the commit point: the
       staged ``_swap_new`` dirs (and the ``_stage`` dir) are garbage —
@@ -109,29 +157,41 @@ def recover_swaps(spark: SparkSession, table_path: str) -> None:
       finishing the new generation exactly as the writer would have.
 
     Either way the table reads as one complete generation afterwards.
+
+    ``rollback_uncommitted=False`` is the READ-path mode (``scan_pages``
+    and friends): a reader cannot distinguish a crashed pre-commit write
+    from a LIVE writer that simply hasn't reached its commit point yet,
+    so on reads uncommitted staging is left strictly alone — only
+    committed txids are rolled forward (safe: the marker is durable and
+    roll-forward is idempotent). Rollback of uncommitted garbage is
+    reserved for write paths, which this layout already documents as
+    single-writer (use ``operators.txn.TxnTable`` for multi-writer).
     """
     entries = fsutil.list_names(spark, table_path)
     committed = {e.split("_commit_", 1)[1] for e in entries if e.startswith("_commit_")}
     for entry in entries:
         if entry.startswith("_stage_") and entry.split("_stage_", 1)[1] not in committed:
-            fsutil.delete(spark, f"{table_path}/{entry}")
-        if entry.startswith("_swap_new_"):
-            txid, part = entry.split("_swap_new_", 1)[1].split("_", 1)
-            if txid not in committed:  # rollback: uncommitted staging
+            if rollback_uncommitted:
                 fsutil.delete(spark, f"{table_path}/{entry}")
-            else:  # roll forward this partition's publish
-                dst = f"{table_path}/{part}"
-                old = f"{table_path}/_swap_old_{txid}_{part}"
-                if fsutil.path_exists(spark, dst):
-                    fsutil.rename(spark, dst, old)
-                fsutil.rename(spark, f"{table_path}/{entry}", dst)
-                fsutil.delete(spark, old)
+        if entry.startswith("_swap_new_"):
+            txid = entry.split("_swap_new_", 1)[1]
+            if txid not in committed:  # rollback: uncommitted staging
+                if rollback_uncommitted:
+                    fsutil.delete(spark, f"{table_path}/{entry}")
+            else:  # roll forward every unpublished partition of this txn
+                for part in fsutil.list_names(spark, f"{table_path}/{entry}"):
+                    _publish_partition(spark, table_path, txid, part)
+                fsutil.delete(spark, f"{table_path}/{entry}")  # emptied parent
     for entry in entries:  # drop orphaned old-generation dirs + markers
         if entry.startswith("_swap_old_"):
-            txid = entry.split("_swap_old_", 1)[1].split("_", 1)[0]
+            txid = entry.split("_swap_old_", 1)[1]
             if txid in committed:
                 fsutil.delete(spark, f"{table_path}/{entry}")
-        if entry.startswith(("_commit_", "_stage_")):
+        if entry.startswith("_commit_"):
+            fsutil.delete(spark, f"{table_path}/{entry}")
+        if entry.startswith("_stage_") and (
+            rollback_uncommitted or entry.split("_stage_", 1)[1] in committed
+        ):
             fsutil.delete(spark, f"{table_path}/{entry}")
 
 
@@ -178,20 +238,28 @@ def overwrite_partitions_staged(
     parts = [
         e for e in fsutil.list_names(spark, staging) if e.startswith(f"{partition_col}=")
     ]
-    # phase 1: stage every partition in under a hidden name (invisible)
+    # phase 1: stage every partition under the hidden swap parent
+    # (``=``-free name → Spark skips the whole subtree, so concurrent
+    # readers never see it). A failed rename here (e.g. another
+    # writer's recovery deleted our staging — this layout is
+    # single-writer; see TxnTable) must abort BEFORE the commit marker
+    # makes the half-staged txn roll-forward.
+    new_parent = f"{table_path}/_swap_new_{txid}"
+    fsutil.makedirs(spark, new_parent)
     for part in parts:
-        fsutil.rename(spark, f"{staging}/{part}", f"{table_path}/_swap_new_{txid}_{part}")
+        if not fsutil.rename(spark, f"{staging}/{part}", f"{new_parent}/{part}"):
+            raise OSError(
+                f"swap {txid}: staging rename failed for {part} — aborting "
+                "before commit (table unchanged; is another writer active?)"
+            )
     # commit point: one durable file create
     fsutil.write_text(spark, f"{table_path}/_commit_{txid}", "\n".join(parts))
-    # phase 2: publish
+    # phase 2: publish (old aside → new in → drop old, rename-checked)
     for part in parts:
-        dst = f"{table_path}/{part}"
-        old = f"{table_path}/_swap_old_{txid}_{part}"
-        if fsutil.path_exists(spark, dst):
-            fsutil.rename(spark, dst, old)
-        fsutil.rename(spark, f"{table_path}/_swap_new_{txid}_{part}", dst)
-        fsutil.delete(spark, old)
+        _publish_partition(spark, table_path, txid, part)
     fsutil.delete(spark, f"{table_path}/_commit_{txid}")
+    fsutil.delete(spark, new_parent)
+    fsutil.delete(spark, f"{table_path}/_swap_old_{txid}")
     fsutil.delete(spark, staging)
     spark.catalog.refreshByPath(table_path)
 

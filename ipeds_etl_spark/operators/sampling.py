@@ -24,16 +24,31 @@ from pyspark.sql import functions as F
 from ipeds_etl_spark.functions.hashing import parity_hash, parity_hash_sql
 
 
+#: deterministic stand-in for a NULL key: without it, ``concat`` of a
+#: NULL key yields a NULL bucket, every comparison on it is NULL, and
+#: null-key rows silently vanish from ALL splits/samples — breaking the
+#: disjoint-and-complete guarantee. NUL-prefixed so no real key's
+#: string form can collide with it.
+_NULL_KEY_SENTINEL = "\x00null"
+
+
 def sample_bucket(key: Column, salt: str = "", n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets) from a key column + salt.
     Different salts give independent assignments (changing salt
-    re-rolls every row)."""
-    return parity_hash(F.concat(F.lit(salt), key.cast("string"))) % n_buckets
+    re-rolls every row). NULL keys are mapped to a sentinel before
+    hashing, so they get a real (deterministic, shared) bucket instead
+    of disappearing from every split."""
+    salted = F.concat(
+        F.lit(salt), F.coalesce(key.cast("string"), F.lit(_NULL_KEY_SENTINEL))
+    )
+    return parity_hash(salted) % n_buckets
 
 
 def sample_bucket_sql(expr: str, salt: str = "", n_buckets: int = 100) -> str:
     """DuckDB twin of ``sample_bucket``."""
-    salted = f"concat('{salt}', CAST({expr} AS VARCHAR))"
+    salted = (
+        f"concat('{salt}', coalesce(CAST({expr} AS VARCHAR), chr(0) || 'null'))"
+    )
     return f"({parity_hash_sql(salted)} % {n_buckets})"
 
 

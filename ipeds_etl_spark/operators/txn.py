@@ -52,12 +52,33 @@ from ipeds_etl_spark import fsutil
 _MANIFEST_DIR = "_manifest"
 
 
+class CommitConflict(Exception):
+    """A touched partition's generation changed between the merge read
+    and the commit attempt — the merged data is stale and committing it
+    would silently drop the concurrent writer's rows. Callers re-read
+    and re-merge (``upsert_into_txn_table`` does so automatically)."""
+
+
 def _manifest_versions(spark: SparkSession, table_path: str) -> list[str]:
     return sorted(
         n
         for n in fsutil.list_names(spark, f"{table_path}/{_MANIFEST_DIR}")
         if n.startswith("v") and n.endswith(".json")
     )
+
+
+def _latest_manifest(spark: SparkSession, table_path: str) -> tuple[int, dict[str, str]]:
+    """(version number, partition→generation map) from ONE directory
+    listing — base manifest and next version MUST come from the same
+    listing, or a commit landing between two listings is silently based
+    on a stale map (its partitions dropped). Returns (0, {}) for an
+    empty table."""
+    versions = _manifest_versions(spark, table_path)
+    if not versions:
+        return 0, {}
+    pick = versions[-1]
+    text = fsutil.read_text(spark, f"{table_path}/{_MANIFEST_DIR}/{pick}")
+    return int(pick[1:-5]), json.loads(text)["partitions"]
 
 
 def read_manifest(
@@ -88,9 +109,23 @@ def commit_overwrite_partitions(
     df: DataFrame,
     table_path: str,
     partition_col: str = "year",
+    expected: dict[str, str | None] | None = None,
 ) -> str:
     """Atomically replace the partitions ``df`` touches. Returns the
-    committed manifest version name."""
+    committed manifest version name.
+
+    ``expected`` enables data-level conflict detection (the check
+    Delta/Iceberg run at commit): a map of partition entry → the
+    generation the caller READ when it computed ``df`` (``None`` = the
+    partition did not exist). If, at commit time, any touched
+    partition's current generation differs from the expected one, a
+    concurrent writer has replaced data this ``df`` was merged from —
+    the commit raises :class:`CommitConflict` (after deleting its
+    orphaned generation dir) instead of silently dropping the winner's
+    rows. Without ``expected`` the commit is a blind overwrite (correct
+    for full-partition replacement semantics, e.g. a re-load of a
+    year's source data).
+    """
     txid = uuid.uuid4().hex[:8]
     gen = f"_gen-{txid}"
     gen_path = f"{table_path}/{gen}"
@@ -107,9 +142,20 @@ def commit_overwrite_partitions(
     }
     fsutil.makedirs(spark, f"{table_path}/{_MANIFEST_DIR}")
     while True:
-        current = read_manifest(spark, table_path)
-        versions = _manifest_versions(spark, table_path)
-        next_v = (int(versions[-1][1:-5]) if versions else 0) + 1
+        # ONE listing drives both the base manifest and the version we
+        # claim: next_v == base version + 1, so a successful rename
+        # proves no commit landed after the base we merged on top of.
+        base_v, current = _latest_manifest(spark, table_path)
+        if expected is not None:
+            for part in touched:
+                if current.get(part) != expected.get(part):
+                    fsutil.delete(spark, gen_path)
+                    raise CommitConflict(
+                        f"partition {part}: generation changed from "
+                        f"{expected.get(part)!r} to {current.get(part)!r} "
+                        "since the merge read — re-read and re-merge"
+                    )
+        next_v = base_v + 1
         merged = {**current, **touched}
         tmp = f"{table_path}/{_MANIFEST_DIR}/.tmp-{txid}"
         fsutil.write_text(spark, tmp, json.dumps({"partitions": merged}, sort_keys=True))
@@ -149,19 +195,34 @@ def read_table(
     return out
 
 
-def vacuum(spark: SparkSession, table_path: str) -> dict[str, int]:
+def vacuum(
+    spark: SparkSession, table_path: str, keep_last: int = 1
+) -> dict[str, int]:
     """Garbage-collect: drop superseded manifest versions and any
-    generation dir the latest manifest no longer references (crashed
-    commits, fully-overwritten generations). Run when no reader still
-    holds plans over old generations."""
+    generation dir no retained manifest references (crashed commits,
+    fully-overwritten generations). Run when no reader still holds
+    plans over old generations.
+
+    Retention policy: the newest ``keep_last`` manifest versions (≥1)
+    survive, and with them every generation any of them references —
+    time travel works for exactly those versions afterwards; reading an
+    older version raises ``ValueError`` (tested). ``keep_last=1`` (the
+    default) keeps only the current version: maximal space reclaim,
+    no history."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = _manifest_versions(spark, table_path)
-    live = set(read_manifest(spark, table_path).values())
+    retained = versions[-keep_last:]
+    live: set[str] = set()
+    for v in retained:
+        text = fsutil.read_text(spark, f"{table_path}/{_MANIFEST_DIR}/{v}")
+        live |= set(json.loads(text)["partitions"].values())
     dropped_gens = dropped_manifests = 0
     for entry in fsutil.list_names(spark, table_path):
         if entry.startswith("_gen-") and entry not in live:
             fsutil.delete(spark, f"{table_path}/{entry}")
             dropped_gens += 1
-    for v in versions[:-1]:
+    for v in versions[: len(versions) - len(retained)]:
         fsutil.delete(spark, f"{table_path}/{_MANIFEST_DIR}/{v}")
         dropped_manifests += 1
     for n in fsutil.list_names(spark, f"{table_path}/{_MANIFEST_DIR}"):
@@ -176,21 +237,44 @@ def upsert_into_txn_table(
     source: DataFrame,
     pk: list[str],
     partition_col: str = "year",
+    max_retries: int = 10,
 ) -> str:
     """PK-keyed merge with an atomic commit: read the committed table,
     merge the touched partitions (anti-join + union, same relational
     form as ``operators.merge.upsert_on_pk``), commit as one new
     generation. The reference's single-transaction upsert semantics
-    (``etl/core_io.py:146-153``) on a filesystem table."""
+    (``etl/core_io.py:146-153``) on a filesystem table.
+
+    Data-level conflict detection: the generation of every touched
+    partition is recorded at merge-read time and passed to the commit
+    as ``expected`` — if a concurrent upsert replaced one of those
+    partitions in the meantime, the commit raises
+    :class:`CommitConflict` and the merge is REDONE on top of the
+    winner's data (up to ``max_retries`` times), so no writer's rows
+    are ever silently dropped. This is the re-merge-on-conflict
+    behavior Delta/Iceberg implement for MERGE."""
     from pyspark.sql import functions as F
 
     from ipeds_etl_spark.operators.merge import _dedup_source, upsert_on_pk
 
-    if read_manifest(spark, table_path):
-        target = read_table(spark, table_path)
-        parts = [r[0] for r in source.select(partition_col).distinct().collect()]
-        touched = target.filter(F.col(partition_col).isin(parts))
-        merged = upsert_on_pk(touched, source, pk)
-    else:
-        merged = _dedup_source(source, pk)
-    return commit_overwrite_partitions(spark, merged, table_path, partition_col)
+    parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    part_entries = [f"{partition_col}={p}" for p in parts]
+    last_conflict: CommitConflict | None = None
+    for _ in range(max_retries):
+        manifest = read_manifest(spark, table_path)
+        expected: dict[str, str | None] = {e: manifest.get(e) for e in part_entries}
+        if manifest:
+            target = read_table(spark, table_path)
+            touched = target.filter(F.col(partition_col).isin(parts))
+            merged = upsert_on_pk(touched, source, pk)
+        else:
+            merged = _dedup_source(source, pk)
+        try:
+            return commit_overwrite_partitions(
+                spark, merged, table_path, partition_col, expected=expected
+            )
+        except CommitConflict as exc:  # concurrent upsert won — re-merge
+            last_conflict = exc
+    raise CommitConflict(
+        f"gave up after {max_retries} re-merge attempts: {last_conflict}"
+    )

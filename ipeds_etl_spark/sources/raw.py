@@ -193,9 +193,11 @@ def scan_pages(
 ) -> DataFrame:
     """Read raw pages back, optionally pruned to specific years
     (partition pruning — no data read outside the requested years).
-    Repairs any crashed swap first so a half-published generation is
-    never scanned."""
-    recover_swaps(spark, raw_path)
+    Rolls forward any crashed-but-committed swap first so a
+    half-published generation is never scanned; uncommitted staging is
+    left alone (it may belong to a LIVE writer — a reader must never
+    dismantle an in-flight write)."""
+    recover_swaps(spark, raw_path, rollback_uncommitted=False)
     df = spark.read.parquet(raw_path)
     if years is not None:
         df = df.filter(F.col("year").isin(list(years)))

@@ -26,6 +26,22 @@ def test_components_edge_order_invariant(spark):
     assert set(got.values()) == {1}
 
 
+def test_components_nonconvergence_raises(spark):
+    # a 12-node path has diameter 11 — 3 rounds cannot converge; the
+    # partially-propagated labels must never be returned silently
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(11)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=3).collect()
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(pairs, max_iters=25).collect()
+    }
+    assert set(got.values()) == {0}
+
+
 def test_dedup_clusters_verdicts(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 9), (50, 60)], "id_a bigint, id_b bigint")
     rows = {r["id"]: r for r in dedup_clusters(pairs).collect()}
@@ -63,6 +79,27 @@ def test_split_column_partitions_disjoint_exhaustive(spark):
     assert set(counts) == {"train", "valid", "test"}  # exhaustive, no nulls
     assert sum(counts.values()) == 5_000
     assert counts["train"] > 8 * (counts["valid"] + counts["test"])
+
+
+def test_null_keys_get_deterministic_bucket_not_dropped(spark):
+    """A NULL key must not silently vanish from every split/sample:
+    it hashes via a sentinel to one real deterministic bucket."""
+    from ipeds_etl_spark.operators.sampling import hash_sample, split_column
+
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id int, k string"
+    )
+    # split is exhaustive: NULL keys land in exactly one named split
+    out = df.select("id", split_column(SF.col("k"), {"train": 50, "test": 50}).alias("s"))
+    rows = {r["id"]: r["s"] for r in out.collect()}
+    assert None not in rows.values()
+    assert rows[2] == rows[4]  # both NULL keys share the sentinel bucket
+    # hash_sample at 100% keeps every row, including NULL keys
+    assert hash_sample(df, "k", 100).count() == 4
+    # ...and at 0% keeps none
+    assert hash_sample(df, "k", 0).count() == 0
 
 
 def test_stratified_rates_and_validation(spark):

@@ -116,6 +116,74 @@ def test_recovery_runs_on_next_write_and_scan(spark, tmp_path, monkeypatch):
     assert got == sorted([(1, 2010, "new"), (3, 2011, "new"), (9, 2012, "newest")])
 
 
+def test_publish_never_deletes_old_when_rename_fails(spark, tmp_path, monkeypatch):
+    """A silently-failing Hadoop rename (returns False) in phase 2 must
+    RAISE before deleting the old generation — never destroy the only
+    remaining copy of a partition."""
+    path = str(tmp_path / "t")
+    overwrite_partitions_staged(spark, _table(spark, OLD), path)
+    before = _snapshot(spark, path)
+
+    real_rename = fsutil.rename
+
+    def rename_false_on_publish(spark_, src, dst):
+        if "_swap_new_" in src:  # the publish rename: new generation in
+            return False
+        return real_rename(spark_, src, dst)
+
+    marker_seen = {"v": False}
+    real_write = fsutil.write_text
+
+    def write_text(spark_, p, text):
+        if "_commit_" in p:
+            marker_seen["v"] = True
+        return real_write(spark_, p, text)
+
+    monkeypatch.setattr(fsutil, "rename", rename_false_on_publish)
+    monkeypatch.setattr(fsutil, "write_text", write_text)
+    with pytest.raises(OSError, match="publish rename failed"):
+        overwrite_partitions_staged(spark, _table(spark, NEW), path)
+    monkeypatch.undo()
+    assert marker_seen["v"]  # it failed in phase 2, not earlier
+    # nothing was lost: recovery completes the commit from the staged copy
+    recover_swaps(spark, path)
+    spark.catalog.refreshByPath(path)
+    assert _snapshot(spark, path) == AFTER_NEW
+    del before
+
+
+def test_reader_recovery_never_dismantles_live_write(spark, tmp_path, monkeypatch):
+    """Read-path recovery (rollback_uncommitted=False) must leave a
+    pre-commit writer's staging untouched: the writer can still reach
+    its commit point afterwards; a write-path recovery may clean it."""
+    path = str(tmp_path / "t")
+    overwrite_partitions_staged(spark, _table(spark, OLD), path)
+
+    # freeze a writer just before its commit marker (phase 1 complete)
+    _crash_after(monkeypatch, -1)
+    with pytest.raises(_Boom):
+        overwrite_partitions_staged(spark, _table(spark, NEW), path)
+    monkeypatch.undo()
+    staged = [
+        n for n in fsutil.list_names(spark, path) if n.startswith("_swap_new_")
+    ]
+    assert staged  # the "live writer's" staged partitions are present
+
+    # a reader recovering must not delete them — and still reads old gen
+    recover_swaps(spark, path, rollback_uncommitted=False)
+    assert sorted(
+        n for n in fsutil.list_names(spark, path) if n.startswith("_swap_new_")
+    ) == sorted(staged)
+    assert _snapshot(spark, path) == sorted(OLD)
+
+    # the next WRITE-path recovery rolls the uncommitted txn back
+    recover_swaps(spark, path)
+    assert not [
+        n for n in fsutil.list_names(spark, path) if n.startswith(("_swap", "_stage"))
+    ]
+    assert _snapshot(spark, path) == sorted(OLD)
+
+
 def test_txn_commit_is_atomic_and_isolated(spark, tmp_path):
     path = str(tmp_path / "t")
     txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)
@@ -214,6 +282,93 @@ def test_txn_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="not found"):
         txn.read_manifest(spark, path, version=1)
     assert _rows(txn.read_table(spark, path)) == AFTER_NEW
+
+
+def test_txn_concurrent_upsert_conflict_remerges_no_lost_rows(spark, tmp_path, monkeypatch):
+    """Two upserts touching the same partition: the loser must detect
+    that the partition's generation changed since its merge read
+    (CommitConflict) and RE-MERGE on top of the winner — never silently
+    drop the winner's rows with a stale-based generation."""
+    path = str(tmp_path / "t")
+    txn.upsert_into_txn_table(spark, path, _table(spark, OLD), ["id", "year"])
+
+    real_makedirs = fsutil.makedirs
+    state = {"injected": False}
+
+    def makedirs(spark_, p):
+        # sneak a competing committed upsert in after the loser has
+        # merged (stale read) but before its commit attempt
+        if not state["injected"] and p.endswith("_manifest"):
+            state["injected"] = True
+            txn.upsert_into_txn_table(
+                spark_, path, _table(spark, [(2, 2010, "winner")]), ["id", "year"]
+            )
+        return real_makedirs(spark_, p)
+
+    monkeypatch.setattr(fsutil, "makedirs", makedirs)
+    txn.upsert_into_txn_table(spark, path, _table(spark, [(1, 2010, "loser")]), ["id", "year"])
+    monkeypatch.undo()
+    rows = _rows(txn.read_table(spark, path))
+    assert (1, 2010, "loser") in rows  # the re-merged commit landed
+    assert (2, 2010, "winner") in rows  # and the winner's row survived
+    assert (3, 2011, "old") in rows and (4, 2012, "old") in rows
+
+
+def test_txn_four_racing_upserts_all_survive(spark, tmp_path):
+    """N-writer stress: four threads upsert distinct rows into the SAME
+    partition concurrently. Optimistic version retry + data-level
+    conflict re-merge must land every row, whatever the interleaving."""
+    import threading
+
+    path = str(tmp_path / "t")
+    txn.upsert_into_txn_table(spark, path, _table(spark, OLD), ["id", "year"])
+
+    errs: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            txn.upsert_into_txn_table(
+                spark, path, _table(spark, [(100 + i, 2010, f"w{i}")]), ["id", "year"]
+            )
+        except Exception as exc:  # noqa: BLE001 — surface in main thread
+            errs.append(exc)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    rows = _rows(txn.read_table(spark, path))
+    for i in range(4):
+        assert (100 + i, 2010, f"w{i}") in rows
+    assert (1, 2010, "old") in rows  # pre-existing rows intact
+    # every generation the final manifest references actually exists
+    manifest = txn.read_manifest(spark, path)
+    for gen in set(manifest.values()):
+        assert fsutil.path_exists(spark, f"{path}/{gen}")
+
+
+def test_vacuum_retention_keep_last(spark, tmp_path):
+    """Retention policy: keep_last=N manifests survive vacuum (time
+    travel works for exactly those); older versions raise; keep_last<1
+    is rejected."""
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)  # v1
+    txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)  # v2
+    txn.commit_overwrite_partitions(
+        spark, _table(spark, [(9, 2012, "z")]), path
+    )  # v3
+    with pytest.raises(ValueError, match="keep_last"):
+        txn.vacuum(spark, path, keep_last=0)
+    txn.vacuum(spark, path, keep_last=2)
+    # v2 and v3 still reconstruct exactly; v1 is vacuumed history
+    assert _rows(txn.read_table(spark, path, version=2)) == AFTER_NEW
+    assert _rows(txn.read_table(spark, path, version=3)) == sorted(
+        [(1, 2010, "new"), (3, 2011, "new"), (9, 2012, "z")]
+    )
+    with pytest.raises(ValueError, match="not found"):
+        txn.read_table(spark, path, version=1)
 
 
 def test_txn_schema_evolution_across_generations(spark, tmp_path):
