@@ -33,8 +33,49 @@ value-checks recall@k of the refined IVF against brute force.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators.dedup import (
+    MAX_BUCKET_SIZE_DEFAULT,
+    pairs_within_buckets,
+)
+
+
+def suggest_rp_planes(
+    corpus_count: int,
+    target_bucket_size: int = 1024,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Hyperplane count sized from corpus stats: ``2^p`` buckets, so
+    ``p = ceil(log2(n / target_bucket_size))`` keeps the EXPECTED
+    bucket population ≈ ``target_bucket_size`` as the corpus grows —
+    the per-bucket pair expansion stays bounded at any scale instead
+    of exploding quadratically with fixed sf-sized constants. The
+    plane family itself stays the derandomized sha256 construction."""
+    if corpus_count <= target_bucket_size:
+        return min_planes
+    return max(
+        min_planes, min(max_planes, math.ceil(math.log2(corpus_count / target_bucket_size)))
+    )
+
+
+def suggest_n_centroids(
+    corpus_count: int,
+    target_bucket_size: int = 4096,
+    min_centroids: int = 8,
+    max_centroids: int = 1 << 16,
+) -> int:
+    """IVF centroid count sized from corpus stats: ``n / target`` keeps
+    the expected inverted-list length ≈ ``target_bucket_size``.
+    Centroid seeding/refinement stays deterministic; the cap bounds the
+    plan-literal centroid list the assignment broadcasts."""
+    if corpus_count <= target_bucket_size * min_centroids:
+        return min_centroids
+    return min(max_centroids, math.ceil(corpus_count / target_bucket_size))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -252,6 +293,33 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _verified_pairs_within_buckets(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Cosine-verified unordered pairs sharing a bucket, via the SAME
+    capped in-bucket expansion the dedup side uses
+    (``pairs_within_buckets``): groupBy bucket → rank-capped payload
+    array → inline pair expansion. No self-join, and one pathological
+    hot bucket (boilerplate embeddings all hashing together) expands at
+    most ``max_bucket_size`` members per task instead of quadratically
+    OOM-ing it. Pairs keep ``id_a < id_b`` (payload sorts on the id
+    field first)."""
+    payload = F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pairs = pairs_within_buckets(
+        bucketed, bucket_cols, payload, max_bucket_size=max_bucket_size
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
 
 
 def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
