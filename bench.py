@@ -59,6 +59,16 @@ HEADLINE = [
     "docs_pack_sequences",
     "events_click_attribution",
     "orders_range_join_bucketed",
+    # round-2 query families (VERDICT r2 item 7: benched so round-over-
+    # round deltas are attributable)
+    "customer_order_window_funcs",
+    "orders_calendar_dims",
+    "part_name_fuzzy_pairs",
+    # round-3 additions
+    "kpi_grouping_sets",
+    "docs_tfidf_topterms",
+    "events_funnel",
+    "events_user_retention",
 ]
 
 

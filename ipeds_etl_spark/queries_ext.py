@@ -1774,3 +1774,231 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.max("n").alias("max_session_events"),
     )
+
+
+# ===========================================================================
+# Round-3 additions (registered FIRST thing in the round so every entry
+# gets a driver CORRECTNESS row — the round-2 lesson).
+# ===========================================================================
+@_register(
+    "kpi_grouping_sets",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q_kpi_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary (non-hierarchical) GROUPING SETS — (year, priority)
+    detail, a status-only slice, and the grand total in ONE pass over
+    orders via Spark's Expand, with GROUPING() indicators
+    disambiguating subtotal NULLs from real NULLs. Completes the
+    grouping family next to ``kpi_rollup`` (hierarchy) and
+    ``kpi_cube`` (powerset)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return (
+        o.groupingSets(
+            [["order_year", "o_orderpriority"], ["o_orderstatus"], []],
+            "order_year",
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_revenue"),
+        )
+        .select(
+            "order_year",
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_year",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+@_register(
+    "docs_tfidf_topterms",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(dfreq.doc_freq AS BIGINT) AS doc_freq,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.doc_freq AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. The idf factor is the exact
+    rational N/df (one integer multiply, one double division — engine
+    bit-identical) rather than log(N/df): the RANKING it induces per
+    document is identical (log is monotone), and it keeps the oracle
+    float-exact. Shape at scale: explode → (doc,term) hash agg (map-side
+    combinable) → df agg on term → shuffle join tf⋈df on term → per-doc
+    window top-k. The corpus-size scalar joins in as a broadcast 1-row
+    aggregate, never a driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rnk")
+    )
+
+
+@_register(
+    "events_funnel",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS tv
+      FROM events),
+    w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= tv THEN ts END)
+               OVER (PARTITION BY user_id) AS tc
+      FROM w1),
+    w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= tc THEN ts END)
+               OVER (PARTITION BY user_id) AS tp
+      FROM w2),
+    per_user AS (
+      SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+      FROM w3 GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(tv) AS BIGINT) AS n_viewed,
+           CAST(count(tc) AS BIGINT) AS n_clicked,
+           CAST(count(tp) AS BIGINT) AS n_purchased
+    FROM per_user
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user converts a stage
+    only with an event AT OR AFTER their entry into the previous stage
+    (min-ts chaining, not mere presence). Three stacked window mins
+    share one user_id partitioning — Catalyst plans a single exchange
+    and three Window operators, so the whole funnel costs one shuffle
+    plus the final all-reduce. No join, no driver-side state."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.select("user_id", "ts", "event_type")
+        .withColumn(
+            "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("tv").alias("n_viewed"),
+        F.count("tc").alias("n_clicked"),
+        F.count("tp").alias("n_purchased"),
+    )
+
+
+@_register(
+    "events_user_retention",
+    """
+    WITH wk AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+    with_cohort AS (
+      SELECT DISTINCT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS cohort_week
+      FROM wk)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM with_cohort
+    GROUP BY 1, 2
+    """,
+)
+def q_events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in each later week they return. Three shuffles total —
+    the user_id window (computes the cohort with no self-join), the
+    (user, week) distinct, and the final cohort×offset agg; the offset
+    division is exact (Monday-truncated weeks differ by multiples of
+    7 days), so the INT cast agrees across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .withColumn("cohort_week", F.min("wk").over(w))
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
