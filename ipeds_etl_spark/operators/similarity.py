@@ -241,7 +241,7 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     n_probe: int = 2,
     n_iters: int = 2,
 ) -> DataFrame:
@@ -249,7 +249,12 @@ def ivf_topk(
     buckets per query. Join key is centroid_id, so the shuffle moves
     each query to ~n_probe buckets instead of the whole corpus.
     Centroids are seeded first-N-by-id then refined with ``n_iters``
-    deterministic Lloyd iterations (``kmeans_refine``)."""
+    deterministic Lloyd iterations (``kmeans_refine``).
+    ``n_centroids=None`` sizes the codebook from the corpus count
+    (``suggest_n_centroids`` — inverted-list length stays ≈ constant
+    as the corpus grows)."""
+    if n_centroids is None:
+        n_centroids = suggest_n_centroids(corpus.count())
     centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
     cent_rows = _collect_centroids(centroids, id_col, vec_col)
     if n_iters:
@@ -380,6 +385,7 @@ def rp_lsh_banded_pairs(
     planes_per_band: int = 4,
     dim: int = 64,
     threshold: float = 0.3,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
     """Banded (amplified) RP-LSH near-dup pairs: vectors pair if they
     collide in ANY of ``n_bands`` independent ``planes_per_band``-bit
@@ -393,7 +399,10 @@ def rp_lsh_banded_pairs(
     recall (``emb_rp_lsh_banded_recall`` measures it). Same knobs as
     MinHash band amplification — this is LSH theory's standard
     construction, relational form: explode each vector into its L
-    (band, bucket) keys, self-join on them, dedup pairs, verify.
+    (band, bucket) keys, expand pairs INSIDE each bucket
+    (``pairs_within_buckets`` — no self-join, rank-capped at
+    ``max_bucket_size`` so one boilerplate bucket cannot become a
+    quadratic task), dedup pairs across bands, verify.
     """
     fams = rp_planes_banded(n_bands, planes_per_band, dim)
     bands = F.array(
@@ -408,58 +417,40 @@ def rp_lsh_banded_pairs(
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), F.explode(bands).alias("bb")
     ).select(id_col, vec_col, "bb.band", "bb.bucket")
-    L_, R_ = bucketed.alias("l"), bucketed.alias("r")
-    return (
-        L_.join(
-            R_,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .distinct()
-    )
+    return _verified_pairs_within_buckets(
+        bucketed, ["band", "bucket"], id_col, vec_col, threshold, max_bucket_size
+    ).distinct()
 
 
 def rp_lsh_near_dups(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     dim: int = 64,
     threshold: float = 0.3,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH: vectors sharing a
     sign-pattern bucket (cosine-similar vectors collide with
     probability (1 - θ/π)^n_planes) are paired and verified by exact
     cosine. The alternative bucketing to IVF: no centroids to pick,
-    collision probability directly controlled by n_planes."""
+    collision probability directly controlled by n_planes.
+
+    ``n_planes=None`` sizes the family from the corpus count
+    (``suggest_rp_planes`` — expected bucket population stays bounded
+    as the corpus grows instead of freezing an sf-sized constant).
+    Pair expansion happens inside each bucket via the rank-capped
+    ``pairs_within_buckets`` — no self-join, and a pathological hot
+    bucket is bounded at ``max_bucket_size`` members per task."""
+    if n_planes is None:
+        n_planes = suggest_rp_planes(corpus.count())
     planes = rp_planes(n_planes, dim)
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), rp_lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
-    L, R = bucketed.alias("l"), bucketed.alias("r")
-    return (
-        L.join(
-            R,
-            on=[
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return _verified_pairs_within_buckets(
+        bucketed, ["bucket"], id_col, vec_col, threshold, max_bucket_size
     )
 
 
@@ -468,30 +459,24 @@ def embedding_near_dups(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     n_iters: int = 2,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) within shared
     centroid buckets — linear-ish at scale; recall bounded by bucketing
-    (near-identical vectors land in the same bucket)."""
+    (near-identical vectors land in the same bucket).
+    ``n_centroids=None`` sizes the codebook from the corpus count
+    (``suggest_n_centroids``); in-bucket pair expansion is rank-capped
+    (``pairs_within_buckets``), so one overfull centroid cannot become
+    a quadratic task."""
+    if n_centroids is None:
+        n_centroids = suggest_n_centroids(corpus.count())
     centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
     cent_rows = _collect_centroids(centroids, id_col, vec_col)
     if n_iters:
         cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
     assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
-    L, R = assigned.alias("l"), assigned.alias("r")
-    return (
-        L.join(
-            R,
-            on=[
-                F.col("l.centroid_id") == F.col("r.centroid_id"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return _verified_pairs_within_buckets(
+        assigned, ["centroid_id"], id_col, vec_col, threshold, max_bucket_size
     )

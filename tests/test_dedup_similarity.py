@@ -160,3 +160,74 @@ def test_hot_bucket_cap_bounds_expansion(spark):
     # uncapped mode still exact for normal buckets
     plain = pairs_within_buckets(cold, ["bucket"], payload, max_bucket_size=None)
     assert plain.count() == 10
+
+
+def test_rp_lsh_family_is_capped_and_identical_off_the_hot_path(spark, vecs):
+    """The RP-LSH/near-dup family routes through the rank-capped
+    in-bucket expansion: on ordinary data results match the uncapped
+    form exactly, and a planted hot bucket (many near-identical
+    vectors hashing together) expands at most C(cap, 2) pairs instead
+    of quadratically."""
+    def pairset(df):
+        return {(r["id_a"], r["id_b"], round(r["cos_sim"], 12)) for r in df.collect()}
+
+    for fn in (
+        lambda mbs: SIM.rp_lsh_near_dups(
+            vecs, "vec_id", "embedding", n_planes=4, dim=4,
+            threshold=0.3, max_bucket_size=mbs,
+        ),
+        lambda mbs: SIM.rp_lsh_banded_pairs(
+            vecs, "vec_id", "embedding", n_bands=2, planes_per_band=2,
+            dim=4, threshold=0.3, max_bucket_size=mbs,
+        ),
+        lambda mbs: SIM.embedding_near_dups(
+            vecs, "vec_id", "embedding", threshold=0.95, n_centroids=1,
+            max_bucket_size=mbs,
+        ),
+    ):
+        assert pairset(fn(10_000)) == pairset(fn(None))
+
+    # planted hot bucket: 300 copies of the same vector all collide
+    hot = spark.range(300).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    capped = SIM.rp_lsh_near_dups(
+        hot, "vec_id", "embedding", n_planes=4, dim=4,
+        threshold=0.9, max_bucket_size=20,
+    )
+    assert capped.count() == 20 * 19 // 2
+
+
+def test_adaptive_lsh_geometry_grows_with_corpus(spark):
+    """Geometry derived from corpus stats: plane/centroid counts (and
+    with them the bucket space) grow with the corpus instead of
+    freezing sf-sized constants; the n_planes=None path wires it in."""
+    p1k = SIM.suggest_rp_planes(1_000)
+    p1m = SIM.suggest_rp_planes(1_000_000)
+    p1b = SIM.suggest_rp_planes(1_000_000_000)
+    assert p1k <= p1m <= p1b
+    assert p1m >= 8 and p1b >= 18  # 2^p buckets keep E[bucket] ~ target
+    c = [SIM.suggest_n_centroids(n) for n in (10_000, 10_000_000, 1_000_000_000)]
+    assert c == sorted(c) and c[-1] > c[0]
+    # expected bucket population stays ~target as the corpus scales
+    for n in (10**5, 10**7, 10**9):
+        assert n / (2 ** SIM.suggest_rp_planes(n)) <= 2048
+    for n in (10**5, 10**7):
+        assert n / SIM.suggest_n_centroids(n) <= 8192
+    # beyond the centroid cap the list-literal bound wins by design
+    assert SIM.suggest_n_centroids(10**9) == 1 << 16
+
+    small = spark.range(50).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    out = SIM.rp_lsh_near_dups(
+        small, "vec_id", "embedding", n_planes=None, dim=4, threshold=0.99
+    )
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+    out.collect()  # adaptive path executes end-to-end
