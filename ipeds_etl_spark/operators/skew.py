@@ -144,13 +144,20 @@ def agg_with_skew_guard(
     aggs: dict[str, tuple[str, str]],
     sample_fraction: float = 0.01,
     hot_key_share: float = 0.2,
+    detect_on: DataFrame | None = None,
 ) -> DataFrame:
     """Stats-driven aggregation: measure skew on a sample, then plan
     either the plain one-shuffle groupBy (no hot key — salting would
     only add a second shuffle) or the two-phase ``salted_agg``.
     Results are identical either way (tested); only the physical plan
-    differs."""
-    stats = detect_skew(df, keys, sample_fraction, hot_key_share)
+    differs.
+
+    ``detect_on`` points the skew probe at a CHEAPER frame with the
+    same keys (e.g. the raw column-pruned table scan) when ``df``
+    itself sits atop an expensive pipeline — probing ``df`` would
+    execute that whole upstream once just to pick a plan."""
+    stats = detect_skew(detect_on if detect_on is not None else df, keys,
+                        sample_fraction, hot_key_share)
     if stats["skewed"]:
         return salted_agg(df, keys, aggs, n_salts=stats["recommended_salts"])
     p1_specs = {}

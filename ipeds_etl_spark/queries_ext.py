@@ -1719,6 +1719,48 @@ def q_events_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_user_stats(e: DataFrame, hot_key_share: float = 0.2) -> DataFrame:
+    """Sessionize ``events`` (30-minute inactivity gap; lag + running
+    sum) and aggregate per-user session stats, with the final groupBy
+    planned by ``agg_with_skew_guard``: a sampled probe of the raw
+    ``user_id`` column (NOT the windowed pipeline — probing that would
+    run the whole upstream twice) decides between the plain one-shuffle
+    agg and the two-phase salted form. Results are identical either
+    way; under a planted hot user the plan switches to the salted shape
+    (pinned in ``tests/test_skew.py``)."""
+    from ipeds_etl_spark.operators.skew import agg_with_skew_guard
+
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = e.select("user_id", "ts", "event_id").withColumn(
+        "prev", F.lag("ts").over(w_order)
+    )
+    # exact-microsecond gap compare (cast-to-long would truncate seconds
+    # and disagree with the oracle's interval comparison)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev"))
+    marked = with_prev.withColumn(
+        "is_new",
+        F.when(F.col("prev").isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n")
+    )
+    out = agg_with_skew_guard(
+        per_session,
+        ["user_id"],
+        {
+            "n_sessions": ("count", "session_id"),
+            "n_events": ("sum", "n"),
+            "max_session_events": ("max", "n"),
+        },
+        hot_key_share=hot_key_share,
+        detect_on=e.select("user_id"),
+    )
+    return out.select("user_id", "n_sessions", "n_events", "max_session_events")
+
+
 @_register(
     "events_sessionize",
     """
@@ -1750,30 +1792,9 @@ def q_events_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap (lag + running
     sum — the deterministic batch formulation; the streaming module
-    uses ``session_window`` for the incremental case)."""
-    e = load_table(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    with_prev = e.select("user_id", "ts", "event_id").withColumn(
-        "prev", F.lag("ts").over(w_order)
-    )
-    # exact-microsecond gap compare (cast-to-long would truncate seconds
-    # and disagree with the oracle's interval comparison)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev"))
-    marked = with_prev.withColumn(
-        "is_new",
-        F.when(F.col("prev").isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
-    )
-    sess = marked.withColumn(
-        "session_id", F.sum("is_new").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    per_session = sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n")
-    )
-    return per_session.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.sum("n").alias("n_events"),
-        F.max("n").alias("max_session_events"),
-    )
+    uses ``session_window`` for the incremental case). The per-user
+    stats agg is skew-guarded — see ``sessionize_user_stats``."""
+    return sessionize_user_stats(load_table(spark, sf_dir, "events"))
 
 
 # ===========================================================================

@@ -83,3 +83,45 @@ def test_detect_skew_flags_planted_hot_key(spark):
         for r in df.groupBy("k").agg(SF.sum("v").alias("total"), SF.count("v").alias("n")).collect()
     }
     assert guarded == plain
+
+
+def _planted_events(spark, hot_share: bool):
+    """Synthetic events: user 1 holds ~60% of rows when hot_share."""
+    n = 4000
+    base = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 40).alias("ts"),
+        (
+            F.when(F.col("id") % 10 < 6, 1) if hot_share else (F.col("id") % 40)
+        ).cast("long").alias("user_id"),
+    )
+    return base
+
+
+def test_sessionize_switches_to_salted_plan_under_skew(spark):
+    """The registered sessionize path is skew-guarded: a planted hot
+    user flips the final agg to the two-phase salted shape (visible as
+    the __salt hash in the optimized plan); uniform users keep the
+    plain one-shuffle agg. Results are identical between both shapes."""
+    from ipeds_etl_spark.queries_ext import sessionize_user_stats
+
+    hot = _planted_events(spark, hot_share=True)
+    uniform = _planted_events(spark, hot_share=False)
+
+    hot_out = sessionize_user_stats(hot)
+    uni_out = sessionize_user_stats(uniform)
+    hot_plan = hot_out._jdf.queryExecution().optimizedPlan().toString()
+    uni_plan = uni_out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in hot_plan
+    assert "__salt" not in uni_plan
+
+    # salted shape is result-identical to a forced-plain aggregation
+    def rows(df):
+        return {
+            (r["user_id"], r["n_sessions"], r["n_events"], r["max_session_events"])
+            for r in df.collect()
+        }
+
+    plain = sessionize_user_stats(hot, hot_key_share=1.1)  # never trips
+    assert "__salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    assert rows(hot_out) == rows(plain)
