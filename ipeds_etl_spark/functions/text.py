@@ -130,22 +130,49 @@ def quality_metrics(text: Column, toks: Column | None = None) -> dict[str, Colum
     }
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword hit counts (integer, order-free ⇒ exact)."""
+#: token pattern for language ID: lowercase letter runs. One regex
+#: pass replaces the former per-language ``\b(w1|w2|…)\b`` scans.
+_LANG_TOKEN_PAT = r"\p{L}+"
+
+
+def lang_word_tokens(text: Column) -> Column:
+    """Lowercased letter-run tokens — the single scan all European
+    language scores are computed from.
+    DuckDB twin: ``regexp_extract_all(lower(text), '\\p{L}+')``."""
+    return F.regexp_extract_all(F.lower(text), F.lit(_LANG_TOKEN_PAT), 0)
+
+
+def lang_scores(text: Column, word_toks: Column | None = None) -> dict[str, Column]:
+    """Per-language stopword hit counts (integer, order-free ⇒ exact).
+
+    One tokenize + per-language set membership instead of one full
+    regex scan per language (the former shape — the suite's most
+    avoidable constant factor). A literal-array ``array_contains``
+    per language is required rather than one token→lang map because
+    the profiles overlap ("la"/"de"/"un" are both es and fr). zh keeps
+    its own single character-class pass: CJK has no word boundaries,
+    so its score is per-character, not per-token.
+
+    PERF: pass a pre-projected ``word_toks`` column on hot paths —
+    inlining the tokenizer subtree into every per-language lambda
+    would re-tokenize once per language (see ``shingles_of``)."""
+    if word_toks is None:
+        word_toks = lang_word_tokens(text)
     out = {}
     for lang, words in LANG_STOPWORDS.items():
-        pat = "(?i)\\b(" + "|".join(w for w in words if w.isascii()) + ")\\b"
-        cnt = F.size(F.regexp_extract_all(text, F.lit(pat), 0))
         if lang == "zh":  # CJK has no word boundaries: count characters
             cnt = F.size(F.regexp_extract_all(text, F.lit("[" + "".join(words) + "]"), 0))
+        else:
+            lit_words = F.array(*[F.lit(w) for w in words])
+            cnt = F.size(F.filter(word_toks, lambda t: F.array_contains(lit_words, t)))
         out[lang] = cnt.cast("long")
     return out
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, word_toks: Column | None = None) -> Column:
     """argmax language by stopword score; deterministic tie-break by
     language code so both engines pick the same winner."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, word_toks)
     pairs = F.array(
         *[
             F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
@@ -157,20 +184,22 @@ def lang_id(text: Column) -> Column:
     return F.array_min(F.transform(winners, lambda p: p["lang"]))
 
 
-def lang_id_sql(text_expr: str) -> str:
+def lang_id_sql(text_expr: str, toks_expr: str = "__lang_toks") -> str:
     """DuckDB twin of ``lang_id`` + ``lang_scores``: greatest-score
     argmax with min-lang tie-break, as a scalar SQL expression set.
-    Returns (select-fragment) producing columns score_<lang>…, pred_lang.
-    """
+    Returns (select-fragment) producing columns score_<lang>…,
+    pred_lang. ``toks_expr`` names a pre-projected token list column
+    (``lang_word_tokens_sql``); project it in a prior CTE exactly like
+    the Spark side pre-projects ``lang_word_tokens``."""
     frags = []
     for lang, words in sorted(LANG_STOPWORDS.items()):
         if lang == "zh":
             pat = "[" + "".join(words) + "]"
+            expr = f"len(regexp_extract_all({text_expr}, '{pat}'))"
         else:
-            pat = "(?i)\\b(" + "|".join(w for w in words if w.isascii()) + ")\\b"
-        frags.append(
-            f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT) AS score_{lang}"
-        )
+            lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+            expr = f"len(list_filter({toks_expr}, t -> list_contains({lst}, t)))"
+        frags.append(f"CAST({expr} AS BIGINT) AS score_{lang}")
     langs = sorted(LANG_STOPWORDS)
     structs = ", ".join(f"{{'score': score_{lg}, 'lang': '{lg}'}}" for lg in langs)
     pred = (
@@ -179,3 +208,8 @@ def lang_id_sql(text_expr: str) -> str:
         "), p -> p.lang)) AS pred_lang"
     )
     return ", ".join(frags) + ", " + pred
+
+
+def lang_word_tokens_sql(text_expr: str) -> str:
+    """DuckDB twin of ``lang_word_tokens``."""
+    return f"regexp_extract_all(lower({text_expr}), '{_LANG_TOKEN_PAT}')"

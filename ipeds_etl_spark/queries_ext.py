@@ -135,17 +135,27 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_lang_id",
     f"""
-    WITH s AS (SELECT lang, {TX.lang_id_sql('text')} FROM documents)
+    WITH t AS (SELECT lang, text,
+                      {TX.lang_word_tokens_sql('text')} AS __lang_toks
+               FROM documents),
+    s AS (SELECT lang, {TX.lang_id_sql('text')} FROM t)
     SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
     FROM s GROUP BY lang, pred_lang
     """,
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion counts: stopword-profile argmax vs the
-    labeled ``lang`` column."""
+    labeled ``lang`` column. Tokens are projected ONCE (optimizer
+    barrier) so the per-language membership lambdas share one scan
+    instead of re-tokenizing per language."""
     d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "lang", "text", TX.lang_word_tokens(F.col("text")).alias("__lang_toks")
+    )
     return (
-        d.select("lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+        toked.select(
+            "lang", TX.lang_id(F.col("text"), F.col("__lang_toks")).alias("pred_lang")
+        )
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
