@@ -385,3 +385,21 @@ def test_txn_schema_evolution_across_generations(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["note"]) for r in out.collect()}
     assert rows[1] == ("new", "extra")
     assert rows[3] == ("old", None) and rows[4] == ("old", None)
+
+
+def test_vacuum_during_read_retained_plans_survive(spark, tmp_path):
+    """A reader plan built BEFORE vacuum still collects afterwards as
+    long as its version is retained: vacuum may only delete generations
+    that no retained manifest references. (Readers of vacuumed-away
+    versions fail by design — same contract as Delta/Iceberg VACUUM.)"""
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)  # v1
+    txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)  # v2
+    txn.commit_overwrite_partitions(
+        spark, _table(spark, [(9, 2012, "z")]), path
+    )  # v3
+    pre_v2 = txn.read_table(spark, path, version=2)   # plan, not yet run
+    pre_cur = txn.read_table(spark, path)             # latest (v3)
+    txn.vacuum(spark, path, keep_last=2)
+    assert _rows(pre_v2) == AFTER_NEW                 # retained: intact
+    assert (9, 2012, "z") in _rows(pre_cur)
