@@ -33,6 +33,7 @@ value-checks recall@k of the refined IVF against brute force.
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import Column, DataFrame, Window
@@ -78,6 +79,18 @@ def suggest_n_centroids(
     return min(max_centroids, math.ceil(corpus_count / target_bucket_size))
 
 
+def _matrix_lit(rows: list[list[float]]) -> Column:
+    """A nested-array constant (centroid table / plane family) as ONE
+    JSON string literal: a single Py4J call, and Catalyst
+    constant-folds the foldable ``from_json`` into a plain Literal at
+    optimize time (verified in the optimized plan) — so runtime never
+    parses JSON. The element-wise ``F.lit`` alternative costs ~n×dim
+    Py4J round-trips per expression build (~0.35 s for 8×64, built
+    several times per IVF query). ``json.dumps`` emits shortest-repr
+    doubles, which Jackson parses back bit-exactly."""
+    return F.from_json(F.lit(json.dumps(rows)), "array<array<double>>")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Index-order fold-left double dot product (DuckDB-reproducible)."""
     return F.aggregate(
@@ -107,16 +120,26 @@ def _collect_centroids(
     ]
 
 
-def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
-    """Centroid list as a literal array column (broadcast-by-plan)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
-            )
-            for cid, vec in cent_rows
-        ]
+def _scored_centroids(
+    vec: Column, cent_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """``array<struct<sim,cid>>`` of cosine scores of ``vec`` against
+    every centroid. The centroid table embeds as TWO flat literals
+    (ids, vectors) — single Literal plan nodes — instead of an
+    array-of-struct tree of n_centroids × dim individual ``lit`` calls:
+    the values and IEEE op order are identical, but Catalyst analyzes
+    ~2 nodes instead of ~500, which measurably cuts per-query driver
+    time for every assignment/probe expression (this projection is
+    built 3× per IVF query: two Lloyd refinements + final)."""
+    cids = F.lit([int(cid) for cid, _ in cent_rows])
+    cvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in cent_rows])
+    idx = F.sequence(F.lit(1), F.lit(len(cent_rows)))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            cosine(vec, F.element_at(cvecs, i.cast("int"))).alias("sim"),
+            F.element_at(cids, i.cast("int")).cast("int").alias("cid"),
+        ),
     )
 
 
@@ -134,14 +157,7 @@ def assign_centroids(
     avoid a second driver job."""
     if cent_rows is None:
         cent_rows = _collect_centroids(centroids, id_col, vec_col)
-    cents = _centroid_literal(cent_rows)
-    scored = F.transform(
-        cents,
-        lambda c: F.struct(
-            cosine(F.col(vec_col), c["cvec"]).alias("sim"), c["cid"].alias("cid")
-        ),
-    )
-    best = F.array_max(scored)
+    best = F.array_max(_scored_centroids(F.col(vec_col), cent_rows))
     return corpus.select(
         F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
     )
@@ -260,19 +276,8 @@ def ivf_topk(
     if n_iters:
         cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
     assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
-    cents = _centroid_literal(cent_rows)
     probes = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    cents,
-                    lambda c: F.struct(
-                        cosine(F.col(vec_col), c["cvec"]).alias("sim"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            )
-        ),
+        F.reverse(F.array_sort(_scored_centroids(F.col(vec_col), cent_rows))),
         1,
         n_probe,
     )
@@ -346,13 +351,22 @@ def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def rp_lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: bit p = sign of the projection onto plane p."""
-    bucket = None
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(vec_col, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
+    """LSH bucket id: bit p = sign of the projection onto plane p.
+
+    The plane family embeds as ONE flat nested-array literal (a single
+    plan node) with bits folded via higher-order functions, instead of
+    n_planes × dim individual ``lit`` calls — same projections, same
+    bucket ids, a fraction of the Catalyst tree. ``pow(2, p)`` is exact
+    in double for p ≤ 23 (``suggest_rp_planes`` caps at 24 planes)."""
+    planes_lit = _matrix_lit([[float(v) for v in p] for p in planes])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda p: F.when(
+            dot(vec_col, F.element_at(planes_lit, (p + 1).cast("int"))) > 0,
+            F.pow(F.lit(2.0), p).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b).cast("int")
 
 
 def rp_planes_banded(
