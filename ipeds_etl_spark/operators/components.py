@@ -49,11 +49,16 @@ def connected_components(
     pathological-diameter graphs.
     """
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # edges are re-joined on dst EVERY round: pre-partition them on the
+    # join key once (one upfront exchange) so the checkpointed RDD's
+    # hash partitioning is reused each round instead of re-shuffling
+    # the (larger) edge side per iteration
     edges = (
         half.unionByName(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
+        .repartition("dst")
         .localCheckpoint()
     )
     labels = (
@@ -69,24 +74,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # carry the previous label through the update so the
+        # convergence probe is a filter over the ALREADY-materialized
+        # checkpoint — not a per-round labels⋈labels join+shuffle
+        new_full = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                F.col("comp").alias("prev_comp"),
             )
             .localCheckpoint()
         )
-        # convergence probe: any label still shrinking? (one tiny
-        # driver-side count per round — inherent to fixpoint iteration)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_full.filter(F.col("comp") != F.col("prev_comp")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_full.select("id", "comp")
         if changed == 0:
             converged = True
             break

@@ -255,33 +255,35 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS)
 
     n_lanes = -(-bits // _BITS_PER_LONG)
 
-    def lane_sum(m: int):
-        h = F.col("h")
-        e = None
-        for lane in range(_BITS_PER_LONG):
-            j = _BITS_PER_LONG * m + lane
-            if j >= bits:
-                break
-            t = F.shiftleft(F.shiftright(h, j).bitwiseAND(F.lit(1)), _LANE_BITS * lane)
-            e = t if e is None else e + t
-        return F.sum(e).alias(f"S{m}")
+    # The lane/unpack expressions are assembled as SQL strings parsed in
+    # one F.expr call each: building the same ~300-operator tree through
+    # per-operator Column calls costs ~1.7 s of Py4J round-trips per
+    # query build (measured at sf0.1); the parsed trees are identical.
+    def lane_sum(m: int) -> Column:
+        terms = [
+            f"shiftleft(shiftright(h, {_BITS_PER_LONG * m + lane}) & 1, "
+            f"{_LANE_BITS * lane})"
+            for lane in range(_BITS_PER_LONG)
+            if _BITS_PER_LONG * m + lane < bits
+        ]
+        return F.expr(f"sum({' + '.join(terms)})").alias(f"S{m}")
 
     agg = toks.groupBy(id_col).agg(
         F.count("*").alias("n"), *[lane_sum(m) for m in range(n_lanes)]
     )
     mask = (1 << _LANE_BITS) - 1
-    fp = None
+    fp_terms = []
     for m in range(n_lanes):
         for lane in range(_BITS_PER_LONG):
             j = _BITS_PER_LONG * m + lane
             if j >= bits:
                 break
-            ones = F.shiftright(F.col(f"S{m}"), _LANE_BITS * lane).bitwiseAND(F.lit(mask))
-            term = (
-                F.when(2 * ones > F.col("n"), F.lit(1 << j).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
+            ones = f"(shiftright(S{m}, {_LANE_BITS * lane}) & {mask})"
+            fp_terms.append(
+                f"(CASE WHEN 2 * {ones} > n THEN CAST({1 << j} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
             )
-            fp = term if fp is None else fp + term
+    fp = F.expr(" + ".join(fp_terms))
     return agg.select(id_col, fp.alias("simhash"))
 
 
