@@ -76,8 +76,20 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Atomic on local FS / HDFS when ``dst`` is absent; returns the
-    FileSystem's success flag (False e.g. when ``dst`` exists)."""
-    return hadoop_fs(spark, src).rename(jpath(spark, src), jpath(spark, dst))
+    FileSystem's success flag (False e.g. when ``dst`` exists).
+
+    Missing ``src`` is normalized to False as well: HDFS already
+    returns false there, but RawLocalFileSystem throws
+    FileNotFoundException — the swap/commit protocols are written
+    against the returns-false contract (a failed rename must fail
+    CLOSED so the caller can retry from a fresh listing), so the two
+    filesystems must agree."""
+    try:
+        return hadoop_fs(spark, src).rename(jpath(spark, src), jpath(spark, dst))
+    except Exception as exc:  # Py4JJavaError wrapping java.io.FileNotFoundException
+        if "FileNotFoundException" in str(exc):
+            return False
+        raise
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> None:

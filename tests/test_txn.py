@@ -403,3 +403,28 @@ def test_vacuum_during_read_retained_plans_survive(spark, tmp_path):
     txn.vacuum(spark, path, keep_last=2)
     assert _rows(pre_v2) == AFTER_NEW                 # retained: intact
     assert (9, 2012, "z") in _rows(pre_cur)
+
+
+def test_commit_survives_vacuum_tmp_sweep(spark, tmp_path, monkeypatch):
+    """vacuum's .tmp- sweep racing an in-flight commit is benign: the
+    committer's rename sees a missing source, fails closed, and retries
+    from a fresh listing — the commit lands, nothing is lost."""
+    path = str(tmp_path / "t")
+    txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)
+
+    real_rename = fsutil.rename
+    swept = {"done": False}
+
+    def sweeping_rename(s, src, dst):
+        # simulate vacuum sweeping the tmp manifest between write and
+        # rename — exactly once, on the first manifest-commit attempt
+        if ".tmp-" in src and not swept["done"]:
+            swept["done"] = True
+            fsutil.delete(s, src)
+        return real_rename(s, src, dst)
+
+    monkeypatch.setattr(txn.fsutil, "rename", sweeping_rename)
+    v = txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)
+    assert swept["done"]
+    assert v is not None
+    assert _rows(txn.read_table(spark, path)) == AFTER_NEW
