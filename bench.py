@@ -69,6 +69,9 @@ HEADLINE = [
     "docs_tfidf_topterms",
     "events_funnel",
     "events_user_retention",
+    # capped RP-LSH / centroid near-dup paths (round-3 rework)
+    "emb_rp_lsh_near_dups",
+    "emb_near_dups",
 ]
 
 

@@ -231,3 +231,43 @@ def test_adaptive_lsh_geometry_grows_with_corpus(spark):
     )
     assert out.columns == ["id_a", "id_b", "cos_sim"]
     out.collect()  # adaptive path executes end-to-end
+
+
+def test_pairs_within_buckets_equals_naive_self_join(spark):
+    """Property: on arbitrary (bucket, id) assignments the in-bucket
+    expansion (uncapped) emits exactly the pairs a < b self-join would
+    — the rewrite that removed the join must be observationally
+    identical. Deterministic multi-bucket fixture with singleton,
+    even, odd and colliding bucket sizes."""
+    rows = [
+        ("b0", 1), ("b0", 2), ("b0", 3), ("b0", 4), ("b0", 5),
+        ("b1", 10), ("b1", 11),
+        ("b2", 20),
+        ("b3", 30), ("b3", 31), ("b3", 32),
+    ]
+    df = spark.createDataFrame(rows, "bucket string, id long")
+    got = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in DD.pairs_within_buckets(
+            df, ["bucket"], F.struct(F.col("id")), max_bucket_size=None
+        ).collect()
+    }
+    L, R = df.alias("l"), df.alias("r")
+    want = {
+        (r["ida"], r["idb"])
+        for r in L.join(
+            R, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+        )
+        .select(F.col("l.id").alias("ida"), F.col("r.id").alias("idb"))
+        .collect()
+    }
+    assert got == want
+    # capped form is a subset, restricted to the smallest ids per bucket
+    capped = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in DD.pairs_within_buckets(
+            df, ["bucket"], F.struct(F.col("id")), max_bucket_size=3
+        ).collect()
+    }
+    assert capped <= want
+    assert capped == {p for p in want if p[0] in (1,2,3,10,11,20,30,31,32) and p[1] in (1,2,3,10,11,20,30,31,32)}
