@@ -40,6 +40,101 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("tv_ms", T.LongType(), True),
+        T.StructField("tc_ms", T.LongType(), True),
+        T.StructField("tp_ms", T.LongType(), True),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tv", T.LongType(), True),
+        T.StructField("clicks", T.ArrayType(T.LongType()), True),
+        T.StructField("purchases", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def funnel_stages_stream(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
+    """Streaming twin of ``queries_ext.q_events_funnel``'s per-user
+    stage derivation: emits (user_id, tv_ms, tc_ms, tp_ms) where
+    tv = min ts of a 'view', tc = min ts of a 'click' ≥ tv,
+    tp = min ts of a 'purchase' ≥ tc — min-ts ordered chaining,
+    updated every micro-batch.
+
+    Exactness under out-of-order arrival: tv/tc/tp are each monotone
+    non-increasing as data accumulates (new rows only grow the
+    eligible sets), so the handler keeps, besides tv, the candidate
+    clicks < current tc and purchases < current tp, and re-derives
+    tc/tp from those buffers each batch. A buffered click c can turn
+    eligible only if tv drops to ≤ c, which needs a view with
+    event-ts < c — impossible once the event-time watermark passes c.
+    Likewise a purchase p < tc needs tc to drop to ≤ p, which needs a
+    click (new or newly-eligible, both ≥ watermark) with ts ≤ p. So
+    both buffers are pruned exactly at the watermark: state per user
+    is O(events inside the watermark horizon), not O(history).
+
+    The shuffle is the same user_id hash partitioning the batch twin's
+    window uses; output mode 'update' (last emit per key wins)."""
+    src = events
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+
+    def handler(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        tv, clicks, purchases = (
+            state.get if state.exists else (None, [], [])
+        )
+        clicks = list(clicks or [])
+        purchases = list(purchases or [])
+        for pdf in pdfs:
+            ms = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            ).tolist()
+            for et, t in zip(pdf["event_type"].tolist(), ms):
+                if et == "view":
+                    tv = t if tv is None else min(tv, t)
+                elif et == "click":
+                    clicks.append(t)
+                elif et == "purchase":
+                    purchases.append(t)
+        tc = min((c for c in clicks if tv is not None and c >= tv), default=None)
+        tp = min((p for p in purchases if tc is not None and p >= tc), default=None)
+        wm = state.getCurrentWatermarkMs()
+        # Exact eviction: candidates strictly below (tc, tp) stay only
+        # while the watermark allows an event that could promote them.
+        clicks = [c for c in clicks if (tc is None or c < tc) and c >= wm] + (
+            [tc] if tc is not None else []
+        )
+        purchases = [p for p in purchases if (tp is None or p < tp) and p >= wm] + (
+            [tp] if tp is not None else []
+        )
+        state.update((tv, clicks, purchases))
+        yield _pd.DataFrame(
+            {"user_id": [user_id], "tv_ms": [tv], "tc_ms": [tc], "tp_ms": [tp]}
+        )
+
+    return (
+        src.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            handler,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_user_stats(events: DataFrame, idle_timeout_ms: int = 0) -> DataFrame:
     """Per-user running (n_events, total_value), updated each batch."""
     timeout = (

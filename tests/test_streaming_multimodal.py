@@ -247,3 +247,116 @@ def test_stream_stream_attribution_matches_batch(spark, stream_dir):
     )
     want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_funnel_stream_matches_batch(spark, stream_dir):
+    """Per-user funnel stages from the stateful streaming operator must
+    equal the batch twin's min-ts chained (tv, tc, tp) per user."""
+    from pyspark.sql import Window
+
+    from ipeds_etl_spark.streaming.stateful import funnel_stages_stream
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    jobs.run_to_memory(funnel_stages_stream(stream), "funnel_stream", "update")
+    # update mode: tv/tc/tp only ever decrease, so min per user = final
+    out = spark.sql(
+        "SELECT user_id, min(tv_ms) tv, min(tc_ms) tc, min(tp_ms) tp "
+        "FROM funnel_stream GROUP BY user_id"
+    )
+    got = {r["user_id"]: (r["tv"], r["tc"], r["tp"]) for r in out.collect()}
+
+    e = spark.read.parquet(stream_dir)
+    w = Window.partitionBy("user_id")
+    ts_ms = (F.col("ts").cast("double") * 1000).cast("long")
+    staged = (
+        e.select("user_id", ts_ms.alias("ms"), "event_type")
+        .withColumn("tv", F.min(F.when(F.col("event_type") == "view", F.col("ms"))).over(w))
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ms") >= F.col("tv")),
+                    F.col("ms"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ms") >= F.col("tc")),
+                    F.col("ms"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp"))
+    )
+    batch = {r["user_id"]: (r["tv"], r["tc"], r["tp"]) for r in staged.collect()}
+    assert len(got) > 0
+    assert got == batch
+
+
+def test_funnel_stream_out_of_order_chaining(spark, tmp_path):
+    """A click that arrives BEFORE its user's view (in stream order, but
+    event-time after it) must be promoted to tc once the view shows up —
+    the buffered-candidate re-derivation path. A second user's click
+    event-time-before-the-view must never convert."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ipeds_etl_spark.streaming.stateful import funnel_stages_stream
+
+    d = str(tmp_path / "funnel_stream")
+    os.makedirs(d)
+
+    def ts(h, m):
+        return pd.Timestamp(2024, 1, 1, h, m)
+
+    # user 1: click@10:30 arrives first, view@10:00 arrives later
+    #   -> tc must become 10:30 after batch 1 (re-derived from buffer)
+    # user 2: view@11:00 first, then click@10:45 (event-time BEFORE the
+    #   view) -> never eligible, tc stays NULL
+    batches = [
+        [(1, "click", ts(10, 30)), (2, "view", ts(11, 0))],
+        [(1, "view", ts(10, 0)), (2, "click", ts(10, 45))],
+        [(1, "purchase", ts(10, 45))],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "ts": pd.Series([r[2] for r in rows]).astype("datetime64[us]"),
+            }
+        )
+        f = f"{d}/batch-{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), f)
+        os.utime(f, (now + 10 * i, now + 10 * i))
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    jobs.run_to_memory(
+        funnel_stages_stream(stream, watermark="2 hours"), "funnel_ooo", "update"
+    )
+    out = spark.sql(
+        "SELECT user_id, min(tv_ms) tv, min(tc_ms) tc, min(tp_ms) tp "
+        "FROM funnel_ooo GROUP BY user_id"
+    )
+    got = {r["user_id"]: (r["tv"], r["tc"], r["tp"]) for r in out.collect()}
+
+    def ms(h, m):
+        return int(ts(h, m).timestamp() * 1000)
+
+    assert got[1] == (ms(10, 0), ms(10, 30), ms(10, 45))
+    assert got[2] == (ms(11, 0), None, None)
