@@ -1,12 +1,17 @@
 """Parquet table loader for the benchmark star schema.
 
 Handles one physical quirk of the driver-generated data: ``events.ts``
-is written as parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-rejects by default (``PARQUET_TYPE_ILLEGAL``). We flip the public
-``spark.sql.legacy.parquet.nanosAsLong`` conf and rebuild a proper
+has been written as parquet TIMESTAMP(NANOS) in some generations, which
+Spark's vectorized reader rejects by default (``PARQUET_TYPE_ILLEGAL``).
+We flip the public ``spark.sql.legacy.parquet.nanosAsLong`` conf and —
+only when the column actually reads back as a long — rebuild a proper
 microsecond timestamp with exact integer arithmetic (``ts div 1000`` —
 float division would lose sub-microsecond precision at 2024-epoch
-nanosecond magnitudes).
+nanosecond magnitudes). Generations written as TIMESTAMP(MICROS) read
+as a timestamp type directly and are normalized to session-TZ
+``timestamp`` so downstream ``unix_timestamp``/window arithmetic sees
+one type regardless of the file's physical encoding (the session TZ is
+pinned to UTC in ``session.py``, so NTZ→LTZ is value-identity).
 
 Scan hygiene: callers ``select`` the columns they need *after* this
 loader; Catalyst prunes the parquet scan to exactly those columns
@@ -17,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -31,17 +37,28 @@ TABLES = (
     "embeddings",
 )
 
-#: tables whose parquet carries nanosecond timestamps (column -> it holds)
+#: tables that have carried nanos timestamps in some data generations
+#: (column -> it holds); conversion is applied only if the column
+#: actually reads back as a long.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one benchmark table; normalizes nanos-timestamp columns."""
+    """Read one benchmark table; normalizes timestamp columns.
+
+    ``events.ts`` lands as session-TZ ``timestamp`` whether the file
+    stored TIMESTAMP(NANOS) (read as long under ``nanosAsLong``, then
+    integer-div'd to micros) or TIMESTAMP(MICROS) (read as
+    timestamp/timestamp_ntz directly).
+    """
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        else:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
