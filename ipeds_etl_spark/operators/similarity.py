@@ -306,30 +306,74 @@ def ivf_topk(
 
 
 def _verified_pairs_within_buckets(
+    corpus: DataFrame,
     bucketed: DataFrame,
     bucket_cols: list[str],
     id_col: str,
     vec_col: str,
     threshold: float,
     max_bucket_size: int | None,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Cosine-verified unordered pairs sharing a bucket, via the SAME
     capped in-bucket expansion the dedup side uses
     (``pairs_within_buckets``): groupBy bucket → rank-capped payload
-    array → inline pair expansion. No self-join, and one pathological
-    hot bucket (boilerplate embeddings all hashing together) expands at
-    most ``max_bucket_size`` members per task instead of quadratically
-    OOM-ing it. Pairs keep ``id_a < id_b`` (payload sorts on the id
-    field first)."""
-    payload = F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    pairs = pairs_within_buckets(
-        bucketed, bucket_cols, payload, max_bucket_size=max_bucket_size
+    array → inline pair expansion. No self-join of the bucketed input,
+    and one pathological hot bucket (boilerplate embeddings all hashing
+    together) expands at most ``max_bucket_size`` members per task
+    instead of quadratically OOM-ing it. Pairs keep ``id_a < id_b``.
+
+    The expansion carries IDS ONLY — duplicating two dim-wide vectors
+    into every emitted pair made the pair arrays the dominant memory
+    and CPU cost (quadratic in bucket size × vector width), and left
+    every one of a bucket's pairs verifying in that bucket's single
+    task. Instead the id pairs (the smallest possible intermediate) are
+    spread across the shuffle space — ``dedup_pairs=True`` does it with
+    the ``distinct`` the banded caller needs anyway, which ALSO
+    verifies each candidate once instead of once per colliding band —
+    and the vectors are re-attached by an equi-join against the corpus
+    that Catalyst/AQE broadcasts while the corpus fits and
+    shuffle-joins beyond that. Per-pair verify work is one dot product:
+    norms ride the corpus side, computed once per vector instead of
+    twice per pair (``sqrt(dot(v,v))`` — bit-identical cosine)."""
+    payload = F.struct(F.col(id_col).alias("id"))
+    id_pairs = pairs_within_buckets(
+        bucketed.select(*bucket_cols, id_col),
+        bucket_cols,
+        payload,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if dedup_pairs:
+        id_pairs = id_pairs.distinct()
+    else:
+        n_part = int(
+            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        id_pairs = id_pairs.repartition(n_part, "id_a", "id_b")
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vvec"),
+        norm(F.col(vec_col)).alias("__vnrm"),
     )
-    return pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    a = vecs.select(
+        F.col("__vid").alias("id_a"),
+        F.col("__vvec").alias("__avec"),
+        F.col("__vnrm").alias("__anrm"),
+    )
+    b = vecs.select(
+        F.col("__vid").alias("id_b"),
+        F.col("__vvec").alias("__bvec"),
+        F.col("__vnrm").alias("__bnrm"),
+    )
+    cos = dot(F.col("__avec"), F.col("__bvec")) / (
+        F.col("__anrm") * F.col("__bnrm")
+    )
+    return (
+        id_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -429,11 +473,12 @@ def rp_lsh_banded_pairs(
         ]
     )
     bucketed = corpus.select(
-        F.col(id_col), F.col(vec_col), F.explode(bands).alias("bb")
-    ).select(id_col, vec_col, "bb.band", "bb.bucket")
+        F.col(id_col), F.explode(bands).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
     return _verified_pairs_within_buckets(
-        bucketed, ["band", "bucket"], id_col, vec_col, threshold, max_bucket_size
-    ).distinct()
+        corpus, bucketed, ["band", "bucket"], id_col, vec_col, threshold,
+        max_bucket_size, dedup_pairs=True,
+    )
 
 
 def rp_lsh_near_dups(
@@ -461,10 +506,10 @@ def rp_lsh_near_dups(
         n_planes = suggest_rp_planes(corpus.count())
     planes = rp_planes(n_planes, dim)
     bucketed = corpus.select(
-        F.col(id_col), F.col(vec_col), rp_lsh_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col), rp_lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
     return _verified_pairs_within_buckets(
-        bucketed, ["bucket"], id_col, vec_col, threshold, max_bucket_size
+        corpus, bucketed, ["bucket"], id_col, vec_col, threshold, max_bucket_size
     )
 
 
@@ -492,5 +537,5 @@ def embedding_near_dups(
         cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
     assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
     return _verified_pairs_within_buckets(
-        assigned, ["centroid_id"], id_col, vec_col, threshold, max_bucket_size
+        corpus, assigned, ["centroid_id"], id_col, vec_col, threshold, max_bucket_size
     )
