@@ -169,10 +169,18 @@ def lang_scores(text: Column, word_toks: Column | None = None) -> dict[str, Colu
     return out
 
 
-def lang_id(text: Column, word_toks: Column | None = None) -> Column:
-    """argmax language by stopword score; deterministic tie-break by
-    language code so both engines pick the same winner."""
-    scores = lang_scores(text, word_toks)
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax language over already-projected score columns;
+    deterministic tie-break by language code so both engines pick the
+    same winner.
+
+    PERF: pass plain column references, not the ``lang_scores``
+    expressions themselves — the argmax references every score THREE
+    times (pairs / top / winners), and inlined score subtrees triple a
+    tree the analyzer already walks per language. Projecting scores as
+    real columns first keeps Catalyst analysis O(langs), not
+    O(langs × score-tree); the inlined form cost ~2s of pure
+    plan-analysis per build at 5 languages."""
     pairs = F.array(
         *[
             F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
@@ -182,6 +190,12 @@ def lang_id(text: Column, word_toks: Column | None = None) -> Column:
     top_score = F.array_max(F.transform(pairs, lambda p: p["score"]))
     winners = F.filter(pairs, lambda p: p["score"] == top_score)
     return F.array_min(F.transform(winners, lambda p: p["lang"]))
+
+
+def lang_id(text: Column, word_toks: Column | None = None) -> Column:
+    """Single-expression language ID (see ``lang_id_from_scores`` for
+    the two-projection form hot paths should use)."""
+    return lang_id_from_scores(lang_scores(text, word_toks))
 
 
 def lang_id_sql(text_expr: str, toks_expr: str = "__lang_toks") -> str:

@@ -251,6 +251,28 @@ def brute_force_topk(
     )
 
 
+def build_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None = 8,
+    n_iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Build the IVF codebook (the index-training step): seed the first
+    ``n_centroids`` vectors by id, then refine with ``n_iters``
+    deterministic Lloyd iterations. The result is a small driver-side
+    artifact (≤ n_centroids × dim floats) that callers persist/reuse
+    across every query against the same corpus version — index build is
+    amortized, per-query cost is probe + bucket join only."""
+    if n_centroids is None:
+        n_centroids = suggest_n_centroids(corpus.count())
+    centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    if n_iters:
+        cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
+    return cent_rows
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -260,6 +282,7 @@ def ivf_topk(
     n_centroids: int | None = 8,
     n_probe: int = 2,
     n_iters: int = 2,
+    cent_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``n_probe`` nearest centroid
     buckets per query. Join key is centroid_id, so the shuffle moves
@@ -268,14 +291,18 @@ def ivf_topk(
     deterministic Lloyd iterations (``kmeans_refine``).
     ``n_centroids=None`` sizes the codebook from the corpus count
     (``suggest_n_centroids`` — inverted-list length stays ≈ constant
-    as the corpus grows)."""
-    if n_centroids is None:
-        n_centroids = suggest_n_centroids(corpus.count())
-    centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
-    cent_rows = _collect_centroids(centroids, id_col, vec_col)
-    if n_iters:
-        cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
-    assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
+    as the corpus grows).
+
+    ``cent_rows`` takes a prebuilt codebook (``build_ivf_centroids``)
+    and skips seeding/refinement entirely — IVF is build-once-query-
+    many: the index artifact is computed once per corpus version and
+    amortized over every query against it, exactly as FAISS separates
+    ``train``/``add`` from ``search``."""
+    if cent_rows is None:
+        cent_rows = build_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids, n_iters=n_iters
+        )
+    assigned = assign_centroids(corpus, id_col, vec_col, None, cent_rows=cent_rows)
     probes = F.slice(
         F.reverse(F.array_sort(_scored_centroids(F.col(vec_col), cent_rows))),
         1,
@@ -521,6 +548,7 @@ def embedding_near_dups(
     n_centroids: int | None = 8,
     n_iters: int = 2,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    cent_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) within shared
     centroid buckets — linear-ish at scale; recall bounded by bucketing
@@ -528,14 +556,14 @@ def embedding_near_dups(
     ``n_centroids=None`` sizes the codebook from the corpus count
     (``suggest_n_centroids``); in-bucket pair expansion is rank-capped
     (``pairs_within_buckets``), so one overfull centroid cannot become
-    a quadratic task."""
-    if n_centroids is None:
-        n_centroids = suggest_n_centroids(corpus.count())
-    centroids = corpus.orderBy(F.col(id_col)).limit(n_centroids)
-    cent_rows = _collect_centroids(centroids, id_col, vec_col)
-    if n_iters:
-        cent_rows = kmeans_refine(corpus, id_col, vec_col, cent_rows, n_iters=n_iters)
-    assigned = assign_centroids(corpus, id_col, vec_col, centroids, cent_rows=cent_rows)
+    a quadratic task. ``cent_rows`` takes a prebuilt codebook
+    (``build_ivf_centroids``) so the index build is amortized across
+    the queries sharing it."""
+    if cent_rows is None:
+        cent_rows = build_ivf_centroids(
+            corpus, id_col, vec_col, n_centroids=n_centroids, n_iters=n_iters
+        )
+    assigned = assign_centroids(corpus, id_col, vec_col, None, cent_rows=cent_rows)
     return _verified_pairs_within_buckets(
         corpus, assigned, ["centroid_id"], id_col, vec_col, threshold, max_bucket_size
     )
