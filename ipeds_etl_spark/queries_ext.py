@@ -78,7 +78,7 @@ def _cos_sql(a: str, b: str) -> str:
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) — per-source rollup.
     One narrow scan + hash agg; regexes run JVM-side in codegen."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     text = F.col("text")
     return (
         d.select(
@@ -115,7 +115,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring signals per document — pure codegen expressions,
     no shuffle at all (a map-only 100 TB pass)."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id", "text", TX.tokens(F.col("text")).alias("toks")
     )
     text = F.col("text")
@@ -148,7 +148,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled ``lang`` column. Tokens are projected ONCE (optimizer
     barrier) so the per-language membership lambdas share one scan
     instead of re-tokenizing per language."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toked = d.select(
         "lang", "text", TX.lang_word_tokens(F.col("text")).alias("__lang_toks")
     )
@@ -191,7 +191,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bottom-k of a rolling gram family — robust to small edits)."""
     # distinct grams BEFORE hashing: ~30% of grams repeat, so this
     # skips a third of the sha256 work (measured 3.6s→2.4s at sf0.1)
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id",
         "text",
         F.array_distinct(TX.char_ngrams(F.col("text"), 5)).alias("grams"),
@@ -359,7 +359,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard over same-source candidate pairs
     (the blocked verifier stage of a dedup pipeline)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sets = d.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks")).select(
         "doc_id",
         "source",
@@ -461,6 +461,22 @@ def q_emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk(
         e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    """Documents scan with a parallelism floor — used ONLY by queries
+    whose per-row map work (per-gram sha256, per-pair set algebra)
+    dwarfs the round-robin exchange: measured, the floor took
+    ``doc_fingerprint`` 2.5s→0.33s and ``dedup_ngram_jaccard``
+    33s→2.4s at sf0.1, while every shuffle-dominated query (minhash,
+    simhash, tfidf, packing) got slower with it — their cost is in the
+    post-shuffle stages, which are already wide, so the extra exchange
+    is pure overhead. Single-partition scans only happen on tiny
+    single-row-group files; see ``load_table``."""
+    return load_table(
+        spark, sf_dir, "documents",
+        min_partitions=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -43,14 +43,27 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
     """Read one benchmark table; normalizes timestamp columns.
 
     ``events.ts`` lands as session-TZ ``timestamp`` whether the file
     stored TIMESTAMP(NANOS) (read as long under ``nanosAsLong``, then
     integer-div'd to micros) or TIMESTAMP(MICROS) (read as
     timestamp/timestamp_ntz directly).
-    """
+
+    ``min_partitions``: floor on scan parallelism for compute-heavy
+    map stages (per-row sha256/tokenize pipelines). A small table in
+    one parquet row group scans as ONE task no matter how many cores
+    exist — at sf0.1 the whole gram-hash stage of ``doc_fingerprint``
+    serialized on a single core (2.5s → 0.33s at 32). The repartition
+    is CONDITIONAL on the scan actually having fewer partitions, so on
+    a real cluster where a 100 TB table scans as tens of thousands of
+    splits it is a no-op — it only widens degenerate scans, never
+    inserts an exchange into an already-parallel plan. Pass
+    ``spark.sparkContext.defaultParallelism``; only worth it when the
+    downstream per-row work dwarfs one tiny round-robin shuffle."""
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -59,6 +72,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         else:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if min_partitions is not None and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     return df
 
 
