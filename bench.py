@@ -72,6 +72,9 @@ HEADLINE = [
     # capped RP-LSH / centroid near-dup paths (round-3 rework)
     "emb_rp_lsh_near_dups",
     "emb_near_dups",
+    # corpus hygiene (round-3 additions)
+    "docs_repetition_filters",
+    "docs_decontaminate",
 ]
 
 

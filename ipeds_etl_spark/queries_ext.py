@@ -2082,3 +2082,173 @@ def q_events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ===========================================================================
+# Corpus hygiene: repetition filters and benchmark decontamination
+# ===========================================================================
+# k=2 word shingles, same short-document convention as _SHINGLES (k=3)
+_SHINGLES2 = (
+    "CASE WHEN len({w}) < 2 THEN [array_to_string({w}, ' ')] "
+    "ELSE list_transform(range(len({w}) - 1), i -> array_to_string({w}[i+1:i+2], ' ')) END"
+)
+
+
+@_register(
+    "docs_repetition_filters",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    base AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             CASE WHEN len(w) >= 2 THEN
+               len(list_filter(range(len(w) - 1), i -> w[i+1] = w[i+2]))
+             END AS n_consec,
+             {_SHINGLES2.format(w='w')} AS bgs,
+             {_SHINGLES.format(w='w')} AS tgs
+      FROM t),
+    bg AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+             CAST(sum(n) AS BIGINT) AS n_bigrams
+      FROM (SELECT doc_id, g, count(*) AS n
+            FROM (SELECT doc_id, unnest(bgs) AS g FROM base) GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    tg AS (
+      SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_tg_distinct,
+             CAST(count(*) AS BIGINT) AS n_tg
+      FROM (SELECT doc_id, unnest(tgs) AS g FROM base) GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_consec AS DOUBLE) / (b.n_tokens - 1) AS consec_dup_frac,
+           CAST(bg.top_bigram_n AS DOUBLE) / bg.n_bigrams AS top_bigram_frac,
+           CAST(tg.n_tg - tg.n_tg_distinct AS DOUBLE) / tg.n_tg AS dup_trigram_frac,
+           (coalesce(CAST(bg.top_bigram_n AS DOUBLE) / bg.n_bigrams, 0) <= 0.18
+            AND coalesce(CAST(tg.n_tg - tg.n_tg_distinct AS DOUBLE) / tg.n_tg, 0) <= 0.30)
+             AS keep
+    FROM base b LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id)
+    """,
+)
+def q_docs_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters per document: fraction
+    of consecutive duplicate tokens, mass of the single most frequent
+    bigram, and fraction of duplicate trigram occurrences, with a keep
+    verdict at the published-ish thresholds (Rae et al. 2021 use the
+    same statistic family).
+
+    Scale shape: two map-side-combinable (doc, gram) → doc agg chains
+    and one map-only branch, joined on doc_id — no gram ever crosses
+    documents, so partitioning by doc dominates and there is no global
+    hot key. Every ratio is one IEEE division of exact integer counts
+    (hash-stable across engines)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    n = F.size("w")
+    base = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            n >= 2,
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice("w", 1, n - 1),
+                        F.slice("w", 2, n - 1),
+                        lambda a, b: a == b,
+                    ),
+                    lambda x: x,
+                )
+            ),
+        ).alias("n_consec"),
+        TX.shingles_of(F.col("w"), 2).alias("bgs"),
+        TX.shingles_of(F.col("w"), 3).alias("tgs"),
+    )
+    bg = (
+        base.select("doc_id", F.explode("bgs").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
+    )
+    tg = (
+        base.select("doc_id", F.explode("tgs").alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_tg_distinct"),
+            F.count(F.lit(1)).alias("n_tg"),
+        )
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup_frac = (F.col("n_tg") - F.col("n_tg_distinct")).cast("double") / F.col("n_tg")
+    return (
+        base.select("doc_id", "n_tokens", "n_consec")
+        .join(bg, "doc_id", "left")
+        .join(tg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_consec").cast("double") / (F.col("n_tokens") - 1)).alias(
+                "consec_dup_frac"
+            ),
+            top_frac.alias("top_bigram_frac"),
+            dup_frac.alias("dup_trigram_frac"),
+            (
+                (F.coalesce(top_frac, F.lit(0.0)) <= 0.18)
+                & (F.coalesce(dup_frac, F.lit(0.0)) <= 0.30)
+            ).alias("keep"),
+        )
+    )
+
+
+@_register(
+    "docs_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, {_HASH10.format(x='g')} AS h
+      FROM (SELECT doc_id, unnest({_SHINGLES.format(w='w')}) AS g FROM t)),
+    ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+    tr AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id >= 20)
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(ev.h) AS BIGINT) AS n_hit,
+           CAST(count(ev.h) AS DOUBLE) / count(*) AS overlap_frac,
+           CAST(count(ev.h) AS DOUBLE) / count(*) >= 0.8 AS contaminated
+    FROM tr LEFT JOIN ev ON tr.h = ev.h
+    GROUP BY tr.doc_id
+    """,
+)
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose
+    distinct 3-word-shingle sets overlap an evaluation set (planted
+    here as doc_id < 20) beyond a threshold — the standard n-gram
+    containment check run before training on a scraped corpus.
+
+    Scale shape: the eval side of a real decontamination pass is a few
+    benchmark suites — tiny against a 100 TB corpus — so its distinct
+    shingle-hash set is BROADCAST and the train side never shuffles for
+    the probe: one distinct on (doc, hash) and the per-doc agg are the
+    only exchanges, both map-side combinable. The broadcast is pinned
+    with an explicit hint; overlap is exact distinct-shingle
+    containment, not an estimate."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    sh = d.select(
+        "doc_id", F.explode(TX.shingles_of(F.col("w"), 3)).alias("g")
+    ).select("doc_id", parity_hash(F.col("g")).alias("h"))
+    ev = sh.filter(F.col("doc_id") < 20).select("h").distinct()
+    tr = sh.filter(F.col("doc_id") >= 20).select("doc_id", "h").distinct()
+    hit_frac = F.count(F.col("ev_h")).cast("double") / F.count(F.lit(1))
+    return (
+        tr.join(F.broadcast(ev.select(F.col("h").alias("ev_h"))),
+                tr["h"] == F.col("ev_h"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.col("ev_h")).alias("n_hit"),
+            hit_frac.alias("overlap_frac"),
+            (hit_frac >= 0.8).alias("contaminated"),
+        )
+    )
