@@ -75,6 +75,8 @@ HEADLINE = [
     # corpus hygiene (round-3 additions)
     "docs_repetition_filters",
     "docs_decontaminate",
+    "docs_token_diversity",
+    "events_value_histogram",
 ]
 
 

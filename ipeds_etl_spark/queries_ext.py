@@ -2252,3 +2252,78 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit_frac >= 0.8).alias("contaminated"),
         )
     )
+
+
+@_register(
+    "events_value_histogram",
+    """
+    SELECT CAST(floor("value" / 25.0) AS BIGINT) AS bin,
+           CAST(floor("value" / 25.0) * 25.0 AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram with per-bin distinct users — the
+    workhorse distribution profile at scale: binning is a pure map
+    (floor of one IEEE division by a constant — exact on both
+    engines), the count combines map-side, and the distinct triggers
+    Spark's standard two-phase expand-and-recombine. Bin count is
+    bounded by the value range, not the row count, so the final
+    shuffle is O(bins) regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 25.0)
+    return (
+        e.groupBy(
+            bin_.cast("long").alias("bin"),
+            (bin_ * 25.0).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@_register(
+    "docs_token_diversity",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    c AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS DOUBLE) / sum(n) AS type_token_ratio,
+           1.0 - CAST(sum(n * n) AS DOUBLE) / (sum(n) * sum(n)) AS simpson_index
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_docs_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and Simpson
+    diversity (1 − Σn²/N²) — the repetition-complement of the entropy
+    family, chosen over Shannon entropy deliberately: it needs no
+    transcendental function, so every statistic is integer sums and
+    ONE IEEE division, bit-reproducible across engines (libm ``log``
+    implementations differ in final ulps and would break value-hash
+    parity). One (doc, token) count then a per-doc agg — both
+    map-side combinable, partitioned by doc throughout."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    c = d.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    n_tok = F.sum("n")
+    n_dis = F.count(F.lit(1))
+    return c.groupBy("doc_id").agg(
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        (n_dis.cast("double") / n_tok).alias("type_token_ratio"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double") / (n_tok * n_tok)
+        ).alias("simpson_index"),
+    )

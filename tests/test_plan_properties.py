@@ -28,8 +28,12 @@ EXPECTATIONS = {
     "sentinel_clean": (0, 0, 0),       # map-only
     "coalesce_pick": (0, 0, 0),
     "stable_hash": (0, 0, 0),
-    "text_quality": (0, 0, 0),
-    "doc_fingerprint": (0, 0, 0),
+    # text_quality/doc_fingerprint carry ONE round-robin exchange: the
+    # conditional scan-widening floor (_docs) — a single tiny-file row
+    # group otherwise serializes the per-gram sha256 stage on one core.
+    # The compute itself is still map-only (no key ever crosses rows).
+    "text_quality": (1, 0, 0),
+    "doc_fingerprint": (1, 0, 0),
     "dedup_exact": (1, 0, 0),
     "dedup_minhash_lsh": (3, 0, 0),    # sig agg + bucket agg + distinct
     "dedup_simhash": (3, 0, 0),
