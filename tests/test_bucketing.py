@@ -74,3 +74,23 @@ def test_bucketed_agg_skips_shuffle(bucketed):
         F.sum("l_quantity").alias("q")
     )
     assert exchange_count(agg) == 0
+
+
+def test_load_table_parallelism_floor_is_conditional(spark, tmp_path):
+    """The scan-widening floor only fires on degenerate (narrower-than-
+    requested) scans: an already-wide input keeps its partitioning, so
+    on a real multi-split table the floor is a no-op and adds no
+    exchange."""
+    from ipeds_etl_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("x y z").alias("text")
+    ).repartition(8).write.parquet(p)
+    sf_dir = str(tmp_path)
+    wide = load_table(spark, sf_dir, "docs", min_partitions=4)
+    assert "Exchange" not in wide._jdf.queryExecution().executedPlan().toString()
+    floored = load_table(spark, sf_dir, "docs", min_partitions=64)
+    assert floored.rdd.getNumPartitions() == 64
