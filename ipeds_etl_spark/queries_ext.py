@@ -2104,28 +2104,30 @@ _SHINGLES2 = (
              CASE WHEN len(w) >= 2 THEN
                len(list_filter(range(len(w) - 1), i -> w[i+1] = w[i+2]))
              END AS n_consec,
-             {_SHINGLES2.format(w='w')} AS bgs,
+             list_sort({_SHINGLES2.format(w='w')}) AS sbg,
              {_SHINGLES.format(w='w')} AS tgs
       FROM t),
-    bg AS (
-      SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
-             CAST(sum(n) AS BIGINT) AS n_bigrams
-      FROM (SELECT doc_id, g, count(*) AS n
-            FROM (SELECT doc_id, unnest(bgs) AS g FROM base) GROUP BY doc_id, g)
-      GROUP BY doc_id),
-    tg AS (
-      SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_tg_distinct,
-             CAST(count(*) AS BIGINT) AS n_tg
-      FROM (SELECT doc_id, unnest(tgs) AS g FROM base) GROUP BY doc_id)
-    SELECT b.doc_id,
-           CAST(b.n_tokens AS BIGINT) AS n_tokens,
-           CAST(b.n_consec AS DOUBLE) / (b.n_tokens - 1) AS consec_dup_frac,
-           CAST(bg.top_bigram_n AS DOUBLE) / bg.n_bigrams AS top_bigram_frac,
-           CAST(tg.n_tg - tg.n_tg_distinct AS DOUBLE) / tg.n_tg AS dup_trigram_frac,
-           (coalesce(CAST(bg.top_bigram_n AS DOUBLE) / bg.n_bigrams, 0) <= 0.18
-            AND coalesce(CAST(tg.n_tg - tg.n_tg_distinct AS DOUBLE) / tg.n_tg, 0) <= 0.30)
+    runs AS (
+      SELECT doc_id, n_tokens, n_consec, tgs, len(sbg) AS n_bigrams,
+             list_append(
+               list_filter(range(1, len(sbg) + 1),
+                           i -> i = 1 OR sbg[i] != sbg[i - 1]),
+               len(sbg) + 1) AS bounds
+      FROM base)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_consec AS DOUBLE) / (n_tokens - 1) AS consec_dup_frac,
+           CAST(list_max(list_transform(range(len(bounds) - 1),
+                                        j -> bounds[j + 2] - bounds[j + 1]))
+                AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(len(tgs) - len(list_distinct(tgs)) AS DOUBLE) / len(tgs)
+             AS dup_trigram_frac,
+           (CAST(list_max(list_transform(range(len(bounds) - 1),
+                                         j -> bounds[j + 2] - bounds[j + 1]))
+                 AS DOUBLE) / n_bigrams <= 0.18
+            AND CAST(len(tgs) - len(list_distinct(tgs)) AS DOUBLE) / len(tgs) <= 0.30)
              AS keep
-    FROM base b LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id)
+    FROM runs
     """,
 )
 def q_docs_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2135,11 +2137,15 @@ def q_docs_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict at the published-ish thresholds (Rae et al. 2021 use the
     same statistic family).
 
-    Scale shape: two map-side-combinable (doc, gram) → doc agg chains
-    and one map-only branch, joined on doc_id — no gram ever crosses
-    documents, so partitioning by doc dominates and there is no global
-    hot key. Every ratio is one IEEE division of exact integer counts
-    (hash-stable across engines)."""
+    Scale shape: ZERO shuffle — per-document gram statistics never
+    cross documents, so shipping (doc, gram) pairs through an exchange
+    (the groupBy formulation) moves the whole corpus for nothing. The
+    top-bigram count is the longest run in the doc's SORTED bigram
+    array (run boundaries → adjacent-boundary gaps → max), trigram
+    dup mass is ``size − size(array_distinct)`` — all in-row, linear
+    in doc length after an O(n log n) in-row sort, bounded per task by
+    the longest document, not the corpus. Ratios are single IEEE
+    divisions of exact integer counts (hash-stable across engines)."""
     d = _docs(spark, sf_dir).select(
         "doc_id", TX.tokens(F.col("text")).alias("w")
     )
@@ -2160,43 +2166,48 @@ def q_docs_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("n_consec"),
-        TX.shingles_of(F.col("w"), 2).alias("bgs"),
+        F.array_sort(TX.shingles_of(F.col("w"), 2)).alias("sbg"),
         TX.shingles_of(F.col("w"), 3).alias("tgs"),
     )
-    bg = (
-        base.select("doc_id", F.explode("bgs").alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
+    nb = F.size("sbg")
+    # 1-based positions where a new distinct bigram starts, plus the
+    # one-past-the-end sentinel: max adjacent gap = top bigram count.
+    bounds = F.concat(
+        F.filter(
+            F.sequence(F.lit(1), nb),
+            lambda i: (i == 1)
+            | (F.element_at(F.col("sbg"), i) != F.element_at(F.col("sbg"), i - 1)),
+        ),
+        F.array(nb + 1),
     )
-    tg = (
-        base.select("doc_id", F.explode("tgs").alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("g").alias("n_tg_distinct"),
-            F.count(F.lit(1)).alias("n_tg"),
+    runs = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_consec",
+        "tgs",
+        nb.alias("n_bigrams"),
+        bounds.alias("bounds"),
+    )
+    top_n = F.array_max(
+        F.zip_with(
+            F.slice("bounds", 1, F.size("bounds") - 1),
+            F.slice("bounds", 2, F.size("bounds") - 1),
+            lambda a, b: b - a,
         )
     )
-    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
-    dup_frac = (F.col("n_tg") - F.col("n_tg_distinct")).cast("double") / F.col("n_tg")
-    return (
-        base.select("doc_id", "n_tokens", "n_consec")
-        .join(bg, "doc_id", "left")
-        .join(tg, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("n_consec").cast("double") / (F.col("n_tokens") - 1)).alias(
-                "consec_dup_frac"
-            ),
-            top_frac.alias("top_bigram_frac"),
-            dup_frac.alias("dup_trigram_frac"),
-            (
-                (F.coalesce(top_frac, F.lit(0.0)) <= 0.18)
-                & (F.coalesce(dup_frac, F.lit(0.0)) <= 0.30)
-            ).alias("keep"),
-        )
+    top_frac = top_n.cast("double") / F.col("n_bigrams")
+    dup_frac = (F.size("tgs") - F.size(F.array_distinct("tgs"))).cast(
+        "double"
+    ) / F.size("tgs")
+    return runs.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_consec").cast("double") / (F.col("n_tokens") - 1)).alias(
+            "consec_dup_frac"
+        ),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_trigram_frac"),
+        ((top_frac <= 0.18) & (dup_frac <= 0.30)).alias("keep"),
     )
 
 
