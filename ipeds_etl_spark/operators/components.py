@@ -102,6 +102,100 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Components via alternating large-star/small-star contraction
+    (Kiveris et al. 2014) — the big-diameter escape hatch.
+
+    Min-label propagation (``connected_components``) needs O(diameter)
+    rounds: fine for dedup clusters (diameter 2-4), hopeless for
+    chain-shaped graphs (a 10⁶-node path = 10⁶ rounds). Star
+    contraction converges in O(log² n) rounds on ANY topology by
+    rewiring every node toward its neighborhood minimum each round:
+
+    * large-star: for each node u, every LARGER neighbor is re-pointed
+      at ``m = min(N(u) ∪ {u})``;
+    * small-star: orient edges (big → small); every node in
+      ``N(u) ∪ {u}`` is pointed at the minimum.
+
+    Both steps are a window-min over the node id plus a projection —
+    NO ``collect_set``: a celebrity node's edges stream through its
+    (sorted) window partition instead of materializing a degree-sized
+    array in an agg buffer. Convergence = the canonical edge set is a
+    fixpoint, checked EXACTLY (``exceptAll`` probe, not a checksum
+    that could collide); per-round lineage is truncated with
+    ``localCheckpoint`` like the label-propagation form.
+
+    Returns the same contract as ``connected_components``:
+    ``(id, component_id)`` with component_id = min node id — the two
+    algorithms are interchangeable (equivalence is pinned by test on
+    random graphs), so callers pick by expected diameter.
+    """
+    w_u = Window.partitionBy("u")
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star: undirected neighborhoods, larger neighbors rewire
+        nbrs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_lg = F.least(F.min("v").over(w_u), F.col("u"))
+        lg = (
+            nbrs.withColumn("m", m_lg)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over (big → small) orientation
+        sm0 = lg.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        with_m = sm0.withColumn("m", F.min("v").over(w_u))
+        new_edges = (
+            with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(with_m.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        if (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        ):
+            converged = True
+            edges = new_edges
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_iters} "
+            "rounds — O(log² n) bound exceeded, which indicates a bug or an "
+            "adversarial id space, not a diameter problem"
+        )
+    # at the fixpoint every edge is (node → component root)
+    return nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("root", F.col("id")).alias("component_id"))
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

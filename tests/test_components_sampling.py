@@ -122,3 +122,48 @@ def test_stratified_rates_and_validation(spark):
         hash_sample(df, "id", 101)
     with _pytest.raises(ValueError):
         split_column(SF.col("id"), {"a": 50, "b": 40})
+
+
+def test_star_contraction_equals_label_propagation(spark):
+    """large-star/small-star must be observationally identical to the
+    min-label fixpoint on arbitrary graphs — the two are interchangeable
+    by contract. Seeded pseudo-random edge sets with multiple
+    components, chains, triangles, and isolated pairs."""
+    from ipeds_etl_spark.operators.components import connected_components_star
+
+    import hashlib
+
+    def h(i):
+        return int(hashlib.sha256(f"e{i}".encode()).hexdigest()[:8], 16)
+
+    edges = [(h(i) % 60, h(i + 1000) % 60) for i in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {
+        (r["id"], r["component_id"])
+        for r in connected_components(df).collect()
+    }
+    got = {
+        (r["id"], r["component_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+
+
+def test_star_contraction_handles_chain_beyond_label_budget(spark):
+    """A 300-node path has diameter 299: min-label propagation cannot
+    finish inside its default round budget (it raises rather than
+    returning wrong labels), while star contraction converges in
+    O(log n) rounds and labels every node with the chain minimum."""
+    from ipeds_etl_spark.operators.components import connected_components_star
+
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=10)
+    out = connected_components_star(chain).collect()
+    assert len(out) == 301
+    assert {r["component_id"] for r in out} == {0}
