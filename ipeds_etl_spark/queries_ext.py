@@ -78,7 +78,7 @@ def _cos_sql(a: str, b: str) -> str:
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) — per-source rollup.
     One narrow scan + hash agg; regexes run JVM-side in codegen."""
-    d = _docs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     return (
         d.select(
@@ -2243,7 +2243,7 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exchanges, both map-side combinable. The broadcast is pinned
     with an explicit hint; overlap is exact distinct-shingle
     containment, not an estimate."""
-    d = _docs(spark, sf_dir).select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", TX.tokens(F.col("text")).alias("w")
     )
     sh = d.select(
@@ -2323,7 +2323,7 @@ def q_docs_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations differ in final ulps and would break value-hash
     parity). One (doc, token) count then a per-doc agg — both
     map-side combinable, partitioned by doc throughout."""
-    d = _docs(spark, sf_dir).select(
+    d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
     )
     c = d.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
