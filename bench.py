@@ -77,6 +77,7 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_token_diversity",
     "events_value_histogram",
+    "dedup_components_star",
 ]
 
 

@@ -197,11 +197,22 @@ def connected_components_star(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Components + per-cluster size and the keep/drop verdict
-    (canonical survivor = min id)."""
-    comps = connected_components(pairs, id_a, id_b)
+    (canonical survivor = min id). ``algorithm``: ``"label"`` =
+    min-label fixpoint (O(diameter) rounds — right for dedup's tiny
+    clusters), ``"star"`` = large/small-star contraction (O(log² n)
+    rounds on any topology). Identical output either way."""
+    if algorithm == "label":
+        comps = connected_components(pairs, id_a, id_b)
+    elif algorithm == "star":
+        comps = connected_components_star(pairs, id_a, id_b)
+    else:
+        raise ValueError(f"unknown components algorithm: {algorithm!r}")
     w_size = F.count("*").over(Window.partitionBy("component_id"))
     return comps.select(
         "id",

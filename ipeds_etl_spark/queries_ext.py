@@ -312,6 +312,29 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
 
 
+def _register_components_star():
+    """Same cluster resolution through the star-contraction algorithm,
+    against the SAME recursive-CTE oracle: the physical algorithm
+    changes (O(log² n) contraction vs O(diameter) propagation), the
+    labeling it must produce does not — the driver gate proves the
+    two interchangeable, mirroring the window-vs-max_by dual forms of
+    ``latest_per_key``."""
+    from ipeds_etl_spark.queries import ORACLE_SQL
+
+    @_register("dedup_components_star", ORACLE_SQL["dedup_components"])
+    def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ipeds_etl_spark.operators.components import dedup_clusters
+
+        d = load_table(spark, sf_dir, "documents")
+        pairs = DD.lsh_candidate_pairs(d, "text", "doc_id")
+        return dedup_clusters(pairs, algorithm="star").withColumnRenamed(
+            "id", "doc_id"
+        )
+
+
+_register_components_star()
+
+
 @_register(
     "dedup_simhash",
     f"""
