@@ -174,9 +174,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
+        # one symmetric-difference probe job per round, not two
         if (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+            == 0
         ):
             converged = True
             edges = new_edges
