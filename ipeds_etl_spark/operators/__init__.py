@@ -1,7 +1,11 @@
 """Operator layer: merge, dedup, similarity, skew, bucketing, multimodal."""
 
 from ipeds_etl_spark.operators.bucketing import write_bucketed
-from ipeds_etl_spark.operators.components import connected_components, dedup_clusters
+from ipeds_etl_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+    dedup_clusters,
+)
 from ipeds_etl_spark.operators.interval import interval_bucket_join
 from ipeds_etl_spark.operators.dedup import (
     exact_dedup,
@@ -48,6 +52,7 @@ __all__ = [
     "brute_force_topk",
     "commit_overwrite_partitions",
     "connected_components",
+    "connected_components_star",
     "cosine",
     "dedup_clusters",
     "hash_sample",
