@@ -36,6 +36,7 @@ from ipeds_etl_spark.operators.multimodal import (
 )
 from ipeds_etl_spark.operators.similarity import (
     brute_force_topk,
+    build_ivf_centroids,
     cosine,
     embedding_near_dups,
     ivf_topk,
@@ -63,6 +64,7 @@ __all__ = [
     "exact_dedup",
     "extract_features",
     "ivf_topk",
+    "build_ivf_centroids",
     "lsh_candidate_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
