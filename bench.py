@@ -78,6 +78,8 @@ HEADLINE = [
     "docs_token_diversity",
     "events_value_histogram",
     "dedup_components_star",
+    "dedup_graph_stats",
+    "events_type_transitions",
 ]
 
 

@@ -200,6 +200,54 @@ def connected_components_star(
     ).select("id", F.coalesce("root", F.col("id")).alias("component_id"))
 
 
+def graph_stats(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Single-row profile of a candidate-pair graph: node/edge counts,
+    max degree, and the exact triangle count — the shape sanity-check
+    you run on a dedup pair graph before trusting its clusters (a
+    triangle-dense blob means the LSH band width is admitting a
+    near-clique of boilerplate).
+
+    Triangles use the standard oriented two-join formulation (count
+    each triangle once as a < b < c): wedges from e(a,b) ⋈ e(b,c),
+    closed by e(a,c). Both are equi-joins that shuffle on a node id —
+    the MapReduce-canonical algorithm. At web scale the orientation
+    should be by DEGREE rank rather than raw id so a low-id hub cannot
+    concentrate wedges in one task; id orientation is kept here
+    because dedup pair graphs have bounded degree by construction
+    (hot buckets are rank-capped upstream).
+
+    The four statistics are single-row aggregates combined with 1-row
+    cross joins (no driver collect)."""
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("u"))
+        .unionByName(e.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = e.select(F.col("a").alias("x"), F.col("b").alias("y")).join(
+        e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    return (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+        )
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -2361,3 +2361,104 @@ def q_docs_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.col("n") * F.col("n")).cast("double") / (n_tok * n_tok)
         ).alias("simpson_index"),
     )
+
+
+# ===========================================================================
+# Graph profile of the dedup pair graph; event-sequence transitions
+# ===========================================================================
+def _register_graph_stats():
+    from ipeds_etl_spark.operators.dedup import N_PERMS, ROWS_PER_BAND
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(N_PERMS // ROWS_PER_BAND)
+    )
+
+    @_register(
+        "dedup_graph_stats",
+        f"""
+        WITH {_minhash_sig_sql()},
+        bands AS ({bands_union}),
+        e AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+        deg AS (SELECT u, count(*) AS d
+                FROM (SELECT a AS u FROM e UNION ALL SELECT b FROM e)
+                GROUP BY u)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM e e1 JOIN e e2 ON e1.b = e2.a
+                          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+                 AS n_triangles
+        """,
+    )
+    def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Shape profile of the MinHash-LSH candidate graph (nodes,
+        edges, max degree, exact triangles): the pre-clustering sanity
+        check that catches boilerplate near-cliques before they become
+        one giant dedup cluster."""
+        from ipeds_etl_spark.operators.components import graph_stats
+
+        d = load_table(spark, sf_dir, "documents")
+        pairs = DD.lsh_candidate_pairs(d, "text", "doc_id")
+        return graph_stats(pairs)
+
+
+_register_graph_stats()
+
+
+@_register(
+    "events_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY prev_type)
+             AS p_transition
+    FROM c
+    """,
+)
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov view of
+    user behavior): per-user event sequences ordered by (ts, event_id)
+    — fully deterministic under ties — lagged one step, transition
+    pairs counted, and row-normalized into probabilities.
+
+    Scale shape: the lag window and a (prev,next) hash agg — the
+    window shuffles on user_id once, the agg output is O(types²)
+    regardless of corpus size, and the normalizing window runs over
+    those O(types²) rows. Probabilities are one IEEE division of
+    exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_norm)
+        ).alias("p_transition"),
+    )

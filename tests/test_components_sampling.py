@@ -167,3 +167,18 @@ def test_star_contraction_handles_chain_beyond_label_budget(spark):
     out = connected_components_star(chain).collect()
     assert len(out) == 301
     assert {r["component_id"] for r in out} == {0}
+
+
+def test_graph_stats_on_known_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles... C(4,3)=4) plus a pendant edge
+    and a disconnected pair: every statistic is hand-checkable."""
+    from ipeds_etl_spark.operators.components import graph_stats
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (10, 11), (2, 1)]  # dup reversed edge collapses
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    r = graph_stats(df).collect()[0]
+    assert r["n_nodes"] == 7
+    assert r["n_edges"] == 8          # 6 in K4 + pendant + island pair
+    assert r["max_degree"] == 4       # node 4: three K4 edges + pendant
+    assert r["n_triangles"] == 4      # C(4,3) in K4
