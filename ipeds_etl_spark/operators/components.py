@@ -220,11 +220,17 @@ def graph_stats(
 
     The four statistics are single-row aggregates combined with 1-row
     cross joins (no driver collect)."""
+    # materialize the edge list once: it feeds FIVE branches (degree,
+    # edge count, both wedge sides, closure), and without truncation
+    # each branch re-executes the entire upstream candidate pipeline —
+    # five corpus scans at 100 TB. The edge list itself is the small
+    # artifact (pairs, not documents).
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("u"))
