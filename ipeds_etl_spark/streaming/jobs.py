@@ -86,6 +86,39 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
 
 
+def value_histogram_stream(
+    events: DataFrame,
+    bin_width: float = 25.0,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed fixed-width value histogram — the incremental twin of
+    ``events_value_histogram``. Binning stays the same pure map
+    (floor of one IEEE division), so stream and batch agree exactly on
+    (window, bin) counts; the batch query's exact distinct-user column
+    is intentionally absent here — exact distinct is not incrementally
+    maintainable in append mode, and a production stream would carry
+    ``approx_count_distinct`` instead (excluded so the twin check
+    stays exact). State is O(windows-in-horizon × bins): bins are
+    bounded by the value range, making this safe on an unbounded
+    stream."""
+    bin_ = F.floor(F.col("value") / bin_width)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            bin_.cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "bin",
+            (F.col("bin") * bin_width).cast("double").alias("bin_lo"),
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

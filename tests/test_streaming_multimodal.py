@@ -360,3 +360,30 @@ def test_funnel_stream_out_of_order_chaining(spark, tmp_path):
 
     assert got[1] == (ms(10, 0), ms(10, 30), ms(10, 45))
     assert got[2] == (ms(11, 0), None, None)
+
+
+def test_value_histogram_stream_matches_batch(spark, stream_dir):
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    jobs.run_to_memory(jobs.value_histogram_stream(stream), "hist_stream")
+    got = {
+        (r["window_start"], r["bin"]): (r["bin_lo"], r["n_events"])
+        for r in spark.sql("SELECT * FROM hist_stream").collect()
+    }
+    batch = {
+        (r["window_start"], r["bin"]): (r["bin_lo"], r["n_events"])
+        for r in jobs.value_histogram_stream(
+            spark.read.parquet(stream_dir)
+        ).collect()
+    }
+    # append-mode emission: every emitted (window, bin) matches batch
+    # exactly; all windows finalized before the last watermark emitted
+    assert len(got) > 0
+    assert set(got).issubset(set(batch))
+    assert all(batch[k] == v for k, v in got.items())
+    from datetime import timedelta
+
+    max_ts = spark.read.parquet(stream_dir).agg(F.max("ts")).first()[0]
+    horizon = max_ts - timedelta(hours=2)
+    finalized = {k for k in batch if k[0] + timedelta(hours=1) < horizon}
+    assert finalized.issubset(set(got))
