@@ -5,6 +5,7 @@ from ipeds_etl_spark.operators.components import (
     connected_components,
     connected_components_star,
     dedup_clusters,
+    graph_stats,
 )
 from ipeds_etl_spark.operators.interval import interval_bucket_join
 from ipeds_etl_spark.operators.dedup import (
@@ -54,6 +55,7 @@ __all__ = [
     "commit_overwrite_partitions",
     "connected_components",
     "connected_components_star",
+    "graph_stats",
     "cosine",
     "dedup_clusters",
     "hash_sample",
