@@ -264,7 +264,11 @@ def dedup_clusters(
     (canonical survivor = min id). ``algorithm``: ``"label"`` =
     min-label fixpoint (O(diameter) rounds — right for dedup's tiny
     clusters), ``"star"`` = large/small-star contraction (O(log² n)
-    rounds on any topology). Identical output either way."""
+    rounds on any topology). Identical output on self-loop-free edge
+    lists (all LSH candidate feeds: pairs come out ``a < b``); a node
+    appearing ONLY in self-pairs is a singleton under ``label`` but
+    dropped by ``star``, which filters ``u != v`` before building its
+    node set."""
     if algorithm == "label":
         comps = connected_components(pairs, id_a, id_b)
     elif algorithm == "star":

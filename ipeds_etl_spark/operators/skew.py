@@ -101,12 +101,23 @@ def salted_join(
     return out.drop("__salt")
 
 
+#: Memoized probe verdicts keyed by caller-supplied identity (e.g.
+#: ``(sf_dir, table, column)``). The probe is one cheap sampled job,
+#: but it is a JOB — re-paying it on every query build against the
+#: same immutable corpus is pure overhead. Callers own the key: pass
+#: one only when the probed frame is stable for the key's lifetime
+#: (benchmark dirs are immutable; a mutable table should key on its
+#: txn/manifest version instead — same contract as _IVF_CODEBOOKS).
+_SKEW_VERDICTS: dict[tuple, dict] = {}
+
+
 def detect_skew(
     df: DataFrame,
     keys: Sequence[str],
     sample_fraction: float = 0.01,
     hot_key_share: float = 0.2,
     min_sample_rows: int = 10_000,
+    cache_key: tuple | None = None,
 ) -> dict:
     """Measure key skew from a cheap Bernoulli sample: one small job,
     returns the hottest key's share of sampled rows and a salt
@@ -117,7 +128,16 @@ def detect_skew(
     key (by definition a large fraction of rows) is reliably visible
     in any sample big enough (``min_sample_rows`` guards tiny inputs
     by lifting the fraction). Sampling is seeded for reproducibility.
+
+    ``cache_key``: memoize the verdict per probed-frame identity so
+    repeated plan builds against the same immutable data pay the probe
+    job once per session (see ``_SKEW_VERDICTS``).
     """
+    if cache_key is not None:
+        full_key = (cache_key, tuple(keys), sample_fraction, hot_key_share)
+        cached = _SKEW_VERDICTS.get(full_key)
+        if cached is not None:
+            return cached
     sampled = df.select(*keys).sample(fraction=sample_fraction, seed=42)
     counts = sampled.groupBy(*keys).count()
     top = counts.orderBy(F.col("count").desc()).limit(1).collect()
@@ -128,7 +148,7 @@ def detect_skew(
         top = counts.orderBy(F.col("count").desc()).limit(1).collect()
         total = sampled.count()
     share = (top[0]["count"] / total) if top and total else 0.0
-    return {
+    stats = {
         "sampled_rows": total,
         "hot_key": {k: top[0][k] for k in keys} if top else None,
         "hot_key_share": share,
@@ -136,6 +156,9 @@ def detect_skew(
         # spread the hot key over enough reducers to look like the median
         "recommended_salts": max(2, min(64, int(share * 100))) if share >= hot_key_share else 1,
     }
+    if cache_key is not None:
+        _SKEW_VERDICTS[full_key] = stats
+    return stats
 
 
 def agg_with_skew_guard(
@@ -145,6 +168,7 @@ def agg_with_skew_guard(
     sample_fraction: float = 0.01,
     hot_key_share: float = 0.2,
     detect_on: DataFrame | None = None,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Stats-driven aggregation: measure skew on a sample, then plan
     either the plain one-shuffle groupBy (no hot key — salting would
@@ -155,9 +179,13 @@ def agg_with_skew_guard(
     ``detect_on`` points the skew probe at a CHEAPER frame with the
     same keys (e.g. the raw column-pruned table scan) when ``df``
     itself sits atop an expensive pipeline — probing ``df`` would
-    execute that whole upstream once just to pick a plan."""
+    execute that whole upstream once just to pick a plan.
+
+    ``cache_key`` memoizes the probe verdict per probed-frame identity
+    (see ``detect_skew``) so rebuilding the same query doesn't pay a
+    probe job per build."""
     stats = detect_skew(detect_on if detect_on is not None else df, keys,
-                        sample_fraction, hot_key_share)
+                        sample_fraction, hot_key_share, cache_key=cache_key)
     if stats["skewed"]:
         return salted_agg(df, keys, aggs, n_salts=stats["recommended_salts"])
     p1_specs = {}

@@ -113,8 +113,10 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring signals per document — pure codegen expressions,
-    no shuffle at all (a map-only 100 TB pass)."""
+    """Quality scoring signals per document — pure codegen expressions.
+    Map-only compute; the only exchange is ``_docs``'s conditional
+    scan-widening round-robin (degenerate single-row-group scans only —
+    a no-op on a real cluster where the scan is already wide)."""
     d = _docs(spark, sf_dir).select(
         "doc_id", "text", TX.tokens(F.col("text")).alias("toks")
     )
@@ -1801,7 +1803,9 @@ def q_events_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sessionize_user_stats(e: DataFrame, hot_key_share: float = 0.2) -> DataFrame:
+def sessionize_user_stats(
+    e: DataFrame, hot_key_share: float = 0.2, probe_cache_key: tuple | None = None
+) -> DataFrame:
     """Sessionize ``events`` (30-minute inactivity gap; lag + running
     sum) and aggregate per-user session stats, with the final groupBy
     planned by ``agg_with_skew_guard``: a sampled probe of the raw
@@ -1809,7 +1813,8 @@ def sessionize_user_stats(e: DataFrame, hot_key_share: float = 0.2) -> DataFrame
     run the whole upstream twice) decides between the plain one-shuffle
     agg and the two-phase salted form. Results are identical either
     way; under a planted hot user the plan switches to the salted shape
-    (pinned in ``tests/test_skew.py``)."""
+    (pinned in ``tests/test_skew.py``). ``probe_cache_key`` memoizes
+    the probe verdict for immutable inputs (benchmark dirs)."""
     from ipeds_etl_spark.operators.skew import agg_with_skew_guard
 
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1839,6 +1844,7 @@ def sessionize_user_stats(e: DataFrame, hot_key_share: float = 0.2) -> DataFrame
         },
         hot_key_share=hot_key_share,
         detect_on=e.select("user_id"),
+        cache_key=probe_cache_key,
     )
     return out.select("user_id", "n_sessions", "n_events", "max_session_events")
 
@@ -1875,8 +1881,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap (lag + running
     sum — the deterministic batch formulation; the streaming module
     uses ``session_window`` for the incremental case). The per-user
-    stats agg is skew-guarded — see ``sessionize_user_stats``."""
-    return sessionize_user_stats(load_table(spark, sf_dir, "events"))
+    stats agg is skew-guarded — see ``sessionize_user_stats``. The
+    probe verdict is memoized per sf_dir (immutable benchmark data, so
+    the verdict can't go stale; a mutable table would key on its txn
+    version)."""
+    return sessionize_user_stats(
+        load_table(spark, sf_dir, "events"),
+        probe_cache_key=(sf_dir, "events", "user_id"),
+    )
 
 
 # ===========================================================================
@@ -2195,11 +2207,18 @@ def q_docs_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.size("sbg")
     # 1-based positions where a new distinct bigram starts, plus the
     # one-past-the-end sentinel: max adjacent gap = top bigram count.
+    # greatest(i-1, 1) keeps element_at's index ≥ 1 structurally: at
+    # i == 1 the left disjunct already keeps the position, and sbg[1]
+    # != sbg[1] is false, so the value is unchanged — but no evaluation
+    # order can ever see index 0 (INVALID_INDEX_OF_ZERO under ANSI)
     bounds = F.concat(
         F.filter(
             F.sequence(F.lit(1), nb),
             lambda i: (i == 1)
-            | (F.element_at(F.col("sbg"), i) != F.element_at(F.col("sbg"), i - 1)),
+            | (
+                F.element_at(F.col("sbg"), i)
+                != F.element_at(F.col("sbg"), F.greatest(i - 1, F.lit(1)))
+            ),
         ),
         F.array(nb + 1),
     )
