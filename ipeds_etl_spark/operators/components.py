@@ -32,6 +32,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
@@ -68,7 +69,9 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -99,6 +102,8 @@ def connected_components(
             "(graph diameter exceeds max_iters) — labels would be silently "
             "wrong; raise max_iters or use a star-contraction variant"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("id", F.col("comp").alias("component_id"))
 
 
@@ -107,6 +112,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Components via alternating large-star/small-star contraction
     (Kiveris et al. 2014) — the big-diameter escape hatch.
@@ -150,7 +156,9 @@ def connected_components_star(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # large-star: undirected neighborhoods, larger neighbors rewire
         nbrs = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -192,6 +200,8 @@ def connected_components_star(
             "rounds — O(log² n) bound exceeded, which indicates a bug or an "
             "adversarial id space, not a diameter problem"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # at the fixpoint every edge is (node → component root)
     return nodes.join(
         edges.select(F.col("u").alias("id"), F.col("v").alias("root")),
