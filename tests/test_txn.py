@@ -349,6 +349,70 @@ def test_txn_four_racing_upserts_all_survive(spark, tmp_path):
         assert fsutil.path_exists(spark, f"{path}/{gen}")
 
 
+def test_txn_writer_hammer_threads_by_partitions(spark, tmp_path):
+    """N-writer hammer across OVERLAPPING partition sets: 6 threads × 2
+    sequential commits each, every commit touching two of three shared
+    partitions — so version races AND data-level partition conflicts
+    both fire repeatedly. Invariants, whatever the interleaving:
+
+    * no lost rows — every writer's every PK is in the final table with
+      the value of that writer's LAST commit (second commit overwrites
+      the first: re-merge must preserve write order per writer);
+    * pre-existing rows in an untouched partition survive;
+    * versions are MONOTONE AND GAPLESS: 12 commits + 1 seed = exactly
+      v1..v13, each claimed by exactly one successful commit (the
+      rename-at-next_v protocol admits no skips and no reuse);
+    * per writer, the second commit's version > the first's;
+    * every generation the final manifest references exists on disk.
+    """
+    import threading
+
+    path = str(tmp_path / "t")
+    seed = txn.upsert_into_txn_table(spark, path, _table(spark, OLD), ["id", "year"])
+    assert seed == "v00000001.json"
+
+    n_writers, n_commits = 6, 2
+    part_pool = [2010, 2011, 2013]
+    versions: dict[tuple[int, int], str] = {}
+    errs: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            for c in range(n_commits):
+                # two partitions per commit, rotating so neighbors overlap
+                ps = (part_pool[i % 3], part_pool[(i + 1) % 3])
+                rows = [(1000 + i * 10 + k, p, f"w{i}c{c}") for k, p in enumerate(ps)]
+                versions[(i, c)] = txn.upsert_into_txn_table(
+                    spark, path, _table(spark, rows), ["id", "year"]
+                )
+        except Exception as exc:  # noqa: BLE001 — surface in main thread
+            errs.append(exc)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    rows = _rows(txn.read_table(spark, path))
+    for i in range(n_writers):
+        ps = (part_pool[i % 3], part_pool[(i + 1) % 3])
+        for k, p in enumerate(ps):
+            assert (1000 + i * 10 + k, p, f"w{i}c{n_commits - 1}") in rows, (i, k, p)
+    assert (4, 2012, "old") in rows  # untouched partition intact
+
+    claimed = sorted(versions.values())
+    n_total = n_writers * n_commits + 1
+    assert claimed == [f"v{v:08d}.json" for v in range(2, n_total + 1)]
+    for i in range(n_writers):
+        assert versions[(i, 1)] > versions[(i, 0)]
+
+    manifest = txn.read_manifest(spark, path)
+    for gen in set(manifest.values()):
+        assert fsutil.path_exists(spark, f"{path}/{gen}")
+
+
 def test_vacuum_retention_keep_last(spark, tmp_path):
     """Retention policy: keep_last=N manifests survive vacuum (time
     travel works for exactly those); older versions raise; keep_last<1
