@@ -87,10 +87,45 @@ def attach_payload(
     return out
 
 
+def _real_image_decoder():
+    """The real-codec hook: returns a ``(payload) -> raw RGB bytes``
+    callable backed by Pillow when it is importable, else ``None``.
+    Import is attempted lazily per call site (executors import
+    independently; no module-level hard dependency), so the same wheel
+    runs both in this codec-less container and on a cluster image with
+    Pillow installed."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+
+    def decode(payload: bytes) -> bytes:
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.convert("RGB").tobytes()
+
+    return decode
+
+
+#: formats produced by attach_payload's synthetic path — always decoded
+#: by the stub (they are not real media containers)
+_STUB_FORMATS = frozenset({"synthetic/utf8"})
+
+
 def decode_media(payload: bytes, media_format: str, allow_stub: bool = False) -> bytes:
-    """Decode one media payload. Real decoders (PIL / ffmpeg / torchaudio)
-    are not installed in this container; with ``allow_stub`` a
-    deterministic fake returns the raw bytes unchanged."""
+    """Decode one media payload to raw bytes.
+
+    Resolution order: a REAL codec when one is importable (currently
+    Pillow for image containers — covered by a skip-marked test that
+    runs wherever Pillow exists), else the deterministic stub when
+    ``allow_stub=True`` (raw bytes unchanged), else
+    ``NotImplementedError``. Synthetic payloads (``synthetic/utf8``)
+    never route to a real codec — they are not media containers."""
+    if media_format not in _STUB_FORMATS:
+        real = _real_image_decoder()
+        if real is not None:
+            return real(payload)
     if not allow_stub:
         raise NotImplementedError(
             "media decoding requires PIL/ffmpeg/torchaudio, not available here; "

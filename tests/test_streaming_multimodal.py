@@ -117,9 +117,38 @@ def test_stateful_running_totals_matches_batch(spark, stream_dir):
 
 
 def test_decode_media_is_gated():
+    """Without a real codec installed, non-stub decode raises; the stub
+    path returns bytes unchanged. Synthetic payloads never route to a
+    real codec even where one exists."""
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image/png")
+        assert decode_media(b"abc", "image/png", allow_stub=True) == b"abc"
+    assert decode_media(b"abc", "synthetic/utf8", allow_stub=True) == b"abc"
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
-    assert decode_media(b"abc", "image/png", allow_stub=True) == b"abc"
+        decode_media(b"abc", "synthetic/utf8")
+
+
+def test_decode_media_real_codec_when_available():
+    """Runs wherever Pillow exists (skips in this codec-less container):
+    a real 2x1 PNG decodes to its raw RGB bytes through the same
+    decode_media entry point the stub gates."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = PIL_Image.new("RGB", (2, 1))
+    im.putpixel((0, 0), (255, 0, 0))
+    im.putpixel((1, 0), (0, 255, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    raw = decode_media(buf.getvalue(), "image/png")
+    assert raw == bytes([255, 0, 0, 0, 255, 0])
 
 
 def test_multimodal_feature_extraction(spark):
