@@ -76,11 +76,15 @@ _NAN_RE = r"(?i)^[+-]?nan$"
 #: contains none of them.
 
 
+#: leading/trailing whitespace — shared by the Column and SQL forms
+_WS_EDGE_RE = r"^\s+|\s+$"
+
+
 def _strip(c: Column) -> Column:
     """Strip leading/trailing ASCII whitespace — Python ``str.strip``
     parity (``F.trim`` removes spaces only, so tab/newline-padded
     values would leak through the sentinel and regex checks)."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.regexp_replace(c, _WS_EDGE_RE, "")
 
 
 def is_missing(col: Column) -> Column:
@@ -146,6 +150,84 @@ def coalesce_pick(*cols: Column) -> Column:
     if not cols:
         raise ValueError("coalesce_pick requires at least one candidate column")
     return F.coalesce(*[clean_sentinels(c) for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# SQL-string twins of the scalar builders above.
+#
+# Why both forms exist: the Column builders cost one Py4J round trip
+# PER METHOD CALL at plan-build time. That is invisible for a handful
+# of columns but dominated the 102-column generated mapper select —
+# ~5s of driver time per build before a single task ran. The twins
+# render the SAME expression trees as SQL text from the same regex/
+# sentinel constants; a generated select then goes through ONE
+# ``selectExpr`` call and is parsed JVM-side in milliseconds. Parity
+# between the two forms is pinned by test (same input → identical
+# rows) and by the registry_mapper oracle row.
+# ---------------------------------------------------------------------------
+
+
+def sql_lit(s: str) -> str:
+    """Render a Python string as a Spark SQL string literal (default
+    parser: backslash IS an escape character, so double it)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+_SENTINEL_LIST_SQL = ", ".join(sql_lit(s) for s in SENTINEL_STRINGS)
+
+
+def strip_sql(x: str) -> str:
+    """SQL twin of ``_strip``."""
+    return f"regexp_replace({x}, {sql_lit(_WS_EDGE_RE)}, '')"
+
+
+def is_missing_sql(x: str) -> str:
+    """SQL twin of ``is_missing``."""
+    s = strip_sql(f"CAST({x} AS STRING)")
+    return f"({x} IS NULL OR {s} = '' OR {s} IN ({_SENTINEL_LIST_SQL}))"
+
+
+def clean_sentinels_sql(x: str) -> str:
+    """SQL twin of ``clean_sentinels``."""
+    return f"(CASE WHEN {is_missing_sql(x)} THEN NULL ELSE {x} END)"
+
+
+def coalesce_pick_sql(*xs: str) -> str:
+    """SQL twin of ``coalesce_pick``."""
+    if not xs:
+        raise ValueError("coalesce_pick_sql requires at least one candidate")
+    return f"coalesce({', '.join(clean_sentinels_sql(x) for x in xs)})"
+
+
+def _stripped_clean_sql(x: str) -> str:
+    return strip_sql(f"CAST({clean_sentinels_sql(x)} AS STRING)")
+
+
+def safe_int_sql(x: str) -> str:
+    """SQL twin of ``safe_int``."""
+    s = _stripped_clean_sql(x)
+    return f"try_cast(CASE WHEN {s} RLIKE {sql_lit(_INT_RE)} THEN {s} END AS INT)"
+
+
+def safe_long_sql(x: str) -> str:
+    """SQL twin of ``safe_long``."""
+    s = _stripped_clean_sql(x)
+    return f"try_cast(CASE WHEN {s} RLIKE {sql_lit(_INT_RE)} THEN {s} END AS BIGINT)"
+
+
+def safe_double_sql(x: str) -> str:
+    """SQL twin of ``safe_double``."""
+    s = _stripped_clean_sql(x)
+    return (
+        f"(CASE WHEN {s} RLIKE {sql_lit(_NAN_RE)} THEN CAST('NaN' AS DOUBLE) "
+        f"WHEN {s} RLIKE {sql_lit(_DBL_RE)} THEN try_cast({s} AS DOUBLE) "
+        f"ELSE CAST(NULL AS DOUBLE) END)"
+    )
+
+
+def safe_str_sql(x: str) -> str:
+    """SQL twin of ``safe_str``."""
+    return clean_sentinels_sql(strip_sql(f"CAST({x} AS STRING)"))
 
 
 def canonical_json(*cols: Column | str, names: list[str] | None = None) -> Column:

@@ -37,9 +37,15 @@ def map_records(endpoint: str, records: DataFrame, rec_col: str = "rec") -> Data
     every registry field becomes safe_cast(coalesce_pick(candidates)),
     with ``year`` backfilled from the page when the record lacks it.
     """
-    getter = lambda name: F.col(rec_col).getItem(name)  # noqa: E731
-    cols = registry.mapper_columns(endpoint, getter=getter)
-    out = records.select(*cols, F.col("page_year"))
+    # SQL-text form: ONE selectExpr gateway call instead of ~thousands
+    # of Py4J Column calls for a 100+-field contract (see
+    # registry.mapper_select_exprs — ~5s/plan-build saved)
+    from ipeds_etl_spark.functions.cleaning import sql_lit
+
+    exprs = registry.mapper_select_exprs(
+        endpoint, getter_sql=lambda name: f"{rec_col}[{sql_lit(name)}]"
+    )
+    out = records.selectExpr(*exprs, "page_year")
     return out.withColumn("year", F.coalesce(F.col("year"), F.col("page_year"))).drop(
         "page_year"
     )

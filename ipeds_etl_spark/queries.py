@@ -553,11 +553,15 @@ def q_registry_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 4 == 0, "-1").when(k % 4 == 1, "abc").otherwise(F.col("c_nationkey").cast("string")),
         F.lit("latitude"), F.col("c_acctbal").cast("string"),
     )
+    from ipeds_etl_spark.functions.cleaning import sql_lit
+
     recs = c.select(rec.alias("rec"))
-    cols = registry.mapper_columns(
-        "directory", getter=lambda name: F.col("rec").getItem(name)
+    # SQL-text mapper: one selectExpr call for the 102-col generated
+    # contract (the Column form cost ~5s of Py4J per plan build)
+    exprs = registry.mapper_select_exprs(
+        "directory", getter_sql=lambda name: f"rec[{sql_lit(name)}]"
     )
-    return recs.select(*cols).select(
+    return recs.selectExpr(*exprs).select(
         "unitid", "year", "inst_name", "state_abbr", "sector", "latitude"
     )
 

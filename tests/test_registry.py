@@ -55,3 +55,35 @@ def test_drift_report():
     assert "mystery_col" in rep["unknown_incoming"]
     assert "latitude" in rep["missing_candidates"]
     assert "inst_name" not in rep["missing_candidates"]
+
+
+def test_mapper_sql_form_matches_column_form(spark):
+    """The selectExpr (SQL-text) mapper and the Column-builder mapper
+    must produce identical schemas AND identical rows — the SQL form
+    exists only to kill per-column Py4J build cost, never to change
+    semantics. Exercises sentinels, alias fallback, whitespace strip,
+    malformed ints/floats, and absent candidates."""
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.functions.cleaning import sql_lit
+
+    rows = [
+        {"unitid": "101", "year": "2020", "instnm": "  A  ", "stabbr": "CA",
+         "sector": "-1", "latitude": "12.5"},
+        {"unitid": " 102 ", "year": "2020", "inst_name": "-2", "instnm": "Fallback U",
+         "sector": "abc", "latitude": "-nan"},
+        {"unitid": "103", "year": "2020", "instnm": "", "stabbr": " NY\t",
+         "sector": "7", "latitude": "1e3"},
+        {"unitid": "104", "year": "2020", "instnm": "D", "sector": "12.5",
+         "latitude": "0x1p3"},
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "rec map<string,string>")
+    col_form = df.select(
+        *registry.mapper_columns("directory", getter=lambda n: F.col("rec").getItem(n))
+    )
+    sql_form = df.selectExpr(
+        *registry.mapper_select_exprs("directory", getter_sql=lambda n: f"rec[{sql_lit(n)}]")
+    )
+    assert col_form.schema == sql_form.schema
+    assert col_form.exceptAll(sql_form).count() == 0
+    assert sql_form.exceptAll(col_form).count() == 0
