@@ -363,7 +363,9 @@ _register_components_star()
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (40-bit fingerprint, Hamming ≤ 3,
-    pigeonhole block join)."""
+    pigeonhole block join). Narrow scan on purpose: A/B-measured both
+    ways twice (r2 and r4) — the widening exchange loses to the
+    map-side partial agg pipeline here (1.52 vs 1.78s at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
     return DD.simhash_near_pairs(d, "text", "doc_id")
 
