@@ -507,21 +507,36 @@ def _docs(spark: SparkSession, sf_dir: str):
     )
 
 
-#: Memoized IVF codebooks keyed by (sf_dir, n_centroids, n_iters).
+#: Memoized IVF codebooks keyed by (corpus FINGERPRINT, geometry).
 #: IVF is build-once-query-many (FAISS train/add vs search): the
 #: codebook is a deterministic pure function of the corpus files and
 #: the geometry, so every query against the same corpus version shares
 #: one index build instead of re-running seed + Lloyd refinement. The
-#: benchmark data under an sf_dir is immutable; a pipeline over mutable
-#: tables would key on the table VERSION (e.g. the txn manifest
-#: version) instead of the path.
-_IVF_CODEBOOKS: dict[tuple[str, int, int], list] = {}
+#: key carries the source file's (mtime_ns, size), so regenerating data
+#: under the same path misses the cache instead of serving a stale
+#: codebook (which would silently change bucketing); a pipeline over
+#: mutable txn tables would key on the manifest version the same way.
+#: TIMING DISCLOSURE: per-query bench numbers for the IVF queries are
+#: search-only — the index build is paid once per corpus version and
+#: amortized across the suite (noted in SCALE.md).
+_IVF_CODEBOOKS: dict[tuple, list] = {}
+
+
+def _corpus_fingerprint(sf_dir: str, name: str) -> tuple:
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local store: fall back to path identity
+        return (path,)
 
 
 def _ivf_codebook(
     spark: SparkSession, sf_dir: str, n_centroids: int = 8, n_iters: int = 2
 ) -> list:
-    key = (sf_dir, n_centroids, n_iters)
+    key = (_corpus_fingerprint(sf_dir, "embeddings"), n_centroids, n_iters)
     if key not in _IVF_CODEBOOKS:
         e = load_table(spark, sf_dir, "embeddings")
         _IVF_CODEBOOKS[key] = SIM.build_ivf_centroids(

@@ -93,3 +93,45 @@ def test_safe_cast_parity_with_reference_semantics(spark, values):
         else:
             assert row["d"] == exp, f"safe_double({v!r}): {row['d']} != {exp}"
         assert row["t"] == model_str(v), f"safe_str({v!r}): {row['t']} != {model_str(v)}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(adversarial, min_size=1, max_size=40))
+def test_sql_twins_match_column_forms(spark, values):
+    """The SQL-string twins must be row-identical to the Column
+    builders on the same adversarial corpus — the twins exist only to
+    kill Py4J build cost; any drift (regex escaping through the SQL
+    parser is the risk) is a bug. NaN compares by both-NaN."""
+    from ipeds_etl_spark.functions.cleaning import (
+        safe_double_sql,
+        safe_int_sql,
+        safe_long,
+        safe_long_sql,
+        safe_str_sql,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    col_form = df.select(
+        safe_int(F.col("s")).alias("i"),
+        safe_long(F.col("s")).alias("l"),
+        safe_double(F.col("s")).alias("d"),
+        safe_str(F.col("s")).alias("t"),
+    ).collect()
+    sql_form = df.selectExpr(
+        f"{safe_int_sql('s')} AS i",
+        f"{safe_long_sql('s')} AS l",
+        f"{safe_double_sql('s')} AS d",
+        f"{safe_str_sql('s')} AS t",
+    ).collect()
+    for a, b, v in zip(col_form, sql_form, values):
+        assert a["i"] == b["i"], f"int({v!r}): {a['i']} != {b['i']}"
+        assert a["l"] == b["l"], f"long({v!r}): {a['l']} != {b['l']}"
+        if a["d"] is None or b["d"] is None or math.isnan(a["d"]) or math.isnan(b["d"]):
+            same = (a["d"] is None and b["d"] is None) or (
+                a["d"] is not None and b["d"] is not None
+                and math.isnan(a["d"]) and math.isnan(b["d"])
+            )
+            assert same, f"double({v!r}): {a['d']} != {b['d']}"
+        else:
+            assert a["d"] == b["d"], f"double({v!r}): {a['d']} != {b['d']}"
+        assert a["t"] == b["t"], f"str({v!r}): {a['t']} != {b['t']}"
