@@ -1,24 +1,28 @@
 #!/usr/bin/env python
-"""Scale smoke for the ROUND-MULTIPLIED operators (VERDICT r3 item 3).
+"""Scale smoke at sf1-equivalent data (10x sf0.1) — VERDICT r3 item 3+.
 
-`dedup_components`, `dedup_components_star`, and `dedup_graph_stats`
-are the only queries whose cost is multiplied by an iteration count, so
-they are the ones where "fast at sf0.1" could hide "slow at sf1": if
-the ROUND COUNT grew with corpus size, total cost would be
-O(rounds × corpus) and the sf0.1 bench would extrapolate wrong.
+Two sections:
 
-This harness materializes an sf1-scale documents corpus (10× sf0.1) by
-replicating the sf0.1 corpus with per-replica id offsets and a
-per-replica text prefix. The prefix keeps replicas from colliding into
-10×-hot LSH buckets, so the candidate-pair graph is ~10 disjoint copies
-of the sf0.1 graph — exactly the shape a 10× real corpus with the same
-duplication rate would have. Cluster DIAMETER (what label-propagation
-rounds follow) and the star O(log² n) bound are both corpus-size-free
-for this graph family, so the expectation is: same rounds, ~linear
-time. The smoke measures both and fails loudly if rounds grew.
+* ``iterative`` — the ROUND-MULTIPLIED operators (components label/star,
+  graph_stats). These are the ones where "fast at sf0.1" could hide
+  "slow at sf1": if the ROUND COUNT grew with corpus size, total cost
+  would be O(rounds x corpus) and the sf0.1 bench would extrapolate
+  wrong. Measures rounds explicitly and fails loudly if they grow.
+* ``sweep`` — the heavy one-pass families (minhash, simhash, text
+  stats, tfidf, decontaminate, IVF/RP-LSH ANN) run through their
+  REGISTERED query builders against a 10x corpus dir, so the measured
+  plan is exactly the production plan. Expectation: ~linear time in
+  corpus (these are scan+shuffle pipelines with no driver-side state).
 
-Writes the corpus under /tmp (NOT /root/testdata — that dir is
-read-only driver property) and prints one JSON line for SCALE.md.
+Corpus: sf0.1 documents/embeddings replicated 10x with id offsets; doc
+text gets a per-replica prefix. The prefix barely perturbs minhash
+signatures, so every doc gains ~9 near-clones and the candidate-pair
+graph grows ~118x — a duplication-density stress HARSHER than a real
+10x corpus. Embeddings keep their vectors (new ids), so IVF bucket
+density grows 10x at fixed geometry unless suggest_n_centroids resizes.
+
+Writes under /tmp (never /root/testdata) and prints one JSON line for
+SCALE.md.
 """
 
 from __future__ import annotations
@@ -43,41 +47,70 @@ from ipeds_etl_spark.session import get_spark  # noqa: E402
 from ipeds_etl_spark.sources.tables import load_table  # noqa: E402
 
 REPLICAS = 10
-CORPUS = "/tmp/scale_smoke_sf1_documents.parquet"
+SF1_DIR = "/tmp/scale_smoke_sf1"
+
+#: sweep queries: heavy one-pass families whose 10x behavior should be
+#: ~linear; measured via the registered builders (production plans)
+SWEEP = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "docs_tfidf_topterms",
+    "docs_decontaminate",
+    "docs_token_diversity",
+    "emb_ivf_topk",
+    "emb_near_dups",
+    "emb_rp_lsh_near_dups",
+]
 
 
 def build_corpus(spark) -> None:
-    if Path(CORPUS).exists():
-        shutil.rmtree(CORPUS)
-    d = load_table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
-    replicas = [
-        d.select(
+    if Path(SF1_DIR).exists():
+        shutil.rmtree(SF1_DIR)
+    Path(SF1_DIR).mkdir(parents=True)
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    doc_reps = [
+        docs.select(
             (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
             F.concat(F.lit(f"replica{r} "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
         )
         for r in range(REPLICAS)
     ]
-    out = replicas[0]
-    for rep in replicas[1:]:
+    out = doc_reps[0]
+    for rep in doc_reps[1:]:
         out = out.unionByName(rep)
-    # 32 files so the scan starts wide (the point is operator scaling,
-    # not the single-row-group scan degeneracy measured elsewhere)
-    out.repartition(32).write.parquet(CORPUS)
+    # 32 files so the scan starts wide (operator scaling is the point,
+    # not the single-row-group degeneracy measured elsewhere)
+    out.repartition(32).write.parquet(f"{SF1_DIR}/documents.parquet")
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    emb_reps = [
+        emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for r in range(REPLICAS)
+    ]
+    eout = emb_reps[0]
+    for rep in emb_reps[1:]:
+        eout = eout.unionByName(rep)
+    eout.repartition(32).write.parquet(f"{SF1_DIR}/embeddings.parquet")
 
 
-def main() -> None:
-    spark = get_spark("scale-smoke")
-    spark.sparkContext.setLogLevel("ERROR")
-    build_corpus(spark)
-    docs = spark.read.parquet(CORPUS)
-    n_docs = docs.count()
-
+def run_iterative(spark, results: dict) -> None:
+    docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
     t0 = time.perf_counter()
     pairs = DD.lsh_candidate_pairs(docs, "text", "doc_id").localCheckpoint()
     n_pairs = pairs.count()
-    t_pairs = time.perf_counter() - t0
-
-    results: dict = {"n_docs": n_docs, "n_pairs": n_pairs, "pairs_sec": round(t_pairs, 2)}
+    results["n_pairs"] = n_pairs
+    results["pairs_sec"] = round(time.perf_counter() - t0, 2)
 
     st: dict = {}
     t0 = time.perf_counter()
@@ -95,6 +128,31 @@ def main() -> None:
     graph_stats(pairs).write.format("noop").mode("overwrite").save()
     results["graph_stats_sec"] = round(time.perf_counter() - t0, 2)
 
+
+def run_sweep(spark, results: dict) -> None:
+    from ipeds_etl_spark import queries as q
+
+    reg = q.queries()
+    sweep: dict[str, float] = {}
+    for name in SWEEP:
+        t0 = time.perf_counter()
+        reg[name](spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+        sweep[name] = round(time.perf_counter() - t0, 2)
+    results["sweep"] = sweep
+
+
+def main() -> None:
+    sections = sys.argv[1:] or ["iterative", "sweep"]
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_corpus(spark)
+    results: dict = {
+        "n_docs": spark.read.parquet(f"{SF1_DIR}/documents.parquet").count()
+    }
+    if "iterative" in sections:
+        run_iterative(spark, results)
+    if "sweep" in sections:
+        run_sweep(spark, results)
     print(json.dumps(results))
 
 
