@@ -80,6 +80,10 @@ HEADLINE = [
     "dedup_components_star",
     "dedup_graph_stats",
     "events_type_transitions",
+    # round-4 additions: distributed prefix-sum sweep line; mergeable
+    # sketch set-ops (three 1-row sketch aggs + broadcast merge)
+    "orders_open_interval_counts",
+    "events_kmv_merge",
 ]
 
 

@@ -2498,3 +2498,282 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_norm)
         ).alias("p_transition"),
     )
+
+
+# ===========================================================================
+# Mergeable sketches / sweep-line intervals / algebraic trends / weighted
+# sampling (round-4 additions; each with the standard oracle contract)
+# ===========================================================================
+
+
+def _kmv_merge_oracle() -> str:
+    from ipeds_etl_spark.operators.sketches import (
+        kmv_estimate_from_sql,
+        kmv_merge_sql,
+        kmv_sketch_sql,
+    )
+
+    sk = kmv_sketch_sql("CAST(user_id AS VARCHAR)", 64)
+    est_a = kmv_estimate_from_sql("a.sk", 64)
+    est_b = kmv_estimate_from_sql("b.sk", 64)
+    est_u = kmv_estimate_from_sql(kmv_merge_sql("a.sk", "b.sk", 64), 64)
+    return f"""
+    WITH a AS (SELECT count(DISTINCT user_id) AS exact_a, {sk} AS sk
+               FROM events WHERE event_type = 'view'),
+    b AS (SELECT count(DISTINCT user_id) AS exact_b, {sk} AS sk
+          FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT count(DISTINCT user_id) AS exact_union FROM events
+          WHERE event_type IN ('view', 'purchase'))
+    SELECT CAST(exact_a AS BIGINT) AS exact_view,
+           CAST(exact_b AS BIGINT) AS exact_purchase,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(CAST({est_a} AS DECIMAL(18,6)) AS DOUBLE) AS kmv_view,
+           CAST(CAST({est_b} AS DECIMAL(18,6)) AS DOUBLE) AS kmv_purchase,
+           CAST(CAST({est_u} AS DECIMAL(18,6)) AS DOUBLE) AS kmv_union,
+           CAST(CAST({est_a} + {est_b} - ({est_u}) AS DECIMAL(18,6)) AS DOUBLE)
+             AS kmv_intersection
+    FROM a, b, u
+    """
+
+
+@_register("events_kmv_merge")
+def q_events_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE — the property that makes sketches usable at 100 TB:
+    per-set KMV states (k-element arrays) built independently, then
+    combined with the associative merge (distinct union, k smallest) to
+    estimate |A∪B| and, by inclusion-exclusion, |A∩B| — without ever
+    rescanning A or B together. Exact counterparts ride alongside so
+    the row also documents the estimator's error at this k. All three
+    sketch aggs are map-side combinable; the merge runs on three 1-row
+    frames (broadcast cross joins)."""
+    from ipeds_etl_spark.operators.sketches import (
+        kmv_estimate_from,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    uid = F.col("user_id").cast("string")
+    a = e.filter(F.col("event_type") == "view").agg(
+        F.countDistinct("user_id").alias("exact_view"),
+        kmv_sketch(uid).alias("sk_a"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").agg(
+        F.countDistinct("user_id").alias("exact_purchase"),
+        kmv_sketch(uid).alias("sk_b"),
+    )
+    u = e.filter(F.col("event_type").isin("view", "purchase")).agg(
+        F.countDistinct("user_id").alias("exact_union")
+    )
+    est_a = kmv_estimate_from(F.col("sk_a"))
+    est_b = kmv_estimate_from(F.col("sk_b"))
+    est_u = kmv_estimate_from(kmv_merge(F.col("sk_a"), F.col("sk_b")))
+
+    def _d(c):
+        return c.cast("decimal(18,6)").cast("double")
+
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "exact_view",
+            "exact_purchase",
+            "exact_union",
+            _d(est_a).alias("kmv_view"),
+            _d(est_b).alias("kmv_purchase"),
+            _d(est_u).alias("kmv_union"),
+            _d(est_a + est_b - est_u).alias("kmv_intersection"),
+        )
+    )
+
+
+@_register(
+    "orders_open_interval_counts",
+    """
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 60 + 1 AS INTEGER) AS e
+      FROM orders),
+    deltas AS (
+      SELECT s AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + 1, -1 FROM iv),
+    per_date AS (SELECT d, SUM(delta) AS delta FROM deltas GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(SUM(delta) OVER (ORDER BY d) AS BIGINT) AS n_open
+    FROM per_date
+    """,
+)
+def q_orders_open_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counts by sweep line: each order holds an
+    open interval (synthetic deterministic duration); how many are open
+    at every boundary date? Sweep line = +1 at start, -1 past end,
+    prefix-sum over dates — O(n log n) against the O(n·m) naive range
+    join.
+
+    The prefix sum is built as a DISTRIBUTED two-phase scan, not a
+    global window: a cumulative window partitioned by YEAR (parallel),
+    plus per-year offsets (cumulative over a years-sized frame,
+    broadcast back). A single `ORDER BY date` window would serialize
+    the whole table through one task at 100 TB; the oracle uses exactly
+    that global form, which pins the two-phase rewrite to the canonical
+    semantics."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("s"),
+        (F.col("o_orderkey") % 60 + 1).cast("int").alias("dur"),
+    )
+    # both boundary rows from ONE scan (explode of a 2-element array;
+    # a union of two selects would scan orders twice)
+    deltas = o.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("d"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.expr("date_add(date_add(s, dur), 1)").alias("d"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.d", "b.delta")
+    # per_date is O(distinct boundary dates) — tiny next to orders.
+    # Checkpointing it makes the two consumers (in-year cumulative,
+    # year offsets) read the small artifact instead of re-scanning the
+    # fact table per branch (measured: Catalyst did not plan a
+    # ReusedExchange here; without this the orders scan runs twice).
+    per_date = (
+        deltas.groupBy("d").agg(F.sum("delta").alias("delta")).localCheckpoint()
+    )
+    yr = F.year("d").alias("y")
+    w_in = Window.partitionBy("y").orderBy("d")
+    within = per_date.select("d", "delta", yr).withColumn(
+        "cum_in", F.sum("delta").over(w_in)
+    )
+    w_years = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_date.groupBy(yr)
+        .agg(F.sum("delta").alias("yr_delta"))
+        .select("y", F.coalesce(F.sum("yr_delta").over(w_years), F.lit(0)).alias("off"))
+    )
+    return within.join(F.broadcast(offsets), "y").select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        (F.col("cum_in") + F.col("off")).cast("bigint").alias("n_open"),
+    )
+
+
+@_register(
+    "events_user_trend",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS DECIMAL(20,0)) AS xm,
+             CAST(floor(value * 1000000.0) AS DECIMAL(20,0)) AS ym
+      FROM events),
+    sums AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(xm) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(ym) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(xm * ym) AS DOUBLE) / 1000000000000.0 AS sxy,
+             CAST(SUM(xm * xm) AS DOUBLE) / 1000000000000.0 AS sxx,
+             CAST(count(DISTINCT xm) AS BIGINT) AS nx
+      FROM pts GROUP BY user_id)
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+    FROM sums
+    WHERE nx >= 2 AND (n * sxx - sx * sx) <> 0
+    """,
+)
+def q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend: closed-form OLS slope from ALGEBRAIC
+    aggregates (n, Σx, Σy, Σxy, Σx²) — one map-side-combinable groupBy,
+    no per-group iteration, no Python. Every summed quantity is an
+    INTEGER in micro-units (x = epoch-micros; y quantized by
+    floor(y·1e6) — the documented quantization of this estimator) held
+    as scale-0 DECIMALs, so sums and products are exact AND every
+    decimal→double conversion is a single correctly-rounded step on
+    both engines. This is load-bearing twice over: (a) per-row
+    double→decimal casts of arbitrary PRODUCTS round differently
+    across engines at the decimal grid (measured 1-ulp Σxy drift), and
+    (b) DuckDB converts scale-k decimals to double via int/10^k — a
+    DOUBLE-rounding that disagrees with Spark's single rounding by
+    1 ulp; scale-0 sums sidestep both. The rescales and the slope
+    formula are then short identical IEEE sequences. (Spark has
+    regr_slope, but its accumulation order is engine-specific — the
+    exact-sum form is what makes the value hash-checkable.)"""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").cast("decimal(20,0)").alias("xm"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("decimal(20,0)").alias("ym"),
+    )
+    us = F.lit(1_000_000.0)
+    us2 = F.lit(1_000_000_000_000.0)
+    sums = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("xm").cast("double") / us).alias("sx"),
+        (F.sum("ym").cast("double") / us).alias("sy"),
+        (F.sum(F.col("xm") * F.col("ym")).cast("double") / us2).alias("sxy"),
+        (F.sum(F.col("xm") * F.col("xm")).cast("double") / us2).alias("sxx"),
+        F.countDistinct("xm").alias("nx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.filter((F.col("nx") >= 2) & (denom != 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom).alias(
+                "slope"
+            ),
+        )
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    u = _HASH10.format(x="concat('wsamp|', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             (CAST({u} AS DOUBLE) / 1099511627776.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rnk
+      FROM keyed)
+    SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@_register("docs_weighted_sample", _weighted_sample_oracle())
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling per stratum (sequential Poisson
+    sampling, Ohlsson 1998): priority key = u/w with u a content-hash
+    uniform and w the weight — inclusion probability ∝ weight, fully
+    reproducible (no RNG state), and rank-by-key is a per-stratum
+    window top-k: one shuffle on the stratum key at any corpus size.
+    The key uses only hash, one division, and a compare — no
+    transcendental functions, so the oracle's floats are bit-identical
+    (the classic exp/log reservoir keys would drift in the last ulp
+    across libm implementations)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = parity_hash(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string")))
+    from ipeds_etl_spark.operators.sketches import HASH_SPACE
+
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        ((u.cast("double") / F.lit(HASH_SPACE)) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "doc_id", "n_chars")
+    )
+
+
+_ORACLES2["events_kmv_merge"] = _kmv_merge_oracle()

@@ -1,0 +1,126 @@
+"""Round-4 operators: mergeable KMV sketches, sweep-line interval
+counts, algebraic trend slopes, deterministic weighted sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_estimate_from,
+    kmv_merge,
+    kmv_sketch,
+)
+from ipeds_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The associativity contract: merging per-set sketches must equal
+    sketching the union stream directly — this is what lets executors
+    build partials independently at 100 TB."""
+    e = load_table(spark, SF, "events").select("event_type", "user_id")
+    uid = F.col("user_id").cast("string")
+    a = e.filter(F.col("event_type") == "view").agg(kmv_sketch(uid).alias("sk"))
+    b = e.filter(F.col("event_type") == "purchase").agg(kmv_sketch(uid).alias("sk_b"))
+    direct = e.filter(F.col("event_type").isin("view", "purchase")).agg(
+        kmv_sketch(uid).alias("sk_u")
+    )
+    row = (
+        a.crossJoin(b)
+        .crossJoin(direct)
+        .select(
+            kmv_merge(F.col("sk"), F.col("sk_b")).alias("merged"),
+            "sk_u",
+            kmv_estimate_from(kmv_merge(F.col("sk"), F.col("sk_b"))).alias("est_m"),
+            kmv_estimate_from(F.col("sk_u")).alias("est_u"),
+        )
+        .first()
+    )
+    assert row["merged"] == row["sk_u"]
+    assert row["est_m"] == row["est_u"]
+    # merge is commutative
+    rev = (
+        a.crossJoin(b)
+        .select(
+            (kmv_merge(F.col("sk"), F.col("sk_b")) == kmv_merge(F.col("sk_b"), F.col("sk")))
+            .alias("same")
+        )
+        .first()
+    )
+    assert rev["same"]
+
+
+def test_kmv_estimate_exact_below_k(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(40)], "v string")
+    est = df.agg(kmv_estimate(F.col("v"), 64).alias("e")).first()["e"]
+    assert est == 40.0  # < k distinct -> exact fallback
+
+
+def test_open_interval_counts_match_naive_range_join(spark):
+    """The distributed two-phase prefix sum must equal the naive
+    count-per-date range join on every boundary date."""
+    from ipeds_etl_spark.queries_ext import q_orders_open_interval_counts
+
+    got = q_orders_open_interval_counts(spark, SF)
+    o = load_table(spark, SF, "orders").select(
+        F.to_date("o_orderdate").alias("s"),
+        (F.col("o_orderkey") % 60 + 1).cast("int").alias("dur"),
+    )
+    iv = o.select("s", F.expr("date_add(s, dur)").alias("e"))
+    dates = got.select(F.to_date("d").alias("d"))
+    naive = (
+        dates.join(iv, (F.col("s") <= F.col("d")) & (F.col("d") <= F.col("e")), "left")
+        .groupBy("d")
+        .agg(F.count("s").alias("n_open"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("d"), "n_open")
+    )
+    diff = got.exceptAll(naive).count() + naive.exceptAll(got).count()
+    assert diff == 0
+
+
+def test_user_trend_slope_matches_numpy(spark):
+    from ipeds_etl_spark.queries_ext import q_events_user_trend
+
+    import numpy as np
+
+    rows = {r["user_id"]: r for r in q_events_user_trend(spark, SF).collect()}
+    assert rows, "no trend rows"
+    e = load_table(spark, SF, "events")
+    pts = (
+        e.select(
+            "user_id",
+            (F.unix_micros("ts").cast("double") / 1e6).alias("x"),
+            (F.floor(F.col("value") * 1e6).cast("double") / 1e6).alias("y"),
+        )
+        .toPandas()
+    )
+    checked = 0
+    for uid, r in list(rows.items())[:10]:
+        g = pts[pts.user_id == uid]
+        slope = np.polyfit(g.x.to_numpy(), g.y.to_numpy(), 1)[0]
+        assert math.isclose(r["slope"], slope, rel_tol=1e-5), (uid, r["slope"], slope)
+        checked += 1
+    assert checked > 0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Sequential Poisson sampling: inclusion probability is
+    proportional to weight, so the sampled docs' mean weight must
+    exceed the corpus mean (statistical sanity at fixed seed-hash —
+    deterministic, so no flake), and reruns are identical."""
+    from ipeds_etl_spark.queries_ext import q_docs_weighted_sample
+
+    s1 = q_docs_weighted_sample(spark, SF)
+    s2 = q_docs_weighted_sample(spark, SF)
+    assert s1.exceptAll(s2).count() == 0  # deterministic
+    d = load_table(spark, SF, "documents").filter(F.col("n_chars") > 0)
+    corpus_mean = d.agg(F.avg("n_chars")).first()[0]
+    sample_mean = s1.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+    # per-stratum size respected
+    per = s1.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
