@@ -173,3 +173,77 @@ def running_user_stats(events: DataFrame, idle_timeout_ms: int = 0) -> DataFrame
             timeoutConf=timeout,
         )
     )
+
+
+KMV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("kmv_users", T.DoubleType(), False),
+        T.StructField("sketch_size", T.IntegerType(), False),
+    ]
+)
+
+_KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()), False)]
+)
+
+
+def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming KMV distinct-user estimate per event_type with state
+    EXACTLY O(k) per key — the mergeable-sketch story in incremental
+    form: each micro-batch's hashes fold into the k-smallest set, which
+    is precisely ``operators.sketches.kmv_merge`` applied batch-by-batch,
+    so at every trigger the emitted estimate equals the BATCH
+    ``kmv_estimate`` over all rows seen so far (cross-checked by test).
+    Exact streaming distinct would need unbounded state; the sketch
+    bounds it at k longs per key, which is what survives an unbounded
+    stream.
+
+    The hash is computed JVM-side BEFORE the stateful operator (same
+    sha256-prefix family as the batch estimator, so estimates agree
+    bit-for-bit); the Python handler only merges small long arrays.
+    """
+    from ipeds_etl_spark.functions.hashing import parity_hash
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.operators.sketches import HASH_SPACE
+
+    space = float(HASH_SPACE)
+    kk = int(k)
+
+    def handler(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (event_type,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        (mins,) = state.get if state.exists else ([],)
+        seen = set(mins)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["h"])
+        merged = sorted(seen)[:kk]
+        state.update((merged,))
+        n = len(merged)
+        est = float(n) if n < kk else (kk - 1) / (merged[-1] / space)
+        yield _pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "kmv_users": [est],
+                "sketch_size": [n],
+            }
+        )
+
+    return (
+        events.select(
+            "event_type", parity_hash(F.col("user_id").cast("string")).alias("h")
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            handler,
+            outputStructType=KMV_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -416,3 +416,41 @@ def test_value_histogram_stream_matches_batch(spark, stream_dir):
     horizon = max_ts - timedelta(hours=2)
     finalized = {k for k in batch if k[0] + timedelta(hours=1) < horizon}
     assert finalized.issubset(set(got))
+
+
+def test_kmv_stream_matches_batch_estimate(spark, stream_dir):
+    """The k-bounded streaming KMV must converge to the BATCH estimate
+    after draining: batch-by-batch sketch merge == one-shot sketch (the
+    associativity contract, now across micro-batches). Update mode
+    emits per batch; the LAST row per key is the final state."""
+    from ipeds_etl_spark.operators.sketches import kmv_estimate
+    from ipeds_etl_spark.streaming.stateful import kmv_distinct_stream
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    (
+        kmv_distinct_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.sql("SELECT * FROM kmv_stream").collect()
+    assert emitted, "stream emitted nothing"
+    # last emit per key = final sketch state (memory sink appends each
+    # update; rows arrive in batch order)
+    final = {}
+    for r in emitted:
+        final[r["event_type"]] = r["kmv_users"]
+    batch = {
+        r["event_type"]: r["est"]
+        for r in spark.read.parquet(stream_dir)
+        .groupBy("event_type")
+        .agg(kmv_estimate(F.col("user_id").cast("string")).alias("est"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for et, est in final.items():
+        assert est == batch[et], (et, est, batch[et])
