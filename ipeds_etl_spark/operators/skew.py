@@ -161,6 +161,40 @@ def detect_skew(
     return stats
 
 
+def join_with_skew_guard(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    sample_fraction: float = 0.01,
+    hot_key_share: float = 0.2,
+    detect_on: DataFrame | None = None,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Stats-driven equi-join planning, symmetric to
+    ``agg_with_skew_guard``: probe the BIG side's key distribution on a
+    cheap sample; under a hot key use ``salted_join`` (small side
+    replicated n_salts×, hot-key rows spread over n_salts reducers),
+    otherwise the plain join (salting would only add replication cost).
+    Results are identical either way (tested); only the physical plan
+    differs. AQE's skew-join split already handles moderate runtime
+    skew for sort-merge joins — this guard is for the planner-proof
+    cases (e.g. a key so hot one task exceeds memory even after AQE's
+    split granularity, or shuffle-hash joins AQE won't split).
+
+    ``detect_on``/``cache_key``: see ``agg_with_skew_guard``."""
+    stats = detect_skew(
+        detect_on if detect_on is not None else big.select(*on),
+        on,
+        sample_fraction,
+        hot_key_share,
+        cache_key=cache_key,
+    )
+    if stats["skewed"]:
+        return salted_join(big, small, on, n_salts=stats["recommended_salts"], how=how)
+    return big.join(small, list(on), how)
+
+
 def agg_with_skew_guard(
     df: DataFrame,
     keys: Sequence[str],

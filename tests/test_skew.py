@@ -125,3 +125,35 @@ def test_sessionize_switches_to_salted_plan_under_skew(spark):
     plain = sessionize_user_stats(hot, hot_key_share=1.1)  # never trips
     assert "__salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
     assert rows(hot_out) == rows(plain)
+
+
+def test_join_with_skew_guard_plans_and_matches(spark, skewed):
+    """The guard must (a) produce plan-identical results to a plain
+    join under both verdicts and (b) actually switch the physical shape:
+    salted form carries the __salt key through the join under a hot
+    key; plain form has no salt column anywhere."""
+    from ipeds_etl_spark.operators.skew import join_with_skew_guard
+
+    dim = spark.createDataFrame(
+        [("hot", "HOT LABEL")] + [(f"k{i}", f"L{i}") for i in range(0, 10_000, 10)],
+        "k string, label string",
+    )
+    plain_ref = {
+        (r["k"], r["label"]): r["count"]
+        for r in skewed.join(dim, "k").groupBy("k", "label").count().collect()
+    }
+    hot = join_with_skew_guard(skewed, dim, ["k"])  # planted hot key trips it
+    got_hot = {
+        (r["k"], r["label"]): r["count"]
+        for r in hot.groupBy("k", "label").count().collect()
+    }
+    assert got_hot == plain_ref and len(got_hot) > 0
+    assert "__salt" in hot._jdf.queryExecution().analyzed().toString()
+
+    cold = join_with_skew_guard(skewed, dim, ["k"], hot_key_share=1.1)  # never trips
+    got_cold = {
+        (r["k"], r["label"]): r["count"]
+        for r in cold.groupBy("k", "label").count().collect()
+    }
+    assert got_cold == plain_ref
+    assert "__salt" not in cold._jdf.queryExecution().analyzed().toString()
