@@ -2777,3 +2777,62 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES2["events_kmv_merge"] = _kmv_merge_oracle()
+
+
+@_register(
+    "orders_dq_report",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
+    SELECT r.rule, r.violations, n.total, r.violations = 0 AS passed FROM (
+      SELECT 'not_null(o_orderkey,o_custkey)' AS rule,
+             CAST(count(*) FILTER (WHERE o_orderkey IS NULL OR o_custkey IS NULL) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'range(o_totalprice)',
+             CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL AND o_totalprice < 0) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                     AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'matches(o_orderpriority)',
+             CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                                     AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(coalesce((SELECT SUM(c) FROM (
+               SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+      UNION ALL
+      SELECT 'references(o_custkey)',
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_custkey IS NOT NULL
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+    ) r CROSS JOIN n
+    """,
+)
+def q_orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (`operators/quality.py`): six
+    constraint kinds over orders — null checks, range, value set,
+    regex, key uniqueness, and referential integrity against customer —
+    compiled into one shared full-scan aggregate plus the two rules
+    that need their own shape (unique: hash agg on the key;
+    references: left-anti join, broadcast at dim size). The report is
+    the dbt-test / Deequ contract: (rule, violations, total, passed)."""
+    from ipeds_etl_spark.operators import quality as DQ
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return DQ.dq_report(
+        o,
+        [
+            DQ.not_null("o_orderkey", "o_custkey"),
+            DQ.accepted_range("o_totalprice", lo=0),
+            DQ.in_set("o_orderstatus", ["O", "F", "P"]),
+            DQ.matches("o_orderpriority", "^[1-5]-"),
+            DQ.unique("o_orderkey"),
+            DQ.references("o_custkey", c, "c_custkey"),
+        ],
+    )

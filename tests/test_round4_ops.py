@@ -124,3 +124,42 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     # per-stratum size respected
     per = s1.groupBy("source").count().collect()
     assert all(r["count"] <= 5 for r in per)
+
+
+def test_dq_report_counts_planted_violations(spark):
+    from ipeds_etl_spark.operators import quality as DQ
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", "x"),
+            (1, -5.0, "F", "y"),      # dup key + negative value
+            (None, 3.0, "Z", "x"),    # null key + bad status
+            (4, None, "O", "zz"),     # null value ignored by range
+        ],
+        "k int, v double, s string, tag string",
+    )
+    ref = spark.createDataFrame([("x",), ("y",)], "t string")
+    rep = {
+        r["rule"]: (r["violations"], r["total"], r["passed"])
+        for r in DQ.dq_report(
+            df,
+            [
+                DQ.not_null("k"),
+                DQ.unique("k"),
+                DQ.accepted_range("v", lo=0.0),
+                DQ.in_set("s", ["O", "F"]),
+                DQ.references("tag", ref, "t"),
+                DQ.custom("custom_v_gt_9", F.col("v") > 9),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, 4, False)
+    assert rep["unique(k)"] == (2, 4, False)      # both copies of k=1 count
+    assert rep["range(v)"] == (1, 4, False)       # -5 only; NULL not range's business
+    assert rep["in_set(s)"] == (1, 4, False)      # 'Z'
+    assert rep["references(tag)"] == (1, 4, False)  # 'zz'
+    assert rep["custom_v_gt_9"] == (1, 4, False)  # 10.0
+    # all-clean frame passes everything
+    clean = spark.createDataFrame([(1, 1.0, "O", "x")], "k int, v double, s string, tag string")
+    out = DQ.dq_report(clean, [DQ.not_null("k"), DQ.unique("k")]).collect()
+    assert all(r["passed"] for r in out)
