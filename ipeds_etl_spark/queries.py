@@ -659,27 +659,27 @@ _GATE_PRIORITY: list[str] = [
     "docs_token_diversity",
     "dedup_graph_stats",
     "events_type_transitions",
+    # -- new in round 4 (no driver row yet) --
+    "events_kmv_merge",
+    "orders_open_interval_counts",
+    "events_user_trend",
+    "docs_weighted_sample",
+    "orders_dq_report",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
-    "latest_per_key",
     "enrich_join",
     "dim_lookup_agg",
     "json_page_roundtrip",
     "upsert_on_pk",
     "upsert_on_hash",
     "registry_mapper",
-    "text_token_stats",
     "text_quality",
     "text_lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_components_star",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "docs_split_and_sample",
-    "emb_topk_bruteforce",
     "emb_ivf_topk",
     "emb_near_dups",
     "emb_ivf_recall",
@@ -691,7 +691,10 @@ _GATE_PRIORITY: list[str] = [
     "orders_range_join_periods",
     "orders_range_join_bucketed",
     "events_asof_last_purchase",
-    # -- rotated out this round (multi-round green history) --
+    # -- rotated out (multi-round green history; still in the local
+    # mirror and prior-round artifacts): latest_per_key,
+    # text_token_stats, dedup_exact, docs_split_and_sample,
+    # emb_topk_bruteforce + the round-3 rotation list --
 ]
 
 
