@@ -99,6 +99,97 @@ def rebuild_gold(spark: SparkSession, endpoint: str, warehouse: str) -> dict[str
     return out
 
 
+def refresh_gold_incremental(
+    spark: SparkSession,
+    endpoint: str,
+    warehouse: str,
+    delta: DataFrame,
+    pre_images: DataFrame | None = None,
+) -> dict[str, int]:
+    """Incremental view maintenance for the gold tables: fold one merge
+    batch's effect into the stored views, with work O(delta + gold) —
+    the core table is never rescanned (``rebuild_gold`` is the
+    recompute-everything fallback and the semantics oracle; convergence
+    is pinned by test).
+
+    ``delta`` = the post-image rows the merge wrote (inserted +
+    updated); ``pre_images`` = the replaced rows' previous versions
+    (required for exactness when updates exist — without retraction an
+    update would double-count; pass None for append-only batches).
+
+    * ``institutions_latest`` — mergeable state: stored latest (one row
+      per entity) ∪ delta, keep the per-entity max-year row; on a
+      (entity, year) tie the DELTA row wins (it is the newer version of
+      that year's row). No retraction needed: a replaced historical row
+      can't displace a later-year latest, and a replaced latest-year
+      row is superseded by its own post-image on the tie-break.
+    * ``yearly_counts`` — algebraic: stored + count(delta inserts)
+      − count(pre_images) per (year[, state]); groups reaching zero are
+      dropped. This is classic counting-IVM: exact under
+      insert/update/delete given the retraction feed.
+    """
+    ep = registry.get_endpoint(endpoint)
+    entity_keys = [k for k in ep.pk if k != "year"]
+
+    latest_path = f"{warehouse}/vw/{endpoint}_institutions_latest"
+    counts_path = f"{warehouse}/vw/{endpoint}_yearly_counts"
+    stored_latest = spark.read.parquet(latest_path)
+    stored_counts = spark.read.parquet(counts_path)
+
+    from pyspark.sql import Window
+
+    pri = F.lit(0)
+    unioned = stored_latest.withColumn("_pri", pri).unionByName(
+        delta.select(*stored_latest.columns).withColumn("_pri", F.lit(1))
+    )
+    w = Window.partitionBy(*entity_keys).orderBy(
+        F.col("year").desc(), F.col("_pri").desc()
+    )
+    new_latest = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pri")
+    )
+
+    count_dims = ["year"] + (
+        ["state_abbr"] if "state_abbr" in stored_counts.columns else []
+    )
+    # updates contribute +1 (post) −1 (pre) in their group: a no-op
+    # unless the update moved the row across a dimension value
+    adds = delta.groupBy(*count_dims).agg(F.count(F.lit(1)).alias("_add"))
+    if pre_images is not None:
+        subs = pre_images.groupBy(*count_dims).agg(F.count(F.lit(1)).alias("_sub"))
+    else:
+        subs = adds.select(*count_dims, F.lit(0).alias("_sub")).limit(0)
+    merged = (
+        stored_counts.join(adds, count_dims, "full")
+        .join(subs, count_dims, "full")
+        .select(
+            *count_dims,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("_add"), F.lit(0))
+                - F.coalesce(F.col("_sub"), F.lit(0))
+            ).alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+    out = {}
+    for name, path, df in (
+        ("institutions_latest", latest_path, new_latest),
+        ("yearly_counts", counts_path, merged),
+    ):
+        # stage → swap: the stored view is an input to its own refresh,
+        # so the new generation lands beside it and replaces it whole
+        tmp = f"{path}__refresh_tmp"
+        _sized_coalesce(df).write.mode("overwrite").parquet(tmp)
+        fsutil.delete(spark, path)
+        fsutil.rename(spark, tmp, path)
+        out[name] = spark.read.parquet(path).count()
+    return out
+
+
 def _sized_coalesce(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
     """Coalesce a gold-table write to ~``target_bytes`` output files
     using the optimizer's size estimate (driver-side plan metadata, no

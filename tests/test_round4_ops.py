@@ -163,3 +163,56 @@ def test_dq_report_counts_planted_violations(spark):
     clean = spark.createDataFrame([(1, 1.0, "O", "x")], "k int, v double, s string, tag string")
     out = DQ.dq_report(clean, [DQ.not_null("k"), DQ.unique("k")]).collect()
     assert all(r["passed"] for r in out)
+
+
+def test_incremental_gold_refresh_converges_to_full_rebuild(spark, tmp_path):
+    """IVM contract: full-rebuild(core ∪ batch) == incremental(stored
+    views, batch delta, pre-images) — for a batch mixing inserts, an
+    update that relocates a row across the count dimension, and an
+    update to a latest row."""
+    from ipeds_etl_spark import pipeline
+
+    wh = str(tmp_path / "wh")
+    core0 = spark.createDataFrame(
+        [
+            (1, 2019, "A1", "CA"),
+            (1, 2020, "A2", "CA"),
+            (2, 2020, "B", "NY"),
+            (3, 2019, "C", "CA"),
+        ],
+        "unitid int, year int, inst_name string, state_abbr string",
+    )
+    core_path = f"{wh}/core/directory"
+    core0.write.parquet(core_path)
+    full0 = pipeline.rebuild_gold(spark, "directory", wh)
+    assert full0["institutions_latest"] == 3
+
+    # merge batch: new entity 4 (insert), update 2/2020 to a new state
+    # (relocation), update 1/2020's name (latest-row rewrite)
+    delta = spark.createDataFrame(
+        [
+            (4, 2020, "D", "TX"),
+            (2, 2020, "B2", "CA"),
+            (1, 2020, "A2x", "CA"),
+        ],
+        "unitid int, year int, inst_name string, state_abbr string",
+    )
+    pre = spark.createDataFrame(
+        [(2, 2020, "B", "NY"), (1, 2020, "A2", "CA")],
+        "unitid int, year int, inst_name string, state_abbr string",
+    )
+    inc = pipeline.refresh_gold_incremental(spark, "directory", wh, delta, pre)
+
+    # ground truth: rebuild from the post-merge core
+    core1 = (
+        core0.join(pre, ["unitid", "year"], "left_anti").unionByName(delta)
+    )
+    wh2 = str(tmp_path / "wh2")
+    core1.write.parquet(f"{wh2}/core/directory")
+    pipeline.rebuild_gold(spark, "directory", wh2)
+
+    for name in ("institutions_latest", "yearly_counts"):
+        got = spark.read.parquet(f"{wh}/vw/directory_{name}")
+        want = spark.read.parquet(f"{wh2}/vw/directory_{name}")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), name
+    assert inc["institutions_latest"] == 4  # entities 1-4
