@@ -1,4 +1,5 @@
-"""Operator layer: merge, dedup, similarity, skew, bucketing, multimodal."""
+"""Operator layer: merge, dedup, similarity, skew, bucketing, multimodal,
+sketches, quality, sampling, txn."""
 
 from ipeds_etl_spark.operators.bucketing import write_bucketed
 from ipeds_etl_spark.operators.components import (
@@ -47,7 +48,20 @@ from ipeds_etl_spark.operators.sampling import (
     split_column,
     stratified_hash_sample,
 )
-from ipeds_etl_spark.operators.skew import salted_agg, salted_join
+from ipeds_etl_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_estimate_from,
+    kmv_merge,
+    kmv_sketch,
+)
+from ipeds_etl_spark.operators.quality import dq_report
+from ipeds_etl_spark.operators.skew import (
+    agg_with_skew_guard,
+    detect_skew,
+    join_with_skew_guard,
+    salted_agg,
+    salted_join,
+)
 
 __all__ = [
     "attach_payload",
@@ -74,6 +88,14 @@ __all__ = [
     "read_table",
     "recover_swaps",
     "resize_images",
+    "agg_with_skew_guard",
+    "detect_skew",
+    "dq_report",
+    "join_with_skew_guard",
+    "kmv_estimate",
+    "kmv_estimate_from",
+    "kmv_merge",
+    "kmv_sketch",
     "salted_agg",
     "salted_join",
     "sample_frames",
