@@ -22,6 +22,7 @@ from ipeds_etl_spark.functions.hashing import (
     MERSENNE_P,
     minhash_perms,
     parity_hash,
+    parity_hash_sql,
 )
 from ipeds_etl_spark.operators import dedup as DD
 from ipeds_etl_spark.operators import similarity as SIM
@@ -460,6 +461,37 @@ def q_docs_split_and_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES_SAMPLE  # noqa: E402
 
 _ORACLES_SAMPLE["docs_split_and_sample"] = _sampling_oracle()
+
+
+@_register(
+    "docs_source_quota_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             {parity_hash_sql("CAST(doc_id AS VARCHAR)")} AS hh
+      FROM documents)
+    SELECT doc_id, source, n_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hh, CAST(doc_id AS VARCHAR)) AS rn
+          FROM h)
+    WHERE rn <= 10
+    """,
+)
+def q_docs_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (at most 10 docs per source, chosen by
+    content hash): the domain-balancing primitive of corpus
+    construction. The operator is the two-phase scale path — count,
+    map-side hash prefilter to ~margin*cap rows/group, exact rank on
+    the sliver, with a guaranteed-exact fallback — so the 100 TB plan
+    never sorts whole groups; the oracle runs the naive window and the
+    value hashes must agree exactly."""
+    from ipeds_etl_spark.operators.sampling import quota_cap
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quota_cap(d, key_col="doc_id", group_col="source", cap=10)
 
 
 # ===========================================================================

@@ -182,3 +182,62 @@ def test_graph_stats_on_known_graph(spark):
     assert r["n_edges"] == 8          # 6 in K4 + pendant + island pair
     assert r["max_degree"] == 4       # node 4: three K4 edges + pendant
     assert r["n_triangles"] == 4      # C(4,3) in K4
+
+
+def test_quota_cap_exact_and_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from ipeds_etl_spark.functions.hashing import parity_hash
+    from ipeds_etl_spark.operators.sampling import quota_cap
+
+    rows = [(i, f"g{i % 3}") for i in range(90)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    got = quota_cap(df, key_col="k", group_col="g", cap=5).collect()
+    assert len(got) == 3 * 5 + 1  # tiny group kept whole (n < cap)
+
+    h = parity_hash(F.concat(F.lit(""), F.col("k").cast("string")))
+    w = Window.partitionBy("g").orderBy(h, F.col("k").cast("string"))
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+
+
+def test_quota_cap_fallback_rescues_undershot_groups(spark):
+    # margin so small the prefilter keeps (almost) nothing: every group
+    # undershoots, the verification pass must rescue them all, and the
+    # result must STILL equal the naive window exactly.
+    from pyspark.sql import Window
+
+    from ipeds_etl_spark.functions.hashing import parity_hash
+    from ipeds_etl_spark.operators.sampling import quota_cap
+
+    rows = [(i, f"g{i % 2}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    got = quota_cap(df, key_col="k", group_col="g", cap=3, margin=1e-9)
+    h = parity_hash(F.concat(F.lit(""), F.col("k").cast("string")))
+    w = Window.partitionBy("g").orderBy(h, F.col("k").cast("string"))
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_quota_cap_null_group_and_null_key(spark):
+    from ipeds_etl_spark.operators.sampling import quota_cap
+
+    rows = [(None, None), (1, None), (2, "a"), (None, "a"), (3, "a")]
+    df = spark.createDataFrame(rows, "k int, g string")
+    got = quota_cap(df, key_col="k", group_col="g", cap=2).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    assert len(by_g[None]) == 2  # null group capped like any other
+    assert len(by_g["a"]) == 2
