@@ -8,6 +8,11 @@ from ipeds_etl_spark.operators.components import (
     dedup_clusters,
     graph_stats,
 )
+from ipeds_etl_spark.operators.bloom import (
+    bloom_probe,
+    bloom_semi_join,
+    build_bloom,
+)
 from ipeds_etl_spark.operators.interval import interval_bucket_join
 from ipeds_etl_spark.operators.dedup import (
     exact_dedup,
@@ -45,6 +50,7 @@ from ipeds_etl_spark.operators.similarity import (
 )
 from ipeds_etl_spark.operators.sampling import (
     hash_sample,
+    quota_cap,
     split_column,
     stratified_hash_sample,
 )
@@ -65,6 +71,9 @@ from ipeds_etl_spark.operators.skew import (
 
 __all__ = [
     "attach_payload",
+    "bloom_probe",
+    "bloom_semi_join",
+    "build_bloom",
     "brute_force_topk",
     "commit_overwrite_partitions",
     "connected_components",
@@ -85,6 +94,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "overwrite_partitions_staged",
+    "quota_cap",
     "read_table",
     "recover_swaps",
     "resize_images",

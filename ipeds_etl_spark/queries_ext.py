@@ -495,6 +495,45 @@ def q_docs_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Bloom-filter semi-join pruning
+# ===========================================================================
+@_register(
+    "orders_bloom_semi_join",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 250000)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with Bloom pre-pruning: the fact scan (lineitem) is
+    map-side filtered by a ~KB bitmap of the qualifying order keys
+    BEFORE the exact semi join, so at 100 TB the exchange (or the
+    broadcast probe) sees only the sliver that can possibly match.
+    False positives are removed by the exact join — the oracle runs the
+    plain semi join and the value hashes must agree."""
+    from ipeds_etl_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    qualifying = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 250000)
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    pruned = bloom_semi_join(li, "l_orderkey", qualifying, "o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_extendedprice").alias("revenue"),
+    )
+
+
+# ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
 _COS_AB = _cos_sql("q.embedding", "c.embedding")

@@ -216,3 +216,44 @@ def test_incremental_gold_refresh_converges_to_full_rebuild(spark, tmp_path):
         want = spark.read.parquet(f"{wh2}/vw/directory_{name}")
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), name
     assert inc["institutions_latest"] == 4  # entities 1-4
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+def test_bloom_probe_no_false_negatives_and_prunes(spark):
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.operators.bloom import bloom_probe, build_bloom
+
+    keys = spark.createDataFrame([(i * 7,) for i in range(200)], ["k"])
+    words, n_bits, n_hashes = build_bloom(keys, "k")
+    assert n_bits % 64 == 0 and len(words) == n_bits // 64
+    # every inserted key must probe positive (no false negatives)
+    hits = keys.filter(bloom_probe(F.col("k"), words, n_bits, n_hashes))
+    assert hits.count() == 200
+    # non-members mostly pruned (fp rate well under 20% at 10 bits/key)
+    probe = spark.createDataFrame(
+        [(i * 7 + 1,) for i in range(1000)], ["k"]
+    ).filter(bloom_probe(F.col("k"), words, n_bits, n_hashes))
+    assert probe.count() < 200
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.operators.bloom import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i % 500, f"v{i}") for i in range(5000)], ["k", "v"]
+    )
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 3)] + [(None,)], "k2 int"
+    )
+    got = bloom_semi_join(big, "k", small, "k2")
+    want = big.join(
+        small.select(F.col("k2").alias("k")).distinct(), "k", "left_semi"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
