@@ -211,6 +211,150 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "docs_ngram_heavy_hitters",
+    f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+         g AS (SELECT doc_id, unnest({_SHINGLES.format(w='w')}) AS gram FROM t),
+         pd AS (SELECT gram, doc_id, count(*) AS tf FROM g GROUP BY 1, 2)
+    SELECT gram,
+           CAST(sum(tf) AS BIGINT) AS total_count,
+           CAST(count(*) AS BIGINT) AS doc_freq
+    FROM pd GROUP BY gram
+    ORDER BY total_count DESC, gram
+    LIMIT 20
+    """,
+)
+def q_docs_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent n-grams (top-20 word trigrams with total
+    occurrences and document frequency) — the boilerplate-detection /
+    stop-gram mining pass of a training-data pipeline. Two map-side
+    combinable aggregations ((gram, doc) then gram) and a distributed
+    top-k (TakeOrderedAndProject — per-partition heaps, never a global
+    sort) keep the 100 TB plan at two bounded shuffles."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.word_shingles(F.col("text")).alias("grams")
+    )
+    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    per_doc = g.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("tf").alias("total_count"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .orderBy(F.col("total_count").desc(), "gram")
+        .limit(20)
+    )
+
+
+#: BM25 constants (Robertson-Sparck Jones family); idf uses the
+#: transcendental-free odds form (N - df + 0.5) / (df + 0.5) so both
+#: engines produce bit-identical doubles (ln() is libm-dependent).
+_BM25_K1 = 1.2
+_BM25_TERMS = ("spark", "merge", "vector")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    # every literal CAST to DOUBLE: a bare DuckDB numeric literal is a
+    # DECIMAL, and decimal-exact multiply-then-round differs from
+    # Spark's double-by-double rounding in the last ulp.
+    contrib = " + ".join(
+        f"(((CAST(n_docs AS DOUBLE) - df_{t}) + CAST(0.5 AS DOUBLE))"
+        f" / (df_{t} + CAST(0.5 AS DOUBLE)))"
+        f" * ((tf_{t} * CAST(2.2 AS DOUBLE)) / (tf_{t} + CAST({_BM25_K1} AS DOUBLE)"
+        f" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl))))"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+         d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, {tf_cols} FROM t),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                      {df_cols}
+               FROM d)
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+           {contrib} AS score
+    FROM d CROSS JOIN s
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """
+
+
+@_register("docs_bm25_search")
+def q_docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query, computed with zero
+    joins on the fact side: per-term tf is a map-only array filter per
+    document, the corpus stats (N, avgdl, per-term df) are ONE global
+    partial-aggregated row broadcast back, and the final ranking is a
+    distributed top-k. The idf uses the odds form (no ln) so DuckDB
+    reproduces every double bit-for-bit; term contributions are summed
+    in explicit written order (float addition is not associative)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    per_doc = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("w", lambda x: x == F.lit(t)))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    norm = F.lit(0.25) + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}")
+        idf = ((F.col("n_docs").cast("double") - F.col(f"df_{t}")) + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        c = idf * ((tf * F.lit(2.2)) / (tf + F.lit(_BM25_K1) * norm))
+        score = c if score is None else score + c
+    any_tf = None
+    for t in _BM25_TERMS:
+        any_tf = (
+            F.col(f"tf_{t}")
+            if any_tf is None
+            else any_tf + F.col(f"tf_{t}")
+        )
+    return (
+        joined.select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            score.alias("score"),
+        )
+        .filter(any_tf > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES_BM25  # noqa: E402
+
+_ORACLES_BM25["docs_bm25_search"] = _bm25_oracle()
+
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================

@@ -57,6 +57,11 @@ EXPECTATIONS = {
     "docs_decontaminate": (3, 1, 0),       # eval shingle set broadcast
     "docs_token_diversity": (2, 0, 0),
     "events_value_histogram": (2, 0, 0),
+    # round-4 additions
+    "docs_source_quota_sample": (2, 1, 0),  # count agg + window on sliver
+    "orders_bloom_semi_join": (2, 1, 0),    # bloom build agg + final agg
+    "docs_ngram_heavy_hitters": (2, 0, 0),  # (gram,doc) agg + gram agg; top-k
+    "docs_bm25_search": (1, 1, 0),          # one global-stats agg, broadcast back
 }
 
 
