@@ -97,6 +97,47 @@ def char_ngrams(text: Column, n: int = 5) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+#: detection patterns restricted to syntax valid in BOTH Java regex
+#: (Spark, JVM-side codegen) and RE2 (DuckDB oracle): no lookaround,
+#: no backreferences. Dict order = masking order (emails first: their
+#: local parts may contain digits a later pattern would mangle).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+    "phone": (r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts (map-only codegen; DuckDB twin is
+    ``len(regexp_extract_all(...))``)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII match, applying patterns in ``PII_PATTERNS``
+    order. Pure expression chain — a 100 TB map-only pass."""
+    out = text
+    for pat, repl in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub_sql(expr: str) -> str:
+    """DuckDB twin of ``pii_scrub`` (note the 'g' flag: DuckDB's
+    regexp_replace is first-match-only by default, Spark's is global)."""
+    out = expr
+    for pat, repl in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Quality metrics
 # ---------------------------------------------------------------------------
 def punct_count(text: Column) -> Column:

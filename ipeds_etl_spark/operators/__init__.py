@@ -16,6 +16,7 @@ from ipeds_etl_spark.operators.bloom import (
 from ipeds_etl_spark.operators.interval import interval_bucket_join
 from ipeds_etl_spark.operators.dedup import (
     exact_dedup,
+    jaccard_prefix_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -89,6 +90,7 @@ __all__ = [
     "exact_dedup",
     "extract_features",
     "ivf_topk",
+    "jaccard_prefix_pairs",
     "build_ivf_centroids",
     "lsh_candidate_pairs",
     "minhash_signatures",

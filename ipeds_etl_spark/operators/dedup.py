@@ -371,3 +371,77 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard similarity join (PPJoin-lite,
+    after Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public
+    algorithms): an EXACT alternative to MinHash-LSH candidate
+    generation with zero recall loss.
+
+    The filter: order each document's distinct k-shingles by global
+    rarity (document frequency asc, shingle asc) and keep only the
+    first ``n - ceil(t*n) + 1`` as its *prefix*. If ``J(a, b) >= t``
+    then ``|a ∩ b| >= ceil(t * |a|)``, so the intersection cannot fit
+    entirely in the suffix (``ceil(t*n) - 1`` slots) — any qualifying
+    pair MUST share a prefix shingle. Candidates = prefix-token
+    equi-join (rarest tokens → smallest blocks; no hot-key cap needed
+    for correctness, and rarity ordering keeps blocks naturally tiny);
+    verification = exact set Jaccard on the candidates only.
+
+    Scale shape: one token-count agg (partial-combined), one window
+    over per-doc shingles (partitions are doc-sized), one equi-join on
+    rare tokens, then verify on the candidate sliver. No O(n²) stage
+    anywhere; output equals the brute-force join bit-for-bit.
+    """
+    sets = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(shingles_of(F.col("toks"), k)).alias("sh"),
+    )
+    tok = sets.select(F.col(id_col).alias("id"), F.explode("sh").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("id").orderBy("df_t", "tok")
+    w_all = Window.partitionBy("id")
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).cast("int")
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("pos") <= prefix_len)
+        .select("id", "tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.tok") == F.col("b.tok"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    paired = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        paired.select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

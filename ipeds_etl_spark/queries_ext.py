@@ -355,6 +355,69 @@ from ipeds_etl_spark.queries import ORACLE_SQL as _ORACLES_BM25  # noqa: E402
 _ORACLES_BM25["docs_bm25_search"] = _bm25_oracle()
 
 
+_PII_BLOB_SQL = (
+    "concat('reach ', c_name, ' at user', CAST(c_custkey AS VARCHAR), "
+    "'@example.com or ', lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), "
+    "'-555-', lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), "
+    "' from host 10.', CAST(c_custkey % 256 AS VARCHAR), '.0.', "
+    "CAST(c_custkey % 100 AS VARCHAR))"
+)
+
+
+def _pii_oracle() -> str:
+    from ipeds_etl_spark.functions.text import PII_PATTERNS, pii_scrub_sql
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(blob, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    return f"""
+    WITH b AS (SELECT c_custkey, {_PII_BLOB_SQL} AS blob FROM customer)
+    SELECT c_custkey, {counts}, {pii_scrub_sql('blob')} AS scrubbed
+    FROM b
+    """
+
+
+@_register("customers_pii_scrub")
+def q_customers_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the privacy-scrub pass every
+    training corpus needs before release. The synthetic benchmark data
+    carries no real PII, so the query first derives a deterministic
+    contact blob from customer fields (same construction on both
+    engines), then counts and masks emails / IPv4s / phone numbers with
+    engine-portable regexes (valid in Java regex AND RE2 — no
+    lookaround, no backreferences). Pure expression chain: a map-only
+    100 TB pass, value-hash-checked against DuckDB."""
+    from ipeds_etl_spark.functions.text import pii_counts, pii_scrub
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    blob = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        key.cast("string"),
+        F.lit("@example.com or "),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" from host 10."),
+        (key % 256).cast("string"),
+        F.lit(".0."),
+        (key % 100).cast("string"),
+    )
+    b = c.select("c_custkey", blob.alias("blob"))
+    cnts = pii_counts(F.col("blob"))
+    return b.select(
+        "c_custkey",
+        *[v.cast("long").alias(f"n_{k}") for k, v in cnts.items()],
+        pii_scrub(F.col("blob")).alias("scrubbed"),
+    )
+
+
+_ORACLES_BM25["customers_pii_scrub"] = _pii_oracle()
+
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================
@@ -554,6 +617,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@_register(
+    "docs_jaccard_prefix_join",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES.format(w='w')}) AS s FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+)
+def q_docs_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity join (PPJoin-lite): the
+    zero-recall-loss alternative to MinHash candidates. The Spark plan
+    touches only pairs sharing a globally-rare prefix shingle; the
+    oracle brute-forces all O(n²) pairs — identical output proves the
+    prefix filter is lossless."""
+    from ipeds_etl_spark.operators.dedup import jaccard_prefix_pairs
+
+    d = _docs(spark, sf_dir)
+    return jaccard_prefix_pairs(
+        d, text_col="text", id_col="doc_id", k=3, threshold=0.5
     )
 
 

@@ -271,3 +271,32 @@ def test_pairs_within_buckets_equals_naive_self_join(spark):
     }
     assert capped <= want
     assert capped == {p for p in want if p[0] in (1,2,3,10,11,20,30,31,32) and p[1] in (1,2,3,10,11,20,30,31,32)}
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark):
+    """The prefix filter must be lossless at any threshold: compare
+    against the O(n^2) verifier on synthetic docs with heavy overlap."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(4, 10)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted near-dup: same text, one word changed
+    rows.append((100, rows[0][1] + " tail"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.6):
+        got = jaccard_prefix_pairs(df, "text", "doc_id", k=3, threshold=t)
+        want = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=t)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"threshold {t}"

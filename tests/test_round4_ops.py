@@ -257,3 +257,28 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+def test_pii_scrub_masks_and_counts(spark):
+    from ipeds_etl_spark.functions.text import pii_counts, pii_scrub
+
+    rows = [
+        ("mail bob.smith+x@corp.example.org now",),
+        ("call 415-555-0199 or 020-555-0100",),
+        ("host 192.168.0.1 and 10.0.0.255",),
+        ("nothing sensitive here",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    cnts = pii_counts(F.col("t"))
+    out = df.select(
+        pii_scrub(F.col("t")).alias("s"),
+        *[v.alias(k) for k, v in cnts.items()],
+    ).collect()
+    assert out[0]["s"] == "mail [EMAIL] now" and out[0]["email"] == 1
+    assert out[1]["s"] == "call [PHONE] or [PHONE]" and out[1]["phone"] == 2
+    assert out[2]["s"] == "host [IP] and [IP]" and out[2]["ipv4"] == 2
+    assert out[3]["s"] == "nothing sensitive here"
+    assert out[3]["email"] == out[3]["phone"] == out[3]["ipv4"] == 0
