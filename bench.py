@@ -84,6 +84,15 @@ HEADLINE = [
     # sketch set-ops (three 1-row sketch aggs + broadcast merge)
     "orders_open_interval_counts",
     "events_kmv_merge",
+    # round-4, second wave: two-phase quota cap, bloom fact pruning,
+    # frequent n-grams, join-free BM25, map-only PII scrub, exact
+    # prefix-filtered similarity join
+    "docs_source_quota_sample",
+    "orders_bloom_semi_join",
+    "docs_ngram_heavy_hitters",
+    "docs_bm25_search",
+    "customers_pii_scrub",
+    "docs_jaccard_prefix_join",
 ]
 
 

@@ -665,16 +665,18 @@ _GATE_PRIORITY: list[str] = [
     "events_user_trend",
     "docs_weighted_sample",
     "orders_dq_report",
+    "docs_source_quota_sample",
+    "orders_bloom_semi_join",
+    "docs_ngram_heavy_hitters",
+    "docs_bm25_search",
+    "customers_pii_scrub",
+    "docs_jaccard_prefix_join",
+    "docs_robust_zscore",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
-    "enrich_join",
-    "dim_lookup_agg",
-    "json_page_roundtrip",
     "upsert_on_pk",
     "upsert_on_hash",
     "registry_mapper",
-    "text_quality",
-    "text_lang_id",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_components_star",
@@ -692,9 +694,12 @@ _GATE_PRIORITY: list[str] = [
     "orders_range_join_bucketed",
     "events_asof_last_purchase",
     # -- rotated out (multi-round green history; still in the local
-    # mirror and prior-round artifacts): latest_per_key,
-    # text_token_stats, dedup_exact, docs_split_and_sample,
-    # emb_topk_bruteforce + the round-3 rotation list --
+    # mirror and prior-round artifacts): latest_per_key, enrich_join,
+    # dim_lookup_agg, json_page_roundtrip, text_quality, text_lang_id,
+    # dedup_ngram_jaccard (its verifier is re-proven against brute
+    # force by docs_jaccard_prefix_join), text_token_stats,
+    # dedup_exact, docs_split_and_sample, emb_topk_bruteforce + the
+    # round-3 rotation list --
 ]
 
 

@@ -621,6 +621,47 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_robust_zscore",
+    """
+    WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
+         d AS (SELECT doc_id, n_chars, med, abs(n_chars - med) AS dev
+               FROM documents CROSS JOIN m),
+         s AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+    SELECT doc_id, n_chars, med, mad,
+           (n_chars - med) / (CAST(1.4826 AS DOUBLE) * mad) AS robust_z,
+           abs((n_chars - med) / (CAST(1.4826 AS DOUBLE) * mad))
+             > CAST(3.0 AS DOUBLE) AS is_outlier
+    FROM d CROSS JOIN s
+    """,
+)
+def q_docs_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier scoring on document length — the
+    outlier filter that survives heavy-tailed corpora where mean/stddev
+    z-scores (docs_length_zscore) get dragged by the tail. Two global
+    exact percentiles (each a 1-row broadcast back); all arithmetic is
+    exact-or-single-rounded so DuckDB's quantile_cont reproduces every
+    double. SCALE NOTE: exact percentile buffers values per group — at
+    100 TB swap in approx_percentile (same plan shape, documented
+    epsilon) or a two-pass histogram refine; the oracle requires the
+    exact form."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    med_df = d.agg(F.percentile("n_chars", 0.5).alias("med"))
+    dev = d.crossJoin(F.broadcast(med_df)).withColumn(
+        "dev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad_df = dev.agg(F.percentile("dev", 0.5).alias("mad"))
+    z = (F.col("n_chars") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return dev.crossJoin(F.broadcast(mad_df)).select(
+        "doc_id",
+        "n_chars",
+        "med",
+        "mad",
+        z.alias("robust_z"),
+        (F.abs(z) > F.lit(3.0)).alias("is_outlier"),
+    )
+
+
+@_register(
     "docs_jaccard_prefix_join",
     f"""
     WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),

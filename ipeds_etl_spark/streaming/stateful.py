@@ -247,3 +247,104 @@ def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HH_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("item", T.StringType(), False),
+        T.StructField("est_count", T.LongType(), False),
+        T.StructField("max_err", T.LongType(), False),
+        T.StructField("n_shard", T.LongType(), False),
+    ]
+)
+
+_HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType()), True),
+        T.StructField("counts", T.ArrayType(T.LongType()), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    item_col: str = "user_id",
+    m: int = 8,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters with state bounded at EXACTLY ``m``
+    counters per shard — Misra-Gries in its mergeable-summaries form
+    (Misra & Gries 1982; Agarwal et al. PODS'12, both public).
+
+    Exact streaming top-k needs unbounded state (every distinct item).
+    This keeps ``m`` (item, count) pairs per shard: each micro-batch's
+    exact pandas counts are added to the summary, then the summary is
+    compressed back to ``m`` entries by subtracting the (m+1)-th
+    largest count and dropping non-positives — the published merge
+    rule, whose cumulative undercount is at most ``n_shard / (m+1)``.
+    Guarantees (tested against exact batch counts): estimates never
+    exceed the truth, undershoot by at most ``max_err``, and every item
+    with true count > ``max_err`` is still tracked — the sketch can
+    miss only items too rare to ever matter.
+
+    Items are sharded JVM-side by the engine-portable ``parity_hash``
+    (same family as every other operator), so a batch job can replay
+    the exact shard assignment when validating or merging shards.
+    """
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.functions.hashing import parity_hash
+
+    mm = int(m)
+
+    def handler(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (shard,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        items, counts, n = (
+            state.get if state.exists else ([], [], 0)
+        )
+        cnt = dict(zip(items, counts))
+        n = int(n)
+        for pdf in pdfs:
+            vc = pdf["item"].value_counts()
+            n += int(vc.sum())
+            for it, c in vc.items():
+                cnt[it] = cnt.get(it, 0) + int(c)
+        if len(cnt) > mm:
+            kth = sorted(cnt.values(), reverse=True)[mm]
+            cnt = {it: c - kth for it, c in cnt.items() if c > kth}
+        state.update((list(cnt), [int(v) for v in cnt.values()], n))
+        err = n // (mm + 1)
+        yield _pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(cnt),
+                "item": list(cnt),
+                "est_count": [int(v) for v in cnt.values()],
+                "max_err": [err] * len(cnt),
+                "n_shard": [n] * len(cnt),
+            }
+        )
+
+    shard = (
+        parity_hash(F.concat(F.lit("hh:"), F.col(item_col).cast("string")))
+        % n_shards
+    ).cast("int")
+    return (
+        events.select(
+            shard.alias("shard"), F.col(item_col).cast("string").alias("item")
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            handler,
+            outputStructType=HH_SCHEMA,
+            stateStructType=_HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -454,3 +454,56 @@ def test_kmv_stream_matches_batch_estimate(spark, stream_dir):
     assert set(final) == set(batch)
     for et, est in final.items():
         assert est == batch[et], (et, est, batch[et])
+
+
+def test_heavy_hitters_stream_mg_guarantees(spark, stream_dir):
+    """Misra-Gries invariants vs exact batch counts, per shard:
+    (a) est <= true, (b) true - est <= max_err, (c) every item with
+    true count > max_err is tracked."""
+    from ipeds_etl_spark.functions.hashing import parity_hash
+    from ipeds_etl_spark.streaming.stateful import heavy_hitters_stream
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    (
+        heavy_hitters_stream(stream, item_col="user_id", m=8, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.sql("SELECT * FROM hh_stream").collect()
+    assert emitted, "stream emitted nothing"
+    # final state per shard = rows from the emission with max n_shard
+    final_n = {}
+    for r in emitted:
+        final_n[r["shard"]] = max(final_n.get(r["shard"], 0), r["n_shard"])
+    sketch = {
+        (r["shard"], r["item"]): (r["est_count"], r["max_err"])
+        for r in emitted
+        if r["n_shard"] == final_n[r["shard"]]
+    }
+    shard = (
+        parity_hash(F.concat(F.lit("hh:"), F.col("user_id").cast("string")))
+        % 4
+    ).cast("int")
+    exact = {
+        (r["shard"], r["item"]): r["true_count"]
+        for r in spark.read.parquet(stream_dir)
+        .select(shard.alias("shard"), F.col("user_id").cast("string").alias("item"))
+        .groupBy("shard", "item")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .collect()
+    }
+    err_by_shard = {}
+    for (sh, it), (est, err) in sketch.items():
+        true = exact[(sh, it)]
+        assert est <= true, (sh, it, est, true)
+        assert true - est <= err, (sh, it, est, true, err)
+        err_by_shard[sh] = err
+    tracked = {k for k in sketch}
+    for (sh, it), true in exact.items():
+        if sh in err_by_shard and true > err_by_shard[sh]:
+            assert (sh, it) in tracked, (sh, it, true, err_by_shard[sh])
