@@ -82,10 +82,15 @@ def shingles_of(toks: Column, k: int = 3) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles straight from a text column — convenience form
-    for small inputs/tests; hot paths should project ``tokens`` first
-    and call ``shingles_of`` (see PERF note there)."""
-    return shingles_of(tokens(text), k)
+    """k-word shingles straight from a text column. Safe on hot paths:
+    the token array is LET-BOUND by wrapping it in a one-element array
+    and building the shingles inside a ``transform`` lambda, where each
+    reference is a lambda-variable read — without this, CollapseProject
+    can inline the tokenizer subtree at every per-shingle reference and
+    codegen re-tokenizes the document once per shingle (measured ~6× at
+    sf0.1; same trick as ``bloom_probe``'s hash binding)."""
+    boxed = F.array(tokens(text))
+    return F.flatten(F.transform(boxed, lambda t: shingles_of(t, k)))
 
 
 def char_ngrams(text: Column, n: int = 5) -> Column:

@@ -13,6 +13,7 @@ from ipeds_etl_spark.operators.bloom import (
     bloom_semi_join,
     build_bloom,
 )
+from ipeds_etl_spark.operators.cdc import snapshot_diff
 from ipeds_etl_spark.operators.interval import interval_bucket_join
 from ipeds_etl_spark.operators.dedup import (
     exact_dedup,
@@ -113,6 +114,7 @@ __all__ = [
     "sample_frames",
     "simhash",
     "simhash_near_pairs",
+    "snapshot_diff",
     "upsert_into_partitioned",
     "upsert_into_txn_table",
     "upsert_on_hash",

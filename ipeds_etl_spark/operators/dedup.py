@@ -406,29 +406,48 @@ def jaccard_prefix_pairs(
         F.col(id_col),
         F.array_distinct(shingles_of(F.col("toks"), k)).alias("sh"),
     )
-    tok = sets.select(F.col(id_col).alias("id"), F.explode("sh").alias("tok"))
+    # PLAN-EXPLOSION GUARD: ``sets`` feeds five branches (token explode,
+    # both prefix join sides, both verify sides); without a barrier
+    # Catalyst collapses projections and inlines the tokenize+shingle
+    # chain at every reference (22 regexp_split nodes in the optimized
+    # plan, ~6.5s at sf0.1; per-branch column pruning also defeats
+    # ReuseExchange, so a repartition barrier doesn't help). Materialize
+    # the shingle sets once — same discipline as the components
+    # fixpoint (`components.py` localCheckpoint): O(corpus distinct
+    # shingles) rows, and every branch reads the materialized form.
+    sets = sets.localCheckpoint(eager=True)
+    tok = sets.select(
+        F.col(id_col).alias("id"),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("tok"),
+    )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     from pyspark.sql import Window
 
+    # set size rides through the explode (F.size above) instead of a
+    # second count-over-partition window pass.
     w_rank = Window.partitionBy("id").orderBy("df_t", "tok")
-    w_all = Window.partitionBy("id")
     prefix_len = (
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).cast("int")
     prefix = (
         tok.join(freq, "tok")
         .withColumn("pos", F.row_number().over(w_rank))
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
         .filter(F.col("pos") <= prefix_len)
-        .select("id", "tok")
+        .select("id", "tok", "n")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter (also from the published family): J(a,b) >= t
+    # forces t*|a| <= |b| <= |a|/t, so size-incompatible pairs are
+    # pruned inside the join before the distinct sees them.
     cand = (
         a.join(
             b,
             on=[
                 F.col("a.tok") == F.col("b.tok"),
                 F.col("a.id") < F.col("b.id"),
+                F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")),
+                F.col("b.n") * F.lit(threshold) <= F.col("a.n"),
             ],
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -672,6 +672,7 @@ _GATE_PRIORITY: list[str] = [
     "customers_pii_scrub",
     "docs_jaccard_prefix_join",
     "docs_robust_zscore",
+    "orders_snapshot_diff",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",
@@ -690,11 +691,11 @@ _GATE_PRIORITY: list[str] = [
     "emb_rp_lsh_banded_recall",
     "multimodal_features",
     "events_kmv_users",
-    "orders_range_join_periods",
     "orders_range_join_bucketed",
     "events_asof_last_purchase",
     # -- rotated out (multi-round green history; still in the local
-    # mirror and prior-round artifacts): latest_per_key, enrich_join,
+    # mirror and prior-round artifacts): orders_range_join_periods
+    # (its scale path orders_range_join_bucketed stays), latest_per_key, enrich_join,
     # dim_lookup_agg, json_page_roundtrip, text_quality, text_lang_id,
     # dedup_ngram_jaccard (its verifier is re-proven against brute
     # force by docs_jaccard_prefix_join), text_token_stats,

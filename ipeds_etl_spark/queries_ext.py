@@ -232,7 +232,7 @@ def q_docs_ngram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregations ((gram, doc) then gram) and a distributed
     top-k (TakeOrderedAndProject — per-partition heaps, never a global
     sort) keep the 100 TB plan at two bounded shuffles."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = _docs(spark, sf_dir).select(
         "doc_id", TX.word_shingles(F.col("text")).alias("grams")
     )
     g = d.select("doc_id", F.explode("grams").alias("gram"))
@@ -621,6 +621,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_snapshot_diff",
+    """
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM orders WHERE o_orderkey % 11 <> 0),
+         n AS (SELECT o_orderkey, o_orderstatus,
+                      CASE WHEN o_orderkey % 7 = 0
+                           THEN o_totalprice + CAST(1.0 AS DOUBLE)
+                           ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+       OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+    """,
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC between table versions, `operators/cdc.py`):
+    the 'what changed between version N and M' answer for any two reads
+    of a transactional table (`txn.read_table(version=...)`), computed
+    from the snapshots alone — no change log required. The benchmark
+    derives the two versions deterministically from orders (keys %11==0
+    appear → insert, %13==0 vanish → delete, %7==0 reprice → update);
+    one pk-co-partitioned full-outer join, output O(changes)."""
+    from ipeds_etl_spark.operators.cdc import snapshot_diff
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderkey") % 11 != 0)
+    new = base.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("o_totalprice") + F.lit(1.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, pk=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+@_register(
     "docs_robust_zscore",
     """
     WITH m AS (SELECT quantile_cont(n_chars, 0.5) AS med FROM documents),
@@ -671,7 +721,7 @@ def q_docs_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+             / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
     """,
 )
 def q_docs_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,7 +734,7 @@ def q_docs_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return jaccard_prefix_pairs(
-        d, text_col="text", id_col="doc_id", k=3, threshold=0.5
+        d, text_col="text", id_col="doc_id", k=3, threshold=0.7
     )
 
 
@@ -798,9 +848,14 @@ def q_orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = orders.filter(
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 250000)
     ).select("o_orderkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice"
-    )
+    # parallelism floor: per-row sha256 probing dwarfs the scan, same
+    # rationale as _docs (a 3-row-group local file would serialize it)
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ).select("l_orderkey", "l_returnflag", "l_extendedprice")
     pruned = bloom_semi_join(li, "l_orderkey", qualifying, "o_orderkey")
     return pruned.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),

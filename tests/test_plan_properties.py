@@ -60,7 +60,8 @@ EXPECTATIONS = {
     # round-4 additions
     "docs_source_quota_sample": (2, 1, 0),  # count agg + window on sliver
     "orders_bloom_semi_join": (2, 1, 0),    # bloom build agg + final agg
-    "docs_ngram_heavy_hitters": (2, 0, 0),  # (gram,doc) agg + gram agg; top-k
+    # (gram,doc) agg + gram agg + _docs scan-widening floor; top-k
+    "docs_ngram_heavy_hitters": (3, 0, 0),
     "docs_bm25_search": (1, 1, 0),          # one global-stats agg, broadcast back
 }
 

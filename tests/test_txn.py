@@ -529,3 +529,28 @@ def test_rename_no_replace_single_winner_under_race(spark, tmp_path):
         # winner's source is gone; losers keep theirs (they retry)
         assert not fsutil.path_exists(spark, f"{d}/.tmp-{wins[0]}")
         assert sum(fsutil.path_exists(spark, s) for _, s in srcs) == 23
+
+
+def test_snapshot_diff_between_txn_versions(spark, tmp_path):
+    """CDC integration: diff two time-travel reads of the same txn
+    table — the changes the second upsert made come back tagged."""
+    from ipeds_etl_spark.operators.cdc import snapshot_diff
+
+    path = str(tmp_path / "t")
+    txn.upsert_into_txn_table(spark, path, _table(spark, OLD), ["id", "year"])
+    v1 = txn._latest_manifest(spark, path)[0]
+    txn.upsert_into_txn_table(
+        spark, path, _table(spark, [(1, 2010, "new"), (9, 2012, "add")]),
+        ["id", "year"],
+    )
+    old = txn.read_table(spark, path, version=v1)
+    new = txn.read_table(spark, path)
+    diff = {
+        (r["id"], r["year"]): (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, pk=["id", "year"]).collect()
+    }
+    # upsert never deletes, so: one update, one insert, nothing else
+    assert diff == {
+        (1, 2010): ("update", "old", "new"),
+        (9, 2012): ("insert", None, "add"),
+    }
