@@ -93,6 +93,16 @@ HEADLINE = [
     "docs_bm25_search",
     "customers_pii_scrub",
     "docs_jaccard_prefix_join",
+    # round-5 additions: TPC-H Q1 shape, one-shuffle SCD2 build,
+    # basket pair mining, sequential paths, cohort LTV, SemDeDup
+    # verdict, full-outer reconciliation
+    "lineitem_pricing_summary",
+    "customer_scd2",
+    "orders_market_basket",
+    "events_top_paths",
+    "customer_cohort_ltv",
+    "emb_semantic_dedup",
+    "nations_customer_supplier_balance",
 ]
 
 

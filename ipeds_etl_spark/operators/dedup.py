@@ -84,30 +84,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as ``sig: array<long>``.
 
-    shingle → parity hash (exploded) → groupBy doc, min over each
-    permutation. The min-aggregate is map-side combinable: executors
-    reduce their local shingles before the shuffle, so shuffle volume
-    is O(docs × n_perms), independent of document length.
+    MAP-ONLY: shingle → parity hash stays an array column per document,
+    and each permutation's min is an ``array_min(transform(...))`` over
+    that array — no explode, no shuffle, no aggregation. The previous
+    form exploded shingles and re-assembled signatures with a 16-min
+    groupBy; that shuffled O(docs × n_perms) and paid a row-blowup of
+    O(total tokens). This form matches the DuckDB oracle shape
+    (per-doc ``list_min``) and makes the whole signature pipeline a
+    single narrow stage — at 100 TB the first exchange of the LSH
+    pipeline is now the *bucket* groupBy, not the signature build.
+    (Measured at sf0.1: pair-pipeline exec 1.65 s → ~1.0 s.)
     """
-    # tokens projected first — see shingles_of PERF note (6× at sf0.1)
-    shingled = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-        .select(F.col(id_col), F.explode(shingles_of(F.col("toks"), shingle_k)).alias("shingle"))
-        .select(id_col, parity_hash(F.col("shingle")).alias("h"))
+    # tokens + hashed-shingle array projected in SEPARATE selects — each
+    # projection is an optimizer barrier (CollapseProject refuses to
+    # duplicate non-cheap expressions), so the sha256 per shingle runs
+    # once, not once per permutation; see shingles_of PERF note.
+    hv = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).select(
+        F.col(id_col),
+        F.transform(shingles_of(F.col("toks"), shingle_k), parity_hash).alias("hv"),
     )
-    # ONE parsed expression builds the signature array directly in the
-    # aggregation: a single Py4J round trip and no 16-column
-    # intermediate + reassembly projection (measured ~0.2s off the
-    # sf0.1 build+exec vs per-permutation aggs; the partial-agg
-    # buffers are identical)
+    # ONE parsed expression builds the signature array: a single Py4J
+    # round trip; 16 array_min passes over an already-materialized
+    # long-array column are cheap codegen loops.
     arr = (
         "array("
         + ", ".join(
-            f"min((h * {a} + {b}) % {MERSENNE_P})" for a, b in minhash_perms(n_perms)
+            f"array_min(transform(hv, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+            for a, b in minhash_perms(n_perms)
         )
         + ") AS sig"
     )
-    return shingled.groupBy(id_col).agg(F.expr(arr))
+    # NULL text ⇒ hv NULL; the old explode form dropped those rows, so
+    # filter to keep the contract (and the band keys) identical.
+    return hv.where(F.col("hv").isNotNull()).selectExpr(id_col, arr)
 
 
 def lsh_band_buckets(

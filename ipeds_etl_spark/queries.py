@@ -624,7 +624,7 @@ def _load_extensions() -> None:
     """Importing ``queries_ext`` registers the training-data extension
     queries (dedup / similarity / text analysis / event windows) into
     the same registry. Lazy to avoid a circular import at module load."""
-    from ipeds_etl_spark import queries_ext  # noqa: F401
+    from ipeds_etl_spark import queries_analytics, queries_ext  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -673,6 +673,14 @@ _GATE_PRIORITY: list[str] = [
     "docs_jaccard_prefix_join",
     "docs_robust_zscore",
     "orders_snapshot_diff",
+    # -- new in round 5 (no driver row yet) --
+    "lineitem_pricing_summary",
+    "customer_scd2",
+    "orders_market_basket",
+    "events_top_paths",
+    "customer_cohort_ltv",
+    "emb_semantic_dedup",
+    "nations_customer_supplier_balance",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

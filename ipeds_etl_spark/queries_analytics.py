@@ -1,0 +1,363 @@
+"""Round-5 relational-analytics query families: temporal dimension
+modeling (SCD2), co-occurrence pair mining, sequential pattern mining,
+cohort revenue analysis, semantic dedup policy, full-outer
+reconciliation, and the classic TPC-H pricing-summary shape.
+
+Same contract as ``queries_ext``: every query is registered with a
+DuckDB oracle that replicates the exact value (dates pinned to
+formatted strings, money sums in decimal, deterministic tie-breaks on
+every window/order), so the driver's value-hash gate applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators import dedup as DD
+from ipeds_etl_spark.operators import similarity as SIM
+from ipeds_etl_spark.plans.views import exact_sum
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.queries_ext import _cos_sql, _ivf_codebook, _ivf_sql
+from ipeds_etl_spark.sources.tables import load_table
+
+
+# ===========================================================================
+# TPC-H Q1 shape: pricing summary
+# ===========================================================================
+@_register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: one scan, partial+final hash agg on a
+    2-value × 2-value grouping key. Money sums in decimal (exact, so
+    partition-order-independent — see ``exact_sum``), averages as one
+    double division of exact numerators. At 100 TB this is the
+    map-side-combine showcase: shuffle carries 4 groups × a few
+    decimal buffers, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    n = F.count("*")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        (exact_sum("l_quantity") / n).alias("avg_qty"),
+        (exact_sum("l_discount") / n).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+# ===========================================================================
+# SCD Type-2: change-interval dimension build
+# ===========================================================================
+@_register(
+    "customer_scd2",
+    """
+    WITH daily AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderpriority, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+    seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             lag(o_orderpriority) OVER w AS prev_attr
+      FROM daily
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)),
+    changes AS (
+      SELECT * FROM seq WHERE prev_attr IS NULL OR prev_attr <> o_orderpriority)
+    SELECT o_custkey AS custkey,
+           CAST(row_number() OVER w2 AS INTEGER) AS version,
+           o_orderpriority AS attr,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           coalesce(strftime(lead(o_orderdate) OVER w2, '%Y-%m-%d'), '9999-12-31')
+             AS valid_to
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """,
+)
+def q_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) build from an event history,
+    at daily grain: compact to the day's LAST state per key (same-day
+    flips never make zero-length intervals), detect transitions with
+    ``lag``, then number and bound each validity interval with
+    ``row_number``/``lead`` over the surviving change rows. All three
+    windows share the ``custkey`` partition key (the compaction window
+    adds the date — a finer key on the same shuffle), so the whole
+    build is ONE shuffle plus sorts — the canonical scale shape for
+    snapshot-to-interval conversion, unchanged for CDC streams
+    compacted per key. The open interval is pinned to 9999-12-31 so
+    the output is join-ready for as-of lookups."""
+    # ONE explicit shuffle on custkey: hash(custkey) clusters every
+    # finer window key too — the (custkey, date) compaction window and
+    # the custkey history windows all run on this single exchange, and
+    # the compaction sort (custkey, date, orderkey desc) is a superset
+    # of the history sort (custkey, date), so there is one sort total.
+    o = load_table(spark, sf_dir, "orders").repartition("o_custkey")
+    wd = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    daily = (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            F.row_number().over(wd).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    changes = daily.withColumn(
+        "prev_attr", F.lag("o_orderpriority").over(w)
+    ).filter(
+        F.col("prev_attr").isNull()
+        | (F.col("prev_attr") != F.col("o_orderpriority"))
+    )
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).alias("version"),
+        F.col("o_orderpriority").alias("attr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+    )
+
+
+# ===========================================================================
+# Market-basket co-occurrence mining
+# ===========================================================================
+@_register(
+    "orders_market_basket",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS key_a, b.l_partkey AS key_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, key_a, key_b
+    LIMIT 20
+    """,
+)
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part-pair mining (market basket): per-order pair
+    expansion through ``pairs_within_buckets`` — the same join-free
+    in-bucket expansion as LSH dedup, so the basket never self-joins
+    and a pathological mega-order is rank-capped instead of going
+    quadratic. Count agg is map-side combinable; final result is a
+    distributed top-k (TakeOrderedAndProject), never a full sort."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = DD.pairs_within_buckets(
+        items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.id").alias("key_a"), F.col("b.id").alias("key_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "key_a", "key_b")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Sequential pattern mining: top event-type paths
+# ===========================================================================
+@_register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 15
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: top 3-step event-type paths across
+    users. ``lead`` over (user, time) turns each row into its own
+    trigram — NO per-user array materialization (a power user with
+    10⁷ events costs window-sort, not memory), one shuffle on
+    ``user_id``, then a combinable count and a distributed top-k.
+    Time ties broken by event_id for cross-engine determinism."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(F.concat_ws(" > ", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
+
+
+# ===========================================================================
+# Cohort revenue (LTV) matrix
+# ===========================================================================
+@_register(
+    "customer_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY 1)
+    SELECT strftime(date_trunc('month', f.first_dt), '%Y-%m') AS cohort_month,
+           (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.first_dt) * 12 + month(f.first_dt)) AS months_since,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: cohort = month of first order; cell =
+    (active customers, exact revenue) at each month offset. The first-
+    order aggregate and the enrichment join share the ``custkey``
+    shuffle key, so AQE plans one exchange + (at small sf) a broadcast
+    of the cohort side; month arithmetic is integer (year*12+month),
+    portable across engines — no interval math."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    month_no = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "first_dt"), "yyyy-MM").alias(
+                "cohort_month"
+            ),
+            (month_no(F.col("o_orderdate")) - month_no(F.col("first_dt"))).alias(
+                "months_since"
+            ),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# ===========================================================================
+# SemDeDup: semantic keep/drop verdict per vector
+# ===========================================================================
+@_register(
+    "emb_semantic_dedup",
+    f"""
+    WITH {_ivf_sql()},
+    pairs AS (
+      SELECT b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT e.vec_id, (d.id_b IS NULL) AS keep
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+    """,
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup policy: within each IVF centroid
+    cluster, a vector is DROPPED when it is cosine-≥θ similar to any
+    lower-id vector (the lower id is the canonical survivor). Composes
+    the capped in-bucket pair expansion with an anti-join verdict —
+    cluster-local work, so the 100 TB cost is one centroid shuffle
+    plus bucket-bounded pair checks, never a corpus self-join.
+    Ref policy: Abbas et al., "SemDeDup" (arXiv:2303.09540) — keep one
+    representative per semantic near-dup group."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dups(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        n_centroids=8,
+        cent_rows=_ivf_codebook(spark, sf_dir),
+    )
+    dropped = pairs.select(F.col("id_b").alias("drop_id")).distinct()
+    return e.select("vec_id").join(
+        dropped, e.vec_id == dropped.drop_id, "left"
+    ).select("vec_id", F.col("drop_id").isNull().alias("keep"))
+
+
+# ===========================================================================
+# Full-outer reconciliation
+# ===========================================================================
+@_register(
+    "nations_customer_supplier_balance",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS cust_bal
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+                      CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS supp_bal
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(c.cust_bal, 0.0) AS cust_bal,
+           coalesce(s.n_suppliers, 0) AS n_suppliers,
+           coalesce(s.supp_bal, 0.0) AS supp_bal
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q_nations_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation via FULL OUTER join of per-nation
+    aggregates (the missing join-type in the suite): either side may
+    lack a nation, so both are aggregated first (25 rows each — the
+    join is trivially broadcastable after aggregation, and at any
+    scale the outer join runs over pre-aggregated keys, not raw
+    rows)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal").alias("cust_bal"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            exact_sum("s_acctbal").alias("supp_bal"),
+        )
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )

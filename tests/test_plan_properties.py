@@ -35,7 +35,9 @@ EXPECTATIONS = {
     "text_quality": (1, 0, 0),
     "doc_fingerprint": (1, 0, 0),
     "dedup_exact": (1, 0, 0),
-    "dedup_minhash_lsh": (3, 0, 0),    # sig agg + bucket agg + distinct
+    # round-5: signature build is MAP-ONLY (array_min over the hashed
+    # shingle array) — the only shuffles left are bucket agg + distinct
+    "dedup_minhash_lsh": (2, 0, 0),
     "dedup_simhash": (3, 0, 0),
     "multimodal_features": (0, 0, 1),  # exactly the one Arrow stage
     "events_window_hourly": (1, 0, 0),
@@ -63,18 +65,28 @@ EXPECTATIONS = {
     # (gram,doc) agg + gram agg + _docs scan-widening floor; top-k
     "docs_ngram_heavy_hitters": (3, 0, 0),
     "docs_bm25_search": (1, 1, 0),          # one global-stats agg, broadcast back
+    # round-5 additions
+    "lineitem_pricing_summary": (1, 0, 0),  # scan → partial agg → final
+    "customer_scd2": (1, 0, 0),             # all 3 windows on ONE custkey shuffle
+    "orders_market_basket": (3, 0, 0),      # distinct + bucket expand + pair count
+    "events_top_paths": (2, 0, 0),          # user window + path count
+    "customer_cohort_ltv": (3, 1, 0),       # firsts agg bcast back + Expand distinct
+    # FULL OUTER cannot broadcast — the merge join over two
+    # pre-aggregated 25-row sides is the correct (and only) plan
+    "nations_customer_supplier_balance": (2, 0, 0, 1),
 }
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))
 def test_plan_shape(spark, name):
-    max_ex, min_bcast, max_py = EXPECTATIONS[name]
+    max_ex, min_bcast, max_py = EXPECTATIONS[name][:3]
+    max_smj = EXPECTATIONS[name][3] if len(EXPECTATIONS[name]) > 3 else 0
     a = audit(q.queries()[name](spark, SF))
     assert a["exchanges"] <= max_ex, f"{name}: {a['exchanges']} exchanges > {max_ex}"
     assert a["broadcast_joins"] >= min_bcast, (
         f"{name}: {a['broadcast_joins']} broadcast joins < {min_bcast}"
     )
-    assert a["sortmerge_joins"] == 0, f"{name}: unexpected sort-merge join"
+    assert a["sortmerge_joins"] <= max_smj, f"{name}: unexpected sort-merge join"
     assert a["python_stages"] <= max_py, f"{name}: unexpected Python stage"
 
 

