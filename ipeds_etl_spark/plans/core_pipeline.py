@@ -37,15 +37,16 @@ def map_records(endpoint: str, records: DataFrame, rec_col: str = "rec") -> Data
     every registry field becomes safe_cast(coalesce_pick(candidates)),
     with ``year`` backfilled from the page when the record lacks it.
     """
-    # SQL-text form: ONE selectExpr gateway call instead of ~thousands
-    # of Py4J Column calls for a 100+-field contract (see
-    # registry.mapper_select_exprs — ~5s/plan-build saved)
+    # Two-stage SQL-text form: one selectExpr gateway call per stage
+    # instead of ~thousands of Py4J Column calls for a 100+-field
+    # contract, and a ~2.5× smaller analyzer tree than the one-shot
+    # SQL form (see registry.mapper_select_stages)
     from ipeds_etl_spark.functions.cleaning import sql_lit
 
-    exprs = registry.mapper_select_exprs(
+    s1, s2 = registry.mapper_select_stages(
         endpoint, getter_sql=lambda name: f"{rec_col}[{sql_lit(name)}]"
     )
-    out = records.selectExpr(*exprs, "page_year")
+    out = records.selectExpr(*s1, "page_year").selectExpr(*s2, "page_year")
     return out.withColumn("year", F.coalesce(F.col("year"), F.col("page_year"))).drop(
         "page_year"
     )

@@ -556,12 +556,14 @@ def q_registry_mapper(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ipeds_etl_spark.functions.cleaning import sql_lit
 
     recs = c.select(rec.alias("rec"))
-    # SQL-text mapper: one selectExpr call for the 102-col generated
-    # contract (the Column form cost ~5s of Py4J per plan build)
-    exprs = registry.mapper_select_exprs(
+    # Two-stage SQL-text mapper: one selectExpr per stage (the Column
+    # form cost ~5s of Py4J per plan build; the one-shot SQL form
+    # still paid ~1s of JVM analysis walking the duplicated cast-guard
+    # subtrees — see registry.mapper_select_stages)
+    s1, s2 = registry.mapper_select_stages(
         "directory", getter_sql=lambda name: f"rec[{sql_lit(name)}]"
     )
-    return recs.selectExpr(*exprs).select(
+    return recs.selectExpr(*s1).selectExpr(*s2).select(
         "unitid", "year", "inst_name", "state_abbr", "sector", "latitude"
     )
 

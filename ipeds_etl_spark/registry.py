@@ -294,6 +294,71 @@ def mapper_select_exprs(
     return out
 
 
+def mapper_select_stages(
+    endpoint: str,
+    available: set[str] | None = None,
+    getter_sql: Callable[[str], str] | None = None,
+) -> tuple[list[str], list[str]]:
+    """Two-stage form of :func:`mapper_select_exprs`: stage 1 projects
+    each field's stripped/coalesced candidate string ONCE, stage 2
+    applies the regex-guarded cast to that single-node reference.
+
+    Why: the one-shot form repeats the whole coalesce+trim subtree at
+    every reference inside each cast guard (2× for int/long, 3× for
+    double), so the analyzer/optimizer walk a tree ~2.5× bigger than
+    necessary — measured ~1.0 s of JVM plan time per build for the
+    102-column mapper, ~0.4 s with the split. Catalyst keeps the two
+    projections separate (CollapseProject refuses to duplicate
+    non-cheap expressions) but fuses them into one codegen stage, so
+    the runtime plan is unchanged. Semantics are bit-identical by
+    construction: stage 1 is exactly the shared ``s`` subexpression of
+    the one-shot form. Parity with :func:`mapper_columns` is pinned by
+    ``tests/test_registry.py``.
+    """
+    from ipeds_etl_spark.functions.cleaning import (
+        _DBL_RE,
+        _INT_RE,
+        _NAN_RE,
+        _stripped_clean_sql,
+        clean_sentinels_sql,
+        sql_lit,
+        strip_sql,
+    )
+
+    ep = get_endpoint(endpoint)
+    if getter_sql is None:
+        def getter_sql(name: str) -> str:
+            return f"`{name}`"
+    stage1: list[str] = []
+    stage2: list[str] = []
+    for f in ep.fields:
+        cands = [c for c in f.candidates if available is None or c in available]
+        if not cands:
+            stage2.append(f"CAST(NULL AS {_SQL_TYPES[f.type]}) AS `{f.name}`")
+            continue
+        picked = coalesce_pick_sql(*[getter_sql(c) for c in cands])
+        p = f"`__p_{f.name}`"
+        if f.type == "s":
+            # safe_str cleans OUTSIDE the strip — keep that order
+            stage1.append(f"{strip_sql(f'CAST({picked} AS STRING)')} AS {p}")
+            stage2.append(f"{clean_sentinels_sql(p)} AS `{f.name}`")
+        else:
+            stage1.append(f"{_stripped_clean_sql(picked)} AS {p}")
+            if f.type in ("i", "l"):
+                t = "INT" if f.type == "i" else "BIGINT"
+                stage2.append(
+                    f"try_cast(CASE WHEN {p} RLIKE {sql_lit(_INT_RE)} "
+                    f"THEN {p} END AS {t}) AS `{f.name}`"
+                )
+            else:
+                stage2.append(
+                    f"(CASE WHEN {p} RLIKE {sql_lit(_NAN_RE)} THEN CAST('NaN' AS DOUBLE) "
+                    f"WHEN {p} RLIKE {sql_lit(_DBL_RE)} THEN try_cast({p} AS DOUBLE) "
+                    f"ELSE CAST(NULL AS DOUBLE) END) AS `{f.name}`"
+                )
+    return stage1, stage2
+
+
 def drift_report(endpoint: str, incoming_fields: set[str]) -> dict[str, list[str]]:
     """Contract check (reference architecture.md:174): which incoming
     fields are unknown to the registry, and which registry fields have
