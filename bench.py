@@ -103,6 +103,12 @@ HEADLINE = [
     "customer_cohort_ltv",
     "emb_semantic_dedup",
     "nations_customer_supplier_balance",
+    # round-5, second wave: grid resample + LOCF fill, yoy lag
+    # analytics, cut-point RFM scoring, integer-exact PageRank
+    "events_resample_locf",
+    "orders_yoy_growth",
+    "customer_rfm_scores",
+    "parts_copurchase_pagerank",
 ]
 
 

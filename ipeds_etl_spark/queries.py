@@ -306,36 +306,21 @@ _SENTINEL_ORACLE = """
 @_register("sentinel_clean", _SENTINEL_ORACLE)
 def q_sentinel_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    dirty = c.select(
+    # dirty-fixture synthesis as ONE parsed selectExpr (the chained
+    # .when() form cost ~40 Py4J round trips ≈ 0.3s of build time per
+    # invocation; the fixture is not the operator under test)
+    dirty = c.selectExpr(
         "c_custkey",
-        F.when(k % 8 == 0, "-1")
-        .when(k % 8 == 1, " -2 ")
-        .when(k % 8 == 2, "-3")
-        .when(k % 8 == 3, "")
-        .when(k % 8 == 4, "   ")
-        .when(k % 8 == 5, F.lit(None))
-        .when(k % 8 == 6, "12.5")
-        .otherwise(k.cast("string"))
-        .alias("v_int_str"),
-        F.when(k % 5 == 0, -1)
-        .when(k % 5 == 1, -2)
-        .when(k % 5 == 2, -3)
-        .when(k % 5 == 3, -4)
-        .otherwise(F.col("c_nationkey"))
-        .alias("v_int"),
-        F.when(k % 6 == 0, " -122.4 ")
-        .when(k % 6 == 1, "-1")
-        .when(k % 6 == 2, "12.3.4")
-        .when(k % 6 == 3, "1e3")
-        .when(k % 6 == 4, "")
-        .otherwise(F.col("c_acctbal").cast("string"))
-        .alias("v_dbl_str"),
-        F.when(k % 4 == 0, "  padded  ")
-        .when(k % 4 == 1, "-2")
-        .when(k % 4 == 2, "")
-        .otherwise(F.col("c_mktsegment"))
-        .alias("v_str"),
+        "CASE c_custkey % 8 WHEN 0 THEN '-1' WHEN 1 THEN ' -2 ' WHEN 2 THEN '-3'"
+        " WHEN 3 THEN '' WHEN 4 THEN '   ' WHEN 5 THEN NULL WHEN 6 THEN '12.5'"
+        " ELSE CAST(c_custkey AS STRING) END AS v_int_str",
+        "CASE c_custkey % 5 WHEN 0 THEN -1 WHEN 1 THEN -2 WHEN 2 THEN -3"
+        " WHEN 3 THEN -4 ELSE c_nationkey END AS v_int",
+        "CASE c_custkey % 6 WHEN 0 THEN ' -122.4 ' WHEN 1 THEN '-1'"
+        " WHEN 2 THEN '12.3.4' WHEN 3 THEN '1e3' WHEN 4 THEN ''"
+        " ELSE CAST(c_acctbal AS STRING) END AS v_dbl_str",
+        "CASE c_custkey % 4 WHEN 0 THEN '  padded  ' WHEN 1 THEN '-2'"
+        " WHEN 2 THEN '' ELSE c_mktsegment END AS v_str",
     )
     return dirty.select(
         "c_custkey",
@@ -683,6 +668,10 @@ _GATE_PRIORITY: list[str] = [
     "customer_cohort_ltv",
     "emb_semantic_dedup",
     "nations_customer_supplier_balance",
+    "events_resample_locf",
+    "orders_yoy_growth",
+    "customer_rfm_scores",
+    "parts_copurchase_pagerank",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -18,7 +18,13 @@ from ipeds_etl_spark.operators import dedup as DD
 from ipeds_etl_spark.operators import similarity as SIM
 from ipeds_etl_spark.plans.views import exact_sum
 from ipeds_etl_spark.queries import _register
-from ipeds_etl_spark.queries_ext import _cos_sql, _ivf_codebook, _ivf_sql
+from ipeds_etl_spark.queries_ext import (
+    _band_key_sql,
+    _cos_sql,
+    _ivf_codebook,
+    _ivf_sql,
+    _minhash_sig_sql,
+)
 from ipeds_etl_spark.sources.tables import load_table
 
 
@@ -360,4 +366,310 @@ def q_nations_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> Dat
         F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
+
+
+# ===========================================================================
+# Time-series resample + LOCF gap fill
+# ===========================================================================
+_BUCKET_SECS = 21600  # 6-hour grid → 120 buckets over the 30-day corpus
+
+
+@_register(
+    "events_resample_locf",
+    f"""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // {_BUCKET_SECS * 1000000} AS bucket,
+             value, ts, event_id
+      FROM events),
+    lastv AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM b) WHERE rn = 1),
+    bounds AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM b),
+    grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM b) u
+      CROSS JOIN (SELECT unnest(generate_series(b0, b1)) AS bucket FROM bounds) g)
+    SELECT g.user_id,
+           strftime(to_timestamp(g.bucket * {_BUCKET_SECS}), '%Y-%m-%d %H:%M:%S')
+             AS bucket_ts,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           (l.value IS NULL) AS is_gap
+    FROM grid g LEFT JOIN lastv l
+      ON g.user_id = l.user_id AND g.bucket = l.bucket
+    """,
+)
+def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a fixed grid with last-observation-
+    carried-forward gap fill: per (user, 6h bucket) take the last
+    value, densify to the full corpus grid (per-user sequence explode
+    — map-side row generation, no grid table), then LOCF via
+    ``last(ignorenulls)`` over the user window. ONE shuffle on
+    user_id serves both the join and the fill window; the grid bounds
+    are a 1-row broadcast. Scale: output is users × buckets — the
+    grid explode happens AFTER the per-bucket compaction, so the big
+    raw table is touched exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros("ts") / F.lit(_BUCKET_SECS * 1_000_000)).cast("long")
+    b = e.select(
+        "user_id", bucket.alias("bucket"), "value", "ts", "event_id"
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    lastv = (
+        b.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    bounds = b.agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+    grid = (
+        b.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(lastv, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_seconds(F.col("bucket") * _BUCKET_SECS),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket_ts"),
+            F.last("value", ignorenulls=True).over(w_fill).alias("value_locf"),
+            F.col("value").isNull().alias("is_gap"),
+        )
+    )
+
+
+# ===========================================================================
+# Year-over-year growth (lag analytics on aggregates)
+# ===========================================================================
+@_register(
+    "orders_yoy_growth",
+    """
+    WITH y AS (
+      SELECT year(o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT yr, revenue, n_orders,
+           lag(revenue) OVER w AS prev_revenue,
+           (revenue - lag(revenue) OVER w) / lag(revenue) OVER w AS yoy_growth
+    FROM y WINDOW w AS (ORDER BY yr)
+    """,
+)
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: exact decimal yearly rollup, then
+    ``lag`` over the handful of year rows. The global window runs over
+    O(years) pre-aggregated rows — a single-task sort of ~10 rows, not
+    a table sort; growth is one double division of exact sums."""
+    o = load_table(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        exact_sum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return y.select(
+        "yr",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    )
+
+
+# ===========================================================================
+# RFM scoring via broadcast quartile cut-points (no global ntile sort)
+# ===========================================================================
+@_register(
+    "customer_rfm_scores",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS max_dt FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT max_dt FROM mx)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2, quantile_cont(recency_days, 0.75) AS r3,
+                 quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2, quantile_cont(frequency, 0.75) AS f3,
+                 quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2, quantile_cont(monetary, 0.75) AS m3
+          FROM rfm)
+    SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= r1 THEN 4 WHEN recency_days <= r2 THEN 3
+                WHEN recency_days <= r3 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency > f3 THEN 4 WHEN frequency > f2 THEN 3
+                WHEN frequency > f1 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary > m3 THEN 4 WHEN monetary > m2 THEN 3
+                WHEN monetary > m1 THEN 2 ELSE 1 END AS m_score
+    FROM rfm CROSS JOIN q
+    """,
+)
+def q_customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring. Scores
+    come from broadcast quartile CUT-POINTS compared map-side — NOT a
+    global ``ntile`` (which would serialize the whole customer set
+    through one window task and break ties by partition luck).
+    Cut-point scoring is deterministic under any partitioning. The
+    exact percentile agg is the same shape as ``docs_robust_zscore``;
+    at 100 TB swap ``approx_percentile`` (same plan, documented
+    epsilon)."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_dt"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count("*").alias("frequency"),
+            exact_sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("max_dt", "last_dt").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = rfm.agg(
+        *[
+            F.percentile(c, p).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    r, f_, m = F.col("recency_days"), F.col("frequency"), F.col("monetary")
+    return rfm.crossJoin(F.broadcast(q)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(r <= F.col("r1"), 4)
+        .when(r <= F.col("r2"), 3)
+        .when(r <= F.col("r3"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(f_ > F.col("f3"), 4)
+        .when(f_ > F.col("f2"), 3)
+        .when(f_ > F.col("f1"), 2)
+        .otherwise(1)
+        .alias("f_score"),
+        F.when(m > F.col("m3"), 4)
+        .when(m > F.col("m2"), 3)
+        .when(m > F.col("m1"), 2)
+        .otherwise(1)
+        .alias("m_score"),
+    )
+
+
+# ===========================================================================
+# PageRank on the part co-purchase graph — integer arithmetic, exact
+# ===========================================================================
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power-iteration CTEs over a ``pairs(id_a, id_b)`` edge
+    list. All arithmetic is BIGINT with floor division — bit-identical
+    across engines (no float summation order to worry about). DuckDB
+    ``SUM(BIGINT)`` widens to HUGEINT, so every rank is re-CAST."""
+    base = (15 * _PR_SCALE) // 100
+    out = f"""
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg)"""
+    for i in range(1, _PR_ITERS + 1):
+        out += f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             CAST({base} + (85 * CAST(SUM(r.rank // deg.d) AS BIGINT)) // 100
+                  AS BIGINT) AS rank
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg ON deg.node = e.src
+      GROUP BY e.dst)"""
+    return out
+
+
+@_register(
+    "parts_copurchase_pagerank",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    {_pagerank_sql()}
+    SELECT node AS partkey, rank AS pagerank_pico FROM r{_PR_ITERS}
+    """,
+)
+def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({_PR_ITERS} power iterations, d=0.85) over the part
+    co-purchase graph (parts are linked when they appear in the same
+    order) — the classic 'influential product' ranking, and the
+    suite's iterative-algorithm showcase alongside the components
+    fixpoints. All rank arithmetic is scaled BIGINT with floor
+    division, so partial-aggregation order cannot perturb a single bit
+    (double summation is non-associative; integers are) and the DuckDB
+    oracle replays the exact values. Per iteration: one join of ranks
+    to edges (both shuffle on node id — co-partitioned across rounds)
+    plus a map-combinable sum; edges are materialized once
+    (localCheckpoint) so the pair expansion is not re-run per round.
+    Scale: state is O(nodes) rows, rounds are a constant; rank
+    overflow headroom = 9.2e18 / (nodes × 1e12), so drop _PR_SCALE to
+    1e9 beyond ~a million graph nodes.
+
+    Ref: Page et al., 'The PageRank citation ranking' (1999)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = DD.pairs_within_buckets(
+        items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")).distinct()
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    ranks = deg.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    base = (15 * _PR_SCALE) // 100
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .drop("node")
+            .join(deg, edges.src == deg.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank div d").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(base) + F.expr("85 * sum(c) div 100")).alias("rank")
+        )
+    return ranks.select(
+        F.col("node").alias("partkey"), F.col("rank").alias("pagerank_pico")
     )

@@ -74,6 +74,10 @@ EXPECTATIONS = {
     # FULL OUTER cannot broadcast — the merge join over two
     # pre-aggregated 25-row sides is the correct (and only) plan
     "nations_customer_supplier_balance": (2, 0, 0, 1),
+    # round-5 second wave
+    "events_resample_locf": (3, 2, 0),   # compaction + grid distinct + fill window
+    "orders_yoy_growth": (2, 0, 0),      # year agg + O(years) window
+    "customer_rfm_scores": (5, 3, 0),    # rfm agg ×2 sides + quartile agg, bcast back
 }
 
 

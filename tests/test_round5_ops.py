@@ -5,6 +5,7 @@ parity is the DuckDB oracle's job (tools/check_correctness.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ipeds_etl_spark.queries_analytics import (
@@ -205,3 +206,107 @@ def test_market_basket_plan_has_no_self_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_resample_locf_grid_and_fill(spark):
+    """Grid is dense (every user × every bucket in corpus bounds);
+    non-gap rows carry their own value; gap rows carry the most recent
+    earlier value (NULL before a user's first observation)."""
+    from ipeds_etl_spark.queries_analytics import q_events_resample_locf
+
+    out = q_events_resample_locf(spark, SF).cache()
+    try:
+        e = load_table(spark, SF, "events")
+        n_users = e.select("user_id").distinct().count()
+        buckets = out.select("bucket_ts").distinct().count()
+        assert out.count() == n_users * buckets
+        # per user: bucket_ts strictly increasing & identical set
+        per_user = out.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.countDistinct("bucket_ts").alias("d")
+        )
+        assert per_user.filter(
+            (F.col("n") != buckets) | (F.col("d") != buckets)
+        ).count() == 0
+        # LOCF: a gap row's value equals the previous non-gap value.
+        w = Window.partitionBy("user_id").orderBy("bucket_ts")
+        chk = out.withColumn(
+            "manual",
+            F.last(F.when(~F.col("is_gap"), F.col("value_locf")), ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        assert chk.filter(
+            ~(
+                F.col("value_locf").eqNullSafe(F.col("manual"))
+            )
+        ).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_yoy_growth_matches_recomputation(spark):
+    from ipeds_etl_spark.queries_analytics import q_orders_yoy_growth
+
+    rows = {r["yr"]: r for r in q_orders_yoy_growth(spark, SF).collect()}
+    yrs = sorted(rows)
+    assert rows[yrs[0]]["prev_revenue"] is None
+    for prev_y, y in zip(yrs, yrs[1:]):
+        r = rows[y]
+        assert r["prev_revenue"] == rows[prev_y]["revenue"]
+        expect = (r["revenue"] - r["prev_revenue"]) / r["prev_revenue"]
+        assert abs(r["yoy_growth"] - expect) < 1e-12
+
+
+def test_rfm_scores_respect_quartile_ordering(spark):
+    """Scores are 1..4; better metrics never score lower (checked via
+    pairwise monotonicity on the collected frame)."""
+    from ipeds_etl_spark.queries_analytics import q_customer_rfm_scores
+
+    rows = q_customer_rfm_scores(spark, SF).collect()
+    assert all(1 <= r[s] <= 4 for r in rows for s in ("r_score", "f_score", "m_score"))
+    by_recency = sorted(rows, key=lambda r: r["recency_days"])
+    for a, b in zip(by_recency, by_recency[1:]):
+        if a["recency_days"] == b["recency_days"]:
+            assert a["r_score"] == b["r_score"]  # ties score identically
+        else:
+            assert a["r_score"] >= b["r_score"]
+    by_freq = sorted(rows, key=lambda r: r["frequency"], reverse=True)
+    for a, b in zip(by_freq, by_freq[1:]):
+        if a["frequency"] == b["frequency"]:
+            assert a["f_score"] == b["f_score"]
+        else:
+            assert a["f_score"] >= b["f_score"]
+
+
+def test_pagerank_invariants(spark):
+    """Ranks ≥ teleport base, mass bounded by node count (floor
+    division only loses mass), and degree correlates with rank: the
+    max-rank node's degree is above the median degree."""
+    from ipeds_etl_spark.queries_analytics import (
+        _PR_SCALE,
+        q_parts_copurchase_pagerank,
+    )
+
+    ranks = {r["partkey"]: r["pagerank_pico"] for r in q_parts_copurchase_pagerank(spark, SF).collect()}
+    base = (15 * _PR_SCALE) // 100
+    assert all(v >= base for v in ranks.values())
+    assert sum(ranks.values()) <= len(ranks) * _PR_SCALE
+    items = (
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    deg_rows = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("k"))
+        .agg(F.countDistinct("b.l_partkey").alias("deg"))
+        .collect()
+    )
+    deg = {r["k"]: r["deg"] for r in deg_rows}
+    degs = sorted(deg.values())
+    median_deg = degs[len(degs) // 2]
+    top = max(ranks, key=ranks.get)
+    assert deg[top] >= median_deg
