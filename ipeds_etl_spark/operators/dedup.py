@@ -152,6 +152,7 @@ def pairs_within_buckets(
     payload: Column,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
     overflow_col: str | None = None,
+    cap_mode: str = "window",
 ) -> DataFrame:
     """All unordered pairs of ``payload`` values sharing a bucket,
     WITHOUT a self-join: groupBy bucket → sorted distinct payload array
@@ -172,12 +173,36 @@ def pairs_within_buckets(
     ``overflow_col`` on every emitted pair when requested (non-zero ⇒
     results for that bucket are partial ⇒ widen the band/block key).
     ``max_bucket_size=None`` disables the cap (oracle-exact mode).
+
+    ``cap_mode`` picks where the cap is enforced:
+
+    * ``"window"`` (default) — rank window before the agg, so the AGG
+      BUFFER is bounded too. Use when a bucket can be pathologically
+      huge (LSH boilerplate buckets: millions of members).
+    * ``"agg"`` — one aggregation; the sorted distinct array is
+      ``slice``d to the cap afterwards. The buffer grows linearly with
+      the actual bucket (fine when buckets are naturally small — e.g.
+      items-per-order baskets), the quadratic EXPANSION stays bounded,
+      and the window sort is skipped (~20% off the basket pipeline at
+      sf0.1). Requires bucket rows distinct per payload (duplicates
+      would perturb the overflow count vs the window form; pair output
+      is identical either way for distinct inputs).
     """
     grouped_keys = [F.col(c) for c in bucket_cols]
     if max_bucket_size is None:
         grouped = bucketed.groupBy(*grouped_keys).agg(
             F.array_sort(F.collect_set(payload)).alias("xs"),
             F.lit(0).cast("long").alias("__overflow"),
+        )
+    elif cap_mode == "agg":
+        grouped = bucketed.groupBy(*grouped_keys).agg(
+            F.array_sort(F.collect_set(payload)).alias("__all")
+        ).select(
+            *grouped_keys,
+            F.slice(F.col("__all"), 1, max_bucket_size).alias("xs"),
+            F.greatest(
+                F.size("__all") - max_bucket_size, F.lit(0)
+            ).cast("long").alias("__overflow"),
         )
     else:
         from pyspark.sql import Window

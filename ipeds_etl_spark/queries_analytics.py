@@ -179,7 +179,8 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = DD.pairs_within_buckets(
-        items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id"))
+        items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id")),
+        cap_mode="agg",  # baskets are naturally small; skip the rank window
     )
     return (
         pairs.groupBy(
@@ -644,7 +645,8 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pairs = DD.pairs_within_buckets(
-        items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id"))
+        items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id")),
+        cap_mode="agg",
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")).distinct()
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")

@@ -310,3 +310,28 @@ def test_pagerank_invariants(spark):
     median_deg = degs[len(degs) // 2]
     top = max(ranks, key=ranks.get)
     assert deg[top] >= median_deg
+
+
+def test_pairs_cap_modes_agree_and_agg_mode_caps(spark):
+    """window- and agg-mode caps emit the SAME pairs on distinct
+    inputs; agg mode still bounds the expansion and reports overflow."""
+    from ipeds_etl_spark.operators.dedup import pairs_within_buckets
+
+    rows = [(b, b * 10 + i) for b in range(3) for i in range(6)]
+    df = spark.createDataFrame(rows, "bucket int, id int")
+    pay = F.struct(F.col("id"))
+    for cap in (3, 10):
+        w = pairs_within_buckets(
+            df, ["bucket"], pay, max_bucket_size=cap, overflow_col="ov"
+        )
+        a = pairs_within_buckets(
+            df, ["bucket"], pay, max_bucket_size=cap, overflow_col="ov",
+            cap_mode="agg",
+        )
+        wr = {(r["a"]["id"], r["b"]["id"], r["ov"]) for r in w.collect()}
+        ar = {(r["a"]["id"], r["b"]["id"], r["ov"]) for r in a.collect()}
+        assert wr == ar
+        if cap == 3:
+            # 3 kept of 6 → 3 pairs per bucket, overflow 3 reported
+            assert all(ov == 3 for _, _, ov in ar)
+            assert len(ar) == 3 * 3
