@@ -49,15 +49,27 @@ def connected_components(
     or switch to the large-star/small-star formulation for
     pathological-diameter graphs.
     """
-    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # edges are re-joined on dst EVERY round: pre-partition them on the
-    # join key once (one upfront exchange) so the checkpointed RDD's
-    # hash partitioning is reused each round instead of re-shuffling
-    # the (larger) edge side per iteration
+    # Both edge directions come from ONE pass over the (possibly
+    # expensive — e.g. a whole LSH pipeline) pairs input via a map-only
+    # explode: a union of two selects would execute the upstream twice
+    # inside the checkpoint. Edges are re-joined on dst EVERY round:
+    # pre-partition them on the join key once (one upfront exchange) so
+    # the checkpointed RDD's hash partitioning is reused each round
+    # instead of re-shuffling the (larger) edge side per iteration.
     edges = (
-        half.unionByName(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .repartition("dst")
         .localCheckpoint()

@@ -648,9 +648,23 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id")),
         cap_mode="agg",
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")).distinct()
+    # both edge directions from ONE pass over the pair pipeline — a
+    # union of two selects would run the (expensive) pair extraction
+    # twice inside the checkpoint (measured 24.7s → 13.4s at 10× sf0.1)
     edges = (
-        pairs.selectExpr("id_a AS src", "id_b AS dst")
-        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .repartition("src")
         .localCheckpoint()
     )

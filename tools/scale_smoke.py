@@ -66,6 +66,20 @@ SWEEP = [
     "emb_rp_lsh_near_dups",
 ]
 
+#: round-5 relational/time-series families: scale in customers/orders/
+#: events via key-offset replicas (each replica keeps its own basket /
+#: history shape, so per-key work is constant and totals grow 10x)
+SWEEP_R5 = [
+    "lineitem_pricing_summary",
+    "customer_scd2",
+    "orders_market_basket",
+    "events_top_paths",
+    "customer_cohort_ltv",
+    "customer_rfm_scores",
+    "events_resample_locf",
+    "parts_copurchase_pagerank",
+]
+
 
 def build_corpus(spark) -> None:
     if Path(SF1_DIR).exists():
@@ -103,6 +117,32 @@ def build_corpus(spark) -> None:
         eout = eout.unionByName(rep)
     eout.repartition(32).write.parquet(f"{SF1_DIR}/embeddings.parquet")
 
+    def replicate(table: str, key_cols: list[str]) -> None:
+        t = load_table(spark, "/root/testdata/sf0.1", table)
+        reps = [
+            t.select(
+                *[
+                    (F.col(c) + F.lit(r * 10_000_000)).alias(c)
+                    if c in key_cols
+                    else F.col(c)
+                    for c in t.columns
+                ]
+            )
+            for r in range(REPLICAS)
+        ]
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        out.repartition(32).write.parquet(f"{SF1_DIR}/{table}.parquet")
+
+    # keys offset per replica: every replica keeps its own basket /
+    # customer-history / user-timeline shape (per-key work constant,
+    # key count and totals 10x) — parts/nations stay shared so the
+    # co-purchase graph gets 10x edge multiplicity at fixed nodes
+    replicate("lineitem", ["l_orderkey"])
+    replicate("orders", ["o_orderkey", "o_custkey"])
+    replicate("events", ["event_id", "user_id"])
+
 
 def run_iterative(spark, results: dict) -> None:
     docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
@@ -129,16 +169,16 @@ def run_iterative(spark, results: dict) -> None:
     results["graph_stats_sec"] = round(time.perf_counter() - t0, 2)
 
 
-def run_sweep(spark, results: dict) -> None:
+def run_sweep(spark, results: dict, names: list[str] | None = None, key: str = "sweep") -> None:
     from ipeds_etl_spark import queries as q
 
     reg = q.queries()
     sweep: dict[str, float] = {}
-    for name in SWEEP:
+    for name in names or SWEEP:
         t0 = time.perf_counter()
         reg[name](spark, SF1_DIR).write.format("noop").mode("overwrite").save()
         sweep[name] = round(time.perf_counter() - t0, 2)
-    results["sweep"] = sweep
+    results[key] = sweep
 
 
 def main() -> None:
@@ -153,6 +193,8 @@ def main() -> None:
         run_iterative(spark, results)
     if "sweep" in sections:
         run_sweep(spark, results)
+    if "sweep_r5" in sections:
+        run_sweep(spark, results, names=SWEEP_R5, key="sweep_r5")
     print(json.dumps(results))
 
 
