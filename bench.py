@@ -109,6 +109,12 @@ HEADLINE = [
     "orders_yoy_growth",
     "customer_rfm_scores",
     "parts_copurchase_pagerank",
+    # round-5, third wave: association rules, end-to-end dedup
+    # resolution, relational division, unpivot
+    "orders_basket_rules",
+    "docs_dedup_resolution",
+    "supplier_brand_coverage",
+    "orders_yearly_metrics_long",
 ]
 
 

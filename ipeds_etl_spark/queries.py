@@ -672,13 +672,20 @@ _GATE_PRIORITY: list[str] = [
     "orders_yoy_growth",
     "customer_rfm_scores",
     "parts_copurchase_pagerank",
+    "orders_basket_rules",
+    "docs_dedup_resolution",
+    "supplier_brand_coverage",
+    "orders_yearly_metrics_long",
+    # -- veterans CHANGED this round (two-stage mapper; map-only
+    # minhash signatures; single-pass edge doubling) — they must hold
+    # a slot in the checked window alongside the new entries --
+    "registry_mapper",
+    "dedup_minhash_lsh",
+    "dedup_components",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",
     "upsert_on_hash",
-    "registry_mapper",
-    "dedup_minhash_lsh",
-    "dedup_components",
     "dedup_components_star",
     "dedup_simhash",
     "dedup_ngram_jaccard",

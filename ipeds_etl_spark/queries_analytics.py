@@ -689,3 +689,220 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("partkey"), F.col("rank").alias("pagerank_pico")
     )
+
+
+# ===========================================================================
+# Association rules (support / confidence / lift) on basket pairs
+# ===========================================================================
+@_register(
+    "orders_basket_rules",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS key_a, b.l_partkey AS key_b,
+             CAST(count(*) AS BIGINT) AS pair_n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT key_a, key_b, pair_n,
+           sa.s AS supp_a, sb.s AS supp_b,
+           CAST(pair_n AS DOUBLE) / n.n_orders AS support,
+           CAST(pair_n AS DOUBLE) / sa.s AS conf_a_to_b,
+           CAST(pair_n AS DOUBLE) / sb.s AS conf_b_to_a,
+           CAST(pair_n * n.n_orders AS DOUBLE) / (sa.s * sb.s) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.l_partkey = key_a
+    JOIN supp sb ON sb.l_partkey = key_b
+    CROSS JOIN n
+    WHERE pair_n >= 3
+    ORDER BY lift DESC, key_a, key_b
+    LIMIT 25
+    """,
+)
+def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over basket pairs: support, directional
+    confidence, and lift for every frequent part pair (≥3 co-orders).
+    Pair counts ride the join-free in-bucket expansion; item supports
+    are one combinable agg joined back (AQE broadcasts the support
+    side while it fits). Every ratio is ONE IEEE division of exact
+    BIGINT counts (lift's numerator/denominator multiplied exactly
+    first), so DuckDB reproduces each double bit-for-bit. Top-k by
+    lift is a distributed TakeOrdered, never a global sort."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_df = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    pairs = (
+        DD.pairs_within_buckets(
+            items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id")),
+            cap_mode="agg",
+        )
+        .groupBy(F.col("a.id").alias("key_a"), F.col("b.id").alias("key_b"))
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("key_a"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("l_partkey").alias("key_b"), F.col("s").alias("supp_b"))
+    return (
+        pairs.join(sa, "key_a")
+        .join(sb, "key_b")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "key_a",
+            "key_b",
+            "pair_n",
+            "supp_a",
+            "supp_b",
+            (F.col("pair_n").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("pair_n").cast("double") / F.col("supp_a")).alias("conf_a_to_b"),
+            (F.col("pair_n").cast("double") / F.col("supp_b")).alias("conf_b_to_a"),
+            (
+                (F.col("pair_n") * F.col("n_orders")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "key_a", "key_b")
+        .limit(25)
+    )
+
+
+# ===========================================================================
+# End-to-end dedup resolution over the WHOLE corpus
+# ===========================================================================
+def _dedup_resolution_sql() -> str:
+    from ipeds_etl_spark.queries import ORACLE_SQL
+
+    # reuse the recursive-CTE fixpoint of dedup_components, then join
+    # the verdict back onto the full corpus (singletons keep themselves)
+    comp = ORACLE_SQL["dedup_components"]
+    head, _, _tail = comp.rpartition("SELECT id AS doc_id")
+    return (
+        head
+        + """
+    SELECT d.doc_id,
+           coalesce(c.component_id, d.doc_id) AS cluster_id,
+           coalesce(CAST(c.component_size AS BIGINT), 1) AS cluster_size,
+           (c.id IS NULL OR c.id = c.component_id) AS keep
+    FROM documents d
+    LEFT JOIN (SELECT id, component_id,
+                      count(*) OVER (PARTITION BY component_id) AS component_size
+               FROM comps) c
+      ON d.doc_id = c.id
+    """
+    )
+
+
+@_register("docs_dedup_resolution", None)
+def q_docs_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end dedup pipeline in one query: MinHash → LSH
+    buckets → candidate pairs → connected components → per-document
+    keep/drop verdict over the ENTIRE corpus (docs in no pair are
+    their own singleton cluster, kept). This is what a training-data
+    run actually executes; the pieces are separately oracle-checked
+    (`dedup_minhash_lsh`, `dedup_components`) and this composition is
+    too. Scale = the sum of its parts: map-only signatures, bucket
+    shuffle, capped expansion, O(diameter) label rounds, one left
+    join back to the corpus."""
+    from ipeds_etl_spark.operators.components import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(d, "text", "doc_id")
+    clusters = dedup_clusters(pairs)  # (id, component_id, component_size, keep)
+    return (
+        d.select("doc_id")
+        .join(clusters, d.doc_id == clusters.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+            F.coalesce(F.col("component_size").cast("long"), F.lit(1)).alias(
+                "cluster_size"
+            ),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+
+
+from ipeds_etl_spark.queries import ORACLE_SQL as _OSQL  # noqa: E402
+
+_OSQL["docs_dedup_resolution"] = _dedup_resolution_sql()
+
+
+# ===========================================================================
+# Relational division: suppliers covering every brand
+# ===========================================================================
+@_register(
+    "supplier_brand_coverage",
+    """
+    WITH b AS (SELECT CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands FROM part),
+    sup AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(count(DISTINCT p_brand) AS BIGINT) AS brands_supplied
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1)
+    SELECT suppkey, brands_supplied, n_brands,
+           brands_supplied = n_brands AS covers_all
+    FROM sup CROSS JOIN b
+    """,
+)
+def q_supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ('suppliers that supply EVERY brand') via
+    distinct-count comparison — the scalable form of the classic
+    double-NOT-EXISTS: one broadcast dim join, one distinct agg, and a
+    1-row universe count broadcast back. Universal quantification
+    never needs a quadratic check."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n_brands = p.agg(F.countDistinct("p_brand").alias("n_brands"))
+    sup = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.countDistinct("p_brand").alias("brands_supplied"))
+    )
+    return sup.crossJoin(F.broadcast(n_brands)).select(
+        "suppkey",
+        "brands_supplied",
+        "n_brands",
+        (F.col("brands_supplied") == F.col("n_brands")).alias("covers_all"),
+    )
+
+
+# ===========================================================================
+# Unpivot / melt (wide → long)
+# ===========================================================================
+@_register(
+    "orders_yearly_metrics_long",
+    """
+    WITH wide AS (
+      SELECT year(o_orderdate) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY 1)
+    SELECT yr, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (revenue, n_orders, n_customers))
+    """,
+)
+def q_orders_yearly_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt, the inverse of the pivot
+    family): yearly metric columns become (metric, value) rows via
+    ``DataFrame.unpivot`` — a pure map-side Expand, no shuffle beyond
+    the source agg."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        exact_sum("o_totalprice").alias("revenue"),
+        F.count("*").cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["yr"],
+        values=["revenue", "n_orders", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

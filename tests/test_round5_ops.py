@@ -335,3 +335,92 @@ def test_pairs_cap_modes_agree_and_agg_mode_caps(spark):
             # 3 kept of 6 → 3 pairs per bucket, overflow 3 reported
             assert all(ov == 3 for _, _, ov in ar)
             assert len(ar) == 3 * 3
+
+
+def test_basket_rules_ratios_consistent(spark):
+    from ipeds_etl_spark.queries_analytics import q_orders_basket_rules
+
+    rows = q_orders_basket_rules(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["key_a"] < r["key_b"]
+        assert r["pair_n"] <= min(r["supp_a"], r["supp_b"])
+        assert abs(r["conf_a_to_b"] - r["pair_n"] / r["supp_a"]) < 1e-12
+        assert abs(r["conf_b_to_a"] - r["pair_n"] / r["supp_b"]) < 1e-12
+        assert r["lift"] > 0
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_dedup_resolution_covers_whole_corpus(spark):
+    """Every doc gets exactly one verdict; cluster sizes sum to the
+    corpus; exactly one keeper per cluster; singletons keep."""
+    from ipeds_etl_spark.queries_analytics import q_docs_dedup_resolution
+
+    res = q_docs_dedup_resolution(spark, SF).cache()
+    try:
+        n_docs = load_table(spark, SF, "documents").count()
+        assert res.count() == n_docs
+        per_cluster = res.groupBy("cluster_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+            F.min("cluster_size").alias("sz"),
+        )
+        assert per_cluster.filter(F.col("n_keep") != 1).count() == 0
+        assert per_cluster.filter(F.col("n") != F.col("sz")).count() == 0
+    finally:
+        res.unpersist()
+
+
+def test_brand_coverage_division(spark):
+    from ipeds_etl_spark.queries_analytics import q_supplier_brand_coverage
+
+    rows = q_supplier_brand_coverage(spark, SF).collect()
+    n_brands = rows[0]["n_brands"]
+    assert all(r["n_brands"] == n_brands for r in rows)
+    assert all(0 < r["brands_supplied"] <= n_brands for r in rows)
+    assert all(r["covers_all"] == (r["brands_supplied"] == n_brands) for r in rows)
+
+
+def test_unpivot_roundtrips_wide_values(spark):
+    from ipeds_etl_spark.queries_analytics import q_orders_yearly_metrics_long
+
+    long = q_orders_yearly_metrics_long(spark, SF)
+    rows = long.collect()
+    yrs = {r["yr"] for r in rows}
+    assert len(rows) == 3 * len(yrs)  # 3 metrics per year
+    by = {(r["yr"], r["metric"]): r["value"] for r in rows}
+    o = load_table(spark, SF, "orders")
+    chk = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count("*").alias("n")
+    ).collect()
+    for r in chk:
+        assert by[(r["yr"], "n_orders")] == float(r["n"])
+
+
+def test_udtf_chunker_matches_native_chunking(spark):
+    """The Python UDTF demo must agree with the production Column
+    pipeline on chunk boundaries for a handful of documents."""
+    from ipeds_etl_spark.functions.udtfs import ChunkDocument
+
+    docs = load_table(spark, SF, "documents").limit(5).collect()
+    for d in docs:
+        toks = [t for t in d["text"].split() if t]
+        out = (
+            spark.createDataFrame([(d["text"],)], "text string")
+            .lateralJoin(ChunkDocument(F.col("text").outer(), F.lit(16), F.lit(8)))
+            .select("chunk_id", "chunk_text", "n_tokens")
+            .collect()
+        )
+        # manual replication
+        expect = []
+        i, cid = 0, 0
+        while i < len(toks):
+            w = toks[i : i + 16]
+            expect.append((cid, " ".join(w), len(w)))
+            if i + 16 >= len(toks):
+                break
+            i += 8
+            cid += 1
+        got = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in out]
+        assert got == expect
