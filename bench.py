@@ -115,6 +115,11 @@ HEADLINE = [
     "docs_dedup_resolution",
     "supplier_brand_coverage",
     "orders_yearly_metrics_long",
+    # round-5, fourth wave: canonical text normalization, containment
+    # (near-subset) pairs, exact-moment correlation matrix
+    "docs_normalize_text",
+    "docs_containment_pairs",
+    "lineitem_corr_matrix",
 ]
 
 

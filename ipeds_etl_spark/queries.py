@@ -682,6 +682,12 @@ _GATE_PRIORITY: list[str] = [
     "registry_mapper",
     "dedup_minhash_lsh",
     "dedup_components",
+    # -- round-5 fourth wave: the 50-slot window is full (47 new + 3
+    # changed veterans), so these sit at indices 50-52 — locally
+    # mirror-verified now, FIRST in line for next round's rotation --
+    "docs_normalize_text",
+    "docs_containment_pairs",
+    "lineitem_corr_matrix",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ipeds_etl_spark.functions import text as TX
 from ipeds_etl_spark.operators import dedup as DD
 from ipeds_etl_spark.operators import similarity as SIM
 from ipeds_etl_spark.plans.views import exact_sum
@@ -906,3 +907,208 @@ def q_orders_yearly_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ===========================================================================
+# Text normalization (canonical form for exact dedup)
+# ===========================================================================
+_ACCENTS_FROM = "àáâãäåèéêëìíîïòóôõöùúûüçñÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑ"
+_ACCENTS_TO = "aaaaaaeeeeiiiiooooouuuucnAAAAAAEEEEIIIIOOOOOUUUUCN"
+
+
+@_register(
+    "docs_normalize_text",
+    f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 translate(lower(text), '{_ACCENTS_FROM}', '{_ACCENTS_TO}'),
+                 '[^\\p{{L}}\\p{{N}}\\s]+', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS norm,
+             text
+      FROM documents)
+    SELECT doc_id,
+           sha256(norm) AS norm_sha,
+           CAST(len(norm) AS BIGINT) AS norm_len,
+           norm <> text AS changed
+    FROM n
+    """,
+)
+def q_docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup/canonicalization:
+    lowercase → fixed-table accent fold (``translate`` with an
+    identical table on both engines — no reliance on engine-specific
+    Unicode folding) → punctuation→space → whitespace collapse →
+    trim → sha256 of the canonical form. Pure regexp/translate
+    expression chain: a map-only 100 TB pass that fuses into any
+    ingest scan; pair with ``exact_dedup`` on ``norm_sha`` for
+    normalization-insensitive exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(F.lower(F.col("text")), _ACCENTS_FROM, _ACCENTS_TO),
+                r"[^\p{L}\p{N}\s]+",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("norm_sha"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+# ===========================================================================
+# Containment pairs (near-subset detection)
+# ===========================================================================
+@_register(
+    "docs_containment_pairs",
+    f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+          for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sets AS (
+      SELECT doc_id, list_distinct(s) AS sh FROM sh),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common,
+             CAST(len(x.sh) AS BIGINT) AS n_a,
+             CAST(len(y.sh) AS BIGINT) AS n_b
+      FROM cand c
+      JOIN sets x ON x.doc_id = c.id_a
+      JOIN sets y ON y.doc_id = c.id_b)
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / n_a AS a_in_b,
+           CAST(n_common AS DOUBLE) / n_b AS b_in_a
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / least(n_a, n_b) >= 0.5
+    """,
+)
+def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT between LSH candidate pairs — catches
+    near-SUBSET duplication (doc A pasted inside doc B) that symmetric
+    Jaccard under-scores: containment(A,B) = |A∩B|/|A| is high even
+    when B is much bigger. Candidates come from the capped LSH
+    pipeline (never all-pairs); shingle sets are re-attached by
+    equi-join and compared with one ``array_intersect`` per pair.
+    Every ratio is one IEEE division of exact counts. Ref policy: Lee
+    et al., 'Deduplicating Training Data Makes Language Models
+    Better' (arXiv:2107.06499) flags sub-document duplication."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = DD.lsh_candidate_pairs(d, "text", "doc_id")
+    sets = d.select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.array_distinct(TX.shingles_of(F.col("w"), 3)).alias("sh"),
+    )
+    x = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    y = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    out = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+    )
+    return (
+        out.filter(
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b")
+            >= 0.5
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_a")).alias("a_in_b"),
+            (F.col("n_common").cast("double") / F.col("n_b")).alias("b_in_a"),
+        )
+    )
+
+
+# ===========================================================================
+# Correlation matrix from exact integer moments
+# ===========================================================================
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _corr_sql() -> str:
+    """Pearson correlations hand-built from scale-0 decimal moments so
+    both engines run the IDENTICAL op sequence (native corr() uses
+    engine-specific streaming algorithms that differ in the last ulp).
+    Per-row: floor-quantize to micro-units (same IEEE double ops both
+    engines), accumulate BIGINT-exact sums as DECIMAL(38,0)."""
+    units = {
+        c: f"CAST(floor({c} * 1000000) AS DECIMAL(38,0))" for c in _CORR_COLS
+    }
+    moments = ["CAST(count(*) AS DECIMAL(38,0)) AS n"]
+    for c, u in units.items():
+        moments.append(f"SUM({u}) AS s_{c}")
+        moments.append(f"SUM({u} * {u}) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"SUM({units[a]} * {units[b]}) AS sp_{a}_{b}")
+    corr_exprs = []
+    for a, b in pairs:
+        num = f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        da = f"sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+        db = f"sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))"
+        corr_exprs.append(f"{num} / ({da} * {db}) AS corr_{a}_{b}")
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(moments)
+        + " FROM lineitem) SELECT "
+        + ", ".join(corr_exprs)
+        + " FROM m"
+    )
+
+
+@_register("lineitem_corr_matrix", _corr_sql())
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem measures in ONE
+    map-combinable aggregation pass. Instead of native ``corr`` (whose
+    streaming update order varies with partitioning and differs per
+    engine), moments are accumulated EXACTLY: floor-quantized
+    micro-unit integers summed as DECIMAL(38,0) — partial-agg order
+    cannot change a bit — then each correlation is a short, identical
+    double-op sequence on both engines. One shuffle carrying ~10
+    decimal buffers at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    units = {
+        c: F.floor(F.col(c) * 1_000_000).cast("decimal(38,0)") for c in _CORR_COLS
+    }
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for c, u in units.items():
+        aggs.append(F.sum(u).alias(f"s_{c}"))
+        aggs.append(F.sum(u * u).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(units[a] * units[b]).alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+    outs = []
+    for a, b in pairs:
+        num = (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        da = F.sqrt((F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double"))
+        db = F.sqrt((F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double"))
+        outs.append((num / (da * db)).alias(f"corr_{a}_{b}"))
+    return m.select(*outs)

@@ -424,3 +424,63 @@ def test_udtf_chunker_matches_native_chunking(spark):
             cid += 1
         got = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in out]
         assert got == expect
+
+
+def test_normalize_text_canonical_properties(spark):
+    """Normalization is idempotent-shaped: no double spaces, no
+    punctuation, lowercase, accent-free; equal raw texts keep equal
+    hashes and differing case/punct variants collapse."""
+    from ipeds_etl_spark.queries_analytics import q_docs_normalize_text
+
+    out = q_docs_normalize_text(spark, SF)
+    assert out.count() == load_table(spark, SF, "documents").count()
+    # targeted fixture through the same expression chain
+    fix = spark.createDataFrame(
+        [(1, "Héllo,   WORLD!"), (2, "hello world"), (3, "HELLO  world…")],
+        "doc_id long, text string",
+    )
+    from ipeds_etl_spark import queries_analytics as QA
+    import pyspark.sql.functions as SF_
+
+    norm = SF_.trim(
+        SF_.regexp_replace(
+            SF_.regexp_replace(
+                SF_.translate(
+                    SF_.lower(SF_.col("text")), QA._ACCENTS_FROM, QA._ACCENTS_TO
+                ),
+                r"[^\p{L}\p{N}\s]+",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    got = {r["doc_id"]: r["n"] for r in fix.select("doc_id", SF_.sha2(norm, 256).alias("n")).collect()}
+    assert got[1] == got[2] == got[3]
+
+
+def test_containment_pairs_bounds(spark):
+    from ipeds_etl_spark.queries_analytics import q_docs_containment_pairs
+
+    rows = q_docs_containment_pairs(spark, SF).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 <= r["a_in_b"] <= 1.0 and 0.0 <= r["b_in_a"] <= 1.0
+        assert max(r["a_in_b"], r["b_in_a"]) >= 0.5
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """The exact-moment correlations must agree with numpy's corrcoef
+    on the quantized values to float precision."""
+    import numpy as np
+
+    from ipeds_etl_spark.queries_analytics import _CORR_COLS, q_lineitem_corr_matrix
+
+    row = q_lineitem_corr_matrix(spark, SF).first()
+    pdf = load_table(spark, SF, "lineitem").select(*_CORR_COLS).toPandas()
+    q = np.floor(pdf.values * 1_000_000)
+    cc = np.corrcoef(q, rowvar=False)
+    pairs = [(i, j) for i in range(3) for j in range(3) if i < j]
+    for (i, j) in pairs:
+        key = f"corr_{_CORR_COLS[i]}_{_CORR_COLS[j]}"
+        assert abs(row[key] - cc[i, j]) < 1e-9, key
