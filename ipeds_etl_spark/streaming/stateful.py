@@ -348,3 +348,92 @@ def heavy_hitters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PATHS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("path", T.StringType()),
+    ]
+)
+
+#: (prefix event_types ≤2 finalized, buffered [ts_ms, event_id, type] triples)
+_PATHS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prefix", T.ArrayType(T.StringType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_id", T.ArrayType(T.LongType())),
+        T.StructField("buf_et", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def path_trigrams_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``queries_analytics.q_events_top_paths``'s
+    trigram derivation: emits one (user_id, 'a > b > c') row per
+    finalized 3-step path, in exact per-user (ts, event_id) order,
+    under out-of-order arrival.
+
+    Exactness argument: an event can still arrive with any event-time
+    ≥ the current watermark, so a trigram ending at time t3 is FINAL
+    exactly when the watermark passes t3 (no event can be inserted
+    before or inside it anymore). The handler therefore buffers the
+    horizon's events per user, and each batch: sorts the buffer,
+    emits trigrams whose last element is below the watermark, keeps
+    the rest plus the last TWO finalized event types as the prefix
+    for future trigrams. State is O(events inside the watermark
+    horizon) + 2 strings — the same bound as the funnel twin; emitted
+    rows are never retracted (append mode)."""
+    src = events.withWatermark("ts", watermark)
+
+    def handler(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        prefix, buf_ts, buf_id, buf_et = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        buf = list(zip(buf_ts or [], buf_id or [], buf_et or []))
+        prefix = list(prefix or [])
+        for pdf in pdfs:
+            ms = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            ).tolist()
+            buf.extend(zip(ms, pdf["event_id"].tolist(), pdf["event_type"].tolist()))
+        buf.sort()
+        wm = state.getCurrentWatermarkMs()
+        # events strictly below the watermark are final: no event can
+        # arrive before them anymore
+        final = [b for b in buf if b[0] < wm]
+        pending = [b for b in buf if b[0] >= wm]
+        seq = prefix + [et for _, _, et in final]
+        # every trigram of seq ends at a newly-final element (the
+        # prefix carries only 2 symbols, one short of a trigram), and
+        # trigrams finalized earlier are not in seq — so emit all
+        out = [" > ".join(seq[i : i + 3]) for i in range(len(seq) - 2)]
+        new_prefix = seq[-2:] if len(seq) >= 2 else seq
+        state.update(
+            (
+                new_prefix,
+                [t for t, _, _ in pending],
+                [e for _, e, _ in pending],
+                [et for _, _, et in pending],
+            )
+        )
+        if out:
+            yield _pd.DataFrame({"user_id": [user_id] * len(out), "path": out})
+
+    return (
+        src.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            handler,
+            outputStructType=PATHS_SCHEMA,
+            stateStructType=_PATHS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -507,3 +507,72 @@ def test_heavy_hitters_stream_mg_guarantees(spark, stream_dir):
     for (sh, it), true in exact.items():
         if sh in err_by_shard and true > err_by_shard[sh]:
             assert (sh, it) in tracked, (sh, it, true, err_by_shard[sh])
+
+
+def test_path_trigrams_stream_exact_under_out_of_order(spark, tmp_path):
+    """Trigram paths finalize exactly at watermark passage, in correct
+    (ts, event_id) order even when an event arrives out of order, and
+    never bleed across users."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ipeds_etl_spark.streaming.stateful import path_trigrams_stream
+
+    d = str(tmp_path / "paths_stream")
+    os.makedirs(d)
+
+    def ts(h, m):
+        return pd.Timestamp(2024, 1, 1, h, m)
+
+    batches = [
+        # u1 starts a session; u2 interleaves; 12:30 row will push the
+        # watermark to 10:30 for the NEXT trigger
+        [
+            (1, 1, ts(10, 0), "view"),
+            (2, 1, ts(10, 20), "click"),
+            (50, 2, ts(10, 1), "view"),
+            (51, 2, ts(10, 2), "cart"),
+            (9, 1, ts(12, 30), "buy"),
+        ],
+        # out-of-order but inside the horizon: 10:45 ≥ wm(10:30) must
+        # be inserted between u1's 10:20 and 12:30; 14:00 advances the
+        # watermark to 12:00 for the final trigger
+        [(3, 1, ts(10, 45), "cart"), (52, 2, ts(10, 3), "buy"), (10, 1, ts(14, 0), "end")],
+        # one more trigger so 12:00-watermark finalization runs
+        [(11, 1, ts(16, 30), "late")],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "ts": pd.Series([r[2] for r in rows]).astype("datetime64[us]"),
+                "event_type": [r[3] for r in rows],
+            }
+        )
+        f = f"{d}/batch-{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), f)
+        os.utime(f, (now + 10 * i, now + 10 * i))
+
+    schema = "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    jobs.run_to_memory(path_trigrams_stream(stream), "paths_out", "append")
+    got = [
+        (r["user_id"], r["path"])
+        for r in spark.sql("SELECT * FROM paths_out ORDER BY user_id, path").collect()
+    ]
+    # u1: events below the final 12:00 watermark are view(10:00),
+    # click(10:20), cart(10:45 — the out-of-order insert) → exactly
+    # one finalized trigram, in true time order. u2's whole session is
+    # below 12:00 → view > cart > buy. Nothing crosses users; the
+    # 12:30/14:00/16:30 tail is not yet finalized.
+    assert got == [(1, "view > click > cart"), (2, "view > cart > buy")]
