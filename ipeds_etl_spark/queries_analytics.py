@@ -731,10 +731,18 @@ def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT counts (lift's numerator/denominator multiplied exactly
     first), so DuckDB reproduces each double bit-for-bit. Top-k by
     lift is a distributed TakeOrdered, never a global sort."""
+    # items feeds THREE plan branches (pairs, supports, universe
+    # count); Catalyst does not share subplans, so materialize the
+    # deduped frame once — otherwise the lineitem scan + DISTINCT
+    # SHUFFLE run 3× (audit showed 4 scans before this). Costs ~0.3s
+    # of write-back at sf0.1 where scans are OS-cached; at cluster
+    # scale one materialization vs three full-table shuffles is not
+    # close.
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     n_df = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
