@@ -2,6 +2,7 @@
 sketches, quality, sampling, txn."""
 
 from ipeds_etl_spark.operators.bucketing import write_bucketed
+from ipeds_etl_spark.operators.layout import z_value, zorder_write
 from ipeds_etl_spark.operators.components import (
     connected_components,
     connected_components_star,
@@ -121,4 +122,6 @@ __all__ = [
     "upsert_on_pk",
     "vacuum",
     "write_bucketed",
+    "z_value",
+    "zorder_write",
 ]
