@@ -120,6 +120,9 @@ HEADLINE = [
     "docs_normalize_text",
     "docs_containment_pairs",
     "lineitem_corr_matrix",
+    # TPC-H Q3/Q5 shapes: filtered 3-way top-k; 6-way dim-chain join
+    "orders_shipping_priority",
+    "regional_supplier_volume",
 ]
 
 

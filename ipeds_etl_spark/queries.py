@@ -688,6 +688,8 @@ _GATE_PRIORITY: list[str] = [
     "docs_normalize_text",
     "docs_containment_pairs",
     "lineitem_corr_matrix",
+    "orders_shipping_priority",
+    "regional_supplier_volume",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -78,6 +78,10 @@ EXPECTATIONS = {
     "events_resample_locf": (3, 2, 0),   # compaction + grid distinct + fill window
     "orders_yoy_growth": (2, 0, 0),      # year agg + O(years) window
     "customer_rfm_scores": (5, 3, 0),    # rfm agg ×2 sides + quartile agg, bcast back
+    # TPC-H Q3/Q5 shapes: filters pushed, dims broadcast, ONE big
+    # shuffle (the orderkey join + agg reuse each other's key)
+    "orders_shipping_priority": (1, 2, 0),
+    "regional_supplier_volume": (2, 5, 0),
 }
 
 

@@ -484,3 +484,58 @@ def test_corr_matrix_matches_numpy(spark):
     for (i, j) in pairs:
         key = f"corr_{_CORR_COLS[i]}_{_CORR_COLS[j]}"
         assert abs(row[key] - cc[i, j]) < 1e-9, key
+
+
+def test_q3_q5_revenue_consistency(spark):
+    """Q3 top rows and Q5 per-nation revenues recompute from raw data
+    (independent plain-join recomputation, no shared helpers)."""
+    from ipeds_etl_spark.queries_analytics import (
+        q_orders_shipping_priority,
+        q_regional_supplier_volume,
+    )
+
+    rows = q_orders_shipping_priority(spark, SF).collect()
+    assert len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+    vol = {r["n_name"]: r["revenue"] for r in q_regional_supplier_volume(spark, SF).collect()}
+    # recompute one nation end-to-end with plain joins
+    if vol:
+        nation = sorted(vol)[0]
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders")
+        c = load_table(spark, SF, "customer")
+        s = load_table(spark, SF, "supplier")
+        n = load_table(spark, SF, "nation").filter(F.col("n_name") == nation)
+        rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+            F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+        )
+        got = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .agg(F.sum(rev).cast("double").alias("r"))
+            .first()["r"]
+        )
+        assert got == vol[nation]
+
+
+def test_exact_percentile_approx_swap_is_close(spark):
+    """SCALE.md documents approx_percentile as the 100 TB swap for the
+    exact-percentile cut-point pattern (rfm / robust zscore). Pin that
+    the swap is actually close on this data: relative error < 5% on
+    the quartiles of events.value."""
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    row = e.agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.expr("approx_percentile(value, 0.25, 10000)").alias("a25"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.75, 10000)").alias("a75"),
+    ).first()
+    for p, a in (("p25", "a25"), ("p50", "a50"), ("p75", "a75")):
+        exact, approx = row[p], row[a]
+        assert abs(approx - exact) <= 0.05 * max(abs(exact), 1e-9), (p, exact, approx)
