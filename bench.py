@@ -123,6 +123,7 @@ HEADLINE = [
     # TPC-H Q3/Q5 shapes: filtered 3-way top-k; 6-way dim-chain join
     "orders_shipping_priority",
     "regional_supplier_volume",
+    "events_sliding_active_users",
 ]
 
 

@@ -690,6 +690,7 @@ _GATE_PRIORITY: list[str] = [
     "lineitem_corr_matrix",
     "orders_shipping_priority",
     "regional_supplier_volume",
+    "events_sliding_active_users",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -1241,3 +1241,47 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ===========================================================================
+# Sliding (overlapping) event-time windows
+# ===========================================================================
+@_register(
+    "events_sliding_active_users",
+    """
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+             user_id, value
+      FROM events)
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY win_start
+    """,
+)
+def q_events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (2h length, 1h slide — each event in
+    exactly two windows): distinct active users + event count per
+    window via ``F.window(ts, '2 hours', '1 hour')``, the overlapping
+    twin of the tumbling family. Spark expands the slide internally
+    (an Expand node, map-side ×2 row factor) before the agg; the
+    oracle replays it with an explicit 2-element unnest. Distinct-user
+    is the standard two-phase Expand; shuffle is O(windows), window
+    alignment is the shared epoch-hour grid (UTC session both
+    engines)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "active_users",
+            "n_events",
+        )
+    )
