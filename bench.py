@@ -124,6 +124,12 @@ HEADLINE = [
     "orders_shipping_priority",
     "regional_supplier_volume",
     "events_sliding_active_users",
+    # round-6 wave: correlated-subquery decorrelation (Q17/Q21/Q22
+    # shapes) + the time-RANGE window frame
+    "lineitem_small_qty_revenue",
+    "supplier_late_only_orders",
+    "customers_idle_high_balance",
+    "orders_trailing_30d_spend",
 ]
 
 

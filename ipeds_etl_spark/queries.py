@@ -611,7 +611,7 @@ def _load_extensions() -> None:
     """Importing ``queries_ext`` registers the training-data extension
     queries (dedup / similarity / text analysis / event windows) into
     the same registry. Lazy to avoid a circular import at module load."""
-    from ipeds_etl_spark import queries_analytics, queries_ext  # noqa: F401
+    from ipeds_etl_spark import queries_analytics, queries_ext, queries_subq  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -691,6 +691,13 @@ _GATE_PRIORITY: list[str] = [
     "orders_shipping_priority",
     "regional_supplier_volume",
     "events_sliding_active_users",
+    # -- round-6 wave: correlated-subquery decorrelation family (Q17/
+    # Q21/Q22 shapes) + time-RANGE window frame — locally mirror-
+    # verified, queued behind the fourth wave for gate rotation --
+    "lineitem_small_qty_revenue",
+    "supplier_late_only_orders",
+    "customers_idle_high_balance",
+    "orders_trailing_30d_spend",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

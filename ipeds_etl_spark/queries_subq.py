@@ -1,0 +1,279 @@
+"""Correlated-subquery decorrelation family + window FRAME surface.
+
+TPC-H shapes the relational layer had not yet exercised:
+
+* Q17 — correlated SCALAR aggregate subqueries (per-part average
+  quantity), written as literal SQL on the Spark side so Catalyst's
+  decorrelation (RewriteCorrelatedScalarSubquery → aggregate + join)
+  is what plans it, not a hand-built join.
+* Q21 — EXISTS / NOT EXISTS chains with non-equi correlation
+  (``<>`` on the supplier inside the same order), the left-semi /
+  left-anti planning shape.
+* Q22 — an uncorrelated scalar subquery (global average balance)
+  gating an anti-join ("idle high-balance customers").
+* A time-based RANGE window frame (trailing 30 days), the one frame
+  type the window family (``customer_order_window_funcs``) did not
+  cover — ROWS frames count rows, RANGE frames bound the *ordering
+  value*, and Spark plans them differently (RangeFrame vs RowFrame
+  in the Window physical operator).
+
+Cross-engine exactness follows the house rules: money sums in
+DECIMAL(18,6) with one final cast/division, the Q17 threshold
+comparison is cross-multiplied (``5 * qty * cnt < sum``) so neither
+engine divides, dates are compared in UTC and emitted as formatted
+strings. The reference delegates all of this to Postgres (every
+query in ``etl/core_io.py`` / the notebooks is a SQL string); this
+module is where the engine proves the equivalent declarative surface
+plans well under Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.sources.tables import load_table
+
+_DEC = "decimal(18,6)"
+
+
+# ===========================================================================
+# TPC-H Q17 shape: small-quantity-order revenue (correlated scalar subquery)
+# ===========================================================================
+@_register(
+    "lineitem_small_qty_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+      AND CAST(l.l_quantity AS DECIMAL(18,6)) * 5
+          * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q_lineitem_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape, deliberately written as SQL WITH the correlated
+    scalar subqueries intact: Catalyst decorrelates each ``(SELECT agg
+    ... WHERE l2.l_partkey = l.l_partkey)`` into a partkey-grouped
+    aggregate joined back on the equality — the textbook
+    RewriteCorrelatedScalarSubquery plan (one extra shuffle on
+    l_partkey, shared by both subqueries after dedup). The "quantity
+    below 20% of the part's average" threshold is cross-multiplied
+    (``5 * qty * cnt < sum``) so the comparison is exact decimal
+    arithmetic — no division, no float, hash-identical on any engine.
+    Scale: the subquery aggregate is map-side combinable per partkey;
+    the brand filter pushes to the part scan and prunes the probe side
+    before the join."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                    AS DOUBLE) AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+          AND CAST(l.l_quantity AS DECIMAL(18,6)) * 5
+              * (SELECT COUNT(*) FROM q17_lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+               FROM q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    )
+
+
+# ===========================================================================
+# TPC-H Q21 shape: suppliers who were the ONLY late shipper of an order
+# ===========================================================================
+@_register(
+    "supplier_late_only_orders",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 80 DAY
+    ),
+    cand AS (
+      SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey)
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM cand JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_supplier_late_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness = shipped >80 days after the order
+    date, the only date pair this schema carries): for each late
+    (order, supplier) pair keep it only if the order involved ANOTHER
+    supplier (EXISTS → left-semi with the non-equi ``<>`` correlation)
+    and NO other supplier was late on it (NOT EXISTS → left-anti on
+    the same compound key). The semi/anti probes join on l_orderkey —
+    equi keys, so both are plain shuffled-hash/broadcast joins with
+    the ``<>`` as a residual condition, never a cartesian. ``late`` is
+    computed once and reused for both the candidate list and the anti
+    side; top-20 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    other = pairs.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    cand = late.join(
+        other,
+        (late.l_orderkey == other.ok) & (late.l_suppkey != other.sk),
+        "left_semi",
+    ).join(
+        other_late,
+        (late.l_orderkey == other_late.ok) & (late.l_suppkey != other_late.sk),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# TPC-H Q22 shape: idle high-balance customers (global scalar + anti join)
+# ===========================================================================
+_Q22_CUTOFF = "2000-01-01 00:00:00"
+
+
+@_register(
+    "customers_idle_high_balance",
+    f"""
+    WITH ab AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > ab.v
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_customers_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers whose balance beats the positive-
+    balance average but who placed no order since 2000 — per-nation
+    count + total balance. The global average is a 1-row aggregate
+    broadcast into the filter (the DataFrame twin of an uncorrelated
+    scalar subquery — Catalyst plans the SQL form identically); the
+    "no recent order" test is a left-anti join whose date predicate is
+    pushed INTO the orders scan, so the anti side is the pruned subset,
+    not the whole table. Average = exact decimal sum, ONE IEEE
+    division — deterministic on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_row = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ===========================================================================
+# Time-based RANGE window frame: trailing 30-day spend per customer
+# ===========================================================================
+@_register(
+    "orders_trailing_30d_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS t30_spend,
+           CAST(COUNT(*) OVER w AS BIGINT) AS t30_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                / (COUNT(*) OVER w) AS DOUBLE) AS t30_avg
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY epoch_us(o_orderdate)
+                 RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_orders_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-DAY revenue per customer — a true RANGE frame over
+    event time (``rangeBetween`` on exact epoch MICROS — the
+    ``unix_micros``/``epoch_us`` parity pair, since DuckDB ``epoch()``
+    is fractional while Spark ``unix_timestamp`` truncates), not
+    a ROWS frame: the frame holds however many orders landed in the
+    last 30 days, zero or many, and same-timestamp peers are all
+    included (RANGE peer semantics, identical in both engines under
+    the UTC session). This is the time-series primitive behind
+    trailing-revenue / rolling-MAU metrics; physically one shuffle on
+    o_custkey + one sort, with the running frame maintained
+    incrementally by Spark's sliding WindowExec (add/remove at the
+    frame edges — O(n) per partition, not O(n·frame))."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    )
+    spend = F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        spend.alias("t30_spend"),
+        cnt.alias("t30_orders"),
+        (spend / cnt).alias("t30_avg"),
+    )
