@@ -42,6 +42,8 @@ on a plain layout.
 from __future__ import annotations
 
 import json
+import random
+import time
 import uuid
 from collections import defaultdict
 
@@ -264,7 +266,16 @@ def upsert_into_txn_table(
     parts = [r[0] for r in source.select(partition_col).distinct().collect()]
     part_entries = [f"{partition_col}={p}" for p in parts]
     last_conflict: CommitConflict | None = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
+        if attempt:
+            # Jittered exponential backoff between re-merges: a merge
+            # takes whole Spark jobs, so under N-writer contention a
+            # loser that retries immediately keeps re-reading mid-burst
+            # and can starve through every retry (seen in the 6-writer
+            # hammer test). Waiting out the burst makes the optimistic
+            # loop livelock-free in practice — the same backoff-on-
+            # conflict policy Delta's commit protocol applies.
+            time.sleep(min(2.0, 0.1 * (2 ** (attempt - 1))) * (0.5 + random.random()))
         manifest = read_manifest(spark, table_path)
         expected: dict[str, str | None] = {e: manifest.get(e) for e in part_entries}
         if manifest:
