@@ -130,6 +130,10 @@ HEADLINE = [
     "supplier_late_only_orders",
     "customers_idle_high_balance",
     "orders_trailing_30d_spend",
+    # product quantization: compressed-domain ADC scan + two-stage
+    # shortlist/re-rank (codebook build amortized like IVF's)
+    "emb_pq_topk",
+    "emb_pq_rerank_recall",
 ]
 
 

@@ -567,3 +567,166 @@ def embedding_near_dups(
     return _verified_pairs_within_buckets(
         corpus, assigned, ["centroid_id"], id_col, vec_col, threshold, max_bucket_size
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN for 100 TB corpora
+# ---------------------------------------------------------------------------
+def build_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train one codebook per vector SUBSPACE (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): slice every
+    vector into ``n_subspaces`` contiguous blocks of ``sub_dim`` dims
+    and run the SAME deterministic seed+Lloyd pipeline as IVF
+    (``build_ivf_centroids``) on each block independently. The full
+    codebook is n_subspaces × n_centroids × sub_dim floats — a
+    driver-side artifact measured in KB, built once per corpus version
+    and reused by every query (FAISS train/add vs search).
+
+    Why this matters at 100 TB: a 64-dim float32 vector is 256 bytes;
+    its PQ code is n_subspaces small ints (4 bytes here). The
+    compressed corpus fits in a fraction of the memory/IO, and
+    distance evaluation never touches the original vectors — the scan
+    reads the codes column only (column pruning drops the embedding)."""
+    books = []
+    for s in range(n_subspaces):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
+        )
+        books.append(
+            build_ivf_centroids(
+                sub, id_col, vec_col, n_centroids=n_centroids, n_iters=n_iters
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Encode every vector as one small int per subspace (its nearest
+    sub-codeword by cosine, ties to the higher cid — the same argmax
+    convention as ``assign_centroids``). Map-only over the corpus scan:
+    the codebooks ride along as plan literals, no join, no shuffle."""
+    cols = [F.col(id_col)]
+    for s, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+        best = F.array_max(_scored_centroids(sub, book))
+        cols.append(best["cid"].alias(f"code_{s}"))
+    return corpus.select(*cols)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, every
+    corpus vector is replaced by its per-subspace codewords, and the
+    similarity is computed query-slice × codeword — so ranking touches
+    only the (id, codes) table plus the literal codebooks.
+
+    approx_cos = Σ_s dot(q_s, cw_s) / (‖q‖ · sqrt(Σ_s ‖cw_s‖²)) — the
+    cosine of the query against the RECONSTRUCTED corpus vector. Every
+    float op is order-pinned (left-fold dot products, left-fold
+    subspace sums, one division), so a SQL engine replays it
+    bit-identically and the DuckDB oracle can value-hash the result.
+
+    Scale shape: queries broadcast; the corpus side is a map over the
+    pruned (id, codes) columns; per-query top-k is one window. At real
+    scale the per-(query, subspace) distance TABLE (n_centroids
+    entries) would be precomputed once — with codebooks this small the
+    fold against the literal matrix is the same arithmetic."""
+    codes = pq_encode(corpus, id_col, vec_col, books, sub_dim=sub_dim)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(codes.withColumnRenamed(id_col, "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    partial_dots, partial_n2 = [], []
+    for s, book in enumerate(books):
+        cids = F.lit([int(cid) for cid, _ in book])
+        cvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in book])
+        pos = F.array_position(cids, F.col(f"code_{s}")).cast("int")
+        cw = F.element_at(cvecs, pos)
+        qsub = F.slice(F.col("qvec"), s * sub_dim + 1, sub_dim)
+        partial_dots.append(dot(qsub, cw))
+        partial_n2.append(dot(cw, cw))
+    approx_dot = partial_dots[0]
+    for p in partial_dots[1:]:
+        approx_dot = approx_dot + p
+    recon2 = partial_n2[0]
+    for p in partial_n2[1:]:
+        recon2 = recon2 + p
+    approx_cos = approx_dot / (
+        F.sqrt(dot(F.col("qvec"), F.col("qvec"))) * F.sqrt(recon2)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select("query_id", "neighbor_id", approx_cos.alias("approx_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_cos", "rank")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    n_short: int = 100,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """The production two-stage ANN pipeline: ADC over the compressed
+    codes produces an ``n_short`` shortlist per query (cheap — reads
+    only the codes column), then the EXACT cosine re-ranks just the
+    shortlisted vectors (the only rows whose full embedding is ever
+    fetched). Recall is set by the shortlist depth, cost by the
+    compression — the standard quality/price dial (FAISS
+    ``IndexPQ`` + refine). The vector re-fetch is an equi-join on the
+    corpus id, so at scale it is a shuffle of n_queries × n_short rows,
+    never a corpus scan of full vectors."""
+    shortlist = pq_topk(
+        corpus, queries, id_col, vec_col, books, k=n_short, sub_dim=sub_dim
+    ).select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    n = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    rer = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

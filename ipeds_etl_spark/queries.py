@@ -698,6 +698,11 @@ _GATE_PRIORITY: list[str] = [
     "supplier_late_only_orders",
     "customers_idle_high_balance",
     "orders_trailing_30d_spend",
+    # -- round-6, second wave: product quantization (compressed-domain
+    # ANN + two-stage re-rank pipeline with measured recall gates) --
+    "emb_pq_topk",
+    "emb_pq_recall",
+    "emb_pq_rerank_recall",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

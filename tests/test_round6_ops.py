@@ -172,3 +172,67 @@ def test_trailing_30d_uses_range_frame_and_bounds_hold(spark):
         ]
         assert out["t30_orders"] == len(in_frame)
         assert abs(out["t30_spend"] - sum(r["o_totalprice"] for r in in_frame)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+def test_pq_codebooks_shape_and_determinism(spark):
+    from ipeds_etl_spark.operators import similarity as SIM
+
+    e = load_table(spark, SF, "embeddings")
+    books = SIM.build_pq_codebooks(
+        e, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_centroids=8, n_iters=2
+    )
+    assert len(books) == 4
+    for book in books:
+        assert 1 <= len(book) <= 8
+        for _cid, vec in book:
+            assert len(vec) == 16
+    # deterministic: rebuilding gives bit-identical codebooks
+    again = SIM.build_pq_codebooks(
+        e, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_centroids=8, n_iters=2
+    )
+    assert books == again
+
+
+def test_pq_encode_codes_are_valid_cids(spark):
+    from ipeds_etl_spark.operators import similarity as SIM
+
+    e = load_table(spark, SF, "embeddings")
+    books = SIM.build_pq_codebooks(
+        e, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_centroids=8, n_iters=2
+    )
+    codes = SIM.pq_encode(e, "vec_id", "embedding", books, sub_dim=16).collect()
+    assert len(codes) == e.count()
+    for s, book in enumerate(books):
+        valid = {cid for cid, _ in book}
+        assert all(r[f"code_{s}"] in valid for r in codes)
+
+
+def test_pq_rerank_recall_not_below_adc(spark):
+    """The exact re-rank stage can only improve (or tie) ADC recall,
+    and both stages return exactly 5 ranked rows per query."""
+    from ipeds_etl_spark.operators import similarity as SIM
+
+    e = load_table(spark, SF, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    books = SIM.build_pq_codebooks(
+        e, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_centroids=8, n_iters=2
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(e, queries, "vec_id", "embedding", k=5).collect()
+    }
+    adc_rows = SIM.pq_topk(e, queries, "vec_id", "embedding", books, k=5).collect()
+    rr_rows = SIM.pq_topk_rerank(
+        e, queries, "vec_id", "embedding", books, k=5, n_short=25
+    ).collect()
+    for rows in (adc_rows, rr_rows):
+        per_q: dict[int, list[int]] = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    adc = {(r["query_id"], r["neighbor_id"]) for r in adc_rows}
+    rr = {(r["query_id"], r["neighbor_id"]) for r in rr_rows}
+    assert len(rr & brute) >= len(adc & brute)
