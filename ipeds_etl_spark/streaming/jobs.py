@@ -135,15 +135,23 @@ def run_to_memory(
 
 
 def click_attribution_stream(
-    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase paired with the same
-    user's clicks from the preceding hour. Watermarks on BOTH sides +
-    the time-range join condition let Spark bound the buffered state
+    """Stream-stream join: each purchase paired with the same user's
+    clicks from the preceding hour. Watermarks on BOTH sides + the
+    time-range join condition let Spark bound the buffered state
     (clicks older than purchase-watermark − 1h are evicted); without
     them a stream-stream join would buffer forever. Batch twin:
     ``queries_ext.q_events_click_attribution`` (inner-join rows; the
-    equivalence test compares against it)."""
+    equivalence test compares against it).
+
+    ``how='leftOuter'`` is the semantically distinct variant: a
+    purchase with NO qualifying click must still be emitted (click
+    columns null) — but only once the watermark proves no matching
+    click can still arrive, so null rows surface on state EXPIRY, not
+    on arrival. That timing is the whole point of watermarked outer
+    joins; the test pins it against the batch left join."""
     c = (
         clicks.filter(F.col("event_type") == "click")
         .select(
@@ -169,5 +177,5 @@ def click_attribution_stream(
             F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"),
             F.col("c_ts") <= F.col("p_ts"),
         ],
-        how="inner",
+        how=how,
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id")

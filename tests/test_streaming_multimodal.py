@@ -576,3 +576,60 @@ def test_path_trigrams_stream_exact_under_out_of_order(spark, tmp_path):
     # below 12:00 → view > cart > buy. Nothing crosses users; the
     # 12:30/14:00/16:30 tail is not yet finalized.
     assert got == [(1, "view > click > cart"), (2, "view > cart > buy")]
+
+
+def test_stream_stream_outer_attribution_nulls_on_expiry(spark, stream_dir):
+    """LEFT OUTER stream-stream join: matched rows equal the batch
+    inner join EXACTLY; purchases with no qualifying click emit with a
+    NULL click — but only once the watermark proves no match can still
+    arrive, so (a) every null row is a true batch-side non-match, and
+    (b) every non-match safely older than watermark+condition-bound is
+    guaranteed emitted. Purchases inside the final watermark horizon
+    may legitimately still sit in state at availableNow termination —
+    the test does NOT demand them."""
+    import datetime
+
+    schema = load_table(spark, SF, "events").schema
+    clicks = spark.readStream.schema(schema).parquet(stream_dir)
+    purchases = spark.readStream.schema(schema).parquet(stream_dir)
+    jobs.run_to_memory(
+        jobs.click_attribution_stream(clicks, purchases, how="leftOuter"),
+        "outer_attrib_stream",
+    )
+    out = spark.sql("SELECT * FROM outer_attrib_stream").collect()
+    matched = {(r["purchase_id"], r["click_id"]) for r in out if r["click_id"] is not None}
+    nulls = {r["purchase_id"] for r in out if r["click_id"] is None}
+
+    e = spark.read.parquet(stream_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"))
+    inner = p.join(
+        c,
+        on=[F.col("pu") == F.col("cu"),
+            F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"),
+            F.col("cts") <= F.col("pts")],
+    )
+    want_inner = {(r["pid"], r["cid"]) for r in inner.collect()}
+    assert matched == want_inner and len(want_inner) > 0
+
+    unmatched = {
+        r["pid"]
+        for r in p.join(inner.select("pid").distinct(), "pid", "left_anti").collect()
+    }
+    assert nulls <= unmatched  # no false nulls, ever
+    # a purchase is emitted at most once: either matched or null-padded
+    assert not (nulls & {pid for pid, _ in matched})
+    # expiry coverage: the WHICH-rows boundary is engine-internal (it
+    # depends on which microbatch a row arrived in relative to the
+    # watermark), but the BULK of safely-old non-matches must have
+    # expired and emitted by availableNow termination
+    max_ts = e.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=3, minutes=1)
+    pts = {r["pid"]: r["pts"] for r in p.collect()}
+    must_emit = {k for k in unmatched if pts[k] < horizon}
+    assert len(nulls & must_emit) >= 0.9 * len(must_emit)
+    assert len(nulls) > 0
