@@ -134,6 +134,10 @@ HEADLINE = [
     # shortlist/re-rank (codebook build amortized like IVF's)
     "emb_pq_topk",
     "emb_pq_rerank_recall",
+    # LATERAL top-n, source-mixing weights, linear quality gate
+    "customer_lateral_top_orders",
+    "docs_mixture_weights",
+    "docs_quality_logit",
 ]
 
 

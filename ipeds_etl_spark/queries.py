@@ -703,6 +703,11 @@ _GATE_PRIORITY: list[str] = [
     "emb_pq_topk",
     "emb_pq_recall",
     "emb_pq_rerank_recall",
+    # -- round-6, third wave: LATERAL decorrelation, temperature
+    # source-mixing, linear quality-filter inference --
+    "customer_lateral_top_orders",
+    "docs_mixture_weights",
+    "docs_quality_logit",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -277,3 +277,168 @@ def q_orders_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.alias("t30_orders"),
         (spend / cnt).alias("t30_avg"),
     )
+
+
+# ===========================================================================
+# Correlated LATERAL subquery: per-customer top-N without a window
+# ===========================================================================
+@_register(
+    "customer_lateral_top_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey % 20 = 0
+    """,
+)
+def q_customer_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer expressed as a correlated LATERAL
+    subquery (ORDER BY + LIMIT inside the lateral body) — the SQL:2003
+    surface Spark added lateral-subquery decorrelation for: Catalyst
+    rewrites the per-row subquery into a ranked join, so it executes
+    as one shuffle, not one subquery per customer row. The window-
+    function formulation of the same problem is ``nation_top2_
+    customers``; this pins the OTHER spelling end-to-end (DuckDB runs
+    the identical text). Total (price DESC, orderkey) order makes the
+    LIMIT deterministic cross-engine."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey % 20 = 0
+        """
+    )
+
+
+# ===========================================================================
+# Source-mixing weights: temperature-scaled sampling for pretraining mixes
+# ===========================================================================
+@_register(
+    "docs_mixture_weights",
+    """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                         (x, y) -> x + y) AS denom
+      FROM per)
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / n_total AS share,
+           sqrt(CAST(n_docs AS DOUBLE)) / denom AS samp_prob,
+           (sqrt(CAST(n_docs AS DOUBLE)) / denom)
+             / (CAST(n_docs AS DOUBLE) / n_total) AS dup_factor
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ=2, i.e. p_s ∝ √share — the
+    multilingual/multi-corpus rebalancing rule from mBERT/XLM-R data
+    recipes): per source, its natural share, its τ-scaled sampling
+    probability, and the per-doc duplication factor a sampler must
+    apply (>1 = upsample the small source). √ at τ=2 keeps every op
+    IEEE-exact — no pow/exp. The cross-source normalizer is a fold
+    over the source-sorted list (20 elements) so float summation
+    order is pinned on both engines; everything else is map-side
+    combinable counts + one broadcastable 1-row join — the 100 TB
+    shape is one count-shuffle on source."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = lambda c: F.sqrt(c.cast("double"))  # noqa: E731
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_docs"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_docs"].cast("double")),
+        ).alias("denom"),
+    )
+    share = F.col("n_docs").cast("double") / F.col("n_total")
+    prob = sq(F.col("n_docs")) / F.col("denom")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            share.alias("share"),
+            prob.alias("samp_prob"),
+            (prob / share).alias("dup_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Linear quality filter: model inference as a columnar expression
+# ===========================================================================
+def _register_quality_logit() -> None:
+    from ipeds_etl_spark.functions import text as TX
+    from ipeds_etl_spark.queries_ext import _STOP_PAT, _WS_TOKENS
+
+    w0, w_tok, w_stop, w_mtl = -2.0, 0.03, 3.0, -0.2
+
+    @_register(
+        "docs_quality_logit",
+        f"""
+        WITH t AS (
+          SELECT doc_id, text, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS DOUBLE) / len(w) AS stopword_ratio,
+                 CAST(list_sum(list_transform(w, s -> len(s))) AS DOUBLE) / len(w) AS mean_token_len
+          FROM t)
+        SELECT doc_id, n_tokens, stopword_ratio, mean_token_len,
+               ((({w0} + {w_tok} * CAST(n_tokens AS DOUBLE))
+                 + {w_stop} * stopword_ratio)
+                + {w_mtl} * mean_token_len) AS logit,
+               ((({w0} + {w_tok} * CAST(n_tokens AS DOUBLE))
+                 + {w_stop} * stopword_ratio)
+                + {w_mtl} * mean_token_len) > 0 AS keep
+        FROM f
+        """,
+    )
+    def q_docs_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Linear quality-filter inference (the fastText/CCNet-style
+        pretraining gate) compiled to a columnar expression: score =
+        w·features over the exact quality signals, keep = score > 0.
+        No UDF, no model runtime — a trained linear model's weights
+        are just literals in whole-stage codegen, which is how a
+        100 TB quality pass should ship: map-only, zero shuffle.
+        Feature ratios are single double divisions of exact counts
+        and the dot product is a fixed left-fold, so the oracle
+        reproduces every bit. Weights here are fixed stand-ins
+        (swap in trained ones without changing the plan shape)."""
+        d = load_table(spark, sf_dir, "documents")
+        toks = TX.tokens(F.col("text"))
+        d = d.select("doc_id", "text", toks.alias("toks"))
+        m = TX.quality_metrics(F.col("text"), toks=F.col("toks"))
+        n_tok = m["n_tokens"]
+        stop_ratio = m["n_stopwords"].cast("double") / n_tok
+        logit = (
+            (
+                (F.lit(w0) + F.lit(w_tok) * n_tok.cast("double"))
+                + F.lit(w_stop) * stop_ratio
+            )
+            + F.lit(w_mtl) * m["mean_token_len"]
+        )
+        return d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            stop_ratio.alias("stopword_ratio"),
+            m["mean_token_len"].alias("mean_token_len"),
+            logit.alias("logit"),
+            (logit > 0).alias("keep"),
+        )
+
+
+_register_quality_logit()

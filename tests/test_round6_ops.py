@@ -236,3 +236,58 @@ def test_pq_rerank_recall_not_below_adc(spark):
     adc = {(r["query_id"], r["neighbor_id"]) for r in adc_rows}
     rr = {(r["query_id"], r["neighbor_id"]) for r in rr_rows}
     assert len(rr & brute) >= len(adc & brute)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL / mixture weights / quality logit
+# ---------------------------------------------------------------------------
+def test_lateral_topn_matches_window_form(spark):
+    """The LATERAL spelling must give exactly the window-function
+    top-2 per customer, and never more than 2 rows per customer."""
+    from ipeds_etl_spark.queries_subq import q_customer_lateral_top_orders
+    from pyspark.sql import Window
+
+    rows = q_customer_lateral_top_orders(spark, SF).collect()
+    per_cust: dict[int, int] = {}
+    for r in rows:
+        per_cust[r["c_custkey"]] = per_cust.get(r["c_custkey"], 0) + 1
+    assert per_cust and max(per_cust.values()) <= 2
+    o = load_table(spark, SF, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = {
+        (r["o_custkey"], r["o_orderkey"])
+        for r in o.withColumn("rn", F.row_number().over(w)).filter("rn <= 2").collect()
+    }
+    got = {(r["c_custkey"], r["o_orderkey"]) for r in rows}
+    assert got == want
+
+
+def test_mixture_weights_normalize_and_rebalance(spark):
+    """Sampling probabilities sum to 1; smaller sources get dup_factor
+    > larger sources (τ=2 flattens the distribution toward uniform)."""
+    from ipeds_etl_spark.queries_subq import q_docs_mixture_weights
+
+    rows = q_docs_mixture_weights(spark, SF).collect()
+    assert abs(sum(r["samp_prob"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    # dup factors are monotone non-increasing in source size
+    for small, big in zip(by_n, by_n[1:]):
+        if small["n_docs"] < big["n_docs"]:
+            assert small["dup_factor"] > big["dup_factor"]
+
+
+def test_quality_logit_is_maponly_and_consistent(spark):
+    """No shuffle in the plan beyond the conditional scan-widening;
+    keep verdict consistent with the emitted logit."""
+    from ipeds_etl_spark.queries import queries
+
+    df = queries()["docs_quality_logit"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["logit"] > 0)
