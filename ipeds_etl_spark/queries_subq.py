@@ -140,7 +140,9 @@ def q_supplier_late_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    # semi/anti probes ignore duplicates — no distinct needed on the
+    # probe side, which drops one full lineitem shuffle
+    pairs = li.select("l_orderkey", "l_suppkey")
     other = pairs.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
     )
