@@ -437,3 +437,59 @@ def path_trigrams_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` re-expressed on Spark 4's
+    ``transformWithStateInPandas`` — the typed-state successor to
+    ``applyInPandasWithState`` (SPARK-46815, "Arbitrary State API
+    v2"): state is a named, schema-declared ``ValueState`` on a
+    processor handle (with ListState/MapState/timers/TTL available)
+    instead of one opaque tuple. Semantics are IDENTICAL to the v1
+    twin — per-user running (n_events, total_value) emitted on every
+    update — and the equivalence test runs BOTH APIs over the same
+    input and demands identical final rows, pinning the migration
+    path. State per key is one (long, double) pair; at 100 TB the
+    state store shards by user_id exactly as the v1 form does.
+
+    Deployment notes: transformWithState requires the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass``)
+    and its Python state protocol needs ``google.protobuf`` on the
+    workers — absent in this sandbox, so the equivalence test is
+    skip-marked (same env-gating pattern as the PIL media decode)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n_events bigint, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd
+
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._agg.update((n, total))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

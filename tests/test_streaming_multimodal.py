@@ -633,3 +633,44 @@ def test_stream_stream_outer_attribution_nulls_on_expiry(spark, stream_dir):
     must_emit = {k for k in unmatched if pts[k] < horizon}
     assert len(nulls & must_emit) >= 0.9 * len(must_emit)
     assert len(nulls) > 0
+
+
+def test_transform_with_state_matches_v1_api_and_batch(spark, stream_dir):
+    """The transformWithStateInPandas form (typed-state API v2) must
+    produce exactly the applyInPandasWithState form's final per-user
+    totals, which must both equal the batch aggregate — one semantics,
+    two stateful APIs. Runs wherever protobuf exists (the v2 state
+    protocol needs it; skips in this container, like the PIL-gated
+    decode test)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from ipeds_etl_spark.streaming.stateful import running_user_stats_tws
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.sql(
+        "SELECT user_id, n_events, total_value FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn "
+        " FROM user_stats_tws) WHERE rn = 1"
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in out.collect()}
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in spark.read.parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("t"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
