@@ -291,3 +291,47 @@ def test_quality_logit_is_maponly_and_consistent(spark):
     assert rows
     for r in rows:
         assert r["keep"] == (r["logit"] > 0)
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF surface (slow-path demos, cross-checked)
+# ---------------------------------------------------------------------------
+def test_applyinpandas_trend_matches_algebraic_form(spark):
+    """Grouped applyInPandas OLS == the registered closed-form
+    algebraic query within 1e-6 relative (same estimator, different
+    numerics: centered float64 vs exact decimal sums)."""
+    from ipeds_etl_spark.functions.pandas_udfs import user_trend_applyinpandas
+    from ipeds_etl_spark.queries import queries
+
+    e = load_table(spark, SF, "events")
+    got = {
+        r["user_id"]: (r["n_events"], r["slope"])
+        for r in user_trend_applyinpandas(e).collect()
+        if r["slope"] is not None
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["slope"])
+        for r in queries()["events_user_trend"](spark, SF).collect()
+    }
+    assert set(got) == set(want) and got
+    for uid, (n, s) in want.items():
+        gn, gs = got[uid]
+        assert gn == n
+        assert abs(gs - s) <= 1e-6 * max(1.0, abs(s)), (uid, gs, s)
+
+
+def test_scalar_pandas_udf_cosine_matches_column_form(spark):
+    from ipeds_etl_spark.functions.pandas_udfs import cosine_pandas
+    from ipeds_etl_spark.operators import similarity as SIM
+
+    e = load_table(spark, SF, "embeddings")
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va")).limit(40)
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb")).limit(40)
+    pairs = a.crossJoin(b).limit(400)
+    rows = pairs.select(
+        cosine_pandas(F.col("va"), F.col("vb")).alias("py"),
+        SIM.cosine(F.col("va"), F.col("vb")).alias("jvm"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["py"] - r["jvm"]) < 1e-12

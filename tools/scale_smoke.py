@@ -80,6 +80,23 @@ SWEEP_R5 = [
     "parts_copurchase_pagerank",
 ]
 
+#: round-6 families: correlated-subquery shapes, RANGE frame, LATERAL,
+#: PQ compressed ANN, mixing weights, linear quality gate. Dim tables
+#: (customer/part/supplier) stay at sf0.1 size while facts grow 10x —
+#: the realistic dim-vs-fact scaling — so per-part/per-customer group
+#: sizes grow 10x, stressing the decorrelated aggregates.
+SWEEP_R6 = [
+    "lineitem_small_qty_revenue",
+    "supplier_late_only_orders",
+    "customers_idle_high_balance",
+    "orders_trailing_30d_spend",
+    "customer_lateral_top_orders",
+    "docs_mixture_weights",
+    "docs_quality_logit",
+    "emb_pq_topk",
+    "emb_pq_rerank_recall",
+]
+
 
 def build_corpus(spark) -> None:
     if Path(SF1_DIR).exists():
@@ -142,6 +159,11 @@ def build_corpus(spark) -> None:
     replicate("lineitem", ["l_orderkey"])
     replicate("orders", ["o_orderkey", "o_custkey"])
     replicate("events", ["event_id", "user_id"])
+    # dims copied unreplicated: fact/dim ratio grows 10x, as in life
+    for dim in ("customer", "part", "supplier", "nation", "region"):
+        load_table(spark, "/root/testdata/sf0.1", dim).write.mode(
+            "overwrite"
+        ).parquet(f"{SF1_DIR}/{dim}.parquet")
 
 
 def run_iterative(spark, results: dict) -> None:
@@ -195,6 +217,8 @@ def main() -> None:
         run_sweep(spark, results)
     if "sweep_r5" in sections:
         run_sweep(spark, results, names=SWEEP_R5, key="sweep_r5")
+    if "sweep_r6" in sections:
+        run_sweep(spark, results, names=SWEEP_R6, key="sweep_r6")
     print(json.dumps(results))
 
 
