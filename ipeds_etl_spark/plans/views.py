@@ -106,3 +106,43 @@ def kpi_agg(
     for name, expr in (extra or {}).items():
         aggs.append(expr.alias(name))
     return df.groupBy(*group_keys).agg(*aggs)
+
+
+def incremental_join_view(
+    stored: DataFrame,
+    delta_fact: DataFrame,
+    dim: DataFrame,
+    fact_pk: Sequence[str],
+    on: Sequence[str],
+    retract_pk: DataFrame | None = None,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Incremental maintenance of a stored JOIN view (ΔV = ΔA ⋈ B) —
+    the join-view complement to ``pipeline.refresh_gold_incremental``'s
+    latest-per-key/algebraic families, and the standard delta rule for
+    enrichment views (e.g. the reference's ``admissions_enriched``,
+    architecture.md:53, refreshed as a matview architecture.md:85-87):
+
+    * retract: every stored row whose fact PK appears in the delta (an
+      upsert replaces it) or in ``retract_pk`` (a delete) leaves the
+      view — one left-anti join against a delta-sized key set;
+    * insert: ``delta_fact ⋈ dim`` joins ONLY the delta against the
+      dimension — never the full fact table.
+
+    Work is O(|stored| anti-probe + |delta| ⋈ |dim|); with the dim
+    broadcast the whole refresh is one scan of the stored view plus a
+    map-side join of the delta — at 100 TB the alternative (recompute
+    A ⋈ B) rescans the fact table, which is exactly what a nightly
+    matview refresh cannot afford. Exactness requires the retraction
+    feed for deletes; updates are handled by the upsert-replaces rule.
+    The equivalence test drives inserts, updates, AND deletes through
+    one refresh and demands bit-identity with the full recompute."""
+    touched = delta_fact.select(*fact_pk)
+    if retract_pk is not None:
+        touched = touched.unionByName(retract_pk.select(*fact_pk))
+    kept = stored.join(touched.distinct(), list(fact_pk), "left_anti")
+    d = F.broadcast(dim) if broadcast_dim else dim
+    added = delta_fact.join(d, list(on), how)
+    # joins float their keys to the front; pin the stored view's layout
+    return kept.unionByName(added, allowMissingColumns=False).select(stored.columns)
