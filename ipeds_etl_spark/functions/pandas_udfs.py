@@ -96,3 +96,17 @@ def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     num = (av * bv).sum(axis=1)
     den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
     return pd.Series(num / den)
+
+
+@F.pandas_udf("double")
+def median_grouped_agg(v: pd.Series) -> float:
+    """Grouped-aggregate ``pandas_udf`` — the UDAF surface (a whole
+    group's column arrives as one Series; return one scalar). Twin of
+    the built-in ``F.median``; the test demands exact equality (both
+    compute the true median in float64). Production rule unchanged:
+    the built-in exists, use it — this shape is for aggregations that
+    genuinely need numpy/scipy (trimmed estimators, fitted params).
+    Caveat at scale: a grouped-agg UDF buffers each whole group on one
+    worker (no partial aggregation), so it inherits groupBy-key skew —
+    unlike built-in aggregates, which combine map-side."""
+    return float(v.median())

@@ -708,6 +708,7 @@ _GATE_PRIORITY: list[str] = [
     "customer_lateral_top_orders",
     "docs_mixture_weights",
     "docs_quality_logit",
+    "dedup_minhash_recall",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -3506,3 +3506,73 @@ def q_emb_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_5"),
         )
     )
+
+
+@_register(
+    "dedup_minhash_recall",
+    f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+          for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+      )}
+    ),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    rtoks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    rsh AS (SELECT doc_id, list_distinct({_SHINGLES.format(w='w')}) AS s FROM rtoks),
+    gold AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rsh a JOIN rsh b ON a.doc_id < b.doc_id
+      WHERE 10 * len(list_intersect(a.s, b.s))
+            >= 7 * len(list_distinct(list_concat(a.s, b.s))))
+    SELECT CAST(count(*) AS BIGINT) AS n_gold,
+           CAST(count(l.id_a) AS BIGINT) AS n_hit,
+           CAST(count(l.id_a) AS DOUBLE) / count(*) AS recall_at_070
+    FROM gold g LEFT JOIN lsh l
+      ON g.id_a = l.id_a AND g.id_b = l.id_b
+    """,
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash+LSH candidate pairs against the
+    EXACT Jaccard ≥ 0.7 pair set — the text-side quality gate matching
+    the embedding family's ``emb_rp_lsh_recall``/``emb_pq_recall``.
+    0.7 sits at the 16-perm 4×4-band s-curve threshold ((1/4)^(1/4) ≈
+    0.707), so the measured number is the s-curve promise made
+    empirical and oracle-checked. The gold standard is the O(n²)
+    verifier (oracle-scale only, like ``dedup_ngram_jaccard``'s
+    unblocked form); the threshold compare is cross-multiplied
+    integers (10·|∩| ≥ 7·|∪|) — no float until the final ratio."""
+    d = _docs(spark, sf_dir)
+    lsh = DD.lsh_candidate_pairs(d, "text", "doc_id")
+    sets = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh")
+    )
+    L, R = sets.alias("l"), sets.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    gold = (
+        L.join(R, F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(10 * inter >= 7 * union)
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+    )
+    hits = gold.alias("g").join(
+        lsh.alias("c"),
+        on=[
+            F.col("g.id_a") == F.col("c.id_a"),
+            F.col("g.id_b") == F.col("c.id_b"),
+        ],
+        how="left",
+    )
+    return hits.agg(
+        F.count("*").alias("n_gold"),
+        F.count(F.col("c.id_a")).alias("n_hit"),
+        (F.count(F.col("c.id_a")).cast("double") / F.count("*")).alias(
+            "recall_at_070"
+        ),
+    )

@@ -378,3 +378,18 @@ def test_incremental_join_view_equals_full_recompute(spark):
     # and the refresh really was incremental: no full-fact scan on the
     # insert side (the delta side's row count is delta-sized)
     assert delta.count() < base.count()
+
+
+def test_grouped_agg_pandas_udf_matches_builtin_median(spark):
+    from ipeds_etl_spark.functions.pandas_udfs import median_grouped_agg
+
+    e = load_table(spark, SF, "events").select("event_type", "value")
+    got = {
+        r["event_type"]: r["m"]
+        for r in e.groupBy("event_type").agg(median_grouped_agg("value").alias("m")).collect()
+    }
+    want = {
+        r["event_type"]: r["m"]
+        for r in e.groupBy("event_type").agg(F.median("value").alias("m")).collect()
+    }
+    assert got == want and len(got) > 1
