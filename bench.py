@@ -138,6 +138,8 @@ HEADLINE = [
     "customer_lateral_top_orders",
     "docs_mixture_weights",
     "docs_quality_logit",
+    # frame-fingerprint video dedup through the mapInPandas sampler
+    "multimodal_frame_dedup",
 ]
 
 

@@ -196,11 +196,16 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_len: int | None = None
+) -> DataFrame:
     """Video frame sampling: one input payload → ``n_frames`` output
     rows (uniform strides), the row-expanding ``mapInPandas`` shape a
     real ffmpeg-backed sampler would use. Frame decode is stubbed as
-    byte-range slicing."""
+    byte-range slicing. ``frame_len`` fixes each frame's byte length
+    (default: the stride, i.e. contiguous quarters); a short fixed
+    window at each stride is the keyframe-fingerprint shape
+    ``multimodal_frame_dedup`` pairs on."""
     k = n_frames
 
     def run(batches):
@@ -210,10 +215,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 step = max(1, len(p) // k)
+                flen = frame_len if frame_len is not None else step
                 for i in range(k):
                     ids.append(int(doc_id))
                     idxs.append(i)
-                    frames.append(bytes(p[i * step : i * step + step]))
+                    frames.append(bytes(p[i * step : i * step + flen]))
             yield _pd.DataFrame(
                 {
                     "doc_id": _pd.Series(ids, dtype="int64"),

@@ -709,6 +709,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_mixture_weights",
     "docs_quality_logit",
     "dedup_minhash_recall",
+    "multimodal_frame_dedup",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

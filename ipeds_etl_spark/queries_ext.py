@@ -3576,3 +3576,61 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_070"
         ),
     )
+
+
+@_register(
+    "multimodal_frame_dedup",
+    """
+    WITH fr AS (
+      SELECT doc_id, i AS frame_index,
+             sha256(substr(text, CAST(i * greatest(1, len(text) // 4) + 1 AS INT),
+                           20)) AS fsha
+      FROM documents, range(4) t(i))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fr a JOIN fr b
+      ON a.fsha = b.fsha AND a.frame_index = b.frame_index
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level VIDEO dedup: sample 4 frames per payload (the
+    row-expanding ``mapInPandas`` sampler — real plumbing, stubbed
+    decode), hash a fixed
+    20-byte window at each frame position (the keyframe-fingerprint
+    stub), and pair up payloads sharing a window at the same temporal
+    position — the near-dup-video candidate shape (same content
+    re-encoded/trimmed shares keyframe windows; the stub's byte
+    windows share exactly when the bytes do). Scale: frames
+    are 4×docs rows shuffled on (frame_sha, index) — bucket sizes are
+    duplicate-group sizes, the same boundedness argument as
+    ``dedup_exact``; no O(n²). The oracle replays the sampler's
+    byte-range arithmetic with ASCII substr (payload = UTF-8 of
+    text, single-byte here, so char slicing ≡ the sampler's byte
+    slicing)."""
+    from ipeds_etl_spark.operators.multimodal import attach_payload, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    fr = sample_frames(
+        attach_payload(d, "text", "doc_id", modality="video"),
+        n_frames=4,
+        frame_len=20,
+    ).select(
+        "doc_id", "frame_index", F.sha2(F.col("frame_payload"), 256).alias("fsha")
+    )
+    a, b = fr.alias("a"), fr.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.fsha") == F.col("b.fsha"),
+                F.col("a.frame_index") == F.col("b.frame_index"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -393,3 +393,27 @@ def test_grouped_agg_pandas_udf_matches_builtin_median(spark):
         for r in e.groupBy("event_type").agg(F.median("value").alias("m")).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_frame_dedup_pairs_share_window_bytes(spark):
+    """Every emitted pair must actually share the 20-byte window at
+    some common frame position (re-derived from raw text), and the
+    fixed frame_len plumbing yields 20-byte frames."""
+    from ipeds_etl_spark.operators.multimodal import attach_payload, sample_frames
+    from ipeds_etl_spark.queries import queries
+
+    d = load_table(spark, SF, "documents")
+    frames = sample_frames(
+        attach_payload(d, "text", "doc_id"), n_frames=4, frame_len=20
+    ).collect()
+    assert all(r["n_bytes"] <= 20 for r in frames)
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+
+    def windows(t):
+        step = max(1, len(t) // 4)
+        return [t[i * step : i * step + 20] for i in range(4)]
+
+    for r in queries()["multimodal_frame_dedup"](spark, SF).collect():
+        wa, wb = windows(texts[r["id_a"]]), windows(texts[r["id_b"]])
+        shared = sum(1 for x, y in zip(wa, wb) if x == y)
+        assert shared == r["n_shared"] and shared >= 1
