@@ -112,6 +112,7 @@ def commit_overwrite_partitions(
     table_path: str,
     partition_col: str = "year",
     expected: dict[str, str | None] | None = None,
+    files_per_partition: int = 1,
 ) -> str:
     """Atomically replace the partitions ``df`` touches. Returns the
     committed manifest version name.
@@ -131,9 +132,25 @@ def commit_overwrite_partitions(
     txid = uuid.uuid4().hex[:8]
     gen = f"_gen-{txid}"
     gen_path = f"{table_path}/{gen}"
+    if files_per_partition > 1:
+        # deterministic content salt spreads one partition's rows over
+        # ~files_per_partition write tasks — without it, hashing on the
+        # partition column alone funnels a whole (possibly 100 TB)
+        # partition through ONE task and one file
+        from pyspark.sql import functions as F
+
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        # explicit task count: a bare repartition(cols...) lets AQE
+        # coalesce small shuffles back to one task, silently undoing
+        # the layout hint (observed); pinning the count is the hint
+        staged = df.repartition(files_per_partition, salt)
+    else:
+        staged = df.repartition(partition_col)
     (
-        df.repartition(partition_col)
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(gen_path)
     )
@@ -293,3 +310,83 @@ def upsert_into_txn_table(
     raise CommitConflict(
         f"gave up after {max_retries} re-merge attempts: {last_conflict}"
     )
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    partition_col: str = "year",
+    target_files_per_partition: int = 1,
+    min_files: int = 2,
+    max_retries: int = 10,
+) -> dict[str, int]:
+    """Small-file compaction as a TRANSACTION (Delta ``OPTIMIZE`` /
+    Iceberg ``rewrite_data_files`` in minimal form): rewrite each
+    fragmented partition's rows into ``target_files_per_partition``
+    files and commit the rewrite as a new generation. The data is
+    bit-identical — only the file layout changes — and the commit goes
+    through the SAME optimistic protocol as upserts (``expected``
+    generations + re-read on conflict), so a concurrent writer can
+    never be clobbered by maintenance: if an upsert lands first, the
+    compaction re-reads the new generation and rewrites THAT.
+
+    Only partitions with ≥ ``min_files`` data files are rewritten
+    (compacting a compact partition is wasted IO). Returns
+    {"partitions_compacted": n, "files_before": b, "files_after": a}.
+    Run ``vacuum`` afterwards to reclaim the superseded generations.
+
+    Scale: per-partition cost is one read+write of that partition —
+    the rewrite set is chosen by file COUNT, so a well-sized table
+    costs nothing; the classic cadence is compact-after-N-streaming-
+    commits (each micro-batch commit writes one small file per touched
+    partition)."""
+    from pyspark.sql import functions as F
+
+    for _ in range(max_retries):
+        manifest = read_manifest(spark, table_path)
+        if not manifest:
+            return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+        frag: dict[str, int] = {}
+        for entry, gen in manifest.items():
+            files = [
+                n
+                for n in fsutil.list_names(spark, f"{table_path}/{gen}/{entry}")
+                if n.endswith(".parquet")
+            ]
+            if len(files) >= min_files:
+                frag[entry] = len(files)
+        if not frag:
+            return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+        parts = [e.split("=", 1)[1] for e in frag]
+        # read exactly the fragmented partitions at their read-time
+        # generations; commit checks those generations are still live
+        expected = {e: manifest[e] for e in frag}
+        rows = read_table(spark, table_path).filter(
+            F.col(partition_col).cast("string").isin(parts)
+        )
+        try:
+            commit_overwrite_partitions(
+                spark,
+                rows,
+                table_path,
+                partition_col,
+                expected=expected,
+                files_per_partition=target_files_per_partition,
+            )
+        except CommitConflict:
+            continue  # a writer landed mid-rewrite: re-plan on new data
+        new_manifest = read_manifest(spark, table_path)
+        after = sum(
+            1
+            for e in frag
+            for n in fsutil.list_names(
+                spark, f"{table_path}/{new_manifest[e]}/{e}"
+            )
+            if n.endswith(".parquet")
+        )
+        return {
+            "partitions_compacted": len(frag),
+            "files_before": sum(frag.values()),
+            "files_after": after,
+        }
+    raise CommitConflict(f"compaction lost {max_retries} straight commit races")

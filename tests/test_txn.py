@@ -554,3 +554,47 @@ def test_snapshot_diff_between_txn_versions(spark, tmp_path):
         (1, 2010): ("update", "old", "new"),
         (9, 2012): ("insert", None, "add"),
     }
+
+
+def test_txn_compact_rewrites_fragmented_partitions(spark, tmp_path):
+    """Fragment partitions via a wide-layout commit, compact back to
+    one file each: data bit-identical, versions monotone, pre-compact
+    version still time-travels, second compact is a no-op."""
+    path = str(tmp_path / "t")
+    wide = spark.createDataFrame(
+        [(i, 2010 + i % 2, f"v{i}") for i in range(400)], "id int, year int, v string"
+    )
+    txn.upsert_into_txn_table(spark, path, wide, ["id", "year"])
+    # fragment: rewrite the whole table with an 8-way layout hint
+    txn.commit_overwrite_partitions(
+        spark, txn.read_table(spark, path), path, files_per_partition=8
+    )
+    before = _rows(txn.read_table(spark, path))
+    manifest = txn.read_manifest(spark, path)
+    n_files = {
+        e: sum(
+            1
+            for n in fsutil.list_names(spark, f"{path}/{g}/{e}")
+            if n.endswith(".parquet")
+        )
+        for e, g in manifest.items()
+    }
+    assert any(v >= 2 for v in n_files.values()), n_files
+
+    stats = txn.compact(spark, path)
+    assert stats["partitions_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    assert _rows(txn.read_table(spark, path)) == before
+    new_manifest = txn.read_manifest(spark, path)
+    for e in new_manifest:
+        files = [
+            n
+            for n in fsutil.list_names(spark, f"{path}/{new_manifest[e]}/{e}")
+            if n.endswith(".parquet")
+        ]
+        assert len(files) == 1, (e, files)
+    # pre-compact version still readable (layout change preserved history)
+    assert _rows(txn.read_table(spark, path, version=2)) == before
+    # idempotent: nothing left to compact
+    again = txn.compact(spark, path)
+    assert again["partitions_compacted"] == 0
