@@ -140,6 +140,8 @@ HEADLINE = [
     "docs_quality_logit",
     # frame-fingerprint video dedup through the mapInPandas sampler
     "multimodal_frame_dedup",
+    # two-phase global row numbering (no Exchange SinglePartition)
+    "orders_global_rownum",
 ]
 
 

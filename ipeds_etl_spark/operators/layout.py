@@ -15,7 +15,7 @@ to the codes), a codegen bit-spread expression chain, and a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bits per dimension (2 dims → 32-bit z values)
@@ -83,3 +83,58 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order global row numbers WITHOUT the single-task stage.
+
+    The naive spelling — ``row_number().over(Window.orderBy(...))`` —
+    plans an ``Exchange SinglePartition``: every row funnels through
+    ONE task, the canonical Spark anti-pattern (fine at 60k rows,
+    fatal at 100 TB). This is the distributed two-phase form:
+
+    1. ``repartitionByRange(order_cols)`` — the sampled range exchange
+       a global sort uses: partition i holds a contiguous key range,
+       all ranges ordered across partitions.
+    2. rank within each range partition (window keyed on the range
+       partition id — parallel, each partition sorts its own slice).
+    3. per-partition COUNTS (a metadata-sized aggregate) → prefix-sum
+       offsets on the driver → broadcast back; global number =
+       partition offset + local rank.
+
+    Two parallel shuffles and one O(partitions) collect instead of one
+    serial monster task. Ties must be broken by including a unique key
+    in ``order_cols`` — otherwise "global row number" is not a
+    well-defined function of the data on ANY engine."""
+    pid = F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(
+            *([num_partitions] if num_partitions else []), *order_cols
+        )
+        .withColumn("__pid", pid)
+        # pin the range assignment: bounds come from a SAMPLE, and the
+        # counts job and the ranking job must see the SAME partitioning
+        # or offsets won't line up — one materialization serves both
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__local", F.row_number().over(w))
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for p, n in counts:
+        offsets[p] = acc
+        acc += n
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return local.withColumn(
+        out_col, (F.element_at(off_map, F.col("__pid")) + F.col("__local")).cast("long")
+    ).drop("__pid", "__local")

@@ -710,6 +710,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_quality_logit",
     "dedup_minhash_recall",
     "multimodal_frame_dedup",
+    "orders_global_rownum",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

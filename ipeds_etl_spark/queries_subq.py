@@ -444,3 +444,32 @@ def _register_quality_logit() -> None:
 
 
 _register_quality_logit()
+
+
+# ===========================================================================
+# Global row numbering without the single-task sort
+# ===========================================================================
+@_register(
+    "orders_global_rownum",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS row_num
+    FROM orders
+    """,
+)
+def q_orders_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (o_orderdate, o_orderkey)-order row numbers via the
+    two-phase range-partitioned form (``layout.global_row_number``) —
+    NEVER the ``Window.orderBy`` spelling, whose plan funnels the
+    whole table through one task (``Exchange SinglePartition``; the
+    test pins its absence here). Same answer, all-parallel stages:
+    range exchange + per-partition ranks + an O(partitions) offset
+    collect. The oracle is the naive window — the equivalence IS the
+    point."""
+    from ipeds_etl_spark.operators.layout import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return global_row_number(o, ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "row_num"
+    )

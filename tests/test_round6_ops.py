@@ -417,3 +417,26 @@ def test_frame_dedup_pairs_share_window_bytes(spark):
         wa, wb = windows(texts[r["id_a"]]), windows(texts[r["id_b"]])
         shared = sum(1 for x, y in zip(wa, wb) if x == y)
         assert shared == r["n_shared"] and shared >= 1
+
+
+def test_global_row_number_parallel_plan_and_exact(spark):
+    """No Exchange SinglePartition anywhere in the plan (the naive
+    Window.orderBy form has one), and the numbering equals the naive
+    form exactly."""
+    from pyspark.sql import Window
+
+    from ipeds_etl_spark.operators.layout import global_row_number
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    fast = global_row_number(o, ["o_orderdate", "o_orderkey"])
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    naive = o.withColumn(
+        "row_num",
+        F.row_number().over(Window.orderBy("o_orderdate", "o_orderkey")).cast("long"),
+    )
+    nplan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in nplan  # the anti-pattern this replaces
+    got = {r["o_orderkey"]: r["row_num"] for r in fast.collect()}
+    want = {r["o_orderkey"]: r["row_num"] for r in naive.collect()}
+    assert got == want and len(got) == o.count()
