@@ -142,6 +142,8 @@ HEADLINE = [
     "multimodal_frame_dedup",
     # two-phase global row numbering (no Exchange SinglePartition)
     "orders_global_rownum",
+    # VARIANT-typed semi-structured extraction (Spark 4 parse_json)
+    "events_props_variant",
 ]
 
 

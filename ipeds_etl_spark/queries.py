@@ -711,6 +711,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_minhash_recall",
     "multimodal_frame_dedup",
     "orders_global_rownum",
+    "events_props_variant",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

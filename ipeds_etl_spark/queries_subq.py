@@ -473,3 +473,46 @@ def q_orders_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(o, ["o_orderdate", "o_orderkey"]).select(
         "o_orderkey", "row_num"
     )
+
+
+# ===========================================================================
+# VARIANT semi-structured type (Spark 4) — dual of the string-path form
+# ===========================================================================
+@_register(
+    "events_props_variant",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-type JSON-field aggregate as ``json_extract_agg``,
+    but through Spark 4's VARIANT type: ``parse_json`` converts the
+    props string ONCE into the binary variant encoding, and
+    ``try_variant_get`` extracts typed fields without re-parsing —
+    the open-format answer to string-path extraction, which re-parses
+    the JSON text per ``get_json_object`` call. Same oracle semantics
+    (DuckDB's JSON type plays the variant role there); the dual-form
+    equivalence is the driver gate's job. At scale the parse cost is
+    paid once per row however many fields you pull, and a variant
+    column stored in Parquet can be shredded for pushdown."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
