@@ -144,6 +144,8 @@ HEADLINE = [
     "orders_global_rownum",
     # VARIANT-typed semi-structured extraction (Spark 4 parse_json)
     "events_props_variant",
+    # point-in-time join against the SCD2 dimension
+    "orders_scd2_pointintime",
 ]
 
 

@@ -712,6 +712,7 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_frame_dedup",
     "orders_global_rownum",
     "events_props_variant",
+    "orders_scd2_pointintime",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -1285,3 +1285,58 @@ def q_events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+# ===========================================================================
+# Point-in-time (as-of) join against the SCD2 dimension
+# ===========================================================================
+@_register("orders_scd2_pointintime", None)
+def q_orders_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer side of SCD Type-2: enrich each fact row with the
+    dimension version VALID AT ITS EVENT TIME — `custkey` equality
+    plus the interval residual ``valid_from <= order_date <
+    valid_to``. Because the intervals tile each customer's history
+    (and the open interval is pinned to 9999-12-31), every order
+    matches exactly one version; the join plans as a hash join on the
+    equality key with the range as a residual predicate — never a
+    cartesian, and at 100 TB the dim side is O(customers × versions),
+    the standard broadcast-or-shuffle dimension. Dates compare as
+    yyyy-MM-dd strings on both engines (bytewise = chronological).
+    The oracle embeds the full SCD2 build as a CTE — the dual queries
+    share one definition of truth."""
+    scd = q_customer_scd2(spark, sf_dir)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 25 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+    return (
+        o.join(
+            scd,
+            on=[
+                o.o_custkey == scd.custkey,
+                F.col("order_date") >= scd.valid_from,
+                F.col("order_date") < scd.valid_to,
+            ],
+        )
+        .select("o_orderkey", "custkey", "order_date", "version", "attr")
+    )
+
+
+_OSQL["orders_scd2_pointintime"] = f"""
+    WITH scd AS (
+      {_OSQL["customer_scd2"]}
+    )
+    SELECT o.o_orderkey, s.custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           s.version, s.attr
+    FROM orders o JOIN scd s
+      ON o.o_custkey = s.custkey
+     AND strftime(o.o_orderdate, '%Y-%m-%d') >= s.valid_from
+     AND strftime(o.o_orderdate, '%Y-%m-%d') < s.valid_to
+    WHERE o.o_custkey % 25 = 0
+    """

