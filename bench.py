@@ -146,6 +146,8 @@ HEADLINE = [
     "events_props_variant",
     # point-in-time join against the SCD2 dimension
     "orders_scd2_pointintime",
+    # crawl-over-crawl dedup: incoming batch vs reference corpus
+    "docs_incremental_dedup",
 ]
 
 

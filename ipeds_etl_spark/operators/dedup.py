@@ -498,3 +498,52 @@ def jaccard_prefix_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_dedup_verdict(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_existing: Column,
+    n_perms: int = N_PERMS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Dedup INCOMING documents against an EXISTING reference corpus —
+    the crawl-over-crawl shape: each new batch is checked against
+    everything already kept, never against itself (intra-batch dedup
+    is ``lsh_candidate_pairs``' job, run separately if wanted).
+
+    ``is_existing`` marks the reference side. Candidates are LSH band
+    collisions restricted to (incoming × existing) — the join probes
+    the existing side's bucket table, so at 100 TB the historical
+    corpus contributes ONE banded index (build once, reuse per batch)
+    and each incremental batch costs a bucket-key join proportional to
+    the batch, not the corpus. Output: one row per incoming doc with
+    its existing-match count and the keep verdict (no match ⇒ new
+    content ⇒ keep)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_perms=n_perms)
+    buckets = lsh_band_buckets(sigs, id_col, rows_per_band=rows_per_band).join(
+        df.select(F.col(id_col), is_existing.alias("__ex")), id_col
+    )
+    inc = buckets.filter(~F.col("__ex")).select(
+        F.col(id_col).alias("inc_id"), "band", "band_key"
+    )
+    ex = buckets.filter(F.col("__ex")).select(
+        F.col(id_col).alias("ex_id"), "band", "band_key"
+    )
+    matches = (
+        inc.join(ex, ["band", "band_key"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    incoming_ids = df.filter(~is_existing).select(F.col(id_col).alias("inc_id"))
+    return (
+        incoming_ids.join(matches, "inc_id", "left")
+        .groupBy("inc_id")
+        .agg(F.count("ex_id").alias("n_matches"))
+        .select(
+            F.col("inc_id").alias(id_col),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            (F.col("n_matches") == 0).alias("keep"),
+        )
+    )

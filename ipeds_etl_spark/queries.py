@@ -713,6 +713,7 @@ _GATE_PRIORITY: list[str] = [
     "orders_global_rownum",
     "events_props_variant",
     "orders_scd2_pointintime",
+    "docs_incremental_dedup",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

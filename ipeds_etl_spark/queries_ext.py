@@ -3634,3 +3634,41 @@ def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+@_register(
+    "docs_incremental_dedup",
+    f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+          for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+      )}
+    ),
+    inc AS (SELECT doc_id AS inc_id, band, band_key FROM bands WHERE doc_id >= 250),
+    ex AS (SELECT doc_id AS ex_id, band, band_key FROM bands WHERE doc_id < 250),
+    m AS (
+      SELECT DISTINCT i.inc_id, e.ex_id
+      FROM inc i JOIN ex e ON i.band = e.band AND i.band_key = e.band_key)
+    SELECT d.doc_id,
+           CAST(count(m.ex_id) AS BIGINT) AS n_matches,
+           count(m.ex_id) = 0 AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+    LEFT JOIN m ON m.inc_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (crawl-over-crawl) dedup: the second half of the
+    corpus (doc_id ≥ 250, standing in for a new crawl batch) checked
+    against the first half (the previously-kept reference corpus) via
+    LSH band collisions restricted to incoming × existing — intra-
+    batch and intra-corpus pairs never expand. The production cadence:
+    the reference side's banded index is built once and reused per
+    batch; each batch costs a bucket join proportional to the BATCH.
+    Output: per incoming doc, existing-match count + keep verdict."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.incremental_dedup_verdict(
+        d, "text", "doc_id", is_existing=F.col("doc_id") < 250
+    )

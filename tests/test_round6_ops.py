@@ -455,3 +455,27 @@ def test_scd2_pointintime_exactly_one_version_per_order(spark):
     o = load_table(spark, SF, "orders").filter(F.col("o_custkey") % 25 == 0)
     assert len(rows) == o.count() > 0
     assert len({(r["o_orderkey"]) for r in rows}) == len(rows)  # one match each
+
+
+def test_incremental_dedup_sides_never_self_pair(spark):
+    """Verdicts exist for every incoming doc and ONLY incoming docs;
+    a doc matching means a cross-side band collision truly exists
+    (spot-check against full candidate pairs)."""
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries import queries
+
+    d = load_table(spark, SF, "documents")
+    out = {r["doc_id"]: r for r in queries()["docs_incremental_dedup"](spark, SF).collect()}
+    incoming = {r["doc_id"] for r in d.filter("doc_id >= 250").collect()}
+    assert set(out) == incoming
+    # cross-check: all-pairs LSH candidates restricted to cross-side
+    pairs = DD.lsh_candidate_pairs(d, "text", "doc_id").collect()
+    cross = {}
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if (a < 250) != (b < 250):
+            inc = b if a < 250 else a
+            cross[inc] = cross.get(inc, 0) + 1
+    for doc, r in out.items():
+        assert r["n_matches"] == cross.get(doc, 0)
+        assert r["keep"] == (r["n_matches"] == 0)
