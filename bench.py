@@ -148,6 +148,8 @@ HEADLINE = [
     "orders_scd2_pointintime",
     # crawl-over-crawl dedup: incoming batch vs reference corpus
     "docs_incremental_dedup",
+    # two-pass exact quantiles (no group buffering)
+    "events_value_exact_quantiles",
 ]
 
 

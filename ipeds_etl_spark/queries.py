@@ -714,6 +714,7 @@ _GATE_PRIORITY: list[str] = [
     "events_props_variant",
     "orders_scd2_pointintime",
     "docs_incremental_dedup",
+    "events_value_exact_quantiles",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -3672,3 +3672,29 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.incremental_dedup_verdict(
         d, "text", "doc_id", is_existing=F.col("doc_id") < 250
     )
+
+
+@_register(
+    "events_value_exact_quantiles",
+    """
+    SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 0.99 AS q, quantile_disc(value, 0.99) AS value
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_events_value_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type quantiles through the two-pass histogram
+    refinement (``operators/quantile.py``) — the scale path that
+    ``events_value_percentiles``' buffering ``percentile`` aggregate
+    is not: no stage holds a whole group. The result is an order
+    statistic (an actual element), so the oracle is DuckDB's
+    ``quantile_disc`` and values hash with no decimal laundering."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return exact_quantiles(e, "value", [0.5, 0.9, 0.99], ["event_type"])

@@ -479,3 +479,27 @@ def test_incremental_dedup_sides_never_self_pair(spark):
     for doc, r in out.items():
         assert r["n_matches"] == cross.get(doc, 0)
         assert r["keep"] == (r["n_matches"] == 0)
+
+
+def test_exact_quantiles_match_brute_force_order_statistics(spark):
+    """Two-pass histogram refinement == brute-force sorted order
+    statistic at rank max(0, ceil(q*n)-1), per group and q."""
+    import math
+
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    e = load_table(spark, SF, "events")
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in exact_quantiles(e, "value", qs, ["event_type"]).collect()
+    }
+    by_type: dict[str, list[float]] = {}
+    for r in e.filter(F.col("value").isNotNull()).collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for t, vals in by_type.items():
+        vals.sort()
+        for q in qs:
+            r = max(0, math.ceil(q * len(vals)) - 1)
+            assert got[(t, q)] == vals[r], (t, q)
+    assert len(got) == len(by_type) * len(qs)
