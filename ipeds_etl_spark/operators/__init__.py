@@ -2,7 +2,7 @@
 sketches, quality, sampling, txn."""
 
 from ipeds_etl_spark.operators.bucketing import write_bucketed
-from ipeds_etl_spark.operators.layout import z_value, zorder_write
+from ipeds_etl_spark.operators.layout import global_row_number, z_value, zorder_write
 from ipeds_etl_spark.operators.components import (
     connected_components,
     connected_components_star,
@@ -18,6 +18,7 @@ from ipeds_etl_spark.operators.cdc import snapshot_diff
 from ipeds_etl_spark.operators.interval import interval_bucket_join
 from ipeds_etl_spark.operators.dedup import (
     exact_dedup,
+    incremental_dedup_verdict,
     jaccard_prefix_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -32,8 +33,10 @@ from ipeds_etl_spark.operators.merge import (
     upsert_on_hash,
     upsert_on_pk,
 )
+from ipeds_etl_spark.operators.quantile import exact_quantiles
 from ipeds_etl_spark.operators.txn import (
     commit_overwrite_partitions,
+    compact,
     read_table,
     upsert_into_txn_table,
     vacuum,
@@ -47,9 +50,13 @@ from ipeds_etl_spark.operators.multimodal import (
 from ipeds_etl_spark.operators.similarity import (
     brute_force_topk,
     build_ivf_centroids,
+    build_pq_codebooks,
     cosine,
     embedding_near_dups,
     ivf_topk,
+    pq_encode,
+    pq_topk,
+    pq_topk_rerank,
 )
 from ipeds_etl_spark.operators.sampling import (
     hash_sample,
