@@ -97,6 +97,17 @@ SWEEP_R6 = [
     "emb_pq_rerank_recall",
 ]
 
+#: round-6 final wave: frame dedup, global rownum, variant extraction,
+#: point-in-time SCD2, incremental dedup, two-pass exact quantiles
+SWEEP_R7 = [
+    "multimodal_frame_dedup",
+    "orders_global_rownum",
+    "events_props_variant",
+    "orders_scd2_pointintime",
+    "docs_incremental_dedup",
+    "events_value_exact_quantiles",
+]
+
 
 def build_corpus(spark) -> None:
     if Path(SF1_DIR).exists():
@@ -219,6 +230,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R5, key="sweep_r5")
     if "sweep_r6" in sections:
         run_sweep(spark, results, names=SWEEP_R6, key="sweep_r6")
+    if "sweep_r7" in sections:
+        run_sweep(spark, results, names=SWEEP_R7, key="sweep_r7")
     print(json.dumps(results))
 
 
