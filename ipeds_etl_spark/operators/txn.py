@@ -69,18 +69,23 @@ def _manifest_versions(spark: SparkSession, table_path: str) -> list[str]:
     )
 
 
-def _latest_manifest(spark: SparkSession, table_path: str) -> tuple[int, dict[str, str]]:
-    """(version number, partition→generation map) from ONE directory
-    listing — base manifest and next version MUST come from the same
-    listing, or a commit landing between two listings is silently based
-    on a stale map (its partitions dropped). Returns (0, {}) for an
-    empty table."""
+def _latest_manifest(
+    spark: SparkSession, table_path: str
+) -> tuple[int, dict[str, str], dict]:
+    """(version number, partition→generation map, meta dict) from ONE
+    directory listing — base manifest and next version MUST come from
+    the same listing, or a commit landing between two listings is
+    silently based on a stale map (its partitions dropped). Returns
+    (0, {}, {}) for an empty table. ``meta`` carries commit-scoped
+    key-values (e.g. streaming batch fences) that every later commit
+    preserves by merge."""
     versions = _manifest_versions(spark, table_path)
     if not versions:
-        return 0, {}
+        return 0, {}, {}
     pick = versions[-1]
     text = fsutil.read_text(spark, f"{table_path}/{_MANIFEST_DIR}/{pick}")
-    return int(pick[1:-5]), json.loads(text)["partitions"]
+    doc = json.loads(text)
+    return int(pick[1:-5]), doc["partitions"], doc.get("meta", {})
 
 
 def read_manifest(
@@ -113,6 +118,7 @@ def commit_overwrite_partitions(
     partition_col: str = "year",
     expected: dict[str, str | None] | None = None,
     files_per_partition: int = 1,
+    meta: dict | None = None,
 ) -> str:
     """Atomically replace the partitions ``df`` touches. Returns the
     committed manifest version name.
@@ -164,7 +170,7 @@ def commit_overwrite_partitions(
         # ONE listing drives both the base manifest and the version we
         # claim: next_v == base version + 1, so a successful rename
         # proves no commit landed after the base we merged on top of.
-        base_v, current = _latest_manifest(spark, table_path)
+        base_v, current, cur_meta = _latest_manifest(spark, table_path)
         if expected is not None:
             for part in touched:
                 if current.get(part) != expected.get(part):
@@ -176,8 +182,15 @@ def commit_overwrite_partitions(
                     )
         next_v = base_v + 1
         merged = {**current, **touched}
+        # meta survives every commit: later writers merge their keys
+        # over the current map instead of replacing it, so a streaming
+        # sink's batch fence is never lost to an unrelated upsert
+        merged_meta = {**cur_meta, **(meta or {})}
+        doc: dict = {"partitions": merged}
+        if merged_meta:
+            doc["meta"] = merged_meta
         tmp = f"{table_path}/{_MANIFEST_DIR}/.tmp-{txid}"
-        fsutil.write_text(spark, tmp, json.dumps({"partitions": merged}, sort_keys=True))
+        fsutil.write_text(spark, tmp, json.dumps(doc, sort_keys=True))
         final = f"{table_path}/{_MANIFEST_DIR}/v{next_v:08d}.json"
         # atomic commit point: rename_no_replace guarantees EXACTLY ONE
         # winner per version even on local filesystems, where a plain
@@ -261,6 +274,7 @@ def upsert_into_txn_table(
     pk: list[str],
     partition_col: str = "year",
     max_retries: int = 10,
+    meta: dict | None = None,
 ) -> str:
     """PK-keyed merge with an atomic commit: read the committed table,
     merge the touched partitions (anti-join + union, same relational
@@ -303,7 +317,7 @@ def upsert_into_txn_table(
             merged = _dedup_source(source, pk)
         try:
             return commit_overwrite_partitions(
-                spark, merged, table_path, partition_col, expected=expected
+                spark, merged, table_path, partition_col, expected=expected, meta=meta
             )
         except CommitConflict as exc:  # concurrent upsert won — re-merge
             last_conflict = exc
@@ -390,3 +404,11 @@ def compact(
             "files_after": after,
         }
     raise CommitConflict(f"compaction lost {max_retries} straight commit races")
+
+
+def read_meta(spark: SparkSession, table_path: str) -> dict:
+    """The latest manifest's commit-scoped metadata map ({} if none):
+    streaming batch fences, pipeline markers — anything a writer asked
+    a commit to carry. Preserved across unrelated commits by merge."""
+    _, _, meta = _latest_manifest(spark, table_path)
+    return meta

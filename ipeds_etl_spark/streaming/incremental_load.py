@@ -51,3 +51,60 @@ def incremental_core_load(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def txn_stream_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    table_path: str,
+    pk: list[str],
+    checkpoint: str,
+    partition_col: str = "year",
+    sink_id: str = "stream",
+):
+    """EXACTLY-ONCE streaming upsert into a transactional table.
+
+    ``foreachBatch`` alone is at-least-once: after a crash between the
+    merge and the checkpoint commit, Spark REPLAYS the last micro-batch
+    into the handler. A plain-table merge re-applies it (harmlessly for
+    pure upserts, wrongly for anything else — and it burns a table
+    version either way). This sink fences with the batch id THROUGH
+    the table's own commit protocol: every commit carries
+    ``meta={sink_id: batch_id}`` in the manifest (atomically, in the
+    same rename that publishes the data), and the handler skips any
+    batch id ≤ the fence it reads back. Data commit and fence commit
+    are ONE atomic operation — the idempotent-sink recipe Delta's
+    ``txnAppId``/``txnVersion`` options implement.
+
+    The fence survives unrelated writers (manifest meta is merged, not
+    replaced) and vacuum (it lives in the manifest, not a side file).
+
+    Sharp edge (inherent to batch-id fencing, same as Delta's
+    ``txnAppId``): batch ids restart at 0 with a FRESH checkpoint, so
+    reusing an old ``sink_id`` with a new checkpoint silently drops
+    the restarted batches — a new checkpoint must pair with a new
+    ``sink_id`` (or a cleared fence). The test pins this behavior.
+    Returns the StreamingQuery (availableNow trigger)."""
+    from ipeds_etl_spark.operators import txn as _txn
+
+    fence_key = f"stream_batch:{sink_id}"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied = _txn.read_meta(spark, table_path).get(fence_key)
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already committed atomically
+        _txn.upsert_into_txn_table(
+            spark,
+            table_path,
+            batch_df,
+            pk,
+            partition_col=partition_col,
+            meta={fence_key: batch_id},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -598,3 +598,55 @@ def test_txn_compact_rewrites_fragmented_partitions(spark, tmp_path):
     # idempotent: nothing left to compact
     again = txn.compact(spark, path)
     assert again["partitions_compacted"] == 0
+
+
+def test_txn_stream_upsert_exactly_once_under_replay(spark, tmp_path):
+    """The batch-id fence rides the manifest: a replayed micro-batch
+    (simulated by calling the handler logic again via a fresh stream
+    over the same checkpoint) commits NOTHING — no new version, no
+    duplicate rows; and a second batch of data still applies."""
+    from ipeds_etl_spark.streaming.incremental_load import txn_stream_upsert
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(i, 2010 + i % 2, f"a{i}") for i in range(40)], "id int, year int, v string"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("id int, year int, v string").parquet(src)
+    txn_stream_upsert(spark, stream, table, ["id", "year"], ck).awaitTermination()
+    assert txn.read_table(spark, table).count() == 40
+    v1 = txn._manifest_versions(spark, table)
+    fence1 = txn.read_meta(spark, table)["stream_batch:stream"]
+
+    # restart on the same checkpoint: no new data → no handler call OR
+    # a fenced no-op; either way no version burned
+    stream2 = spark.readStream.schema("id int, year int, v string").parquet(src)
+    txn_stream_upsert(spark, stream2, table, ["id", "year"], ck).awaitTermination()
+    assert txn._manifest_versions(spark, table) == v1
+
+    # new data arrives: applies once, fence advances
+    spark.createDataFrame(
+        [(i, 2010 + i % 2, f"b{i}") for i in range(35, 50)],
+        "id int, year int, v string",
+    ).write.mode("append").parquet(src)
+    stream3 = spark.readStream.schema("id int, year int, v string").parquet(src)
+    txn_stream_upsert(spark, stream3, table, ["id", "year"], ck).awaitTermination()
+    rows = {(r["id"], r["year"]): r["v"] for r in txn.read_table(spark, table).collect()}
+    assert len(rows) == 50
+    assert rows[(36, 2010)] == "b36"  # overwritten by batch 2
+    assert rows[(3, 2011)] == "a3"
+    assert txn.read_meta(spark, table)["stream_batch:stream"] > fence1
+
+    # explicit replay THROUGH the sink's fence: a fresh checkpoint
+    # re-delivers everything as batch 0 ≤ fence, so nothing commits —
+    # this doubles as the documented sharp edge (fresh checkpoint +
+    # old sink_id = fenced out; pair new checkpoints with new sink_ids)
+    v2 = txn._manifest_versions(spark, table)
+    stream4 = spark.readStream.schema("id int, year int, v string").parquet(src)
+    txn_stream_upsert(
+        spark, stream4, table, ["id", "year"], str(tmp_path / "ck_replay")
+    ).awaitTermination()
+    assert txn._manifest_versions(spark, table) == v2
+    assert txn.read_table(spark, table).count() == 50
