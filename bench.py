@@ -150,6 +150,8 @@ HEADLINE = [
     "docs_incremental_dedup",
     # two-pass exact quantiles (no group buffering)
     "events_value_exact_quantiles",
+    # Spark 4 recursive CTE: bounded 3-hop reachability
+    "parts_copurchase_3hop",
 ]
 
 

@@ -715,6 +715,7 @@ _GATE_PRIORITY: list[str] = [
     "orders_scd2_pointintime",
     "docs_incremental_dedup",
     "events_value_exact_quantiles",
+    "parts_copurchase_3hop",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

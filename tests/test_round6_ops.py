@@ -503,3 +503,36 @@ def test_exact_quantiles_match_brute_force_order_statistics(spark):
             r = max(0, math.ceil(q * len(vals)) - 1)
             assert got[(t, q)] == vals[r], (t, q)
     assert len(got) == len(by_type) * len(qs)
+
+
+def test_recursive_cte_3hop_matches_iterative_bfs(spark):
+    """The recursive-CTE reachability equals a driver-side BFS over
+    the same edge list (3 hops, undirected strong co-purchase graph)."""
+    from ipeds_etl_spark.queries_subq import q_parts_copurchase_3hop
+
+    got = {r["seed"]: r["n_reachable_3hop"] for r in q_parts_copurchase_3hop(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    items = [(r["l_orderkey"], r["l_partkey"]) for r in li.collect()]
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for ok, pk in items:
+        by_order[ok].add(pk)
+    pair_n: dict[tuple, int] = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair_n[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), n in pair_n.items():
+        if n >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    for seed, want_n in got.items():
+        frontier, seen = {seed}, {seed}
+        for _ in range(3):
+            frontier = {d for s in frontier for d in adj[s]} - set()
+            seen |= frontier
+        assert want_n == len(seen) - 1, seed
+    assert got
