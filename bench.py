@@ -152,6 +152,8 @@ HEADLINE = [
     "events_value_exact_quantiles",
     # Spark 4 recursive CTE: bounded 3-hop reachability
     "parts_copurchase_3hop",
+    # A/B readout: hash assignment + exact algebraic moments
+    "events_ab_test",
 ]
 
 

@@ -716,6 +716,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_incremental_dedup",
     "events_value_exact_quantiles",
     "parts_copurchase_3hop",
+    "events_ab_test",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

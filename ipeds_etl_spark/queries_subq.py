@@ -558,3 +558,104 @@ def q_parts_copurchase_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling end-to-end against DuckDB's identical recursion."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rcte_lineitem")
     return spark.sql(_RCTE_SQL.replace("FROM lineitem", "FROM rcte_lineitem"))
+
+
+# ===========================================================================
+# A/B experiment analysis: deterministic assignment + exact moments
+# ===========================================================================
+def _register_ab_test() -> None:
+    from ipeds_etl_spark.operators import sampling as SAMP
+
+    bucket_sql = SAMP.sample_bucket_sql("user_id", salt="ab")
+
+    @_register(
+        "events_ab_test",
+        f"""
+        WITH assigned AS (
+          SELECT event_type, value,
+                 CASE WHEN {bucket_sql} < 50 THEN 'A' ELSE 'B' END AS arm
+          FROM events WHERE value IS NOT NULL),
+        q AS (
+          SELECT event_type, arm,
+                 CAST(count(*) AS BIGINT) AS n,
+                 SUM(CAST(floor(value * 1000000.0) AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(floor(value * 1000000.0) AS DECIMAL(38,0))
+                     * CAST(floor(value * 1000000.0) AS DECIMAL(38,0))) AS syy
+          FROM assigned GROUP BY event_type, arm)
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b,
+               (CAST(a.sy AS DOUBLE) / 1000000.0) / a.n AS mean_a,
+               (CAST(b.sy AS DOUBLE) / 1000000.0) / b.n AS mean_b,
+               ((CAST(b.sy AS DOUBLE) / 1000000.0) / b.n)
+                 - ((CAST(a.sy AS DOUBLE) / 1000000.0) / a.n) AS mean_diff,
+               (CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE) / 1000000000000.0)
+                 / (a.n * (a.n - 1)) AS var_a,
+               (CAST(b.n * b.syy - b.sy * b.sy AS DOUBLE) / 1000000000000.0)
+                 / (b.n * (b.n - 1)) AS var_b
+        FROM (SELECT * FROM q WHERE arm = 'A') a
+        JOIN (SELECT * FROM q WHERE arm = 'B') b ON a.event_type = b.event_type
+        ORDER BY a.event_type
+        """,
+    )
+    def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A/B experiment readout: users deterministically assigned to
+        arms by the split machinery's content hash (assignment is a
+        pure function of user_id — reproducible on any engine, any
+        partitioning, any day), then per event-type arm comparison
+        from EXACT algebraic moments — counts, Σy, Σy² in scale-0
+        decimal micro-units (the ``events_user_trend`` recipe: quantize
+        first, sum exactly, ONE double conversion, fixed division
+        order), so means, mean lift, and sample variances value-hash
+        across engines. No p-value on purpose: erf is transcendental
+        and engine-specific; the variance/mean/count triple is the
+        sufficient statistic a downstream test consumes. One shuffle
+        (type × arm groups), all map-side combinable — at 100 TB this
+        is a metrics pass, not a join."""
+        e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+        arm = F.when(
+            SAMP.sample_bucket(F.col("user_id"), salt="ab") < 50, "A"
+        ).otherwise("B")
+        y = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("decimal(38,0)")
+        q = (
+            e.select("event_type", arm.alias("arm"), y.alias("y"))
+            .groupBy("event_type", "arm")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+            )
+        )
+        a = q.filter(F.col("arm") == "A").alias("a")
+        b = q.filter(F.col("arm") == "B").alias("b")
+
+        def mean(side: str):
+            return (
+                F.col(f"{side}.sy").cast("double") / F.lit(1_000_000.0)
+            ) / F.col(f"{side}.n")
+
+        def var(side: str):
+            num = (
+                F.col(f"{side}.n") * F.col(f"{side}.syy")
+                - F.col(f"{side}.sy") * F.col(f"{side}.sy")
+            )
+            return (num.cast("double") / F.lit(1_000_000_000_000.0)) / (
+                F.col(f"{side}.n") * (F.col(f"{side}.n") - 1)
+            )
+
+        return (
+            a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+            .select(
+                F.col("a.event_type").alias("event_type"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
+                mean("a").alias("mean_a"),
+                mean("b").alias("mean_b"),
+                (mean("b") - mean("a")).alias("mean_diff"),
+                var("a").alias("var_a"),
+                var("b").alias("var_b"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register_ab_test()

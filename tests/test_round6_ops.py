@@ -536,3 +536,48 @@ def test_recursive_cte_3hop_matches_iterative_bfs(spark):
             seen |= frontier
         assert want_n == len(seen) - 1, seed
     assert got
+
+
+def test_ab_test_assignment_stable_and_stats_exact(spark):
+    """Arm assignment is a pure function of user_id (same user never in
+    both arms across event types), and mean/var agree with a Python
+    recomputation over the same quantized values."""
+    from ipeds_etl_spark.operators.sampling import sample_bucket
+    from ipeds_etl_spark.queries import queries
+
+    q_events_ab_test = queries()["events_ab_test"]
+
+    e = load_table(spark, SF, "events").filter(F.col("value").isNotNull())
+    assigned = e.select(
+        "event_type",
+        "user_id",
+        "value",
+        F.when(sample_bucket(F.col("user_id"), salt="ab") < 50, "A")
+        .otherwise("B")
+        .alias("arm"),
+    ).collect()
+    arms_by_user: dict[int, set] = {}
+    for r in assigned:
+        arms_by_user.setdefault(r["user_id"], set()).add(r["arm"])
+    assert all(len(v) == 1 for v in arms_by_user.values())
+
+    import math
+
+    got = {r["event_type"]: r for r in q_events_ab_test(spark, SF).collect()}
+    by_key: dict[tuple, list[float]] = {}
+    for r in assigned:
+        by_key.setdefault((r["event_type"], r["arm"]), []).append(
+            math.floor(r["value"] * 1_000_000.0) / 1_000_000.0
+        )
+    for t, row in got.items():
+        for side, col_n, col_m, col_v in (
+            ("A", "n_a", "mean_a", "var_a"),
+            ("B", "n_b", "mean_b", "var_b"),
+        ):
+            vals = by_key[(t, side)]
+            n = len(vals)
+            assert row[col_n] == n
+            assert abs(row[col_m] - sum(vals) / n) < 1e-9
+            m = sum(vals) / n
+            svar = sum((v - m) ** 2 for v in vals) / (n - 1)
+            assert abs(row[col_v] - svar) < 1e-6 * max(1.0, svar)
