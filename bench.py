@@ -154,6 +154,8 @@ HEADLINE = [
     "parts_copurchase_3hop",
     # A/B readout: hash assignment + exact algebraic moments
     "events_ab_test",
+    # candidate-fed precision gate (cheap at any scale)
+    "dedup_minhash_precision",
 ]
 
 

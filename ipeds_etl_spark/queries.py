@@ -717,6 +717,7 @@ _GATE_PRIORITY: list[str] = [
     "events_value_exact_quantiles",
     "parts_copurchase_3hop",
     "events_ab_test",
+    "dedup_minhash_precision",
     # -- load-bearing veterans (green in r3; keep under the gate) --
     "kpi_yearly",
     "upsert_on_pk",

@@ -3698,3 +3698,76 @@ def q_events_value_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
 
     e = load_table(spark, sf_dir, "events")
     return exact_quantiles(e, "value", [0.5, 0.9, 0.99], ["event_type"])
+
+
+@_register(
+    "dedup_minhash_precision",
+    f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+          for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+      )}
+    ),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    ptoks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    psh AS (SELECT doc_id, list_distinct({_SHINGLES.format(w='w')}) AS s FROM ptoks),
+    verified AS (
+      SELECT l.id_a, l.id_b,
+             2 * len(list_intersect(a.s, b.s))
+               >= len(list_distinct(list_concat(a.s, b.s))) AS is_true
+      FROM lsh l
+      JOIN psh a ON a.doc_id = l.id_a
+      JOIN psh b ON b.doc_id = l.id_b)
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true,
+           CAST(count(*) FILTER (WHERE is_true) AS DOUBLE) / count(*)
+             AS precision_at_050
+    FROM verified
+    """,
+)
+def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION of the MinHash+LSH candidate pairs against exact
+    Jaccard ≥ 0.5 — the complement of ``dedup_minhash_recall``'s
+    quality gate (recall tells you what the bucketing missed;
+    precision tells you how much the verifier stage must discard).
+    Unlike the recall gate's O(n²) gold standard, this one is
+    CHEAP at any scale: it verifies only the candidate pairs
+    (candidate-fed exact Jaccard — the production verify stage
+    measured on itself). Threshold compare cross-multiplied
+    (2·|∩| ≥ |∪|) — integers until the final ratio."""
+    d = _docs(spark, sf_dir)
+    lsh = DD.lsh_candidate_pairs(d, "text", "doc_id")
+    sets = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh")
+    )
+    verified = (
+        lsh.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            (
+                2 * F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+                >= F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+            ).alias("is_true")
+        )
+    )
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        (
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("precision_at_050"),
+    )
