@@ -556,8 +556,46 @@ def q_parts_copurchase_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded-diameter closure the DataFrame-iterative components
     operators remain the scale path; this query pins the declarative
     spelling end-to-end against DuckDB's identical recursion."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("rcte_lineitem")
-    return spark.sql(_RCTE_SQL.replace("FROM lineitem", "FROM rcte_lineitem"))
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("key_a"), F.col("b.l_partkey").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("key_a").alias("s"), F.col("key_b").alias("d"))
+        .unionByName(pairs.select(F.col("key_b").alias("s"), F.col("key_a").alias("d")))
+        # materialize ONCE: a recursive CTE re-evaluates its referenced
+        # CTEs each round, so the basket pair expansion would run 4x
+        # (measured 6.5s -> see bench); the edge list is tiny
+        .localCheckpoint(eager=False)
+    )
+    edges.createOrReplaceTempView("rcte_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE seeds AS (
+          SELECT DISTINCT s AS seed FROM rcte_edges WHERE s % 100 = 0),
+        walk(seed, node, depth) AS (
+          SELECT seed, seed, 0 FROM seeds
+          UNION ALL
+          SELECT w.seed, e.d, w.depth + 1
+          FROM walk w JOIN rcte_edges e ON e.s = w.node
+          WHERE w.depth < 3
+        )
+        SELECT seed, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reachable_3hop
+        FROM walk GROUP BY seed ORDER BY seed
+        """
+    )
 
 
 # ===========================================================================
