@@ -185,19 +185,28 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                "aggregation": "median",
-            }
-        )
+    summary = json.dumps(
+        {
+            "metric": "headline_suite_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "runs_per_query": n_runs,
+            "aggregation": "median",
+        }
     )
+    # Triple-emit defense (BENCH_r04 lesson: the driver keeps only a
+    # character-bounded TAIL of stdout, and Spark progress-bar noise
+    # truncated the single JSON line's head → "parsed": null). The
+    # session factory now disables console progress bars entirely, and
+    # the summary additionally goes to a file and to stderr so the
+    # artifact survives any stdout capture window.
+    Path(__file__).resolve().parent.joinpath("BENCH_SUMMARY.json").write_text(
+        summary + "\n"
+    )
+    print(summary, file=sys.stderr)
+    print(summary)
 
 
 if __name__ == "__main__":

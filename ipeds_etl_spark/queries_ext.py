@@ -3243,8 +3243,9 @@ def q_orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization (PQ/ADC): compressed-domain ANN
 # ===========================================================================
 #: PQ geometry for the 64-dim benchmark embeddings: 4 subspaces × 16
-#: dims, 8 codewords each → 4 small ints per vector (vs 256 bytes of
-#: float32) — the compression story that makes 100 TB ANN scans cheap.
+#: dims, 16 codewords each → 4 small ints (codes fit 4 bits each) per
+#: vector vs 256 bytes of float32 — a 64× smaller scan footprint; the
+#: compression story that makes 100 TB ANN scans cheap.
 _PQ_M, _PQ_SUB_DIM, _PQ_K, _PQ_ITERS = 4, 16, 16, 2
 #: Shortlist depth for the two-stage (ADC shortlist → exact re-rank)
 #: pipeline — measured recall@5 at sf0.01: ADC alone 0.32, re-ranked
@@ -3364,7 +3365,7 @@ def _pq_sql() -> str:
     """,
 )
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-5 (4 subspaces × 16 dims, 8
+    """Product-quantization ADC top-5 (4 subspaces × 16 dims, 16
     codewords each): ranking reads only the 4-int codes per corpus
     vector — the compressed-domain scan that makes ANN affordable when
     the raw vectors are 100 TB. Codebook training is the same

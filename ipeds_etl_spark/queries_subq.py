@@ -626,10 +626,14 @@ def _register_ab_test() -> None:
                (CAST(b.sy AS DOUBLE) / 1000000.0) / b.n AS mean_b,
                ((CAST(b.sy AS DOUBLE) / 1000000.0) / b.n)
                  - ((CAST(a.sy AS DOUBLE) / 1000000.0) / a.n) AS mean_diff,
-               (CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE) / 1000000000000.0)
-                 / (a.n * (a.n - 1)) AS var_a,
-               (CAST(b.n * b.syy - b.sy * b.sy AS DOUBLE) / 1000000000000.0)
-                 / (b.n * (b.n - 1)) AS var_b
+               CASE WHEN a.n > 1 THEN
+                 ((a.n * CAST(a.syy AS DOUBLE) - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE))
+                   / 1000000000000.0) / (a.n * (a.n - 1))
+               END AS var_a,
+               CASE WHEN b.n > 1 THEN
+                 ((b.n * CAST(b.syy AS DOUBLE) - CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE))
+                   / 1000000000000.0) / (b.n * (b.n - 1))
+               END AS var_b
         FROM (SELECT * FROM q WHERE arm = 'A') a
         JOIN (SELECT * FROM q WHERE arm = 'B') b ON a.event_type = b.event_type
         ORDER BY a.event_type
@@ -672,12 +676,17 @@ def _register_ab_test() -> None:
             ) / F.col(f"{side}.n")
 
         def var(side: str):
-            num = (
-                F.col(f"{side}.n") * F.col(f"{side}.syy")
-                - F.col(f"{side}.sy") * F.col(f"{side}.sy")
-            )
-            return (num.cast("double") / F.lit(1_000_000_000_000.0)) / (
-                F.col(f"{side}.n") * (F.col(f"{side}.n") - 1)
+            # Numerator in DOUBLE from the first multiply: decimal(38,0)
+            # sy*sy silently overflows to NULL in Spark at large n, and
+            # the n=1 arm would divide by zero (Spark NULL vs DuckDB
+            # IEEE inf) — guard + one early cast keep both engines on
+            # the same IEEE arithmetic at any scale.
+            n = F.col(f"{side}.n")
+            num = n * F.col(f"{side}.syy").cast("double") - F.col(
+                f"{side}.sy"
+            ).cast("double") * F.col(f"{side}.sy").cast("double")
+            return F.when(
+                n > 1, (num / F.lit(1_000_000_000_000.0)) / (n * (n - 1))
             )
 
         return (

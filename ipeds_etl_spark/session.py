@@ -58,6 +58,10 @@ def get_spark(app_name: str = "ipeds_etl_spark", master: str | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        # Console progress bars interleave with (and in bounded-tail
+        # captures, truncate) machine-read stdout like bench.py's JSON
+        # summary line; the UI/event log is the right progress surface.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if master is not None:
         builder = builder.master(master)

@@ -95,6 +95,7 @@ class PaginatedJsonReader(DataSourceReader):
 
     def _fetch_http(self, year: int, page: int):
         import time
+        import urllib.error
         import urllib.request
 
         path = self.path_template.replace("{year}", str(year)).lstrip("/")
@@ -103,6 +104,15 @@ class PaginatedJsonReader(DataSourceReader):
             try:
                 with urllib.request.urlopen(url, timeout=30) as r:
                     return r.read().decode("utf-8"), url
+            except urllib.error.HTTPError as e:
+                if e.code == 404:
+                    # past-the-end page on a 404-terminating server:
+                    # end-of-data, not an error — same signal as the
+                    # file transport's missing page{N}.json
+                    return None, url
+                if attempt == self.max_retries - 1:
+                    raise
+                time.sleep(2**attempt)
             except Exception:
                 if attempt == self.max_retries - 1:
                     raise
@@ -164,15 +174,24 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         return self._r._fetch_http(year, page)
 
     def _rows_for(self, year: int, page: int):
+        """Fetch one page → ``(rows_or_None, has_next)``.
+
+        ``rows_or_None`` is None when the page does not exist (missing
+        fixture file, or HTTP 404 after the transport's end-of-data
+        mapping). ``has_next`` honors the API's ``next`` link exactly
+        like the batch reader's ``read`` loop — a 200 response without
+        ``next`` TERMINATES the year, so a live endpoint that answers
+        empty pages forever cannot trap the stream in an infinite
+        empty-page loop."""
         body, url = self._fetch(year, page)
         if body is None:
-            return None
+            return None, False
         data = json.loads(body)
         records = data.get("results", [])
         payload = json.dumps(
             records, sort_keys=True, separators=(",", ":"), default=str
         )
-        return [(year, page, url, payload, len(records))]
+        return [(year, page, url, payload, len(records))], bool(data.get("next"))
 
     def read(self, start: dict):
         # contract: return ALL currently-available rows after `start`
@@ -181,12 +200,16 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         year, page = start["year"], start["page"]
         out: list[tuple] = []
         while year <= self._r.year_end:
-            rows = self._rows_for(year, page)
+            rows, has_next = self._rows_for(year, page)
             if rows is None:
-                # year exhausted: roll over and keep looking
+                # year exhausted (404 / missing file): roll over
                 year, page = year + 1, 1
                 continue
             out.extend(rows)
+            if not has_next:
+                # year exhausted (no `next` link): roll over
+                year, page = year + 1, 1
+                continue
             page += 1
         return iter(out), {"year": year, "page": page}
 
@@ -194,10 +217,13 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         year, page = start["year"], start["page"]
         out = []
         while (year, page) < (end["year"], end["page"]) and year <= self._r.year_end:
-            rows = self._rows_for(year, page)
+            rows, has_next = self._rows_for(year, page)
             if rows is None:
                 year, page = year + 1, 1
                 continue
             out.extend(rows)
+            if not has_next:
+                year, page = year + 1, 1
+                continue
             page += 1
         return iter(out)

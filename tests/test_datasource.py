@@ -116,6 +116,131 @@ def test_stream_reader_delivers_every_page_exactly_once(spark, fixture_api, tmp_
     assert got == want and len(got) == 6
 
 
+@pytest.fixture(scope="module")
+def live_http_api():
+    """A 'live' paginated endpoint: every 200 page advertises a ``next``
+    link (the server does not know where the data ends) and requests
+    past the end answer HTTP 404 — the endpoint shape the stream
+    reader's docstring advertises. Pages per year: 2019→2, 2020→1."""
+    import json as _json
+    import re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    pages_by_year = {2019: 2, 2020: 1}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            m = re.match(r"^/api/(\d+)/\?page=(\d+)$", self.path)
+            year, page = int(m.group(1)), int(m.group(2))
+            if page > pages_by_year.get(year, 0):
+                self.send_error(404)
+                return
+            body = _json.dumps(
+                {
+                    "results": [
+                        {"unitid": 100 * year + 10 * page + i, "year": year}
+                        for i in range(3)
+                    ],
+                    "next": f"?page={page + 1}",  # always present (live server)
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _http_opts(reader, base_url):
+    return (
+        reader.format("paginated_json")
+        .option("base_url", base_url)
+        .option("path_template", "api/{year}/")
+        .option("year_start", "2019")
+        .option("year_end", "2020")
+        .option("max_retries", "1")
+    )
+
+
+def test_http_transport_404_terminates_batch(spark, live_http_api):
+    """Batch read over the live endpoint: the past-the-end 404 is
+    end-of-data (the year rolls over), not a retry-exhausted crash."""
+    spark.dataSource.register(PaginatedJsonDataSource)
+    rows = _http_opts(spark.read, live_http_api).load().collect()
+    got = sorted((r["year"], r["page_number"], r["record_count"]) for r in rows)
+    assert got == [(2019, 1, 3), (2019, 2, 3), (2020, 1, 3)]
+
+
+def test_http_transport_404_terminates_stream(spark, live_http_api, tmp_path):
+    """Stream read over the same live endpoint: pagination ends per
+    year via 404 (the reader honors it as end-of-data even though every
+    200 page advertises a ``next`` link), all pages arrive once."""
+    spark.dataSource.register(PaginatedJsonDataSource)
+    (
+        _http_opts(spark.readStream, live_http_api)
+        .load()
+        .writeStream.format("memory")
+        .queryName("live_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_live"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r["year"], r["page_number"], r["record_count"])
+        for r in spark.sql("SELECT * FROM live_stream").collect()
+    )
+    assert got == [(2019, 1, 3), (2019, 2, 3), (2020, 1, 3)]
+
+
+def test_stream_reader_honors_next_marker(spark, tmp_path):
+    """A 200 page WITHOUT a ``next`` link terminates the year for the
+    stream reader exactly as it does for the batch reader — even when
+    further page files exist on disk (a server that answers empty/stale
+    pages forever must not trap the stream in an endless loop)."""
+    root = tmp_path / "api_nonext"
+    d = root / "2019"
+    d.mkdir(parents=True)
+    (d / "page1.json").write_text(
+        json.dumps({"results": [{"unitid": 1, "year": 2019}], "next": None})
+    )
+    # stale/extra page the `next` contract says must never be visited
+    (d / "page2.json").write_text(
+        json.dumps({"results": [{"unitid": 2, "year": 2019}], "next": None})
+    )
+    spark.dataSource.register(PaginatedJsonDataSource)
+    common = dict(base_url=f"file://{root}", year_start="2019", year_end="2019")
+    batch = (
+        spark.read.format("paginated_json").options(**common).load().collect()
+    )
+    (
+        spark.readStream.format("paginated_json")
+        .options(**common)
+        .load()
+        .writeStream.format("memory")
+        .queryName("nonext_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_nonext"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream = spark.sql("SELECT * FROM nonext_stream").collect()
+    assert [(r["year"], r["page_number"]) for r in batch] == [(2019, 1)]
+    assert [(r["year"], r["page_number"]) for r in stream] == [(2019, 1)]
+
+
 def test_stream_reader_resumes_from_checkpoint(spark, fixture_api, tmp_path):
     """Restarting against the same checkpoint re-reads NOTHING (the
     offset dict advanced past every page)."""
