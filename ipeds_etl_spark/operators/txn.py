@@ -61,6 +61,18 @@ class CommitConflict(Exception):
     and re-merge (``upsert_into_txn_table`` does so automatically)."""
 
 
+class FencedOut(Exception):
+    """A ``fence`` key's committed value has already advanced past the
+    version this commit carries: a NEWER writer instance (or a replayed
+    later batch) committed first, so applying this commit would roll
+    newer data back. Deliberately NOT a :class:`CommitConflict` —
+    re-merging cannot make a superseded batch current; the caller must
+    DROP the commit (an idempotent sink treats it as already applied).
+    This is the in-transaction ``txnVersion`` check Delta runs for
+    idempotent writes, evaluated against the same manifest listing the
+    atomic version rename proves was current."""
+
+
 def _manifest_versions(spark: SparkSession, table_path: str) -> list[str]:
     return sorted(
         n
@@ -119,6 +131,7 @@ def commit_overwrite_partitions(
     expected: dict[str, str | None] | None = None,
     files_per_partition: int = 1,
     meta: dict | None = None,
+    fence: dict[str, int] | None = None,
 ) -> str:
     """Atomically replace the partitions ``df`` touches. Returns the
     committed manifest version name.
@@ -134,6 +147,17 @@ def commit_overwrite_partitions(
     rows. Without ``expected`` the commit is a blind overwrite (correct
     for full-partition replacement semantics, e.g. a re-load of a
     year's source data).
+
+    ``fence`` declares monotonic meta keys (key → this commit's
+    version, e.g. a streaming sink's ``{sink_id: batch_id}``): the
+    commit validates, inside the optimistic loop and against the SAME
+    listing the version rename serializes on, that no committed value
+    for the key is already ≥ the one being applied — otherwise it
+    deletes its generation dir and raises :class:`FencedOut`. A
+    check-then-act fence read OUTSIDE the commit cannot give this
+    guarantee: a zombie instance holding a stale fence would re-read
+    expected generations fresh, match, and overwrite newer data.
+    Fence keys are merged into the manifest meta like ``meta`` entries.
     """
     txid = uuid.uuid4().hex[:8]
     gen = f"_gen-{txid}"
@@ -171,6 +195,16 @@ def commit_overwrite_partitions(
         # claim: next_v == base version + 1, so a successful rename
         # proves no commit landed after the base we merged on top of.
         base_v, current, cur_meta = _latest_manifest(spark, table_path)
+        if fence:
+            for key, version in fence.items():
+                committed = cur_meta.get(key)
+                if committed is not None and committed >= version:
+                    fsutil.delete(spark, gen_path)
+                    raise FencedOut(
+                        f"fence {key!r}: committed value {committed} >= "
+                        f"{version} being applied — this batch is "
+                        "superseded; drop it, do not re-merge"
+                    )
         if expected is not None:
             for part in touched:
                 if current.get(part) != expected.get(part):
@@ -185,7 +219,7 @@ def commit_overwrite_partitions(
         # meta survives every commit: later writers merge their keys
         # over the current map instead of replacing it, so a streaming
         # sink's batch fence is never lost to an unrelated upsert
-        merged_meta = {**cur_meta, **(meta or {})}
+        merged_meta = {**cur_meta, **(meta or {}), **(fence or {})}
         doc: dict = {"partitions": merged}
         if merged_meta:
             doc["meta"] = merged_meta
@@ -275,6 +309,7 @@ def upsert_into_txn_table(
     partition_col: str = "year",
     max_retries: int = 10,
     meta: dict | None = None,
+    fence: dict[str, int] | None = None,
 ) -> str:
     """PK-keyed merge with an atomic commit: read the committed table,
     merge the touched partitions (anti-join + union, same relational
@@ -289,7 +324,12 @@ def upsert_into_txn_table(
     :class:`CommitConflict` and the merge is REDONE on top of the
     winner's data (up to ``max_retries`` times), so no writer's rows
     are ever silently dropped. This is the re-merge-on-conflict
-    behavior Delta/Iceberg implement for MERGE."""
+    behavior Delta/Iceberg implement for MERGE.
+
+    ``fence`` (monotonic meta keys, see
+    :func:`commit_overwrite_partitions`) propagates :class:`FencedOut`
+    to the caller UNRETRIED: a superseded batch must be dropped, not
+    re-merged onto the newer data it would roll back."""
     from pyspark.sql import functions as F
 
     from ipeds_etl_spark.operators.merge import _dedup_source, upsert_on_pk
@@ -317,7 +357,13 @@ def upsert_into_txn_table(
             merged = _dedup_source(source, pk)
         try:
             return commit_overwrite_partitions(
-                spark, merged, table_path, partition_col, expected=expected, meta=meta
+                spark,
+                merged,
+                table_path,
+                partition_col,
+                expected=expected,
+                meta=meta,
+                fence=fence,
             )
         except CommitConflict as exc:  # concurrent upsert won — re-merge
             last_conflict = exc

@@ -70,11 +70,17 @@ def txn_stream_upsert(
     pure upserts, wrongly for anything else — and it burns a table
     version either way). This sink fences with the batch id THROUGH
     the table's own commit protocol: every commit carries
-    ``meta={sink_id: batch_id}`` in the manifest (atomically, in the
-    same rename that publishes the data), and the handler skips any
-    batch id ≤ the fence it reads back. Data commit and fence commit
-    are ONE atomic operation — the idempotent-sink recipe Delta's
-    ``txnAppId``/``txnVersion`` options implement.
+    ``fence={sink_id: batch_id}``, VALIDATED INSIDE the optimistic
+    commit loop against the same manifest listing the version rename
+    serializes on — a commit whose fence has already advanced raises
+    ``FencedOut`` and is dropped. The handler's early fence read is
+    only a fast path; correctness never rests on it, so a zombie
+    instance that read a stale fence before a newer instance committed
+    cannot overwrite the newer data (check-then-act is closed at the
+    commit point). Data commit and fence commit are ONE atomic
+    operation — the idempotent-sink recipe Delta's
+    ``txnAppId``/``txnVersion`` options implement, including the
+    in-transaction ``txnVersion`` re-check.
 
     The fence survives unrelated writers (manifest meta is merged, not
     replaced) and vacuum (it lives in the manifest, not a side file).
@@ -92,15 +98,22 @@ def txn_stream_upsert(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         applied = _txn.read_meta(spark, table_path).get(fence_key)
         if applied is not None and batch_id <= applied:
-            return  # replayed batch: already committed atomically
-        _txn.upsert_into_txn_table(
-            spark,
-            table_path,
-            batch_df,
-            pk,
-            partition_col=partition_col,
-            meta={fence_key: batch_id},
-        )
+            return  # fast path: replay of an already-committed batch
+        try:
+            _txn.upsert_into_txn_table(
+                spark,
+                table_path,
+                batch_df,
+                pk,
+                partition_col=partition_col,
+                fence={fence_key: batch_id},
+            )
+        except _txn.FencedOut:
+            # a newer instance committed this (or a later) batch while
+            # we were merging — the commit-point fence caught it; the
+            # batch is already durably applied, so skipping is the
+            # exactly-once behavior
+            return
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)
