@@ -223,7 +223,10 @@ def connected_components_star(
 
 
 def graph_stats(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """Single-row profile of a candidate-pair graph: node/edge counts,
     max degree, and the exact triangle count — the shape sanity-check
@@ -240,20 +243,24 @@ def graph_stats(
     because dedup pair graphs have bounded degree by construction
     (hot buckets are rank-capped upstream).
 
-    The four statistics are single-row aggregates combined with 1-row
-    cross joins (no driver collect)."""
-    # materialize the edge list once: it feeds FIVE branches (degree,
-    # edge count, both wedge sides, closure), and without truncation
-    # each branch re-executes the entire upstream candidate pipeline —
-    # five corpus scans at 100 TB. The edge list itself is the small
-    # artifact (pairs, not documents).
-    e = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    The four statistics are single-row aggregates combined with a 1-row
+    cross join (no driver collect). ``pairs_canonical=True`` asserts
+    the producer already emits distinct pairs with ``id_a < id_b``
+    (``lsh_candidate_pairs`` and friends do) and skips the defensive
+    re-canonicalization — one fewer shuffle over the edge list."""
+    # materialize the edge list once: it feeds FOUR branches (degree,
+    # both wedge sides, closure), and without truncation each branch
+    # re-executes the entire upstream candidate pipeline — four corpus
+    # scans at 100 TB. The edge list itself is the small artifact
+    # (pairs, not documents).
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if not pairs_canonical:
+        e = (
+            e.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+    e = e.localCheckpoint()
     deg = (
         e.select(F.col("a").alias("u"))
         .unionByName(e.select(F.col("b").alias("u")))
@@ -268,9 +275,13 @@ def graph_stats(
     )
     return (
         deg.agg(
-            F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("d").alias("max_degree"),
+            # Σdeg = 2|E| exactly, so the edge count rides the degree
+            # aggregate — no separate n_edges branch, one fewer
+            # single-row agg + cross join in the plan
+            (F.sum("d") / 2).cast("long").alias("n_edges"),
         )
-        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select("n_nodes", "n_edges", "max_degree", "n_triangles")
     )

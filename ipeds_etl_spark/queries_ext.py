@@ -2842,7 +2842,7 @@ def _register_graph_stats():
 
         d = load_table(spark, sf_dir, "documents")
         pairs = DD.lsh_candidate_pairs(d, "text", "doc_id")
-        return graph_stats(pairs)
+        return graph_stats(pairs, pairs_canonical=True)
 
 
 _register_graph_stats()
