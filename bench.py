@@ -156,6 +156,16 @@ HEADLINE = [
     "events_ab_test",
     # candidate-fed precision gate (cheap at any scale)
     "dedup_minhash_precision",
+    # round-7 wave: TPC-H Q18 (IN over grouped HAVING), Q7 (bilateral
+    # snowflake), Q20 (nested correlated agg in HAVING), Q11 (self-
+    # gating scalar agg), sub-document duplication fraction (map-side
+    # shingle dedup), DAU/WAU stickiness (banded distinct-count)
+    "customers_large_orders",
+    "nations_trade_volume",
+    "suppliers_dominant_parts",
+    "nation_part_value_concentration",
+    "docs_dup_ngram_fraction",
+    "events_dau_wau_stickiness",
 ]
 
 

@@ -655,8 +655,14 @@ _GATE_PRIORITY: list[str] = [
     "parts_copurchase_3hop",
     "events_ab_test",
     "dedup_minhash_precision",
-    # -- new in round 5 (no driver row yet; inserted as they land) --
-    # (slots reserved; keep window arithmetic in the trailer comment)
+    # -- new in round 5 (no driver row yet): TPC-H Q18/Q7/Q20/Q11
+    # shapes, sub-document duplication fraction, DAU/WAU stickiness --
+    "customers_large_orders",
+    "nations_trade_volume",
+    "suppliers_dominant_parts",
+    "nation_part_value_concentration",
+    "docs_dup_ngram_fraction",
+    "events_dau_wau_stickiness",
     # -- veterans CHANGED this round (ab-test variance guard is above;
     # dedup_graph_stats edge-pipeline regression fix) — they must hold
     # a slot in the checked window alongside the new entries --
@@ -681,12 +687,10 @@ _GATE_PRIORITY: list[str] = [
     "orders_bloom_semi_join",
     "orders_range_join_bucketed",
     "events_asof_last_purchase",
-    "events_sessionize",
-    "lineitem_pricing_summary",
-    "parts_copurchase_pagerank",
-    "customer_scd2",
-    "events_funnel",
-    "docs_bm25_search",
+    # (window full at 50: six round-5 additions displaced
+    # events_sessionize, lineitem_pricing_summary,
+    # parts_copurchase_pagerank, customer_scd2, events_funnel,
+    # docs_bm25_search — all r4-green)
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r04.json; still in the local mirror): the 47-query
     # round-4 window minus the veterans retained above. Prior-round

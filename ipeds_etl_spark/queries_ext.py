@@ -3772,3 +3772,191 @@ def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("precision_at_050"),
     )
+
+
+# ===========================================================================
+# Cross-document duplicated-passage fraction (FineWeb-style quality signal)
+# ===========================================================================
+# k=8 word shingles, 1-based inclusive DuckDB slices (the passage
+# length the dedup literature uses for "duplicated n-gram fraction")
+_SHINGLES8 = (
+    "CASE WHEN len({w}) < 8 THEN [array_to_string({w}, ' ')] "
+    "ELSE list_transform(range(len({w}) - 7), i -> array_to_string({w}[i+1:i+8], ' ')) END"
+)
+
+
+@_register(
+    "docs_dup_ngram_fraction",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, {_HASH10.format(x='g')} AS h
+      FROM (SELECT doc_id, unnest({_SHINGLES8.format(w='w')}) AS g FROM t)),
+    freq AS (SELECT h, count(*) AS n_docs FROM sh GROUP BY h)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS shared_frac,
+           CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) <= 0.3 AS keep
+    FROM sh JOIN freq ON sh.h = freq.h
+    GROUP BY sh.doc_id
+    """,
+)
+def q_docs_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication signal: for every document, the
+    fraction of its DISTINCT 8-word shingles that also occur in at
+    least one OTHER document — the "duplicated n-gram fraction" filter
+    corpus-quality pipelines apply between exact and fuzzy dedup (a
+    doc can be globally unique yet 90% boilerplate passages). Exact,
+    not sketched.
+
+    Scale shape: within-doc shingle dedup happens MAP-SIDE
+    (``array_distinct`` over the hashed shingle array before the
+    explode), so the (doc, hash) stream is distinct by construction —
+    no dedup shuffle. Cross-doc frequency rides ONE exchange on the
+    hash (a count window in place of a groupBy + join-back on the
+    same key), and the per-doc rollup is the second — two shuffles
+    total for an exact sub-document duplication profile. No Python
+    anywhere; the shingle stream never collects."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    # distinct-by-construction: the per-doc hash array is deduped in
+    # the map stage; exploding yields exactly one (doc_id, h) row per
+    # distinct shingle of the doc
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(TX.shingles_of(F.col("w"), 8), parity_hash)
+            )
+        ).alias("h"),
+    )
+    n_docs_h = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = sh.select("doc_id", (n_docs_h > 1).alias("shared"))
+    shared_n = F.sum(F.when(F.col("shared"), 1).otherwise(0))
+    shared_frac = shared_n.cast("double") / F.count(F.lit(1))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        shared_n.cast("long").alias("n_shared"),
+        shared_frac.alias("shared_frac"),
+        (shared_frac <= 0.3).alias("keep"),
+    )
+
+
+# ===========================================================================
+# Engagement stickiness: DAU / trailing-7-day WAU per day
+# ===========================================================================
+@_register(
+    "events_dau_wau_stickiness",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT days.d AS d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           dau.dau AS dau,
+           wau.wau AS wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+)
+def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — the engagement-stickiness
+    series product analytics ships on every dashboard. Rolling
+    COUNT(DISTINCT) cannot ride a window frame (distinct is not an
+    associative frame aggregate), so the WAU side joins the distinct
+    user-day grid to the day spine over a 7-day band and counts
+    distinct users per anchor day — exact, engine-portable.
+
+    Scale shape: the user-day grid is one distinct (map-combinable)
+    over the raw events; the day spine is |days| rows — BROADCAST, so
+    the band join never shuffles the grid; each grid row lands in ≤7
+    anchor groups (bounded expansion) and the distinct count is a
+    two-phase (anchor, user) exchange over that bounded stream. The
+    remaining exchanges (DAU agg, final align) are over day-sized
+    frames — O(|days|) rows regardless of corpus. Stickiness is one
+    IEEE division of exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    g = days.select(F.col("d").alias("anchor"))
+    wau = (
+        ud.join(
+            F.broadcast(g),
+            (F.col("d") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("d") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.anchor)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# ===========================================================================
+# TPC-H Q11 shape: part-value concentration within one nation
+# ===========================================================================
+@_register(
+    "nation_part_value_concentration",
+    """
+    WITH nv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
+    FROM nv
+    WHERE val * 500 > (SELECT SUM(val) FROM nv)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q_nation_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part supplied value within one nation,
+    kept only where it exceeds 1/500 of the nation's total — a grouped
+    aggregate gated by an uncorrelated scalar aggregate over ITSELF.
+    Written as SQL so Catalyst plans the scalar as a broadcast
+    (single-row) subquery over the reused ``nv`` aggregate rather
+    than a second scan. The threshold is cross-multiplied in exact
+    decimal (``val * 500 > total``): no division, hash-identical
+    engines. Scale: one fact shuffle on l_partkey; supplier and
+    nation broadcast; the nation filter prunes the fact stream inside
+    the broadcast-join stage before the exchange."""
+    for t in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q11_{t}")
+    return spark.sql(
+        """
+        WITH nv AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+          FROM q11_lineitem
+          JOIN q11_supplier ON s_suppkey = l_suppkey
+          JOIN q11_nation ON n_nationkey = s_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY l_partkey)
+        SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
+        FROM nv
+        WHERE val * 500 > (SELECT SUM(val) FROM nv)
+        ORDER BY value DESC, partkey
+        """
+    )

@@ -706,3 +706,183 @@ def _register_ab_test() -> None:
 
 
 _register_ab_test()
+
+
+# ===========================================================================
+# TPC-H Q18 shape: large-volume orders (IN over a grouped HAVING)
+# ===========================================================================
+@_register(
+    "customers_large_orders",
+    """
+    SELECT c.c_name,
+           c.c_custkey,
+           o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_customers_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the IN-over-grouped-HAVING form, kept as SQL so
+    Catalyst plans the membership test as a LEFT SEMI join against the
+    aggregated subquery (no decorrelation needed — the subquery is
+    uncorrelated, the planner's cheapest case). The quantity threshold
+    sum is exact decimal; the final ordering carries a full tiebreaker
+    (totalprice DESC, orderkey) so the LIMIT 100 cut is deterministic
+    on any engine and any partitioning. Scale: the HAVING aggregate is
+    map-side combinable on l_orderkey, the semi join co-partitions
+    with the orders⋈lineitem join on the same key (one exchange
+    reused), and TakeOrderedAndProject caps the driver at 100 rows."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q18_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q18_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q18_lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name,
+               c.c_custkey,
+               o.o_orderkey,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM q18_customer c
+        JOIN q18_orders o ON o.o_custkey = c.c_custkey
+        JOIN q18_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM q18_lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY totalprice DESC, o.o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+# ===========================================================================
+# TPC-H Q7 shape: bilateral trade volume between two nations by year
+# ===========================================================================
+@_register(
+    "nations_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation n1   ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2   ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the 6-way snowflake join with a DISJUNCTIVE
+    pair filter over two dimension branches (supplier nation ×
+    customer nation). Discounted revenue follows the house decimal
+    idiom (multiply exact decimals, sum, ONE double cast). Scale: all
+    four dimension sides (supplier, customer, nation ×2) broadcast;
+    the only exchange is lineitem⋈orders on orderkey, and the nation
+    pair predicate prunes before the fact-side shuffle because the
+    broadcast joins evaluate first in the same stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ===========================================================================
+# TPC-H Q20 shape: dominant suppliers per part (nested correlated agg)
+# ===========================================================================
+@_register(
+    "suppliers_dominant_parts",
+    """
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+    FROM supplier s
+    JOIN (
+      SELECT l_suppkey, l_partkey
+      FROM lineitem l1
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) * 6
+           > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    ) d ON d.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+)
+def q_suppliers_dominant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a correlated scalar aggregate INSIDE a grouped
+    HAVING — per (supplier, part) shipped quantity compared against
+    a sixth of that part's total across all suppliers (>16.7% share —
+    the largest multiplier that yields a non-trivial result set on the
+    uniform synthetic quantities). Left as SQL so
+    Catalyst decorrelates the inner sum into a partkey aggregate
+    joined back on the HAVING's group (the nested form of the Q17
+    rewrite). The comparison is cross-multiplied (``sum*6 > total``)
+    in exact decimal — no division. Scale: both aggregates are
+    map-side combinable over the same lineitem scan; the planner
+    shares one exchange on l_partkey between the group and the
+    decorrelated subquery, and the supplier join broadcasts."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q20_supplier")
+    return spark.sql(
+        """
+        SELECT s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+        FROM q20_supplier s
+        JOIN (
+          SELECT l_suppkey, l_partkey
+          FROM q20_lineitem l1
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) * 6
+               > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+                  FROM q20_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        ) d ON d.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY s.s_name
+        """
+    )

@@ -82,6 +82,15 @@ EXPECTATIONS = {
     # shuffle (the orderkey join + agg reuse each other's key)
     "orders_shipping_priority": (1, 2, 0),
     "regional_supplier_volume": (2, 5, 0),
+    # round-7 additions (TPC-H Q18/Q7/Q20/Q11 shapes + corpus signals)
+    # Q18: semi + groupBy share the orderkey exchange; cust/dim bcast
+    "customers_large_orders": (3, 4, 0),
+    "nations_trade_volume": (2, 5, 0),   # all four dim branches bcast
+    "suppliers_dominant_parts": (4, 2, 0),
+    # map-side shingle dedup → ONE hash exchange + per-doc rollup
+    "docs_dup_ngram_fraction": (2, 0, 0),
+    "events_dau_wau_stickiness": (7, 2, 0),  # day-sized frames beyond the grid distinct
+    "nation_part_value_concentration": (4, 4, 0),
 }
 
 

@@ -109,6 +109,60 @@ SWEEP_R7 = [
 ]
 
 
+#: sf10-equivalent corpus for the OUTPUT-QUADRATIC ops only (VERDICT r4
+#: item 8): 100x sf0.1 documents/embeddings. The claim under test is
+#: that wall time tracks the OUTPUT PAIR COUNT (clone cliques are
+#: quadratic in duplication multiplicity by definition), not a
+#: superlinear input blow-up — so the smoke records pairs AND seconds.
+SF10_DIR = "/tmp/scale_smoke_sf10"
+QUAD_REPLICAS = 100
+
+
+def build_quad_corpus(spark) -> None:
+    if Path(SF10_DIR).exists():
+        shutil.rmtree(SF10_DIR)
+    Path(SF10_DIR).mkdir(parents=True)
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    out = None
+    for r in range(QUAD_REPLICAS):
+        rep = docs.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            F.concat(F.lit(f"replica{r} "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        out = rep if out is None else out.unionByName(rep)
+    out.repartition(64).write.parquet(f"{SF10_DIR}/documents.parquet")
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    eout = None
+    for r in range(QUAD_REPLICAS):
+        rep = emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        eout = rep if eout is None else eout.unionByName(rep)
+    eout.repartition(64).write.parquet(f"{SF10_DIR}/embeddings.parquet")
+
+
+def run_sweep_quad(spark, results: dict) -> None:
+    """dedup_simhash / emb_near_dups at 100x sf0.1: report wall seconds
+    AND emitted pair counts, so the superlinear wall ratio can be read
+    against the quadratic pair growth it is supposed to track. A count
+    (not noop write) is used on purpose: the pair frame IS the product."""
+    from ipeds_etl_spark import queries as q
+
+    reg = q.queries()
+    quad: dict[str, dict] = {}
+    for name in ("dedup_simhash", "emb_near_dups"):
+        t0 = time.perf_counter()
+        n = reg[name](spark, SF10_DIR).count()
+        quad[name] = {"sec": round(time.perf_counter() - t0, 2), "n_rows": n}
+    results["sweep_quad"] = quad
+
+
 def build_corpus(spark) -> None:
     if Path(SF1_DIR).exists():
         shutil.rmtree(SF1_DIR)
@@ -218,10 +272,18 @@ def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {}
+    if "sweep_quad" in sections:
+        build_quad_corpus(spark)
+        results["n_docs_quad"] = spark.read.parquet(
+            f"{SF10_DIR}/documents.parquet"
+        ).count()
+        run_sweep_quad(spark, results)
+        if sections == ["sweep_quad"]:
+            print(json.dumps(results))
+            return
     build_corpus(spark)
-    results: dict = {
-        "n_docs": spark.read.parquet(f"{SF1_DIR}/documents.parquet").count()
-    }
+    results["n_docs"] = spark.read.parquet(f"{SF1_DIR}/documents.parquet").count()
     if "iterative" in sections:
         run_iterative(spark, results)
     if "sweep" in sections:
