@@ -218,17 +218,32 @@ def pairs_within_buckets(
             ).alias("__overflow"),
         )
     grouped = grouped.filter(F.size("xs") > 1)
-    # one parsed expression instead of nested lambda Column builds:
-    # identical tree, but a single Py4J round trip (~0.2s less driver
-    # time per query build; this expansion sits inside four headline
-    # queries)
-    pairs = F.expr(
-        "flatten(transform(xs, (x, i) -> "
-        "transform(slice(xs, i + 2, size(xs)), "
-        "y -> named_struct('a', x, 'b', y))))"
-    )
-    out = grouped.select(F.explode(pairs).alias("p"), F.col("__overflow")).select(
-        "p.a", "p.b", F.col("__overflow")
+    # TWO-LEVEL explode, not a one-shot flatten: a single
+    # `flatten(transform(xs, ...))` materializes the ENTIRE B²/2-pair
+    # array as one generated value — at the 10k cap that is ~5·10⁷
+    # structs in one allocation, which OOMed an executor in the sf10
+    # smoke (clone-clique buckets). posexplode to (position, a) first
+    # (rows carry only the O(B) xs array), then explode each row's
+    # i+1.. suffix slice: every allocation stays O(bucket), the B²
+    # pairs exist only as a row stream the engine can pipeline and
+    # spill. Same output set, same single shuffle.
+    out = (
+        grouped.select(
+            F.col("__overflow"),
+            F.col("xs"),
+            F.posexplode("xs").alias("__i", "a"),
+        )
+        .select(
+            "a",
+            # 0-based position i → partners start at 1-based i+2; the
+            # over-length slice clamps, the last element's empty slice
+            # drops its row in the explode
+            F.explode(
+                F.slice("xs", F.col("__i") + F.lit(2), F.size("xs"))
+            ).alias("b"),
+            F.col("__overflow"),
+        )
+        .select("a", "b", F.col("__overflow"))
     )
     if overflow_col:
         return out.withColumnRenamed("__overflow", overflow_col)

@@ -821,8 +821,10 @@ def q_docs_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back to the corpus."""
     from ipeds_etl_spark.operators.components import dedup_clusters
 
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.lsh_candidate_pairs(d, "text", "doc_id")
+    pairs = _lsh_doc_pairs(spark, sf_dir)
     clusters = dedup_clusters(pairs)  # (id, component_id, component_size, keep)
     return (
         d.select("doc_id")
@@ -1016,8 +1018,10 @@ def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every ratio is one IEEE division of exact counts. Ref policy: Lee
     et al., 'Deduplicating Training Data Makes Language Models
     Better' (arXiv:2107.06499) flags sub-document duplication."""
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+
     d = load_table(spark, sf_dir, "documents")
-    cand = DD.lsh_candidate_pairs(d, "text", "doc_id")
+    cand = _lsh_doc_pairs(spark, sf_dir)
     sets = d.select(
         "doc_id", TX.tokens(F.col("text")).alias("w")
     ).select(

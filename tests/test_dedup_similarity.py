@@ -300,3 +300,44 @@ def test_jaccard_prefix_join_equals_bruteforce(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), f"threshold {t}"
+
+
+def test_lsh_pair_memo_invalidates_on_corpus_change(spark, tmp_path):
+    """The memoized candidate-pair index is keyed by the corpus file
+    fingerprint: same corpus version → the SAME checkpointed frame
+    (no rebuild); regenerated corpus file → a fresh build whose pairs
+    reflect the new data."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+
+    sf = str(tmp_path)
+    shutil.copytree("/root/testdata/sf0.001", sf, dirs_exist_ok=True)
+
+    p1 = _lsh_doc_pairs(spark, sf)
+    p1_again = _lsh_doc_pairs(spark, sf)
+    assert p1 is p1_again  # memo hit: identical frame object
+    n1 = p1.count()
+
+    # regenerate the corpus: drop half the documents (mtime+size change)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half.write.mode("overwrite").parquet(f"{sf}/documents2.parquet")
+    import os
+    from pathlib import Path
+
+    target = Path(f"{sf}/documents.parquet")
+    if target.is_dir():
+        shutil.rmtree(target)
+    else:
+        os.remove(target)  # sf0.001 ships single-file tables
+    shutil.move(f"{sf}/documents2.parquet", str(target))
+
+    p2 = _lsh_doc_pairs(spark, sf)
+    assert p2 is not p1  # fingerprint changed -> rebuilt
+    # rebuilt index never pairs a dropped (odd) doc
+    odd = p2.filter((F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)).count()
+    assert odd == 0
+    assert p2.count() <= n1
