@@ -166,6 +166,10 @@ HEADLINE = [
     "nation_part_value_concentration",
     "docs_dup_ngram_fraction",
     "events_dau_wau_stickiness",
+    # Q13 (zero-inclusive outer-join count distribution) and Q19
+    # (cross-side disjunctive residual over an extracted equi key)
+    "customer_order_distribution",
+    "parts_promo_revenue_disjunctive",
 ]
 
 

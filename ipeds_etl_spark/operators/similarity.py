@@ -44,6 +44,15 @@ from ipeds_etl_spark.operators.dedup import (
     pairs_within_buckets,
 )
 
+#: Decompressed-size ceiling for broadcasting the corpus side of the
+#: pair-verify re-attach join (see ``_verified_pairs_within_buckets``):
+#: the decision is made from known row counts, NOT the optimizer's
+#: compressed-bytes estimate, which repetitive embedding data skews by
+#: 30x+ (measured: 27 MB zstd parquet → ~1 GB of rows, an AQE runtime
+#: broadcast that aborted on spark.driver.maxResultSize). 64 MB keeps
+#: the broadcast well under default driver/executor headroom.
+REATTACH_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def suggest_rp_planes(
     corpus_count: int,
@@ -341,6 +350,8 @@ def _verified_pairs_within_buckets(
     threshold: float,
     max_bucket_size: int | None,
     dedup_pairs: bool = False,
+    corpus_rows: int | None = None,
+    vec_dim: int = 64,
 ) -> DataFrame:
     """Cosine-verified unordered pairs sharing a bucket, via the SAME
     capped in-bucket expansion the dedup side uses
@@ -359,10 +370,22 @@ def _verified_pairs_within_buckets(
     the ``distinct`` the banded caller needs anyway, which ALSO
     verifies each candidate once instead of once per colliding band —
     and the vectors are re-attached by an equi-join against the corpus
-    that Catalyst/AQE broadcasts while the corpus fits and
-    shuffle-joins beyond that. Per-pair verify work is one dot product:
-    norms ride the corpus side, computed once per vector instead of
-    twice per pair (``sqrt(dot(v,v))`` — bit-identical cosine)."""
+    whose STRATEGY IS CHOSEN EXPLICITLY from known stats, never left
+    to the optimizer's size estimate. Why: AQE sizes join sides from
+    COMPRESSED shuffle bytes, and embedding corpora compress brutally
+    (the sf10 smoke's ~1 GB of decompressed vectors was 27 MB of zstd
+    parquet) — AQE converted this join to broadcast at runtime and
+    the broadcast build blew ``spark.driver.maxResultSize`` collecting
+    the decompressed rows. With ``corpus_rows`` supplied (callers
+    memoize one count per corpus version), the DECOMPRESSED build size
+    ``rows × (8·dim + overhead)`` decides: under
+    ``REATTACH_BROADCAST_MAX_BYTES`` the corpus side broadcasts (the
+    fast plan while it truly fits), otherwise — or when the count is
+    unknown — the join is pinned shuffle-hash, whose per-partition
+    hash build stays flat as partitions scale with data. Per-pair
+    verify work is one dot product: norms ride the corpus side,
+    computed once per vector instead of twice per pair
+    (``sqrt(dot(v,v))`` — bit-identical cosine)."""
     payload = F.struct(F.col(id_col).alias("id"))
     id_pairs = pairs_within_buckets(
         bucketed.select(*bucket_cols, id_col),
@@ -382,6 +405,11 @@ def _verified_pairs_within_buckets(
         F.col(vec_col).alias("__vvec"),
         norm(F.col(vec_col)).alias("__vnrm"),
     )
+    est_bytes = None if corpus_rows is None else corpus_rows * (8 * vec_dim + 64)
+    if est_bytes is not None and est_bytes <= REATTACH_BROADCAST_MAX_BYTES:
+        vecs = F.broadcast(vecs)
+    else:
+        vecs = vecs.hint("shuffle_hash")
     a = vecs.select(
         F.col("__vid").alias("id_a"),
         F.col("__vvec").alias("__avec"),
@@ -516,6 +544,7 @@ def rp_lsh_near_dups(
     dim: int = 64,
     threshold: float = 0.3,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH: vectors sharing a
     sign-pattern bucket (cosine-similar vectors collide with
@@ -530,13 +559,16 @@ def rp_lsh_near_dups(
     ``pairs_within_buckets`` — no self-join, and a pathological hot
     bucket is bounded at ``max_bucket_size`` members per task."""
     if n_planes is None:
-        n_planes = suggest_rp_planes(corpus.count())
+        n_planes = suggest_rp_planes(
+            corpus.count() if corpus_rows is None else corpus_rows
+        )
     planes = rp_planes(n_planes, dim)
     bucketed = corpus.select(
         F.col(id_col), rp_lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
     return _verified_pairs_within_buckets(
-        corpus, bucketed, ["bucket"], id_col, vec_col, threshold, max_bucket_size
+        corpus, bucketed, ["bucket"], id_col, vec_col, threshold, max_bucket_size,
+        corpus_rows=corpus_rows, vec_dim=dim,
     )
 
 
@@ -549,6 +581,7 @@ def embedding_near_dups(
     n_iters: int = 2,
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
     cent_rows: list[tuple[int, list[float]]] | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) within shared
     centroid buckets — linear-ish at scale; recall bounded by bucketing
@@ -565,7 +598,8 @@ def embedding_near_dups(
         )
     assigned = assign_centroids(corpus, id_col, vec_col, None, cent_rows=cent_rows)
     return _verified_pairs_within_buckets(
-        corpus, assigned, ["centroid_id"], id_col, vec_col, threshold, max_bucket_size
+        corpus, assigned, ["centroid_id"], id_col, vec_col, threshold,
+        max_bucket_size, corpus_rows=corpus_rows,
     )
 
 

@@ -663,6 +663,8 @@ _GATE_PRIORITY: list[str] = [
     "nation_part_value_concentration",
     "docs_dup_ngram_fraction",
     "events_dau_wau_stickiness",
+    "customer_order_distribution",
+    "parts_promo_revenue_disjunctive",
     # -- veterans CHANGED this round (ab-test variance guard is above;
     # dedup_graph_stats edge-pipeline regression fix) — they must hold
     # a slot in the checked window alongside the new entries --
@@ -685,9 +687,8 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_features",
     "events_kmv_users",
     "orders_bloom_semi_join",
-    "orders_range_join_bucketed",
-    "events_asof_last_purchase",
-    # (window full at 50: six round-5 additions displaced
+    # (window full at 50: eight round-5 additions displaced
+    # orders_range_join_bucketed, events_asof_last_purchase plus
     # events_sessionize, lineitem_pricing_summary,
     # parts_copurchase_pagerank, customer_scd2, events_funnel,
     # docs_bm25_search — all r4-green)

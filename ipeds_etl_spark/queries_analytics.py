@@ -305,6 +305,8 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref policy: Abbas et al., "SemDeDup" (arXiv:2303.09540) — keep one
     representative per semantic near-dup group."""
     e = load_table(spark, sf_dir, "embeddings")
+    from ipeds_etl_spark.queries_ext import _emb_count
+
     pairs = SIM.embedding_near_dups(
         e,
         "vec_id",
@@ -312,6 +314,7 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         n_centroids=8,
         cent_rows=_ivf_codebook(spark, sf_dir),
+        corpus_rows=_emb_count(spark, sf_dir),
     )
     dropped = pairs.select(F.col("id_b").alias("drop_id")).distinct()
     return e.select("vec_id").join(

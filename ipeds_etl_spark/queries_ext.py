@@ -960,6 +960,20 @@ def _ivf_codebook(
 #: a session (noted in SCALE.md, same policy as the IVF codebook).
 _LSH_DOC_PAIRS: dict[tuple, DataFrame] = {}
 
+#: Memoized embeddings row count per corpus version: one metadata-cheap
+#: parquet count, reused by every operator whose join-strategy choice
+#: needs the DECOMPRESSED corpus size (see
+#: similarity.REATTACH_BROADCAST_MAX_BYTES — optimizer estimates are
+#: compression-skewed 30x+ on repetitive vectors).
+_EMB_COUNTS: dict[tuple, int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = _corpus_fingerprint(sf_dir, "embeddings")
+    if key not in _EMB_COUNTS:
+        _EMB_COUNTS[key] = load_table(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNTS[key]
+
 
 def _lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (
@@ -1068,6 +1082,7 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(
         e, "vec_id", "embedding", threshold=0.4, n_centroids=8,
         cent_rows=_ivf_codebook(spark, sf_dir),
+        corpus_rows=_emb_count(spark, sf_dir),
     )
 
 
@@ -1168,7 +1183,10 @@ def q_emb_rp_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ipeds_etl_spark.operators.similarity import rp_lsh_near_dups
 
     e = load_table(spark, sf_dir, "embeddings")
-    return rp_lsh_near_dups(e, "vec_id", "embedding", n_planes=8, dim=64, threshold=0.3)
+    return rp_lsh_near_dups(
+        e, "vec_id", "embedding", n_planes=8, dim=64, threshold=0.3,
+        corpus_rows=_emb_count(spark, sf_dir),
+    )
 
 
 # register the oracle lazily-built SQL (needs the plane constants)
@@ -1221,7 +1239,10 @@ def q_emb_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ipeds_etl_spark.operators.similarity import cosine, rp_lsh_near_dups
 
     e = load_table(spark, sf_dir, "embeddings")
-    lsh = rp_lsh_near_dups(e, "vec_id", "embedding", n_planes=8, dim=64, threshold=0.3)
+    lsh = rp_lsh_near_dups(
+        e, "vec_id", "embedding", n_planes=8, dim=64, threshold=0.3,
+        corpus_rows=_emb_count(spark, sf_dir),
+    )
     L, R = e.alias("a"), e.alias("b")
     exact = (
         L.join(R, F.col("a.vec_id") < F.col("b.vec_id"))

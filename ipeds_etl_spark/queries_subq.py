@@ -886,3 +886,118 @@ def q_suppliers_dominant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_name
         """
     )
+
+
+# ===========================================================================
+# TPC-H Q13 shape: customer order-count distribution (filtered outer join)
+# ===========================================================================
+@_register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N (non-urgent)
+    orders — INCLUDING the zero bucket, which is the whole point of the
+    shape: the priority filter lives in the LEFT JOIN's ON clause, not
+    a WHERE (a WHERE would silently drop order-less customers and every
+    customer whose orders are all urgent). ``count(o.o_orderkey)``
+    counts only matched rows, so unmatched customers land in c_count=0.
+    Scale: one orderkey-side filter inside the join, one shuffle on
+    custkey shared by the join and the first aggregate; the second
+    aggregate's domain is O(max orders per customer) — tiny
+    regardless of corpus."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ===========================================================================
+# TPC-H Q19 shape: disjunctive predicate spanning both join sides
+# ===========================================================================
+@_register(
+    "parts_promo_revenue_disjunctive",
+    """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 20 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 35 AND 50)
+    """,
+)
+def q_parts_promo_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a 3-arm disjunction whose arms mix PART-side
+    (brand, size) and LINEITEM-side (quantity) predicates — the
+    classic can't-fully-push case. What the planner CAN do, and what
+    this pins: extract the common ``p_partkey = l_partkey`` equi key
+    (never a cartesian), push the union of each side's arm predicates
+    down to its scan as a partial filter (brand IN / size range on
+    part, quantity range on lineitem), and evaluate the full
+    disjunction as the join residual. Revenue follows the house
+    decimal idiom. Scale: part side broadcasts; lineitem scan is
+    pre-pruned by the pushed quantity envelope before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(20, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(35, 50)
+    )
+    # each product rounded back to scale 6 BEFORE the sum: a scale-12
+    # decimal sum of this magnitude exceeds 2^53 in integer form and
+    # the decimal->double conversion rounds differently per engine
+    # (the SCALE.md scale-0 rule, applied at scale 6 here); per-row
+    # decimal->decimal rounding is deterministic on both engines
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -91,6 +91,11 @@ EXPECTATIONS = {
     "docs_dup_ngram_fraction": (2, 0, 0),
     "events_dau_wau_stickiness": (7, 2, 0),  # day-sized frames beyond the grid distinct
     "nation_part_value_concentration": (4, 4, 0),
+    # Q13: ON-clause filter preserved under the outer join; custkey
+    # exchange shared by join+agg; count-domain 2nd agg
+    "customer_order_distribution": (3, 1, 0),
+    # Q19: ONE broadcast join, disjunction as residual, partial pushdown
+    "parts_promo_revenue_disjunctive": (1, 1, 0),
 }
 
 

@@ -114,6 +114,15 @@ SWEEP_R7 = [
 #: that wall time tracks the OUTPUT PAIR COUNT (clone cliques are
 #: quadratic in duplication multiplicity by definition), not a
 #: superlinear input blow-up — so the smoke records pairs AND seconds.
+#:
+#: RUN WITH ``DRIVER_MEMORY=48g`` (env): local mode packs all 32 tasks
+#: into one JVM, and with the engine's fixed 32 shuffle partitions the
+#: per-partition share of a 26M-pair stream exceeds the 8g default
+#: heap's per-task slice. On a cluster this is the standard
+#: "size shuffle partitions to the data" knob (partition count grows
+#: with the corpus; per-task memory stays flat) — the first sf10 run
+#: also exposed a REAL per-allocation bug (one-shot flatten pair
+#: expansion, since fixed to the streaming two-level explode).
 SF10_DIR = "/tmp/scale_smoke_sf10"
 QUAD_REPLICAS = 100
 
