@@ -170,6 +170,8 @@ HEADLINE = [
     # (cross-side disjunctive residual over an extracted equi key)
     "customer_order_distribution",
     "parts_promo_revenue_disjunctive",
+    # distributed BPE tokenizer training (6 unrolled merge rounds)
+    "docs_bpe_merges",
 ]
 
 

@@ -665,6 +665,7 @@ _GATE_PRIORITY: list[str] = [
     "events_dau_wau_stickiness",
     "customer_order_distribution",
     "parts_promo_revenue_disjunctive",
+    "docs_bpe_merges",
     # -- veterans CHANGED this round (ab-test variance guard is above;
     # dedup_graph_stats edge-pipeline regression fix) — they must hold
     # a slot in the checked window alongside the new entries --
@@ -683,12 +684,12 @@ _GATE_PRIORITY: list[str] = [
     "docs_jaccard_prefix_join",
     "docs_dedup_resolution",
     "emb_ivf_topk",
-    "emb_semantic_dedup",
     "multimodal_features",
     "events_kmv_users",
     "orders_bloom_semi_join",
-    # (window full at 50: eight round-5 additions displaced
-    # orders_range_join_bucketed, events_asof_last_purchase plus
+    # (window full at 50: nine round-5 additions displaced
+    # emb_semantic_dedup, orders_range_join_bucketed,
+    # events_asof_last_purchase plus
     # events_sessionize, lineitem_pricing_summary,
     # parts_copurchase_pagerank, customer_scd2, events_funnel,
     # docs_bm25_search — all r4-green)

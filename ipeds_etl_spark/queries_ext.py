@@ -4013,3 +4013,65 @@ def q_nation_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataF
         ORDER BY value DESC, partkey
         """
     )
+
+
+# ===========================================================================
+# BPE vocabulary induction: k unrolled merge rounds, oracle-replayed
+# ===========================================================================
+def _register_bpe():
+    K = 6
+    SEP = "chr(31)"
+    rewrite = (
+        f"string_split(list_reduce(s, (acc, x) -> "
+        f"CASE WHEN x = mr AND (acc = ml OR ends_with(acc, {SEP} || ml)) "
+        f"THEN acc || x ELSE acc || {SEP} || x END), {SEP})"
+    )
+    parts = [
+        """
+    w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> regexp_matches(t, '^[a-z]+$'))) AS w
+            FROM documents)
+      GROUP BY w),
+    s0 AS (SELECT n, regexp_extract_all(w, '.') AS s FROM w0)
+    """
+    ]
+    for r in range(K):
+        parts.append(
+            f"""
+    p{r} AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT n, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr
+            FROM s{r} WHERE len(s) > 1)
+      GROUP BY 1, 2),
+    m{r} AS (SELECT l AS ml, r AS mr, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{r + 1} AS (SELECT n, {rewrite} AS s FROM s{r}, m{r})
+    """
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, ml AS left_sym, mr AS right_sym, "
+        f"ml || mr AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(K)
+    )
+    oracle = "WITH " + ",".join(parts) + sel + " ORDER BY merge_rank"
+
+    @_register("docs_bpe_merges", oracle)
+    def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tokenizer training over the corpus: the first 6 BPE merge
+        rules (Sennrich et al. 2016), learned with k fully-unrolled
+        declarative rounds — word-frequency table once (the only
+        corpus-wide pass; every round after is vocabulary-sized),
+        weighted bigram count + deterministic top-1 (count DESC, then
+        lexicographic — a total order) + one left-to-right merge pass
+        per round. The DuckDB oracle REPLAYS TRAINING end-to-end (same
+        string-fold rewrite — the one spelling both engines run
+        identically) and the driver value-hashes the learned merges.
+        See ``operators/bpe.py`` for the scale argument."""
+        from ipeds_etl_spark.operators.bpe import learn_bpe_merges
+
+        d = load_table(spark, sf_dir, "documents")
+        return learn_bpe_merges(d, "text", n_merges=6)
+
+
+_register_bpe()

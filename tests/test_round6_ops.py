@@ -581,3 +581,55 @@ def test_ab_test_assignment_stable_and_stats_exact(spark):
             m = sum(vals) / n
             svar = sum((v - m) ** 2 for v in vals) / (n - 1)
             assert abs(row[col_v] - svar) < 1e-6 * max(1.0, svar)
+
+
+def test_bpe_merge_pass_semantics_and_python_parity(spark):
+    """The learned merges equal a reference pure-Python BPE trainer on
+    a crafted corpus, including the overlap rule: merging (a,a) over
+    'aaaa' yields 'aa aa' — a freshly merged token never re-merges
+    within the same pass."""
+    from collections import Counter
+
+    from ipeds_etl_spark.operators.bpe import learn_bpe_merges
+
+    texts = ["aaaa aaaa low lower lowest", "low lower newer newest", "aaaa wider"]
+
+    def py_bpe(texts, k):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w.isalpha():
+                    words[w] += 1
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for _ in range(k):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += words[w]
+            if not pairs:
+                break
+            # count desc, then lexicographic pair — the engine's order
+            (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((l, r, l + r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2  # consumed: no re-merge within the pass
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in learn_bpe_merges(df, "text", n_merges=4).collect()
+    ]
+    assert got == py_bpe(texts, 4)
+    # the overlap case is actually exercised: (a, a) must be merge #1
+    # ('aaaa' x3 contributes 9 adjacent (a,a) pairs, the top pair)
+    assert got[0][:2] == ("a", "a")
