@@ -172,6 +172,11 @@ HEADLINE = [
     "parts_promo_revenue_disjunctive",
     # distributed BPE tokenizer training (6 unrolled merge rounds)
     "docs_bpe_merges",
+    # Q12 (CASE agg over residual-filtered join), Q14 (conditional
+    # ratio), Q16 (NOT IN -> null-aware anti join + Expand distinct)
+    "lineitem_priority_shipping_counts",
+    "parts_promo_revenue_share",
+    "parts_supplier_counts_excluded",
 ]
 
 

@@ -1001,3 +1001,142 @@ def q_parts_promo_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataF
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ===========================================================================
+# TPC-H Q12 shape: shipping-delay priority counts (CASE aggregation)
+# ===========================================================================
+@_register(
+    "lineitem_priority_shipping_counts",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_lineitem_priority_shipping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lines shipped within 60 days of their order,
+    bucketed by return flag with the priority split expressed as CASE
+    aggregates — one pass, no second join or pivot. The ship-window
+    predicate references BOTH sides, so it evaluates as the join
+    residual; the join itself stays equi on orderkey. Scale: one
+    orderkey exchange (lineitem side; orders side co-shuffles), then a
+    3-group CASE agg that combines map-side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ===========================================================================
+# TPC-H Q14 shape: promo revenue share (conditional ratio aggregate)
+# ===========================================================================
+@_register(
+    "parts_promo_revenue_share",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                           * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                           AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                             AS DECIMAL(18,6))) AS DOUBLE) AS DOUBLE)
+             AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q_parts_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one year's revenue from PROMO
+    parts — two conditional exact-decimal sums and ONE final IEEE
+    division (both sums at scale 6; products rounded per-row back to
+    scale 6 so neither engine leaves the 2^53-exact integer range).
+    Scale: date range pushes to the lineitem scan, part broadcasts,
+    the whole thing is one map-combinable single-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+    total = F.sum(rev)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+            "promo_revenue_pct"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ===========================================================================
+# TPC-H Q16 shape: supplier counts with a NOT IN exclusion (null-aware anti)
+# ===========================================================================
+@_register(
+    "parts_supplier_counts_excluded",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_size IN (1, 14, 23, 45)
+      AND p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_counts_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    slice, EXCLUDING a denylist via NOT IN — kept as SQL because NOT IN
+    over a nullable key is its own planning shape: Spark must use a
+    NULL-AWARE anti join (a single-column broadcast NAAJ; a plain anti
+    join would wrongly keep rows when the subquery yields a NULL).
+    The denylist (negative-balance suppliers) is broadcast; the
+    distinct count rides the Expand rewrite. Scale: part filters push
+    to the scan, the only wide exchange is the (brand,type,size,supp)
+    distinct."""
+    for t in ("part", "lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q16_{t}")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM q16_part JOIN q16_lineitem ON l_partkey = p_partkey
+        WHERE p_size IN (1, 14, 23, 45)
+          AND p_type <> 'PROMO'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )

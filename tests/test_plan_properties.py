@@ -96,6 +96,10 @@ EXPECTATIONS = {
     "customer_order_distribution": (3, 1, 0),
     # Q19: ONE broadcast join, disjunction as residual, partial pushdown
     "parts_promo_revenue_disjunctive": (1, 1, 0),
+    # Q12/Q14/Q16 shapes
+    "lineitem_priority_shipping_counts": (2, 1, 0),
+    "parts_promo_revenue_share": (1, 1, 0),
+    "parts_supplier_counts_excluded": (3, 2, 0),
 }
 
 
@@ -110,6 +114,18 @@ def test_plan_shape(spark, name):
     )
     assert a["sortmerge_joins"] <= max_smj, f"{name}: unexpected sort-merge join"
     assert a["python_stages"] <= max_py, f"{name}: unexpected Python stage"
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """The Q16 NOT IN must plan as a NULL-AWARE anti join (the trailing
+    `true` on the LeftAnti BroadcastHashJoin) — a plain anti join has
+    different semantics when the denylist can contain NULLs."""
+    df = q.queries()["parts_supplier_counts_excluded"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, (\w+)", plan)
+    assert m is not None, plan
+    assert m.group(1) == "true"  # isNullAwareAntiJoin
 
 
 def test_bucketed_range_join_has_no_nested_loop(spark):
