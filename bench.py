@@ -177,6 +177,8 @@ HEADLINE = [
     "lineitem_priority_shipping_counts",
     "parts_promo_revenue_share",
     "parts_supplier_counts_excluded",
+    # BPE apply side: per-doc fertility under the learned tokenizer
+    "docs_bpe_fertility",
 ]
 
 

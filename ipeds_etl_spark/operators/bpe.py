@@ -71,6 +71,42 @@ def word_frequencies(corpus: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def bpe_word_segmentation(
+    corpus: DataFrame, text_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Train ``n_merges`` rules AND apply them: returns the vocabulary
+    with each word's post-merge segmentation — ``(w, n, s)`` where
+    ``s`` is the subword symbol array. Training and application are
+    the same k rewrite passes (rewriting the vocabulary IS applying
+    the rules), so this costs exactly the training run. Downstream,
+    tokenizing the corpus is a word-table join — tokenization is a
+    pure word function, so the 100 TB corpus never re-enters the
+    training loop."""
+    words = word_frequencies(corpus, text_col)
+    syms = words.select(
+        "w", "n", F.expr("regexp_extract_all(w, '.', 0)").alias("s")
+    ).localCheckpoint()
+    for _ in range(n_merges):
+        pairs = (
+            syms.filter(F.size("s") > 1)
+            .select("n", F.expr(_BIGRAMS).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .select(F.col("l").alias("ml"), F.col("r").alias("mr"))
+            .localCheckpoint()
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(top))
+            .select("w", "n", F.expr(_REWRITE).alias("s"))
+            .localCheckpoint()
+        )
+    return syms
+
+
 def learn_bpe_merges(
     corpus: DataFrame, text_col: str, n_merges: int = 6
 ) -> DataFrame:

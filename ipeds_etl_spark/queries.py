@@ -669,6 +669,7 @@ _GATE_PRIORITY: list[str] = [
     "lineitem_priority_shipping_counts",
     "parts_promo_revenue_share",
     "parts_supplier_counts_excluded",
+    "docs_bpe_fertility",
     # -- veterans CHANGED this round (ab-test variance guard is above;
     # dedup_graph_stats edge-pipeline regression fix) — they must hold
     # a slot in the checked window alongside the new entries --
@@ -684,11 +685,11 @@ _GATE_PRIORITY: list[str] = [
     "dedup_components",
     "dedup_components_star",
     "dedup_simhash",
-    "docs_dedup_resolution",
     "multimodal_features",
     "orders_bloom_semi_join",
-    # (window full at 50: twelve round-5 additions displaced
-    # docs_jaccard_prefix_join, emb_ivf_topk, events_kmv_users,
+    # (window full at 50: thirteen round-5 additions displaced
+    # docs_dedup_resolution, docs_jaccard_prefix_join, emb_ivf_topk,
+    # events_kmv_users,
     # emb_semantic_dedup, orders_range_join_bucketed,
     # events_asof_last_purchase plus
     # events_sessionize, lineitem_pricing_summary,

@@ -4075,3 +4075,88 @@ def _register_bpe():
 
 
 _register_bpe()
+
+
+def _register_bpe_fertility():
+    K = 6
+    SEP = "chr(31)"
+    rewrite = (
+        f"string_split(list_reduce(s, (acc, x) -> "
+        f"CASE WHEN x = mr AND (acc = ml OR ends_with(acc, {SEP} || ml)) "
+        f"THEN acc || x ELSE acc || {SEP} || x END), {SEP})"
+    )
+    parts = [
+        """
+    w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> regexp_matches(t, '^[a-z]+$'))) AS w
+            FROM documents)
+      GROUP BY w),
+    s0 AS (SELECT w, n, regexp_extract_all(w, '.') AS s FROM w0)
+    """
+    ]
+    for r in range(K):
+        parts.append(
+            f"""
+    p{r} AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT n, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS pr
+            FROM s{r} WHERE len(s) > 1)
+      GROUP BY 1, 2),
+    m{r} AS (SELECT l AS ml, r AS mr FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{r + 1} AS (SELECT w, n, {rewrite} AS s FROM s{r}, m{r})
+    """
+        )
+    oracle = (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    vocab AS (SELECT w, CAST(len(s) AS BIGINT) AS word_tokens FROM s{K}),
+    doc_words AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        t -> regexp_matches(t, '^[a-z]+$'))) AS w
+      FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(word_tokens) AS BIGINT) AS n_subword_tokens,
+           CAST(SUM(word_tokens) AS DOUBLE) / count(*) AS fertility
+    FROM doc_words JOIN vocab USING (w)
+    GROUP BY doc_id
+    """
+    )
+
+    @_register("docs_bpe_fertility", oracle)
+    def q_docs_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The APPLY side of BPE training: per-document subword token
+        counts and fertility (tokens/word) under the 6-merge tokenizer
+        learned from this corpus — the standard tokenizer-quality
+        metric (fertility ≈ 1 means the vocabulary fits the corpus).
+        Tokenization is a pure word function, so the corpus joins the
+        SEGMENTED VOCABULARY by word — the 100 TB corpus is touched
+        once for word extraction and once for the join; the k merge
+        rounds run on the vocabulary-sized table only. The oracle
+        replays training AND application end-to-end."""
+        from ipeds_etl_spark.operators.bpe import bpe_word_segmentation
+
+        d = load_table(spark, sf_dir, "documents")
+        vocab = bpe_word_segmentation(d, "text", n_merges=6).select(
+            "w", F.size("s").cast("long").alias("word_tokens")
+        )
+        doc_words = d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        ).filter(F.col("w").rlike("^[a-z]+$"))
+        return (
+            doc_words.join(vocab, "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("word_tokens").alias("n_subword_tokens"),
+                (
+                    F.sum("word_tokens").cast("double") / F.count(F.lit(1))
+                ).alias("fertility"),
+            )
+        )
+
+
+_register_bpe_fertility()
