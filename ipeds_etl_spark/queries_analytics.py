@@ -174,11 +174,9 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a pathological mega-order is rank-capped instead of going
     quadratic. Count agg is map-side combinable; final result is a
     distributed top-k (TakeOrderedAndProject), never a full sort."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    from ipeds_etl_spark.queries_ext import _basket_items
+
+    items = _basket_items(spark, sf_dir)
     pairs = DD.pairs_within_buckets(
         items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id")),
         cap_mode="agg",  # baskets are naturally small; skip the rank window
@@ -643,11 +641,9 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e9 beyond ~a million graph nodes.
 
     Ref: Page et al., 'The PageRank citation ranking' (1999)."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    from ipeds_etl_spark.queries_ext import _basket_items
+
+    items = _basket_items(spark, sf_dir)
     pairs = DD.pairs_within_buckets(
         items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id")),
         cap_mode="agg",
@@ -655,7 +651,7 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both edge directions from ONE pass over the pair pipeline — a
     # union of two selects would run the (expensive) pair extraction
     # twice inside the checkpoint (measured 24.7s → 13.4s at 10× sf0.1)
-    edges = (
+    raw_edges = (
         pairs.select(
             F.explode(
                 F.array(
@@ -672,20 +668,26 @@ def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .localCheckpoint()
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
+    deg = raw_edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
+    )
+    # out-degree is STATIC across rounds: bake it onto the checkpointed
+    # edge list once, so every power iteration is ONE join (edges ⋈
+    # ranks on the co-partitioned src key) instead of two — the deg
+    # join was half the per-round exchange work for a value that never
+    # changes
+    edges = (
+        raw_edges.join(deg, raw_edges.src == deg.node)
+        .select("src", "dst", "d")
+        .repartition("src")
+        .localCheckpoint()
     )
     ranks = deg.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     base = (15 * _PR_SCALE) // 100
     for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .drop("node")
-            .join(deg, edges.src == deg.node)
-            .select(
-                F.col("dst"),
-                F.expr("rank div d").alias("c"),
-            )
+        contrib = edges.join(ranks, edges.src == ranks.node).select(
+            F.col("dst"),
+            F.expr("rank div d").alias("c"),
         )
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(base) + F.expr("85 * sum(c) div 100")).alias("rank")
@@ -741,12 +743,9 @@ def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of write-back at sf0.1 where scans are OS-cached; at cluster
     # scale one materialization vs three full-table shuffles is not
     # close.
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint()
-    )
+    from ipeds_etl_spark.queries_ext import _basket_items
+
+    items = _basket_items(spark, sf_dir)
     n_df = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )

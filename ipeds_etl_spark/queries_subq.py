@@ -557,7 +557,9 @@ def q_parts_copurchase_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators remain the scale path; this query pins the declarative
     spelling end-to-end against DuckDB's identical recursion."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    from ipeds_etl_spark.queries_ext import _basket_items
+
+    items = _basket_items(spark, sf_dir)
     a = items.alias("a")
     b = items.alias("b")
     pairs = (

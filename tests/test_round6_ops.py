@@ -633,3 +633,21 @@ def test_bpe_merge_pass_semantics_and_python_parity(spark):
     # the overlap case is actually exercised: (a, a) must be merge #1
     # ('aaaa' x3 contributes 9 adjacent (a,a) pairs, the top pair)
     assert got[0][:2] == ("a", "a")
+
+
+def test_bpe_fertility_invariants(spark):
+    """Fertility is bounded below by 1 (a word is at least one token)
+    and above by word length; subword totals are consistent with the
+    segmented vocabulary."""
+    from ipeds_etl_spark.operators.bpe import bpe_word_segmentation
+
+    texts = ["lower lowest newer newest", "wide wider widest new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    vocab = {
+        r["w"]: r["s"] for r in bpe_word_segmentation(df, "text", n_merges=3).collect()
+    }
+    for w, s in vocab.items():
+        assert "".join(s) == w  # segmentation concatenates back to the word
+        assert 1 <= len(s) <= len(w)
+    from ipeds_etl_spark import queries as q  # registered apply query shape
+    assert "docs_bpe_fertility" in q.queries()
