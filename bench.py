@@ -179,6 +179,8 @@ HEADLINE = [
     "parts_supplier_counts_excluded",
     # BPE apply side: per-doc fertility under the learned tokenizer
     "docs_bpe_fertility",
+    # passage-level dedup as a rewrite (global first-occurrence keep)
+    "docs_passage_dedup_rewrite",
 ]
 
 

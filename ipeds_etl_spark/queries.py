@@ -670,6 +670,7 @@ _GATE_PRIORITY: list[str] = [
     "parts_promo_revenue_share",
     "parts_supplier_counts_excluded",
     "docs_bpe_fertility",
+    "docs_passage_dedup_rewrite",
     # -- veterans CHANGED this round (ab-test variance guard is above;
     # dedup_graph_stats edge-pipeline regression fix) — they must hold
     # a slot in the checked window alongside the new entries --
@@ -686,9 +687,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_components_star",
     "dedup_simhash",
     "multimodal_features",
-    "orders_bloom_semi_join",
-    # (window full at 50: thirteen round-5 additions displaced
-    # docs_dedup_resolution, docs_jaccard_prefix_join, emb_ivf_topk,
+    # (window full at 50: fourteen round-5 additions displaced
+    # orders_bloom_semi_join, docs_dedup_resolution,
+    # docs_jaccard_prefix_join, emb_ivf_topk,
     # events_kmv_users,
     # emb_semantic_dedup, orders_range_join_bucketed,
     # events_asof_last_purchase plus

@@ -4185,3 +4185,99 @@ def _register_bpe_fertility():
 
 
 _register_bpe_fertility()
+
+
+# ===========================================================================
+# Passage-level dedup REWRITE: drop globally-duplicated chunks, reassemble
+# ===========================================================================
+@_register(
+    "docs_passage_dedup_rewrite",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(w[i*10+1:i*10+10], ' ') AS chunk
+      FROM t, unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)),
+    firsts AS (
+      SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS first_pos
+      FROM chunks GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk
+      FROM chunks c JOIN firsts f
+        ON c.chunk = f.chunk
+       AND c.doc_id * 1000000 + c.chunk_idx = f.first_pos)
+    SELECT t.doc_id,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept_chunks,
+           CAST(CAST(ceil(len(t.w) / 10.0) AS BIGINT) AS BIGINT) AS n_chunks,
+           coalesce(k.cleaned, '') AS cleaned_text
+    FROM t LEFT JOIN (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY chunk_idx) AS cleaned
+      FROM kept GROUP BY doc_id) k
+      ON t.doc_id = k.doc_id
+    """,
+)
+def q_docs_passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup as a TRANSFORM, not a flag (the CCNet/
+    FineWeb rewrite step): split every document into 10-word chunks,
+    keep only each chunk's GLOBAL first occurrence (ordered by
+    (doc_id, chunk_idx) — deterministic on any engine/partitioning),
+    and reassemble the surviving chunks into cleaned text. Documents
+    whose every passage appeared earlier collapse to empty — exactly
+    what a dedup rewrite should do to fully-boilerplate pages.
+
+    Scale shape: chunking is a map-only row expansion; the global
+    first-occurrence is ONE min-aggregate on the chunk text (map-side
+    combinable — no window over the full chunk stream), the keep
+    filter re-joins on the same key (exchange reused), and reassembly
+    is a per-doc sort-agg. Positions are encoded as
+    ``doc_id·10⁶+idx`` single BIGINTs so the min is one comparison,
+    not a struct order."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    # size>0 guard: Spark's sequence(0, -1) DESCENDS ([0, -1]) instead
+    # of being empty, so a zero-word doc would fabricate a chunk; the
+    # base frame below still carries every doc (n_chunks=0, empty text)
+    chunks = d.filter(F.size("w") > 0).select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("w") / F.lit(10.0)).cast("long") - 1,
+            )
+        ).alias("chunk_idx"),
+        "w",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("w"), F.col("chunk_idx") * 10 + 1, 10), " "
+        ).alias("chunk"),
+    )
+    pos = F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")
+    firsts = chunks.groupBy("chunk").agg(F.min(pos).alias("first_pos"))
+    kept = chunks.join(firsts, "chunk").filter(pos == F.col("first_pos"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    base = d.select(
+        "doc_id", F.ceil(F.size("w") / F.lit(10.0)).cast("long").alias("n_chunks")
+    )
+    return base.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept_chunks"),
+        "n_chunks",
+        F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+    )

@@ -651,3 +651,43 @@ def test_bpe_fertility_invariants(spark):
         assert 1 <= len(s) <= len(w)
     from ipeds_etl_spark import queries as q  # registered apply query shape
     assert "docs_bpe_fertility" in q.queries()
+
+
+def test_passage_dedup_rewrite_edges(spark, tmp_path):
+    """The rewrite keeps global FIRST occurrences only (doc 3's leading
+    chunk duplicates doc 1's and is dropped), and zero-word documents
+    come through as (0 chunks, empty text) on both engines — Spark's
+    sequence(0,-1) descends rather than being empty, which the size
+    guard pins."""
+    import duckdb
+
+    from ipeds_etl_spark import queries as q
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+            (2, "   "),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu extra"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [
+        tuple(r)
+        for r in q.queries()["docs_passage_dedup_rewrite"](spark, sf)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(
+        "SELECT * FROM ("
+        + q.oracle_sql()["docs_passage_dedup_rewrite"]
+        + ") ORDER BY doc_id"
+    ).fetchall()
+    assert got == want
+    assert got[2] == (3, 1, 2, "lam mu extra")
+    assert got[1][1:] == (0, 0, "") and got[3][1:] == (0, 0, "")
