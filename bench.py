@@ -181,6 +181,16 @@ HEADLINE = [
     "docs_bpe_fertility",
     # passage-level dedup as a rewrite (global first-occurrence keep)
     "docs_passage_dedup_rewrite",
+    # TPC-H completion: Q4 exists, Q6 pure scan-agg, Q8 share-over-
+    # snowflake, Q9 LIKE rollup, Q10 top-returns, Q15 max-equality,
+    # Q2 correlated-min equality
+    "orders_priority_late_exists",
+    "lineitem_discount_revenue",
+    "nation_market_share",
+    "nation_year_red_revenue",
+    "customers_returned_revenue_top",
+    "top_supplier_by_revenue",
+    "parts_cheapest_supplier",
 ]
 
 

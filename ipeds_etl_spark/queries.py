@@ -671,6 +671,13 @@ _GATE_PRIORITY: list[str] = [
     "parts_supplier_counts_excluded",
     "docs_bpe_fertility",
     "docs_passage_dedup_rewrite",
+    "orders_priority_late_exists",
+    "lineitem_discount_revenue",
+    "nation_market_share",
+    "nation_year_red_revenue",
+    "customers_returned_revenue_top",
+    "top_supplier_by_revenue",
+    "parts_cheapest_supplier",
     # -- veterans CHANGED this round (ab-test variance guard is above;
     # dedup_graph_stats edge-pipeline regression fix) — they must hold
     # a slot in the checked window alongside the new entries --
@@ -679,15 +686,12 @@ _GATE_PRIORITY: list[str] = [
     # spanning every family: mapper, merge, KPI, dedup/LSH, graph,
     # ANN, multimodal, sketch, interval, as-of, sessionize) --
     "kpi_yearly",
-    "registry_mapper",
-    "upsert_on_pk",
-    "upsert_on_hash",
     "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_simhash",
-    "multimodal_features",
-    # (window full at 50: fourteen round-5 additions displaced
+    # (window full at 50: the 21 round-5 additions — all never
+    # driver-checked, same priority class as the 26 up top — displaced
+    # registry_mapper, upsert_on_pk, upsert_on_hash, dedup_components,
+    # dedup_components_star, dedup_simhash, multimodal_features (all
+    # with multi-round green rows) plus
     # orders_bloom_semi_join, docs_dedup_resolution,
     # docs_jaccard_prefix_join, emb_ivf_topk,
     # events_kmv_users,

@@ -1142,3 +1142,329 @@ def q_parts_supplier_counts_excluded(spark: SparkSession, sf_dir: str) -> DataFr
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """
     )
+
+
+# ===========================================================================
+# TPC-H shape completion: Q2/Q4/Q6/Q8/Q9/Q10/Q15 (schema-adapted)
+# ===========================================================================
+_REV6 = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+)
+
+
+@_register(
+    "orders_priority_late_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_orders_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with AT LEAST ONE slow line (EXISTS →
+    left-semi join, so an order with many late lines counts once
+    without a DISTINCT), counted per priority. The correlation crosses
+    sides (l_shipdate vs o_orderdate), so the date predicate is the
+    semi join's residual on the equi orderkey key. One orderkey
+    exchange + a 5-group combinable agg."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM q4_orders o
+        WHERE EXISTS (SELECT 1 FROM q4_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "lineitem_discount_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * CAST(l_discount AS DECIMAL(18,6))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q_lineitem_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-and-aggregate forecast query —
+    every predicate pushes to the parquet scan (date, discount range,
+    quantity), no join at all, one single-group combinable sum. The
+    plan IS the scan; at 100 TB this measures nothing but IO and
+    pushdown quality. Products re-scaled to decimal(18,6) per row
+    (the >2^53 rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * F.col("l_discount").cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "nation_market_share",
+    f"""
+    WITH vol AS (
+      SELECT year(l.l_shipdate) AS l_year,
+             n1.n_name AS supp_nation,
+             {_REV6} AS rev
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA')
+    SELECT l_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM vol
+    GROUP BY l_year
+    ORDER BY l_year
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of the revenue sold into a
+    region, per year — the conditional-ratio-over-a-snowflake query.
+    All five dimension branches broadcast; the only exchange is the
+    fact join on orderkey + the year agg. Share = one IEEE division
+    of two exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.year("l_shipdate").alias("l_year"),
+                F.col("supp_nation"), rev.alias("rev"))
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev")).otherwise(zero))
+    return (
+        vol.groupBy("l_year")
+        .agg(
+            (num.cast("double") / F.sum("rev").cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_year")
+    )
+
+
+@_register(
+    "nation_year_red_revenue",
+    f"""
+    SELECT n_name AS nation, year(l_shipdate) AS o_year,
+           CAST(SUM({_REV6}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(l_shipdate)
+    ORDER BY nation, o_year
+    """,
+)
+def q_nation_year_red_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: supplier-nation × year revenue for a
+    LIKE-filtered part family (the product-line profit rollup, minus
+    the partsupp cost leg this schema does not carry). The infix LIKE
+    pushes as a contains filter on the part scan, part and the
+    supplier→nation chain broadcast, one fact exchange feeds the
+    (25 nations × years) agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@_register(
+    "customers_returned_revenue_top",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM({_REV6}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_customers_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    half-year window — returned-items triage. Revenue ordering uses
+    the exact-decimal-summed double with custkey as total-order
+    tiebreak, so the LIMIT 20 cut is engine-deterministic.
+    TakeOrderedAndProject caps the driver at 20 rows; customer and
+    nation broadcast; one orderkey exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "top_supplier_by_revenue",
+    f"""
+    WITH srev AS (
+      SELECT l_suppkey, SUM({_REV6}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(srev.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN srev ON srev.l_suppkey = s.s_suppkey
+    WHERE srev.total_rev = (SELECT max(total_rev) FROM srev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's MAX
+    revenue — a grouped aggregate gated by a scalar aggregate over
+    ITSELF with an EQUALITY (ties all surface; no LIMIT hides them).
+    The comparison runs on the exact decimal sums — never the doubles
+    — so the max-equality is engine-exact. Plan: one suppkey agg
+    reused by both the scalar max (single-row broadcast) and the
+    probe; supplier broadcasts."""
+    for t in ("lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q15_{t}")
+    return spark.sql(
+        """
+        WITH srev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                          AS DECIMAL(18,6))) AS total_rev
+          FROM q15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, CAST(srev.total_rev AS DOUBLE) AS total_rev
+        FROM q15_supplier s JOIN srev ON srev.l_suppkey = s.s_suppkey
+        WHERE srev.total_rev = (SELECT max(total_rev) FROM srev)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+@_register(
+    "parts_cheapest_supplier",
+    """
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,6))) AS best_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT p.p_partkey, s.s_name,
+           CAST(o.best_price AS DOUBLE) AS best_price
+    FROM part p
+    JOIN offer o ON o.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    WHERE p.p_size = 10
+      AND o.best_price = (SELECT MIN(o2.best_price) FROM offer o2
+                          WHERE o2.l_partkey = o.l_partkey)
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q_parts_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-less adaptation): for each size-10
+    part, the supplier(s) whose best offered line price equals the
+    part's global minimum — the CORRELATED SCALAR MIN + EQUALITY
+    pattern (ties surface, as Q2 requires). Catalyst decorrelates the
+    min subquery into a partkey aggregate joined back; both the offer
+    table and the decorrelated min share the same (partkey) exchange.
+    Price comparisons stay in exact decimal; the double cast is
+    output-only."""
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q2_{t}")
+    return spark.sql(
+        """
+        WITH offer AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,6))) AS best_price
+          FROM q2_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT p.p_partkey, s.s_name,
+               CAST(o.best_price AS DOUBLE) AS best_price
+        FROM q2_part p
+        JOIN offer o ON o.l_partkey = p.p_partkey
+        JOIN q2_supplier s ON s.s_suppkey = o.l_suppkey
+        WHERE p.p_size = 10
+          AND o.best_price = (SELECT MIN(o2.best_price) FROM offer o2
+                              WHERE o2.l_partkey = o.l_partkey)
+        ORDER BY p.p_partkey, s.s_name
+        """
+    )

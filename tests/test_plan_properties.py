@@ -100,6 +100,14 @@ EXPECTATIONS = {
     "lineitem_priority_shipping_counts": (2, 1, 0),
     "parts_promo_revenue_share": (1, 1, 0),
     "parts_supplier_counts_excluded": (3, 2, 0),
+    # TPC-H completion wave: Q4/Q6/Q8/Q9/Q10/Q15/Q2 shapes
+    "orders_priority_late_exists": (2, 1, 0),
+    "lineitem_discount_revenue": (1, 0, 0),   # the plan IS the scan
+    "nation_market_share": (2, 6, 0),
+    "nation_year_red_revenue": (2, 3, 0),
+    "customers_returned_revenue_top": (1, 3, 0),
+    "top_supplier_by_revenue": (4, 1, 0),
+    "parts_cheapest_supplier": (4, 3, 0),
 }
 
 
