@@ -691,3 +691,46 @@ def test_passage_dedup_rewrite_edges(spark, tmp_path):
     assert got == want
     assert got[2] == (3, 1, 2, "lam mu extra")
     assert got[1][1:] == (0, 0, "") and got[3][1:] == (0, 0, "")
+
+
+def test_bpe_rewrite_fold_property(spark):
+    """Property: the engine's string-accumulator merge fold equals the
+    reference left-to-right non-overlapping merge for random symbol
+    sequences and a random (ml, mr) pair — including the self-merge
+    (a,a) overlap rule and multi-char symbols produced by earlier
+    merges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", "ab", "ba", "aa", "c"]
+    cases = []
+    for _ in range(80):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        ml, mr = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((syms, ml, mr))
+
+    def py_merge(syms, ml, mr):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == ml and syms[i + 1] == mr:
+                out.append(ml + mr)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    from ipeds_etl_spark.operators.bpe import _REWRITE
+
+    df = spark.createDataFrame(
+        [(i, s, ml, mr) for i, (s, ml, mr) in enumerate(cases)],
+        "i long, s array<string>, ml string, mr string",
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", F.expr(_REWRITE).alias("m")).collect()
+    }
+    for i, (syms, ml, mr) in enumerate(cases):
+        assert got[i] == py_merge(syms, ml, mr), (syms, ml, mr, got[i])
