@@ -97,6 +97,35 @@ SWEEP_R6 = [
     "emb_pq_rerank_recall",
 ]
 
+#: round-7 wave: TPC-H completion shapes (facts 10x, dims fixed — the
+#: dim-vs-fact scaling), BPE train/apply (vocabulary-bounded rounds:
+#: the corpus multiplies COUNTS, not vocab, so time should be ~flat
+#: after the word-frequency pass), sub-document dedup signals, and
+#: the stickiness band join (day spine fixed, grid 10x)
+SWEEP_R8 = [
+    "customers_large_orders",
+    "nations_trade_volume",
+    "suppliers_dominant_parts",
+    "nation_part_value_concentration",
+    "customer_order_distribution",
+    "parts_promo_revenue_disjunctive",
+    "lineitem_priority_shipping_counts",
+    "parts_promo_revenue_share",
+    "parts_supplier_counts_excluded",
+    "orders_priority_late_exists",
+    "lineitem_discount_revenue",
+    "nation_market_share",
+    "nation_year_red_revenue",
+    "customers_returned_revenue_top",
+    "top_supplier_by_revenue",
+    "parts_cheapest_supplier",
+    "docs_dup_ngram_fraction",
+    "events_dau_wau_stickiness",
+    "docs_bpe_merges",
+    "docs_bpe_fertility",
+    "docs_passage_dedup_rewrite",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -303,6 +332,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R6, key="sweep_r6")
     if "sweep_r7" in sections:
         run_sweep(spark, results, names=SWEEP_R7, key="sweep_r7")
+    if "sweep_r8" in sections:
+        run_sweep(spark, results, names=SWEEP_R8, key="sweep_r8")
     print(json.dumps(results))
 
 
