@@ -611,7 +611,12 @@ def _load_extensions() -> None:
     """Importing ``queries_ext`` registers the training-data extension
     queries (dedup / similarity / text analysis / event windows) into
     the same registry. Lazy to avoid a circular import at module load."""
-    from ipeds_etl_spark import queries_analytics, queries_ext, queries_subq  # noqa: F401
+    from ipeds_etl_spark import (  # noqa: F401
+        queries_analytics,
+        queries_ext,
+        queries_subq,
+        queries_wave5,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,427 @@
+"""Round-5 additions: verifiable-sketch completion, skyline, CEP-style
+sequence matching, sorted-neighborhood dedup, corpus-drift audit.
+
+Families this wave completes or opens:
+
+* **Sketches** — the KMV estimator (``operators/sketches.py``) gets its
+  two classic siblings, both on the engine-portable parity hash so the
+  DuckDB oracle replays them bit-for-bit: a HyperLogLog whose harmonic
+  sum is EXACT in IEEE double (dyadic terms only — no order
+  sensitivity, no libm), and a Count-Min sketch whose build is one
+  map-combinable aggregate and whose point estimates broadcast-join a
+  ≤ d·w-row counts table.
+* **Skyline / Pareto frontier** — the 2-D skyline reduces to a prefix
+  MIN over the price order, so the O(n²) dominance NOT-EXISTS becomes
+  a two-phase distributed running min (the ``orders_open_interval_counts``
+  prefix-sum recipe applied to MIN); the oracle runs the quadratic
+  definition directly.
+* **Sequence pattern matching (CEP)** — MATCH_RECOGNIZE-style per-user
+  regex over the delimited, totally-ordered event-type string; the
+  negation ("no error between") is spelled with character classes
+  because the oracle's RE2 has no lookahead.
+* **Sorted-neighborhood dedup (Hernández & Stolfo 1995)** — the third
+  classic blocking discipline next to LSH banding and SimHash blocks:
+  global sort key rank (via the distributed ``global_row_number``),
+  candidate pairs = rank distance ≤ w, exact verification on the pair
+  sliver only.
+* **Corpus composition audit** — source × language chi-square
+  contributions from exact integer moments (one IEEE division per
+  cell), the drift alarm a training-data pipeline runs per crawl.
+
+The reference (kebe3476/ipeds_etl) ships none of these operators; they
+extend its analytics surface following the same oracle-twin discipline
+as the rest of the extension track (see COVERAGE.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators import sketches as SK
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.sources.tables import load_table
+
+# DuckDB token helpers (same spelling as queries_ext)
+_WS_TOKENS = r"list_filter(regexp_split_to_array({x}, '\s+'), t -> len(t) > 0)"
+
+
+# ===========================================================================
+# HyperLogLog distinct-user estimate, per event type + max-merged global
+# ===========================================================================
+def _hll_oracle() -> str:
+    b = SK.hll_bucket_sql("CAST(user_id AS VARCHAR)")
+    r = SK.hll_rho_sql("CAST(user_id AS VARCHAR)")
+    pow_r = SK.hll_register_pow_sql("r")
+    est = SK.hll_estimate_from_registers_sql("sp", "nreg")
+    return f"""
+    WITH h AS (SELECT event_type, {b} AS bucket, {r} AS rho FROM events),
+    regs AS (SELECT event_type, bucket, max(rho) AS r
+             FROM h GROUP BY GROUPING SETS ((event_type, bucket), (bucket))),
+    per AS (SELECT coalesce(event_type, '__all__') AS event_type,
+                   SUM({pow_r}) AS sp, CAST(count(*) AS BIGINT) AS nreg
+            FROM regs GROUP BY 1),
+    ex AS (SELECT coalesce(event_type, '__all__') AS event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM events GROUP BY GROUPING SETS ((event_type), ()))
+    SELECT per.event_type, ex.exact_users,
+           {est} AS hll_users,
+           CAST({SK.HLL_M} AS BIGINT) - per.nreg AS empty_registers,
+           ({est} - ex.exact_users) / ex.exact_users AS rel_err
+    FROM per JOIN ex ON per.event_type = ex.event_type
+    ORDER BY per.event_type
+    """
+
+
+@_register("events_hll_users", _hll_oracle())
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event type AND the max-merged global
+    sketch in one plan: registers are built per (type, bucket) and per
+    (bucket) by ONE grouping-sets pass (register merge IS max, so the
+    global registers are exactly the merge of the per-type ones —
+    demonstrated structurally, asserted by test). Emits the exact
+    count, the raw HLL estimate (no ln-based low-range correction —
+    transcendental, engine-specific; the zero-register count V is
+    emitted so a consumer can apply it), and the relative error.
+    Scale: two map-combinable aggregates over (m × groups) register
+    rows; state is 64 registers per group regardless of input size."""
+    uid = F.col("user_id").cast("string")
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        SK.hll_bucket(uid).alias("bucket"),
+        SK.hll_rho(uid).alias("rho"),
+    )
+    regs = (
+        h.groupingSets([["event_type", "bucket"], ["bucket"]], "event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = (
+        regs.withColumn("event_type", F.coalesce("event_type", F.lit("__all__")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(SK.hll_register_pow(F.col("r"))).alias("sp"),
+            F.count(F.lit(1)).alias("nreg"),
+        )
+    )
+    ex = (
+        e.groupingSets([["event_type"], []], "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .withColumn("event_type", F.coalesce("event_type", F.lit("__all__")))
+    )
+    est = SK.hll_estimate_from_registers(F.col("sp"), F.col("nreg"))
+    return (
+        per.join(F.broadcast(ex), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            est.alias("hll_users"),
+            (F.lit(SK.HLL_M).cast("long") - F.col("nreg")).alias("empty_registers"),
+            ((est - F.col("exact_users")) / F.col("exact_users")).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Count-Min sketch: per-user event-count point estimates, top-15
+# ===========================================================================
+def _cms_oracle() -> str:
+    b_build = SK.cms_bucket_sql("CAST(user_id AS VARCHAR)", "i")
+    return f"""
+    WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    sk AS (SELECT i, {b_build} AS bucket, CAST(count(*) AS BIGINT) AS c
+           FROM events CROSS JOIN rows_ GROUP BY 1, 2),
+    exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+              FROM events GROUP BY 1),
+    probe AS (SELECT user_id, exact_n, i, {b_build} AS bucket
+              FROM exact CROSS JOIN rows_),
+    est AS (SELECT user_id, exact_n, min(c) AS cms_n
+            FROM probe JOIN sk USING (i, bucket) GROUP BY 1, 2)
+    SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overcount
+    FROM est ORDER BY cms_n DESC, user_id LIMIT 15
+    """
+
+
+@_register("events_cms_user_counts", _cms_oracle())
+def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates of per-user event counts next to the
+    exact counts, top-15 heavy users by estimate (deterministic
+    tiebreak on user_id). Build = ONE map-combinable aggregate over the
+    d-fold exploded stream into a ≤ d·w = 512-row counts table; probe =
+    broadcast join of that table. CMS never underestimates (min over d
+    rows, each an overcount) — the ``overcount`` column is the measured
+    error, bounded by n/w per row (Cormode & Muthukrishnan 2005). The
+    batch twin of the Misra-Gries streaming heavy hitters
+    (``streaming/stateful.py::heavy_hitters_stream``): MG bounds state
+    by keeping few keys, CMS by hashing all keys into fixed counters."""
+    uid = F.col("user_id").cast("string")
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(SK.CMS_D)])).alias("i")
+    e = load_table(spark, sf_dir, "events")
+    sk = (
+        e.select("user_id", rows_)
+        .select(F.col("i"), SK.cms_bucket(uid, F.col("i")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe = exact.select("user_id", "exact_n", rows_).select(
+        "user_id", "exact_n", "i", SK.cms_bucket(uid, F.col("i")).alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(sk), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("cms_n"), "user_id")
+        .limit(15)
+    )
+
+
+# ===========================================================================
+# 2-D skyline (Pareto frontier): cheapest-and-smallest parts
+# ===========================================================================
+@_register(
+    "parts_skyline_2d",
+    """
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part p
+    WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+          AND q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+def q_parts_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (minimize price AND size): a part survives iff no other
+    part is ≤ on both dimensions and < on one. In 2-D, dominance
+    collapses to a prefix MIN over the price order — a point is on the
+    frontier iff it has the min size at its price AND every strictly
+    cheaper price's min size is larger — so the O(n²) NOT EXISTS the
+    oracle runs becomes: per-price min (one map-combinable shuffle),
+    then the distributed two-phase prefix min (per-bucket running min +
+    a bucket-level offset table, the ``orders_open_interval_counts``
+    recipe — the only global window runs over the O(buckets) offset
+    rows, never over data). Ties: equal (price, size) points don't
+    dominate each other, so duplicates all survive — both spellings
+    agree by construction."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+    per_price = p.groupBy("p_retailprice").agg(F.min("p_size").alias("msize"))
+    pp = per_price.withColumn(
+        "bkt", F.floor(F.col("p_retailprice") / 100.0).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pp = pp.withColumn("prev_in", F.min("msize").over(w_in))
+    # bucket offsets: O(price-range/100) rows — metadata-sized, the one
+    # global window in the plan (same shape as the year-offset table in
+    # orders_open_interval_counts)
+    bstats = pp.groupBy("bkt").agg(F.min("msize").alias("bmin"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bstats = bstats.withColumn("prev_b", F.min("bmin").over(w_b))
+    big = 1 << 31
+    prev_min = F.least(
+        F.coalesce(F.col("prev_in"), F.lit(big)),
+        F.coalesce(F.col("prev_b"), F.lit(big)),
+    )
+    pref = pp.join(F.broadcast(bstats.select("bkt", "prev_b")), "bkt").select(
+        "p_retailprice", "msize", prev_min.alias("prev_min")
+    )
+    return (
+        p.join(pref, "p_retailprice")
+        .filter((F.col("p_size") == F.col("msize")) & (F.col("p_size") < F.col("prev_min")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+# ===========================================================================
+# CEP-style sequence pattern matching over per-user event streams
+# ===========================================================================
+_CEP_P1 = ">view>purchase>"  # purchase immediately after view
+_CEP_P2 = ">signup>([^e>][^>]*>)*purchase>"  # signup→purchase, no error between
+_CEP_P3 = ">purchase>error>"  # error immediately after purchase
+
+
+@_register(
+    "events_cep_pattern_match",
+    f"""
+    WITH seq AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             '>' || string_agg(event_type, '>' ORDER BY ts, event_id) || '>' AS s
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           regexp_matches(s, '{_CEP_P1}') AS view_then_purchase,
+           regexp_matches(s, '{_CEP_P2}') AS signup_to_purchase_clean,
+           regexp_matches(s, '{_CEP_P3}') AS purchase_then_error
+    FROM seq ORDER BY user_id
+    """,
+)
+def q_events_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE / Flink-CEP-style sequence detection, batch
+    form: each user's events collapse to ONE delimited type string in
+    true (ts, event_id) order, and patterns are regexes over it —
+    adjacency ('view then purchase immediately'), gapped reachability
+    with negation ('signup→purchase with NO error between'). The
+    negation is a character class, not a lookahead (the five event
+    types have distinct initials; RE2 — the oracle engine — has no
+    lookahead). State per user = its event-type string (bounded by the
+    per-user event count, same bound as any sessionization); matching
+    is JVM-side regex, map-only after the one user shuffle. A 100 TB
+    run keys the same plan by (user, day) to bound string length."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs"),
+    )
+    s = F.concat(
+        F.lit(">"),
+        F.array_join(F.transform("evs", lambda x: x["event_type"]), ">"),
+        F.lit(">"),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        s.rlike(_CEP_P1).alias("view_then_purchase"),
+        s.rlike(_CEP_P2).alias("signup_to_purchase_clean"),
+        s.rlike(_CEP_P3).alias("purchase_then_error"),
+    ).orderBy("user_id")
+
+
+# ===========================================================================
+# Sorted-neighborhood dedup: the third blocking discipline
+# ===========================================================================
+_SNM_W = 4  # window width: candidate pairs are rank distance 1..w
+_SNM_J = 0.3
+
+
+def _snm_oracle() -> str:
+    toks = _WS_TOKENS.format(x="text")
+    return f"""
+    WITH t AS (SELECT doc_id, substr(lower(text), 1, 20) AS k,
+                      list_distinct({toks}) AS s
+               FROM documents),
+    r AS (SELECT doc_id, k, s, row_number() OVER (ORDER BY k, doc_id) AS rn FROM t),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(b.rn - a.rn AS BIGINT) AS window_dist,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SNM_W})
+    SELECT doc_a, doc_b, window_dist, jaccard
+    FROM pairs WHERE jaccard >= {_SNM_J}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@_register("docs_snm_pairs", _snm_oracle())
+def q_docs_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo 1995): sort the
+    corpus by a blocking key (first 20 chars of the lowercased text),
+    slide a width-w window over the sorted order, verify only pairs
+    within the window — candidate count is n·w, LINEAR in the corpus,
+    vs LSH's collision-driven and SimHash's block-driven candidate
+    sets. Spark shape: the global sort rank comes from the distributed
+    ``global_row_number`` (range exchange + per-partition ranks +
+    O(partitions) offsets — no single-task window); window pairs are an
+    EQUI-join on rank+offset (offsets 1..w exploded), so no range join
+    anywhere; exact token-set Jaccard runs on the O(n·w) pair sliver
+    only. The oracle spells the same pipeline with a plain row_number
+    window and a rank-band join."""
+    from ipeds_etl_spark.functions import text as TX
+    from ipeds_etl_spark.operators.layout import global_row_number
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, 20).alias("k"),
+        F.array_distinct(TX.tokens(F.col("text"))).alias("s"),
+    )
+    ranked = global_row_number(d, ["k", "doc_id"], "rn")
+    right = ranked.withColumn(
+        "d", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W + 1)]))
+    ).withColumn("rn_left", F.col("rn") - F.col("d"))
+    a, b = ranked.alias("a"), right.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(b, F.col("a.rn") == F.col("b.rn_left"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.d").cast("long").alias("window_dist"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _SNM_J)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ===========================================================================
+# Corpus composition drift: source × language chi-square contributions
+# ===========================================================================
+@_register(
+    "docs_source_lang_drift",
+    """
+    WITH obs AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+                 FROM documents GROUP BY 1, 2),
+    rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+    ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.source, obs.lang, obs.o AS observed,
+           CAST(rt.rt * ct.ct AS DOUBLE) / n.n AS expected,
+           CAST(CAST(obs.o * n.n - rt.rt * ct.ct AS DECIMAL(19,0))
+                * CAST(obs.o * n.n - rt.rt * ct.ct AS DECIMAL(19,0)) AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * rt.rt * ct.ct) AS chi2_contrib
+    FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+    ORDER BY obs.source, obs.lang
+    """,
+)
+def q_docs_source_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language contingency audit: observed counts, expected
+    counts under independence, and per-cell chi-square contributions —
+    the composition-drift alarm a training-data pipeline runs per crawl
+    (a cell whose contribution spikes means a source changed its
+    language mix). Exactness recipe: the numerator (o·N − rt·ct)² is
+    computed in integer/decimal arithmetic (DECIMAL(19,0)² → (38,0),
+    exact), ONE IEEE division per cell, multiplication order pinned
+    identically in both engines. The total χ² is deliberately NOT
+    emitted: it would sum doubles in engine-dependent order — consumers
+    sum the cells in whatever order they define. Shape: one count
+    aggregate + two broadcast margins + a 1-row broadcast total."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("source").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    diff = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("decimal(19,0)")
+    return (
+        obs.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            F.col("o").alias("observed"),
+            ((F.col("rt") * F.col("ct")).cast("double") / F.col("n")).alias("expected"),
+            (
+                (diff * diff).cast("double")
+                / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1,0 +1,228 @@
+"""Wave-5 operators: verifiable HLL / Count-Min sketches, 2-D skyline,
+CEP-style sequence matching, sorted-neighborhood dedup, composition
+drift. Semantic invariants + brute-force recomputations here; value
+parity is the DuckDB oracle's job (tools/check_correctness.py)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators import sketches as SK
+from ipeds_etl_spark.queries_wave5 import (
+    _CEP_P1,
+    _CEP_P2,
+    _CEP_P3,
+    _SNM_J,
+    _SNM_W,
+    q_docs_snm_pairs,
+    q_docs_source_lang_drift,
+    q_events_cep_pattern_match,
+    q_events_cms_user_counts,
+    q_events_hll_users,
+    q_parts_skyline_2d,
+)
+from ipeds_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+def test_hll_global_is_max_merge_of_per_type_registers(spark):
+    """The '__all__' row must equal the estimate computed by max-merging
+    the per-type register arrays — the associative-merge property that
+    makes the sketch usable as partial aggregation state."""
+    uid = F.col("user_id").cast("string")
+    e = load_table(spark, SF, "events")
+    regs = (
+        e.select(
+            "event_type",
+            SK.hll_bucket(uid).alias("bucket"),
+            SK.hll_rho(uid).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .collect()
+    )
+    merged: dict[int, int] = {}
+    for row in regs:
+        merged[row.bucket] = max(merged.get(row.bucket, 0), row.r)
+    s = sum(2.0**-r for r in merged.values()) + (SK.HLL_M - len(merged)) * 1.0
+    expect = 0.709 * SK.HLL_M * SK.HLL_M / s
+
+    out = {r.event_type: r for r in q_events_hll_users(spark, SF).collect()}
+    assert out["__all__"].hll_users == expect  # exact: dyadic sum, one division
+    assert out["__all__"].empty_registers == SK.HLL_M - len(merged)
+
+
+def test_hll_estimates_are_sane(spark):
+    """Raw HLL with m=64 has ~13% std error above the small-range
+    regime; below 2.5m the published linear-counting correction applies
+    — the query emits the zero-register count V precisely so a consumer
+    can compute it, which is what this test does (ln stays out of the
+    cross-engine surface, not out of the algorithm)."""
+    import math
+
+    rows = q_events_hll_users(spark, SF).collect()
+    assert len(rows) >= 2  # at least one type + __all__
+    for r in rows:
+        assert r.exact_users > 0
+        assert r.hll_users > 0
+        est = r.hll_users
+        if est <= 2.5 * SK.HLL_M and r.empty_registers > 0:
+            est = SK.HLL_M * math.log(SK.HLL_M / r.empty_registers)
+        assert abs(est - r.exact_users) / r.exact_users < 0.4, (r.event_type, est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+def test_cms_never_underestimates_any_user(spark):
+    """CMS point estimates are min-of-overcounts: est >= exact for EVERY
+    user (not just the returned top-15), and the sketch table is at most
+    d*w rows."""
+    uid = F.col("user_id").cast("string")
+    e = load_table(spark, SF, "events")
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(SK.CMS_D)])).alias("i")
+    sk = (
+        e.select("user_id", rows_)
+        .select(F.col("i"), SK.cms_bucket(uid, F.col("i")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert sk.count() <= SK.CMS_D * SK.CMS_W
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe = exact.select("user_id", "exact_n", rows_).select(
+        "user_id", "exact_n", "i", SK.cms_bucket(uid, F.col("i")).alias("bucket")
+    )
+    est = (
+        probe.join(F.broadcast(sk), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    assert est.filter(F.col("cms_n") < F.col("exact_n")).count() == 0
+    # total mass per sketch row equals the stream length
+    n = e.count()
+    per_row = sk.groupBy("i").agg(F.sum("c").alias("mass")).collect()
+    assert all(r.mass == n for r in per_row)
+
+
+def test_cms_top15_matches_registered_query(spark):
+    out = q_events_cms_user_counts(spark, SF).collect()
+    assert len(out) <= 15
+    assert all(r.overcount >= 0 for r in out)
+    # descending by estimate, user_id tiebreak
+    keys = [(-r.cms_n, r.user_id) for r in out]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# Skyline
+# ---------------------------------------------------------------------------
+def test_skyline_matches_quadratic_dominance(spark):
+    parts = (
+        load_table(spark, SF, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    pts = [(r.p_partkey, r.p_retailprice, r.p_size) for r in parts]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in pts
+            if q[0] != p[0]
+        )
+
+    expect = sorted(k for k, *_ in pts if not dominated((k, *_)))
+    got = sorted(r.p_partkey for r in q_parts_skyline_2d(spark, SF).collect())
+    assert got == expect
+
+
+def test_skyline_duplicate_points_all_survive(spark):
+    """Equal (price, size) points do not dominate each other — verify on
+    the quadratic definition over a constructed frame run through the
+    same window recipe semantics (brute force)."""
+    pts = [(1, 10.0, 5), (2, 10.0, 5), (3, 9.0, 7), (4, 11.0, 4), (5, 11.0, 9)]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in pts
+            if q[0] != p[0]
+        )
+
+    # both duplicates (1,2) survive; 5 is dominated by 4; 3 and 4 survive
+    assert sorted(k for k, *_ in pts if not dominated((k, *_))) == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# CEP
+# ---------------------------------------------------------------------------
+def test_cep_flags_match_python_re_on_reconstructed_sequences(spark):
+    """Rebuild each user's delimited sequence in Python from the raw
+    events (same (ts, event_id) total order) and re-evaluate all three
+    patterns with Python's re — Java regex and RE2 and re must agree on
+    this lookahead-free subset."""
+    e = load_table(spark, SF, "events").select("user_id", "ts", "event_id", "event_type")
+    by_user: dict[int, list] = {}
+    for r in e.collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    out = {r.user_id: r for r in q_events_cep_pattern_match(spark, SF).collect()}
+    assert set(out) == set(by_user)
+    for uid, evs in by_user.items():
+        s = ">" + ">".join(t for _, _, t in sorted(evs)) + ">"
+        r = out[uid]
+        assert r.n_events == len(evs)
+        assert r.view_then_purchase == bool(re.search(_CEP_P1, s)), uid
+        assert r.signup_to_purchase_clean == bool(re.search(_CEP_P2, s)), uid
+        assert r.purchase_then_error == bool(re.search(_CEP_P3, s)), uid
+
+
+# ---------------------------------------------------------------------------
+# SNM
+# ---------------------------------------------------------------------------
+def test_snm_candidates_are_exactly_the_rank_band(spark):
+    """Candidate pair set == all pairs at sort-rank distance 1..w (before
+    the Jaccard filter): recompute the global sort order in Python."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    order = sorted((d.text.lower()[:20], d.doc_id) for d in docs)
+    toks = {d.doc_id: set(t for t in re.split(r"\s+", d.text) if t) for d in docs}
+    expect = []
+    for i, (_, a) in enumerate(order):
+        for d in range(1, _SNM_W + 1):
+            if i + d < len(order):
+                b = order[i + d][1]
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                j = inter / union
+                if j >= _SNM_J:
+                    expect.append((a, b, d))
+    got = [
+        (r.doc_a, r.doc_b, r.window_dist)
+        for r in q_docs_snm_pairs(spark, SF).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# Drift
+# ---------------------------------------------------------------------------
+def test_drift_contributions_match_python_float_recompute(spark):
+    """(o*N - rt*ct)^2 / (N*rt*ct) with the pinned op order reproduces
+    every cell bit-for-bit in Python floats; margins are consistent."""
+    rows = q_docs_source_lang_drift(spark, SF).collect()
+    n = sum(r.observed for r in rows)
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for r in rows:
+        rt[r.source] = rt.get(r.source, 0) + r.observed
+        ct[r.lang] = ct.get(r.lang, 0) + r.observed
+    for r in rows:
+        diff = r.observed * n - rt[r.source] * ct[r.lang]
+        expect = float(diff * diff) / (float(n) * rt[r.source] * ct[r.lang])
+        assert r.chi2_contrib == expect, (r.source, r.lang)
+        assert r.expected == float(rt[r.source] * ct[r.lang]) / n
