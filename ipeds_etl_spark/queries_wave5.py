@@ -372,6 +372,188 @@ def q_docs_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# k-core decomposition of the dedup candidate graph (fixed peel rounds)
+# ===========================================================================
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import _band_key_sql, _minhash_sig_sql
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    peel = []
+    for r in range(_KCORE_ROUNDS):
+        peel.append(
+            f"n{r + 1} AS (SELECT s FROM e{r} GROUP BY s HAVING count(*) >= {_KCORE_K})"
+        )
+        peel.append(
+            f"e{r + 1} AS (SELECT e.s, e.d FROM e{r} e "
+            f"JOIN n{r + 1} x ON e.s = x.s JOIN n{r + 1} y ON e.d = y.s)"
+        )
+    peels = ",\n    ".join(peel)
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands}),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    e0 AS (SELECT id_a AS s, id_b AS d FROM lsh
+           UNION ALL SELECT id_b, id_a FROM lsh),
+    {peels}
+    SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY s ORDER BY doc_id
+    """
+
+
+@_register("dedup_kcore", _kcore_oracle())
+def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel (k=2, FIXED 4 rounds — the fixed-iteration contract
+    the PageRank query set, so both engines run the identical bounded
+    computation) over the LSH candidate-pair graph: rounds alternate
+    degree-count → node filter → edge filter. The 2-core separates
+    tight duplicate clusters from the chains and pendants LSH
+    collisions produce — a structural dedup signal components can't
+    give (a long chain is one component but has NO 2-core). Spark
+    shape: per round one map-combinable degree agg + two left-semi
+    joins, edges ``localCheckpoint``ed so lineage stays O(1) (the
+    ``connected_components`` discipline); the oracle unrolls the same
+    rounds as CTEs. At fixpoint every emitted degree is ≥ k; before
+    it, degrees are degrees-in-e4 (test pins the Python replay)."""
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+
+    pairs = _lsh_doc_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).unionAll(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("s")
+        edges = (
+            edges.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("s").alias("doc_id"), "degree")
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# MinHash estimator calibration: signature-agreement Ĵ vs exact J
+# ===========================================================================
+def _minhash_estimate_oracle() -> str:
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import (
+        _SHINGLES,
+        _band_key_sql,
+        _minhash_sig_sql,
+    )
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(DD.N_PERMS)
+    )
+    toks = _WS_TOKENS.format(x="text")
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands}),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    ptoks AS (SELECT doc_id, {toks} AS w FROM documents),
+    psh AS (SELECT doc_id, list_distinct({_SHINGLES.format(w='w')}) AS s FROM ptoks)
+    SELECT l.id_a, l.id_b,
+           CAST({matches} AS DOUBLE) / {DD.N_PERMS} AS est_j,
+           CAST(len(list_intersect(pa.s, pb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(pa.s, pb.s))) AS exact_j,
+           CAST({matches} AS DOUBLE) / {DD.N_PERMS}
+             - CAST(len(list_intersect(pa.s, pb.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(pa.s, pb.s))) AS err
+    FROM lsh l
+    JOIN sig a ON a.doc_id = l.id_a
+    JOIN sig b ON b.doc_id = l.id_b
+    JOIN psh pa ON pa.doc_id = l.id_a
+    JOIN psh pb ON pb.doc_id = l.id_b
+    ORDER BY l.id_a, l.id_b
+    """
+
+
+@_register("dedup_minhash_estimate", _minhash_estimate_oracle())
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration on the candidate sliver: for every LSH
+    candidate pair, the MinHash ESTIMATE of Jaccard (fraction of
+    agreeing signature positions — the unbiased per-permutation
+    collision estimator, Broder 1997) next to the exact shingle-set
+    Jaccard and the signed error. This is the third gate of the
+    MinHash family — recall says what bucketing missed, precision says
+    what the verifier discards, calibration says how far the SKETCH
+    value itself drifts (what you rely on when you skip exact
+    verification at 100 TB and threshold on Ĵ directly). est_j is
+    matches/16 (dyadic, exact); one IEEE division for exact_j; the
+    subtraction is then deterministic on both engines. Candidate-fed:
+    costs O(pairs), never O(n²)."""
+    from ipeds_etl_spark.functions import text as TX
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import _docs, _lsh_doc_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = _lsh_doc_pairs(spark, sf_dir)
+    sigs = DD.minhash_signatures(d, "text", "doc_id")
+    sets = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est_j = n_match.cast("double") / F.lit(DD.N_PERMS)
+    exact_j = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            est_j.alias("est_j"),
+            exact_j.alias("exact_j"),
+            (est_j - exact_j).alias("err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ===========================================================================
 # Corpus composition drift: source × language chi-square contributions
 # ===========================================================================
 @_register(

@@ -209,6 +209,60 @@ def test_snm_candidates_are_exactly_the_rank_band(spark):
 
 
 # ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+def test_kcore_matches_python_peel_replay(spark):
+    """Replay the fixed-round 2-core peel in Python from the same LSH
+    candidate pairs and compare (node, degree) exactly."""
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+    from ipeds_etl_spark.queries_wave5 import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        q_dedup_kcore,
+    )
+
+    pairs = [(r.id_a, r.id_b) for r in _lsh_doc_pairs(spark, SF).collect()]
+    edges = set(pairs) | {(b, a) for a, b in pairs}
+    for _ in range(_KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for s, _d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= _KCORE_K}
+        edges = {(s, d) for s, d in edges if s in keep and d in keep}
+    expect: dict[int, int] = {}
+    for s, _d in edges:
+        expect[s] = expect.get(s, 0) + 1
+    got = {r.doc_id: r.degree for r in q_dedup_kcore(spark, SF).collect()}
+    assert got == expect
+    assert len(got) > 0  # the dup-heavy corpus has a 2-core
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration
+# ---------------------------------------------------------------------------
+def test_minhash_estimate_matches_signature_agreement(spark):
+    """est_j must be exactly (# agreeing positions)/16 recomputed from
+    the signature arrays, and err must be est_j - exact_j."""
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import _docs
+    from ipeds_etl_spark.queries_wave5 import q_dedup_minhash_estimate
+
+    sigs = {
+        r.doc_id: list(r.sig)
+        for r in DD.minhash_signatures(_docs(spark, SF), "text", "doc_id").collect()
+    }
+    rows = q_dedup_minhash_estimate(spark, SF).collect()
+    assert rows
+    for r in rows:
+        agree = sum(
+            1 for x, y in zip(sigs[r.id_a], sigs[r.id_b]) if x == y
+        )
+        assert r.est_j == agree / DD.N_PERMS, (r.id_a, r.id_b)
+        assert r.err == r.est_j - r.exact_j
+        assert 0.0 <= r.exact_j <= 1.0
+
+
+# ---------------------------------------------------------------------------
 # Drift
 # ---------------------------------------------------------------------------
 def test_drift_contributions_match_python_float_recompute(spark):
