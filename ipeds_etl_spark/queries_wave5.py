@@ -554,6 +554,414 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Gaps-and-islands: per-customer consecutive-month order streaks
+# ===========================================================================
+@_register(
+    "customer_order_streaks",
+    """
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+      FROM orders),
+    isl AS (SELECT o_custkey, m,
+                   m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+            FROM months),
+    runs AS (SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+             FROM isl GROUP BY 1, 2)
+    SELECT o_custkey AS custkey,
+           CAST(SUM(len) AS BIGINT) AS active_months,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-calendar-month activity runs per
+    customer (month_index − row_number is constant within an island —
+    the classic Tabibian/SQL-cookbook identity), then per-customer
+    streak stats. The dual of ``events_sessionize``: sessionization
+    groups by TIME GAP on the raw stream, islands group by CALENDAR
+    ADJACENCY on the distinct-period set. One custkey shuffle shared
+    by the window and both aggregates; all integer arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    isl = months.withColumn("grp", F.col("m") - F.row_number().over(w))
+    runs = isl.groupBy("o_custkey", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        runs.groupBy("o_custkey")
+        .agg(
+            F.sum("len").alias("active_months"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "active_months",
+            "n_streaks",
+            "longest_streak",
+        )
+        .orderBy("custkey")
+    )
+
+
+# ===========================================================================
+# Rolling anomaly detection over daily event-type counts
+# ===========================================================================
+@_register(
+    "events_rolling_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, day, cnt,
+             count(*) OVER w AS n_prev,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS sx,
+             CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+           CAST(sx AS DOUBLE) / 7.0 AS mean7,
+           CASE WHEN 7 * sxx - sx * sx > 0
+                THEN (CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / 7.0)
+                     / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE) / 42.0)
+           END AS zscore,
+           (7 * sxx - sx * sx = 0 AND cnt * 7 <> sx)
+             OR (7 * sxx - sx * sx > 0
+                 AND abs((CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / 7.0)
+                         / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE) / 42.0)) > 2.0)
+             AS is_anomaly
+    FROM stats WHERE n_prev = 7
+    ORDER BY event_type, day
+    """,
+)
+def q_events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each (event_type, day)'s
+    count against the mean/std of the PREVIOUS 7 observed days (ROWS
+    frame — observed days, not calendar days; densify upstream with
+    ``events_resample_locf`` if calendar frames are wanted). Variance
+    comes from exact integer moments (n·Σx² − (Σx)² in BIGINT — the
+    ``events_user_trend`` recipe on a window instead of a group), so
+    the only floating steps are one division, one IEEE-exact sqrt
+    (correctly rounded by both engines), and the z division, in pinned
+    order. Zero-variance windows get a NULL z but still flag level
+    SHIFTS via the integer compare cnt·7 ≠ Σx. One event_type shuffle;
+    window state is 7 rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("cnt").over(w).alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("sxx"),
+    ).filter(F.col("n_prev") == 7)
+    varnum = 7 * F.col("sxx") - F.col("sx") * F.col("sx")
+    mean7 = F.col("sx").cast("double") / F.lit(7.0)
+    z = (F.col("cnt").cast("double") - mean7) / F.sqrt(
+        varnum.cast("double") / F.lit(42.0)
+    )
+    return stats.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        mean7.alias("mean7"),
+        F.when(varnum > 0, z).alias("zscore"),
+        (
+            ((varnum == 0) & (F.col("cnt") * 7 != F.col("sx")))
+            | ((varnum > 0) & (F.abs(z) > 2.0))
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+# ===========================================================================
+# Golden record: survivorship merge over dedup clusters
+# ===========================================================================
+def _golden_record_sql() -> str:
+    from ipeds_etl_spark.queries import ORACLE_SQL
+
+    comp = ORACLE_SQL["dedup_components"]
+    head, _, _tail = comp.rpartition("SELECT id AS doc_id")
+    return (
+        head
+        + """,
+    members AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS cluster_id,
+             d.lang, d.n_chars
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+    surv AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM members),
+    langs AS (
+      SELECT cluster_id, lang,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM members GROUP BY cluster_id, lang),
+    sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM members GROUP BY 1)
+    SELECT s.cluster_id, z.cluster_size,
+           s.doc_id AS survivor_doc_id, s.n_chars AS survivor_n_chars,
+           l.lang AS majority_lang
+    FROM surv s
+    JOIN langs l ON s.cluster_id = l.cluster_id AND l.rn = 1
+    JOIN sizes z ON s.cluster_id = z.cluster_id
+    WHERE s.rn = 1 ORDER BY s.cluster_id
+    """
+    )
+
+
+@_register("docs_golden_record", None)
+def q_docs_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (MDM 'golden record'): for every dedup
+    cluster — LSH components plus singletons — pick the canonical
+    document by an explicit, total survivorship rule (longest text,
+    then smallest doc_id) and the majority language (most frequent,
+    then alphabetical — every tie broken, so both engines agree). This
+    is the step AFTER ``docs_dedup_resolution``'s keep/drop verdict:
+    resolution says which rows survive, survivorship says what the
+    surviving record looks like. Shape: the components fixpoint plus
+    two cluster-keyed windows and one count aggregate — all on the
+    same cluster_id exchange."""
+    from ipeds_etl_spark.operators.components import dedup_clusters
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(_lsh_doc_pairs(spark, sf_dir))
+    members = (
+        d.select("doc_id", "lang", "n_chars")
+        .join(clusters.select("id", "component_id"), d.doc_id == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+            "lang",
+            "n_chars",
+        )
+    )
+    w_surv = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    surv = (
+        members.withColumn("rn", F.row_number().over(w_surv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_n_chars"),
+        )
+    )
+    w_lang = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_lang"), F.asc("lang")
+    )
+    langs = (
+        members.groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .withColumn("rn", F.row_number().over(w_lang))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("lang").alias("majority_lang"))
+    )
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        surv.join(langs, "cluster_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "survivor_doc_id",
+            "survivor_n_chars",
+            "majority_lang",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+from ipeds_etl_spark.queries import ORACLE_SQL as _W5_OSQL  # noqa: E402
+
+_W5_OSQL["docs_golden_record"] = _golden_record_sql()
+
+
+# ===========================================================================
+# Blocking-union recall: LSH vs SNM vs SimHash vs their union
+# ===========================================================================
+def _blocking_union_oracle() -> str:
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import (
+        _HASH14,
+        _SHINGLES,
+        _band_key_sql,
+        _minhash_sig_sql,
+    )
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    toks = _WS_TOKENS.format(x="text")
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands}),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    st AS (SELECT doc_id, substr(lower(text), 1, 20) AS k FROM documents),
+    sr AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM st),
+    snm AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                            greatest(a.doc_id, b.doc_id) AS id_b
+            FROM sr a JOIN sr b ON b.rn - a.rn BETWEEN 1 AND {_SNM_W}),
+    stoks AS (SELECT doc_id, {toks} AS w FROM documents),
+    shv AS (SELECT doc_id, list_transform(w, t -> {_HASH14.format(x='t')}) AS h
+            FROM stoks WHERE len(w) > 0),
+    sfp AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range({DD.SIMHASH_BITS}), j ->
+               CASE WHEN list_sum(list_transform(h, x ->
+                      CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS simhash
+           FROM shv),
+    sblocks AS (
+      SELECT doc_id, simhash, t.j AS blk,
+             (simhash >> (t.j * {DD.BLOCK_BITS})) & {(1 << DD.BLOCK_BITS) - 1} AS blk_val
+      FROM sfp CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(j)),
+    simp AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sblocks a JOIN sblocks b
+        ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {DD.HAMMING_K}),
+    rtoks AS (SELECT doc_id, {toks} AS w FROM documents),
+    rsh AS (SELECT doc_id, list_distinct({_SHINGLES.format(w='w')}) AS s FROM rtoks),
+    gold AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rsh a JOIN rsh b ON a.doc_id < b.doc_id
+      WHERE 2 * len(list_intersect(a.s, b.s))
+            >= len(list_distinct(list_concat(a.s, b.s)))),
+    hits AS (
+      SELECT g.id_a, g.id_b,
+             l.id_a IS NOT NULL AS h_lsh,
+             s2.id_a IS NOT NULL AS h_snm,
+             sp.id_a IS NOT NULL AS h_sim
+      FROM gold g
+      LEFT JOIN lsh l ON g.id_a = l.id_a AND g.id_b = l.id_b
+      LEFT JOIN snm s2 ON g.id_a = s2.id_a AND g.id_b = s2.id_b
+      LEFT JOIN simp sp ON g.id_a = sp.id_a AND g.id_b = sp.id_b)
+    SELECT CAST(count(*) AS BIGINT) AS n_gold,
+           CAST(count(*) FILTER (WHERE h_lsh) AS BIGINT) AS n_lsh,
+           CAST(count(*) FILTER (WHERE h_snm) AS BIGINT) AS n_snm,
+           CAST(count(*) FILTER (WHERE h_sim) AS BIGINT) AS n_simhash,
+           CAST(count(*) FILTER (WHERE h_lsh OR h_snm OR h_sim) AS BIGINT) AS n_union,
+           CAST(count(*) FILTER (WHERE h_lsh) AS DOUBLE) / count(*) AS recall_lsh,
+           CAST(count(*) FILTER (WHERE h_snm) AS DOUBLE) / count(*) AS recall_snm,
+           CAST(count(*) FILTER (WHERE h_sim) AS DOUBLE) / count(*) AS recall_simhash,
+           CAST(count(*) FILTER (WHERE h_lsh OR h_snm OR h_sim) AS DOUBLE) / count(*)
+             AS recall_union
+    FROM hits
+    """
+
+
+@_register("dedup_blocking_union_recall", _blocking_union_oracle())
+def q_dedup_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking-completeness audit: recall of EACH candidate
+    discipline — MinHash/LSH banding, sorted-neighborhood rank windows,
+    SimHash pigeonhole blocks — and of their UNION, against the exact
+    Jaccard ≥ 0.5 gold pairs. The three disciplines miss different
+    pairs (LSH misses low-J true pairs the s-curve suppresses, SNM
+    misses pairs whose first 20 chars diverge, SimHash misses pairs
+    beyond Hamming 3), so the union row quantifies how much a
+    multi-blocking production pipeline buys — the same multi-modal-
+    sweep argument the retrieval family makes, measured and
+    oracle-checked. Gold is the O(n²) verifier (oracle scale only, as
+    in ``dedup_minhash_recall``); every candidate set is the REAL
+    production operator's output, canonicalized (id_a < id_b) and
+    deduped before the left joins so hit counts can't multiply."""
+    from ipeds_etl_spark.functions import text as TX
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.operators.layout import global_row_number
+    from ipeds_etl_spark.queries_ext import _docs, _lsh_doc_pairs
+
+    d = _docs(spark, sf_dir)
+    # gold: O(n²) exact verifier (oracle-scale only)
+    sets = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh")
+    )
+    L, R = sets.alias("l"), sets.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    gold = (
+        L.join(R, F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(2 * inter >= union)
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    )
+    lsh = _lsh_doc_pairs(spark, sf_dir).withColumn("h_lsh", F.lit(True))
+    ranked = global_row_number(
+        d.select("doc_id", F.substring(F.lower(F.col("text")), 1, 20).alias("k")),
+        ["k", "doc_id"],
+        "rn",
+    )
+    right = ranked.withColumn(
+        "dd", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W + 1)]))
+    ).withColumn("rn_left", F.col("rn") - F.col("dd"))
+    snm = (
+        ranked.alias("a")
+        .join(right.alias("b"), F.col("a.rn") == F.col("b.rn_left"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .distinct()
+        .withColumn("h_snm", F.lit(True))
+    )
+    simp = (
+        DD.simhash_near_pairs(d, "text", "doc_id")
+        .select("id_a", "id_b")
+        .withColumn("h_sim", F.lit(True))
+    )
+    hits = (
+        gold.join(lsh, ["id_a", "id_b"], "left")
+        .join(snm, ["id_a", "id_b"], "left")
+        .join(simp, ["id_a", "id_b"], "left")
+        .select(
+            F.coalesce("h_lsh", F.lit(False)).alias("h_lsh"),
+            F.coalesce("h_snm", F.lit(False)).alias("h_snm"),
+            F.coalesce("h_sim", F.lit(False)).alias("h_sim"),
+        )
+    )
+    c = hits.agg(
+        F.count(F.lit(1)).alias("n_gold"),
+        F.sum(F.when(F.col("h_lsh"), 1).otherwise(0)).alias("n_lsh"),
+        F.sum(F.when(F.col("h_snm"), 1).otherwise(0)).alias("n_snm"),
+        F.sum(F.when(F.col("h_sim"), 1).otherwise(0)).alias("n_simhash"),
+        F.sum(
+            F.when(F.col("h_lsh") | F.col("h_snm") | F.col("h_sim"), 1).otherwise(0)
+        ).alias("n_union"),
+    )
+    return c.select(
+        "n_gold",
+        "n_lsh",
+        "n_snm",
+        "n_simhash",
+        "n_union",
+        (F.col("n_lsh").cast("double") / F.col("n_gold")).alias("recall_lsh"),
+        (F.col("n_snm").cast("double") / F.col("n_gold")).alias("recall_snm"),
+        (F.col("n_simhash").cast("double") / F.col("n_gold")).alias("recall_simhash"),
+        (F.col("n_union").cast("double") / F.col("n_gold")).alias("recall_union"),
+    )
+
+
+# ===========================================================================
 # Corpus composition drift: source × language chi-square contributions
 # ===========================================================================
 @_register(

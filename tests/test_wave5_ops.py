@@ -263,6 +263,132 @@ def test_minhash_estimate_matches_signature_agreement(spark):
 
 
 # ---------------------------------------------------------------------------
+# Gaps-and-islands
+# ---------------------------------------------------------------------------
+def test_streaks_match_python_island_replay(spark):
+    from ipeds_etl_spark.queries_wave5 import q_customer_order_streaks
+
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_orderdate").collect()
+    months: dict[int, set] = {}
+    for r in o:
+        months.setdefault(r.o_custkey, set()).add(
+            r.o_orderdate.year * 12 + r.o_orderdate.month - 1
+        )
+    got = {r.custkey: r for r in q_customer_order_streaks(spark, SF).collect()}
+    assert set(got) == set(months)
+    for ck, ms in months.items():
+        runs, cur = [], 0
+        prev = None
+        for m in sorted(ms):
+            cur = cur + 1 if prev is not None and m == prev + 1 else 1
+            if prev is None or m != prev + 1:
+                runs.append(0)
+            runs[-1] = cur if runs[-1] < cur else runs[-1]
+            prev = m
+        r = got[ck]
+        assert r.active_months == len(ms)
+        assert r.n_streaks == len(runs)
+        assert r.longest_streak == max(runs)
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly
+# ---------------------------------------------------------------------------
+def test_rolling_anomaly_matches_python_window_replay(spark):
+    from ipeds_etl_spark.queries_wave5 import q_events_rolling_anomaly
+
+    e = load_table(spark, SF, "events").collect()
+    daily: dict[tuple, int] = {}
+    for r in e:
+        daily[(r.event_type, r.ts.date())] = daily.get((r.event_type, r.ts.date()), 0) + 1
+    by_type: dict[str, list] = {}
+    for (t, d), c in daily.items():
+        by_type.setdefault(t, []).append((d, c))
+    expect = {}
+    for t, seq in by_type.items():
+        seq.sort()
+        for i in range(7, len(seq)):
+            window = [c for _, c in seq[i - 7 : i]]
+            d, cnt = seq[i]
+            sx, sxx = sum(window), sum(c * c for c in window)
+            varnum = 7 * sxx - sx * sx
+            mean7 = float(sx) / 7.0
+            if varnum > 0:
+                import math
+
+                z = (float(cnt) - mean7) / math.sqrt(float(varnum) / 42.0)
+                anom = abs(z) > 2.0
+            else:
+                z = None
+                anom = cnt * 7 != sx
+            expect[(t, d.isoformat())] = (cnt, mean7, z, anom)
+    rows = q_events_rolling_anomaly(spark, SF).collect()
+    assert {(r.event_type, r.day) for r in rows} == set(expect)
+    for r in rows:
+        cnt, mean7, z, anom = expect[(r.event_type, r.day)]
+        assert r.cnt == cnt
+        assert r.mean7 == mean7
+        assert (r.zscore is None) == (z is None)
+        if z is not None:
+            assert r.zscore == z
+        assert r.is_anomaly == anom
+
+
+# ---------------------------------------------------------------------------
+# Golden record
+# ---------------------------------------------------------------------------
+def test_golden_record_survivorship_rules(spark):
+    from ipeds_etl_spark.queries_wave5 import q_docs_golden_record
+
+    docs = {
+        r.doc_id: r
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    rows = q_docs_golden_record(spark, SF).collect()
+    # every document is in exactly one cluster
+    assert sum(r.cluster_size for r in rows) == len(docs)
+    # survivor must be a member maximizing (n_chars, -doc_id) — verify
+    # against the registered resolution query's cluster assignment
+    from ipeds_etl_spark.queries_analytics import q_docs_dedup_resolution
+
+    assign = {
+        r.doc_id: r.cluster_id for r in q_docs_dedup_resolution(spark, SF).collect()
+    }
+    members: dict[int, list] = {}
+    for did, cid in assign.items():
+        members.setdefault(cid, []).append(did)
+    got = {r.cluster_id: r for r in rows}
+    assert set(got) == set(members)
+    for cid, mids in members.items():
+        best = sorted(mids, key=lambda i: (-docs[i].n_chars, i))[0]
+        r = got[cid]
+        assert r.survivor_doc_id == best
+        assert r.survivor_n_chars == docs[best].n_chars
+        langs: dict[str, int] = {}
+        for i in mids:
+            langs[docs[i].lang] = langs.get(docs[i].lang, 0) + 1
+        maj = sorted(langs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert r.majority_lang == maj
+
+
+# ---------------------------------------------------------------------------
+# Blocking-union recall
+# ---------------------------------------------------------------------------
+def test_blocking_union_recall_invariants(spark):
+    from ipeds_etl_spark.queries_wave5 import q_dedup_blocking_union_recall
+
+    r = q_dedup_blocking_union_recall(spark, SF).collect()[0]
+    assert r.n_gold > 0
+    for n in (r.n_lsh, r.n_snm, r.n_simhash):
+        assert 0 <= n <= r.n_gold
+    assert max(r.n_lsh, r.n_snm, r.n_simhash) <= r.n_union <= r.n_gold
+    assert r.n_union <= r.n_lsh + r.n_snm + r.n_simhash
+    assert r.recall_union == r.n_union / r.n_gold
+
+
+# ---------------------------------------------------------------------------
 # Drift
 # ---------------------------------------------------------------------------
 def test_drift_contributions_match_python_float_recompute(spark):
