@@ -962,6 +962,183 @@ def q_dedup_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ===========================================================================
+# Clustering evaluation: IVF cluster purity against the label column
+# ===========================================================================
+def _cluster_purity_oracle() -> str:
+    from ipeds_etl_spark.queries_ext import _ivf_sql
+
+    return f"""
+    WITH {_ivf_sql()},
+    pl AS (SELECT a.centroid_id, e.label, CAST(count(*) AS BIGINT) AS n
+           FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+           GROUP BY 1, 2),
+    top AS (SELECT centroid_id, label, n,
+                   row_number() OVER (PARTITION BY centroid_id
+                                      ORDER BY n DESC, label) AS rn
+            FROM pl),
+    sz AS (SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS cluster_size
+           FROM pl GROUP BY 1)
+    SELECT t.centroid_id, s.cluster_size, t.label AS majority_label,
+           t.n AS n_majority,
+           CAST(t.n AS DOUBLE) / s.cluster_size AS purity
+    FROM top t JOIN sz s ON t.centroid_id = s.centroid_id
+    WHERE t.rn = 1 ORDER BY t.centroid_id
+    """
+
+
+@_register("emb_cluster_purity", _cluster_purity_oracle())
+def q_emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation: per-IVF-cluster PURITY against the
+    ground-truth ``label`` column — majority label share per cluster,
+    every tie broken (count desc, label asc). Purity is the
+    transcendental-free clustering metric (NMI needs logs — engine-
+    specific; purity is one exact count ratio), which is why it's the
+    one that can be oracle-checked. Reuses the memoized deterministic
+    k-means codebook, so assignment is a map-only argmax projection
+    (no join); the evaluation is one (cluster, label) count aggregate
+    plus a cluster-keyed window. At 100 TB: codebook is a driver
+    artifact, evaluation state is O(clusters × labels)."""
+    from ipeds_etl_spark.operators import similarity as SIM
+    from ipeds_etl_spark.queries_ext import _ivf_codebook
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = SIM.assign_centroids(
+        e, "vec_id", "embedding", None, cent_rows=_ivf_codebook(spark, sf_dir)
+    )
+    pl = (
+        assigned.select("vec_id", "centroid_id")
+        .join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("centroid_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("n"), F.asc("label"))
+    top = pl.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sz = pl.groupBy("centroid_id").agg(F.sum("n").alias("cluster_size"))
+    return (
+        top.join(sz, "centroid_id")
+        .select(
+            "centroid_id",
+            "cluster_size",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            (F.col("n").cast("double") / F.col("cluster_size")).alias("purity"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+# ===========================================================================
+# Funnel conversion-time quantiles (exact order statistics)
+# ===========================================================================
+_CONV_QS = [0.25, 0.5, 0.75, 0.9]
+
+
+def _funnel_time_oracle() -> str:
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT 'view->purchase' AS stage_pair, {q} AS q, "
+        f"quantile_disc(conv_micros, {q}) AS conv_micros FROM conv"
+        for q in _CONV_QS
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT epoch_us(t_purchase) - epoch_us(t_view) AS conv_micros
+      FROM per_user
+      WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase >= t_view)
+    {sel}
+    """
+
+
+@_register("events_funnel_time_quantiles", _funnel_time_oracle())
+def q_events_funnel_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long conversion takes, not just whether it happens (the
+    ``events_funnel`` counts' latency twin): first-view → first-purchase
+    duration per converting user in EXACT epoch micros
+    (``unix_micros`` ↔ ``epoch_us`` — the integer time parity rule),
+    then exact discrete quantiles through the two-pass histogram
+    operator (no group buffering, DuckDB ``quantile_disc`` semantics).
+    One user shuffle for the stage mins, then the quantile operator's
+    two metadata-sized passes."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    conv = (
+        per_user.filter(
+            F.col("t_view").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_view"))
+        )
+        .select(
+            F.lit("view->purchase").alias("stage_pair"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias(
+                "conv_micros"
+            ),
+        )
+    )
+    return exact_quantiles(conv, "conv_micros", _CONV_QS, ["stage_pair"])
+
+
+# ===========================================================================
+# Top-k per group WITH TIES (rank, not row_number)
+# ===========================================================================
+@_register(
+    "nation_top_customers_ties",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT nationkey, custkey, spend,
+             CAST(rank() OVER (PARTITION BY nationkey
+                               ORDER BY spend DESC) AS BIGINT) AS rnk
+      FROM spend)
+    SELECT nationkey, custkey, CAST(spend AS DOUBLE) AS spend, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY nationkey, rnk, custkey
+    """,
+)
+def q_nation_top_customers_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 spenders WITH TIES — ``rank()``, not
+    ``row_number()``: equal exact-decimal spends share a rank and ALL
+    surface, so the result is a function of the data alone (the
+    row_number spelling silently drops tied rows by arbitrary choice
+    unless a tiebreak key is added — this is the other standards-
+    compliant top-k semantics, SQL's FETCH FIRST ... WITH TIES). Spend
+    is summed in DECIMAL(18,6) so ties are exact, not float-accidental.
+    One custkey-grouped aggregate, one nation-keyed window."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"))
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.desc("spend"))
+    return (
+        spend.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("nationkey", "custkey", F.col("spend").cast("double").alias("spend"), "rnk")
+        .orderBy("nationkey", "rnk", "custkey")
+    )
+
+
+# ===========================================================================
 # Corpus composition drift: source × language chi-square contributions
 # ===========================================================================
 @_register(

@@ -389,6 +389,75 @@ def test_blocking_union_recall_invariants(spark):
 
 
 # ---------------------------------------------------------------------------
+# Cluster purity
+# ---------------------------------------------------------------------------
+def test_cluster_purity_partitions_corpus_and_recomputes(spark):
+    from ipeds_etl_spark.queries_wave5 import q_emb_cluster_purity
+
+    e = load_table(spark, SF, "embeddings")
+    n = e.count()
+    rows = q_emb_cluster_purity(spark, SF).collect()
+    assert sum(r.cluster_size for r in rows) == n
+    for r in rows:
+        assert r.purity == r.n_majority / r.cluster_size
+        assert 0 < r.purity <= 1.0
+        assert r.n_majority <= r.cluster_size
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion-time quantiles
+# ---------------------------------------------------------------------------
+def test_funnel_time_quantiles_match_order_statistics(spark):
+    import math
+
+    from ipeds_etl_spark.queries_wave5 import _CONV_QS, q_events_funnel_time_quantiles
+
+    e = load_table(spark, SF, "events").collect()
+    views: dict[int, object] = {}
+    buys: dict[int, object] = {}
+    for r in e:
+        if r.event_type == "view" and (r.user_id not in views or r.ts < views[r.user_id]):
+            views[r.user_id] = r.ts
+        if r.event_type == "purchase" and (
+            r.user_id not in buys or r.ts < buys[r.user_id]
+        ):
+            buys[r.user_id] = r.ts
+    conv = sorted(
+        int((buys[u] - views[u]).total_seconds() * 1_000_000)
+        for u in views
+        if u in buys and buys[u] >= views[u]
+    )
+    got = {r.q: r.conv_micros for r in q_events_funnel_time_quantiles(spark, SF).collect()}
+    assert set(got) == set(_CONV_QS)
+    for q in _CONV_QS:
+        r = max(0, math.ceil(q * len(conv)) - 1)
+        assert got[q] == conv[r], q
+
+
+# ---------------------------------------------------------------------------
+# Top-k with ties
+# ---------------------------------------------------------------------------
+def test_top_customers_ties_uses_rank_semantics(spark):
+    from ipeds_etl_spark.queries_wave5 import q_nation_top_customers_ties
+
+    rows = q_nation_top_customers_ties(spark, SF).collect()
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.nationkey, []).append(r)
+    for nk, rs in by_nation.items():
+        # rank values are gap-style: 1, then 1+|ties at 1|, etc; all ≤ 3
+        assert all(r.rnk <= 3 for r in rs)
+        # equal spends share a rank; strictly larger spend → strictly
+        # smaller rank
+        for a in rs:
+            for b in rs:
+                if a.spend == b.spend:
+                    assert a.rnk == b.rnk
+                elif a.spend > b.spend:
+                    assert a.rnk < b.rnk
+
+
+# ---------------------------------------------------------------------------
 # Drift
 # ---------------------------------------------------------------------------
 def test_drift_contributions_match_python_float_recompute(spark):
