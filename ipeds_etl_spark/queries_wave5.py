@@ -752,41 +752,33 @@ def q_docs_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
-    w_surv = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+    # Survivorship as TWO map-combinable aggregates, zero windows (the
+    # first spelling used three cluster-keyed windows + joins — 11
+    # exchanges, 5 SMJs in the audit). min(struct(...)) is associative,
+    # so "longest text then smallest id" is min(struct(-n_chars,
+    # doc_id)) and rolls up through any partial-agg tree; the majority
+    # language folds the same way over per-(cluster, lang) counts
+    # (min(struct(-n, lang)) = most frequent, alphabetical tiebreak).
+    # hash(cluster_id, lang) → hash(cluster_id): the second exchange is
+    # O(clusters × langs) rows, the first is the only corpus-sized one.
+    lv1 = members.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_lang"),
+        F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id"))).alias(
+            "sv"
+        ),
     )
-    surv = (
-        members.withColumn("rn", F.row_number().over(w_surv))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("survivor_doc_id"),
-            F.col("n_chars").alias("survivor_n_chars"),
-        )
+    lv2 = lv1.groupBy("cluster_id").agg(
+        F.sum("n_lang").alias("cluster_size"),
+        F.min("sv").alias("sv"),
+        F.min(F.struct((-F.col("n_lang")).alias("neg"), F.col("lang"))).alias("mj"),
     )
-    w_lang = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_lang"), F.asc("lang")
-    )
-    langs = (
-        members.groupBy("cluster_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_lang"))
-        .withColumn("rn", F.row_number().over(w_lang))
-        .filter(F.col("rn") == 1)
-        .select("cluster_id", F.col("lang").alias("majority_lang"))
-    )
-    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        surv.join(langs, "cluster_id")
-        .join(sizes, "cluster_id")
-        .select(
-            "cluster_id",
-            "cluster_size",
-            "survivor_doc_id",
-            "survivor_n_chars",
-            "majority_lang",
-        )
-        .orderBy("cluster_id")
-    )
+    return lv2.select(
+        "cluster_id",
+        "cluster_size",
+        F.col("sv.doc_id").alias("survivor_doc_id"),
+        (-F.col("sv.neg")).alias("survivor_n_chars"),
+        F.col("mj.lang").alias("majority_lang"),
+    ).orderBy("cluster_id")
 
 
 from ipeds_etl_spark.queries import ORACLE_SQL as _W5_OSQL  # noqa: E402
@@ -1085,6 +1077,11 @@ def q_events_funnel_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
                 "conv_micros"
             ),
         )
+        # the quantile operator's two passes (stats, histogram) plus the
+        # candidate probe each re-execute their input: materialize the
+        # shuffled per-user mins ONCE instead of re-running the events
+        # aggregate three times (audit showed 5 events scans without it)
+        .localCheckpoint(eager=False)
     )
     return exact_quantiles(conv, "conv_micros", _CONV_QS, ["stage_pair"])
 
