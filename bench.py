@@ -191,6 +191,28 @@ HEADLINE = [
     "customers_returned_revenue_top",
     "top_supplier_by_revenue",
     "parts_cheapest_supplier",
+    # round-8 wave: verifiable HLL + Count-Min sketches, 2-D skyline
+    # (prefix-min form), CEP sequence regexes, sorted-neighborhood
+    # dedup, composition drift, k-core peel, MinHash calibration,
+    # gaps-and-islands streaks, rolling anomaly, golden record,
+    # cluster purity, funnel latency quantiles, top-k with ties.
+    # (dedup_blocking_union_recall is registered but NOT benched: its
+    # gold standard is the O(n²) verifier, oracle-scale only — the
+    # same exclusion as dedup_minhash_recall.)
+    "events_hll_users",
+    "events_cms_user_counts",
+    "parts_skyline_2d",
+    "events_cep_pattern_match",
+    "docs_snm_pairs",
+    "docs_source_lang_drift",
+    "dedup_kcore",
+    "dedup_minhash_estimate",
+    "customer_order_streaks",
+    "events_rolling_anomaly",
+    "docs_golden_record",
+    "emb_cluster_purity",
+    "events_funnel_time_quantiles",
+    "nation_top_customers_ties",
 ]
 
 

@@ -138,3 +138,60 @@ def global_row_number(
     return local.withColumn(
         out_col, (F.element_at(off_map, F.col("__pid")) + F.col("__local")).cast("long")
     ).drop("__pid", "__local")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """INCLUSIVE global running sum of ``value_col`` in the total order
+    given by ``order_exprs`` — ``global_row_number``'s pattern applied
+    to SUM: range exchange, per-partition running sums in parallel, an
+    O(partitions) per-partition-total collect prefix-summed on the
+    driver and broadcast back as offsets. Replaces the
+    ``SUM(...) OVER (ORDER BY ...)`` single-task window for cumulative
+    analytics (Pareto curves, cumulative shares) at any size.
+
+    ``order_exprs`` may be names or Column sort expressions
+    (``F.desc(...)`` works); include a unique tiebreak so the order —
+    and therefore every prefix — is a well-defined function of the
+    data. Exactness: for DECIMAL values both the partial sums and the
+    offset additions are exact integer arithmetic, so the distributed
+    prefix equals the serial one bit-for-bit (the same argument that
+    lets any aggregate tree reorder decimal partials)."""
+    pid = F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(
+            *([num_partitions] if num_partitions else []), *order_exprs
+        )
+        .withColumn("__pid", pid)
+        # pin the sampled range assignment: the totals job and the
+        # running-sum job must see the SAME partitioning (see
+        # global_row_number)
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local", F.sum(value_col).over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in ranged.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets, acc = {}, None
+    for p, t in totals:
+        if acc is None:
+            acc = t - t  # typed zero: keeps Decimal offsets Decimal
+        offsets[p] = acc
+        acc = acc + t
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return local.withColumn(
+        out_col, F.element_at(off_map, F.col("__pid")) + F.col("__local")
+    ).drop("__pid", "__local")

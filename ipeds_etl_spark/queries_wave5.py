@@ -511,9 +511,18 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     pairs = _lsh_doc_pairs(spark, sf_dir)
-    sigs = DD.minhash_signatures(d, "text", "doc_id")
-    sets = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).select(
-        "doc_id", F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh")
+    # ONE per-doc frame carrying both the signature and the shingle set
+    # — each pair side re-attaches with a single equi-join (the 4-join
+    # spelling paid two extra exchanges for the same rows)
+    feats = (
+        DD.minhash_signatures(d, "text", "doc_id")
+        .join(
+            d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).select(
+                "doc_id",
+                F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh"),
+            ),
+            "doc_id",
+        )
     )
     n_match = F.size(
         F.filter(
@@ -527,19 +536,19 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
         pairs.join(
-            sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            feats.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("sh").alias("sh_a"),
+            ),
             "id_a",
         )
         .join(
-            sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
-            "id_b",
-        )
-        .join(
-            sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            feats.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("sh").alias("sh_b"),
+            ),
             "id_b",
         )
         .select(
@@ -1132,6 +1141,237 @@ def q_nation_top_customers_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("nationkey", "custkey", F.col("spend").cast("double").alias("spend"), "rnk")
         .orderBy("nationkey", "rnk", "custkey")
+    )
+
+
+# ===========================================================================
+# Pareto concentration (80/20) via the distributed global prefix sum
+# ===========================================================================
+@_register(
+    "orders_pareto_8020",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+      FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(spend) AS total FROM spend),
+    c AS (SELECT o_custkey, spend,
+                 SUM(spend) OVER (ORDER BY spend DESC, o_custkey) AS cum
+          FROM spend)
+    SELECT CAST(count(*) AS BIGINT) AS total_customers,
+           CAST(SUM(CASE WHEN 5 * cum < 4 * total THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS top_customers_for_80pct,
+           CAST(SUM(CASE WHEN 5 * cum < 4 * total THEN 1 ELSE 0 END) + 1
+                AS DOUBLE) / count(*) AS customer_share,
+           CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN cum END) AS DOUBLE)
+             / CAST(MIN(total) AS DOUBLE) AS revenue_share_at_cut
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how many top customers cover 80% of
+    revenue (the Pareto question every usage dashboard asks). The
+    cumulative spend over the spend-descending order runs through
+    ``operators/layout.py::global_prefix_sum`` — per-range-partition
+    running sums + O(partitions) driver offsets — NOT a global
+    ``SUM() OVER (ORDER BY ...)`` window (an Exchange SinglePartition,
+    the oracle's spelling, semantics-only). Decimal partials make the
+    distributed prefix bit-equal to the serial one; the 80% threshold
+    is cross-multiplied (5·cum ≥ 4·total) so no division happens until
+    the two emitted ratios."""
+    from ipeds_etl_spark.operators.layout import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend")
+    )
+    c = global_prefix_sum(
+        spend, [F.desc("spend"), F.asc("o_custkey")], "spend", "cum"
+    )
+    tot = spend.agg(F.sum("spend").alias("total"))
+    below = F.when(5 * F.col("cum") < 4 * F.col("total"), 1).otherwise(0)
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("total_customers"),
+            (F.sum(below) + 1).alias("top_customers_for_80pct"),
+            F.min(
+                F.when(5 * F.col("cum") >= 4 * F.col("total"), F.col("cum"))
+            ).alias("_cut_cum"),
+            F.min("total").alias("_total"),
+        )
+        .select(
+            "total_customers",
+            F.col("top_customers_for_80pct").cast("long").alias(
+                "top_customers_for_80pct"
+            ),
+            (
+                F.col("top_customers_for_80pct").cast("double")
+                / F.col("total_customers")
+            ).alias("customer_share"),
+            (
+                F.col("_cut_cum").cast("double") / F.col("_total").cast("double")
+            ).alias("revenue_share_at_cut"),
+        )
+    )
+
+
+# ===========================================================================
+# Temporal train/test split with user-leakage audit
+# ===========================================================================
+@_register(
+    "events_temporal_split",
+    """
+    WITH cut AS (SELECT quantile_disc(epoch_us(ts), 0.8) AS cutoff FROM events),
+    ev AS (SELECT CAST(count(*) FILTER (WHERE epoch_us(ts) <= cutoff) AS BIGINT) AS n_train,
+                  CAST(count(*) FILTER (WHERE epoch_us(ts) > cutoff) AS BIGINT) AS n_test
+           FROM events CROSS JOIN cut),
+    us AS (SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events GROUP BY 1),
+    ua AS (SELECT CAST(SUM(CASE WHEN mn <= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS train_users,
+                  CAST(SUM(CASE WHEN mx > cutoff THEN 1 ELSE 0 END) AS BIGINT) AS test_users,
+                  CAST(SUM(CASE WHEN mn <= cutoff AND mx > cutoff THEN 1 ELSE 0 END) AS BIGINT)
+                    AS overlap_users
+           FROM us CROSS JOIN cut)
+    SELECT cut.cutoff AS cutoff_micros, ev.n_train, ev.n_test,
+           ua.train_users, ua.test_users, ua.overlap_users,
+           CAST(ua.overlap_users AS DOUBLE) / ua.test_users AS user_leakage_rate
+    FROM ev CROSS JOIN ua CROSS JOIN cut
+    """,
+)
+def q_events_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split readout with the contamination
+    number attached: cutoff = the exact 0.8 order statistic of event
+    time (integer epoch micros, two-pass histogram quantile — no
+    buffering, engine-identical), then event counts per side and the
+    USER overlap — users active on both sides of the cut are the
+    leakage channel a per-event split silently admits (the
+    split-by-user-not-by-row rule of eval hygiene, quantified). Shape:
+    the quantile's two passes + one user-keyed agg + a broadcast 1-row
+    cutoff; everything else is conditional counting."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(F.unix_micros("ts").alias("t"))
+    cut = exact_quantiles(
+        ev.withColumn("s", F.lit("all")), "t", [0.8], ["s"]
+    ).select(F.col("t").alias("cutoff"))
+    evc = ev.crossJoin(F.broadcast(cut)).agg(
+        F.sum(F.when(F.col("t") <= F.col("cutoff"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("t") > F.col("cutoff"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    us = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+        .crossJoin(F.broadcast(cut))
+        .agg(
+            F.sum(F.when(F.col("mn") <= F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("train_users"),
+            F.sum(F.when(F.col("mx") > F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("test_users"),
+            F.sum(
+                F.when(
+                    (F.col("mn") <= F.col("cutoff"))
+                    & (F.col("mx") > F.col("cutoff")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("overlap_users"),
+        )
+    )
+    return (
+        evc.crossJoin(us)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("cutoff").alias("cutoff_micros"),
+            "n_train",
+            "n_test",
+            "train_users",
+            "test_users",
+            "overlap_users",
+            (
+                F.col("overlap_users").cast("double") / F.col("test_users")
+            ).alias("user_leakage_rate"),
+        )
+    )
+
+
+# ===========================================================================
+# Equi-depth histogram from exact decile cut points
+# ===========================================================================
+_EQD_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _equidepth_oracle() -> str:
+    cuts = ", ".join(
+        f"quantile_disc(l_extendedprice, {q}) AS c{i}"
+        for i, q in enumerate(_EQD_QS, 1)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN l_extendedprice > c{i} THEN 1 ELSE 0 END"
+        for i in range(1, len(_EQD_QS) + 1)
+    )
+    return f"""
+    WITH cuts AS (SELECT {cuts} FROM lineitem)
+    SELECT CAST(1 + {bucket} AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+    FROM lineitem CROSS JOIN cuts
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@_register("lineitem_price_equidepth", _equidepth_oracle())
+def q_lineitem_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram — the complement of
+    ``events_value_histogram``'s equal-WIDTH bins: bucket bounds are
+    the exact price deciles (two-pass histogram quantile operator, no
+    buffering), broadcast back as a 1-row frame, and each row's bucket
+    is a map-side CASE count of exceeded cut points (the RFM cut-point
+    recipe generalized to 9 cuts). Ties land in the lowest qualifying
+    bucket on both engines (strict >), so bucket populations are a
+    pure function of the data — near-equal depths with skewed
+    duplicates absorbed deterministically. One scan + the quantile
+    passes; final shuffle is O(10 buckets)."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qrows = exact_quantiles(
+        li.withColumn("s", F.lit("all")), "l_extendedprice", _EQD_QS, ["s"]
+    )
+    cuts = qrows.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("q") == F.lit(q), F.col("l_extendedprice"))
+            ).alias(f"c{i}")
+            for i, q in enumerate(_EQD_QS, 1)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, len(_EQD_QS) + 1):
+        bucket = bucket + F.when(
+            F.col("l_extendedprice") > F.col(f"c{i}"), 1
+        ).otherwise(0)
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
     )
 
 

@@ -249,6 +249,87 @@ def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+HLL_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("hll_users", T.DoubleType(), False),
+        T.StructField("filled_registers", T.IntegerType(), False),
+    ]
+)
+
+_HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.IntegerType()), False)]
+)
+
+
+def hll_distinct_stream(events: DataFrame) -> DataFrame:
+    """Streaming HLL distinct-user estimate per event_type — the
+    max-merge sibling of ``kmv_distinct_stream`` with even tighter
+    state: EXACTLY m = 64 small ints per key, independent of both the
+    stream length and the true cardinality (KMV's k-array at least
+    varies in content; HLL registers never grow). Each micro-batch's
+    (bucket, rho) pairs — computed JVM-side with the same parity-hash
+    arithmetic as the batch sketch (``operators/sketches.py``) — fold
+    into the registers by MAX, the associative merge that makes any
+    batch boundary invisible: at every trigger the emitted estimate
+    equals the batch ``events_hll_users`` raw estimator over all rows
+    seen so far, bit-for-bit (the harmonic sum is exact-dyadic in both
+    forms; cross-checked by test)."""
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.operators.sketches import (
+        HLL_M,
+        _HLL_ALPHA_M2,
+        hll_bucket,
+        hll_rho,
+    )
+
+    m = int(HLL_M)
+    alpha_m2 = float(_HLL_ALPHA_M2)
+
+    def handler(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (event_type,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        (regs,) = state.get if state.exists else ([0] * m,)
+        regs = list(regs)
+        for pdf in pdfs:
+            for b, r in zip(pdf["bucket"], pdf["rho"]):
+                b = int(b)
+                if int(r) > regs[b]:
+                    regs[b] = int(r)
+        state.update((regs,))
+        # exact-dyadic harmonic sum: absent registers (0) contribute 2^0
+        denom = sum(2.0**-r for r in regs)
+        yield _pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "hll_users": [alpha_m2 / denom],
+                "filled_registers": [sum(1 for r in regs if r > 0)],
+            }
+        )
+
+    uid = F.col("user_id").cast("string")
+    return (
+        events.select(
+            "event_type",
+            hll_bucket(uid).cast("int").alias("bucket"),
+            hll_rho(uid).cast("int").alias("rho"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            handler,
+            outputStructType=HLL_STREAM_SCHEMA,
+            stateStructType=_HLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 HH_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),

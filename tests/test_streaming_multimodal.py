@@ -456,6 +456,41 @@ def test_kmv_stream_matches_batch_estimate(spark, stream_dir):
         assert est == batch[et], (et, est, batch[et])
 
 
+def test_hll_stream_matches_batch_estimate(spark, stream_dir):
+    """Streaming HLL register max-merge must equal the batch raw
+    estimator over all rows seen — the max-merge associativity across
+    micro-batch boundaries, bit-for-bit (exact-dyadic harmonic sums on
+    both paths). State is EXACTLY 64 ints per key."""
+    from ipeds_etl_spark.queries_wave5 import q_events_hll_users
+    from ipeds_etl_spark.streaming.stateful import hll_distinct_stream
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    (
+        hll_distinct_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.sql("SELECT * FROM hll_stream").collect()
+    assert emitted, "stream emitted nothing"
+    final = {}
+    for r in emitted:  # last emit per key = final registers
+        final[r["event_type"]] = (r["hll_users"], r["filled_registers"])
+    batch = {
+        r.event_type: (r.hll_users, 64 - r.empty_registers)
+        for r in q_events_hll_users(spark, SF).collect()
+        if r.event_type != "__all__"
+    }
+    assert set(final) == set(batch)
+    for et, (est, filled) in final.items():
+        assert est == batch[et][0], (et, est, batch[et][0])
+        assert filled == batch[et][1]
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, stream_dir):
     """Misra-Gries invariants vs exact batch counts, per shard:
     (a) est <= true, (b) true - est <= max_err, (c) every item with

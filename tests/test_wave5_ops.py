@@ -458,6 +458,111 @@ def test_top_customers_ties_uses_rank_semantics(spark):
 
 
 # ---------------------------------------------------------------------------
+# Global prefix sum
+# ---------------------------------------------------------------------------
+def test_global_prefix_sum_equals_naive_window(spark):
+    """Distributed two-phase prefix sum == the single-task window form,
+    bit-for-bit, on exact decimals with a descending order."""
+    from pyspark.sql import Window
+
+    from ipeds_etl_spark.operators.layout import global_prefix_sum
+
+    o = load_table(spark, SF, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend")
+    )
+    got = {
+        r.o_custkey: r.cum
+        for r in global_prefix_sum(
+            spend, [F.desc("spend"), F.asc("o_custkey")], "spend", "cum", 8
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r.o_custkey: r.cum
+        for r in spend.withColumn("cum", F.sum("spend").over(w)).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20
+# ---------------------------------------------------------------------------
+def test_pareto_8020_matches_python_decimal_replay(spark):
+    from ipeds_etl_spark.queries_wave5 import q_orders_pareto_8020
+
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice").collect()
+    from decimal import Decimal
+
+    spend: dict[int, Decimal] = {}
+    for r in o:
+        spend[r.o_custkey] = spend.get(r.o_custkey, Decimal(0)) + Decimal(
+            str(r.o_totalprice)
+        ).quantize(Decimal("0.000001"))
+    total = sum(spend.values())
+    cum = Decimal(0)
+    n80 = 0
+    for _, s in sorted(spend.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += s
+        n80 += 1
+        if 5 * cum >= 4 * total:
+            break
+    r = q_orders_pareto_8020(spark, SF).collect()[0]
+    assert r.total_customers == len(spend)
+    assert r.top_customers_for_80pct == n80
+    assert r.customer_share == float(n80) / len(spend)
+    assert 0.8 <= r.revenue_share_at_cut <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Temporal split
+# ---------------------------------------------------------------------------
+def test_temporal_split_leakage_matches_python_replay(spark):
+    import math
+
+    from ipeds_etl_spark.queries_wave5 import q_events_temporal_split
+
+    e = load_table(spark, SF, "events").select("user_id", "ts").collect()
+    micros = sorted(int(r.ts.timestamp() * 1_000_000) for r in e)
+    cutoff = micros[max(0, math.ceil(0.8 * len(micros)) - 1)]
+    r = q_events_temporal_split(spark, SF).collect()[0]
+    assert r.cutoff_micros == cutoff
+    assert r.n_train == sum(1 for m in micros if m <= cutoff)
+    assert r.n_test == len(micros) - r.n_train
+    users: dict[int, list] = {}
+    for row in e:
+        users.setdefault(row.user_id, []).append(int(row.ts.timestamp() * 1_000_000))
+    tr = {u for u, ms in users.items() if min(ms) <= cutoff}
+    te = {u for u, ms in users.items() if max(ms) > cutoff}
+    assert r.train_users == len(tr)
+    assert r.test_users == len(te)
+    assert r.overlap_users == len(tr & te)
+    assert r.user_leakage_rate == len(tr & te) / len(te)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram
+# ---------------------------------------------------------------------------
+def test_equidepth_buckets_partition_and_are_balanced(spark):
+    from ipeds_etl_spark.queries_wave5 import q_lineitem_price_equidepth
+
+    li = load_table(spark, SF, "lineitem")
+    n = li.count()
+    rows = q_lineitem_price_equidepth(spark, SF).collect()
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r.n for r in rows) == n
+    # bucket ranges are ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    # equal-frequency within the duplicate-tie tolerance: no bucket is
+    # more than 3x the ideal depth
+    ideal = n / len(rows)
+    assert all(r.n <= 3 * ideal for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # Drift
 # ---------------------------------------------------------------------------
 def test_drift_contributions_match_python_float_recompute(spark):
