@@ -213,6 +213,14 @@ HEADLINE = [
     "emb_cluster_purity",
     "events_funnel_time_quantiles",
     "nation_top_customers_ties",
+    # distributed prefix-sum Pareto, temporal-split leakage audit,
+    # equi-depth histogram, integer Markov fixed point, Hamilton
+    # token-budget apportionment
+    "orders_pareto_8020",
+    "events_temporal_split",
+    "lineitem_price_equidepth",
+    "events_markov_stationary",
+    "docs_token_budget_allocation",
 ]
 
 

@@ -1376,6 +1376,163 @@ def q_lineitem_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Markov stationary distribution over event types (integer-scaled)
+# ===========================================================================
+_MK_SCALE = 1_000_000_000_000
+_MK_ITERS = 3
+
+
+def _markov_oracle() -> str:
+    out = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    m AS (SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    deg AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS d FROM m GROUP BY 1),
+    nt AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events),
+    p0 AS (SELECT DISTINCT event_type, CAST({_MK_SCALE} // k AS BIGINT) AS pi
+           FROM events CROSS JOIN nt)"""
+    for i in range(1, _MK_ITERS + 1):
+        out += f""",
+    p{i} AS (
+      SELECT m.next_type AS event_type,
+             CAST(SUM((p.pi * m.n) // deg.d) AS BIGINT) AS pi
+      FROM m
+      JOIN p{i - 1} p ON p.event_type = m.prev_type
+      JOIN deg ON deg.prev_type = m.prev_type
+      GROUP BY 1)"""
+    return (
+        out
+        + f"""
+    SELECT event_type, pi AS pi_pico FROM p{_MK_ITERS} ORDER BY event_type
+    """
+    )
+
+
+@_register("events_markov_stationary", _markov_oracle())
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    (``events_type_transitions``' matrix taken to its fixed point):
+    three power iterations from the uniform vector, in SCALED
+    BIGINT with floor division — the PageRank integer recipe applied
+    to a row-stochastic chain, so partial-agg order cannot move a bit
+    and the oracle replays exact values. Answers 'where does user
+    attention settle' — the long-run type mix a simulator or traffic
+    model needs. The chain state is O(types²) rows after one user
+    shuffle; each iteration is a join + map-combinable sum over that
+    tiny frame (types, not users — this is the cheap dual of PageRank's
+    node-sized state)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    m = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    deg = m.groupBy("prev_type").agg(F.sum("n").alias("d"))
+    nt = e.agg(F.countDistinct("event_type").alias("k"))
+    p = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(nt))
+        .select("event_type", F.expr(f"CAST({_MK_SCALE} div k AS BIGINT)").alias("pi"))
+    )
+    for _ in range(_MK_ITERS):
+        p = (
+            m.join(p, p.event_type == m.prev_type)
+            .join(F.broadcast(deg), "prev_type")
+            .select(
+                F.col("next_type").alias("et"),
+                F.expr("(pi * n) div d").alias("c"),
+            )
+            .groupBy(F.col("et").alias("event_type"))
+            .agg(F.sum("c").cast("long").alias("pi"))
+        )
+    return p.select("event_type", F.col("pi").alias("pi_pico")).orderBy("event_type")
+
+
+# ===========================================================================
+# Token-budget apportionment (largest-remainder / Hamilton method)
+# ===========================================================================
+_ALLOC_BUDGET = 100_000
+
+
+@_register(
+    "docs_token_budget_allocation",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> len(t) > 0))) AS BIGINT) AS tok
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t FROM toks),
+    q AS (SELECT source, tok,
+                 CAST(({_ALLOC_BUDGET} * tok) // t AS BIGINT) AS quota_floor,
+                 CAST(({_ALLOC_BUDGET} * tok) % t AS BIGINT) AS remainder
+          FROM toks CROSS JOIN tot),
+    l AS (SELECT CAST({_ALLOC_BUDGET} - SUM(quota_floor) AS BIGINT) AS leftover FROM q),
+    r AS (SELECT q.*, l.leftover,
+                 row_number() OVER (ORDER BY remainder DESC, source) AS rk
+          FROM q CROSS JOIN l)
+    SELECT source, tok AS tokens, quota_floor, remainder,
+           CAST(quota_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated
+    FROM r ORDER BY source
+    """,
+)
+def q_docs_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed token
+    budget across sources — the integer-exact step after
+    ``docs_mixture_weights``' proportions: floor quotas from the exact
+    integer division, then the leftover seats go to the largest
+    remainders (ties to the alphabetically first source), so
+    Σ allocated == budget EXACTLY (pinned by test) with no float
+    anywhere. This is how a data recipe turns 'p_s ∝ share' into an
+    actual per-source document/token quota. Shape: one token-count
+    agg, a 1-row total and leftover broadcast back, and a rank window
+    over O(sources) rows (metadata-sized, like the bucket-offset
+    windows elsewhere)."""
+    from ipeds_etl_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("tok")
+    )
+    tot = toks.agg(F.sum("tok").cast("long").alias("t"))
+    q = toks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok",
+        F.expr(f"CAST(({_ALLOC_BUDGET} * tok) div t AS BIGINT)").alias("quota_floor"),
+        F.expr(f"CAST(({_ALLOC_BUDGET} * tok) % t AS BIGINT)").alias("remainder"),
+    )
+    leftover = q.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("quota_floor")).cast("long").alias("leftover")
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    return (
+        q.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            F.col("tok").alias("tokens"),
+            "quota_floor",
+            "remainder",
+            (
+                F.col("quota_floor")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
 # Corpus composition drift: source × language chi-square contributions
 # ===========================================================================
 @_register(

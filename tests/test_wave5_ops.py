@@ -563,6 +563,67 @@ def test_equidepth_buckets_partition_and_are_balanced(spark):
 
 
 # ---------------------------------------------------------------------------
+# Markov stationary distribution
+# ---------------------------------------------------------------------------
+def test_markov_stationary_matches_python_integer_replay(spark):
+    from ipeds_etl_spark.queries_wave5 import (
+        _MK_ITERS,
+        _MK_SCALE,
+        q_events_markov_stationary,
+    )
+
+    e = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    m: dict[tuple, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            m[(a, b)] = m.get((a, b), 0) + 1
+    deg: dict[str, int] = {}
+    for (a, _b), n in m.items():
+        deg[a] = deg.get(a, 0) + n
+    types = sorted({r.event_type for r in e})
+    pi = {t: _MK_SCALE // len(types) for t in types}
+    for _ in range(_MK_ITERS):
+        nxt: dict[str, int] = {}
+        for (a, b), n in m.items():
+            nxt[b] = nxt.get(b, 0) + (pi[a] * n) // deg[a]
+        pi = nxt
+    got = {r.event_type: r.pi_pico for r in q_events_markov_stationary(spark, SF).collect()}
+    assert got == pi
+    # mass approximately conserved (floor losses only)
+    assert 0 <= _MK_SCALE - sum(got.values()) < _MK_SCALE * 0.001
+
+
+# ---------------------------------------------------------------------------
+# Token-budget apportionment
+# ---------------------------------------------------------------------------
+def test_token_budget_allocates_exactly_and_by_largest_remainder(spark):
+    from ipeds_etl_spark.queries_wave5 import (
+        _ALLOC_BUDGET,
+        q_docs_token_budget_allocation,
+    )
+
+    rows = q_docs_token_budget_allocation(spark, SF).collect()
+    assert sum(r.allocated for r in rows) == _ALLOC_BUDGET
+    for r in rows:
+        assert r.allocated in (r.quota_floor, r.quota_floor + 1)
+    # every bumped source has a remainder >= every unbumped source's
+    # (ties broken by source name)
+    bumped = [(r.remainder, r.source) for r in rows if r.allocated > r.quota_floor]
+    unbumped = [(r.remainder, r.source) for r in rows if r.allocated == r.quota_floor]
+    if bumped and unbumped:
+        assert min((-rm, s) for rm, s in bumped) <= min(
+            (-rm, s) for rm, s in unbumped
+        )
+        assert max((-rm, s) for rm, s in bumped) <= min((-rm, s) for rm, s in unbumped)
+
+
+# ---------------------------------------------------------------------------
 # Drift
 # ---------------------------------------------------------------------------
 def test_drift_contributions_match_python_float_recompute(spark):

@@ -126,6 +126,36 @@ SWEEP_R8 = [
     "docs_passage_dedup_rewrite",
 ]
 
+#: round-8 wave: verifiable sketches (state constant in input), skyline
+#: prefix-min, CEP strings (per-user state), SNM (n·w linear
+#: candidates), k-core fixed rounds, calibration (candidate-fed),
+#: islands/anomaly (key-compacted windows), golden record (agg-only
+#: survivorship), cluster purity (map-only assignment), latency
+#: quantiles + temporal split + equi-depth (two-pass histogram
+#: quantiles), Pareto (distributed prefix sum). The union-recall gate
+#: is EXCLUDED: its gold standard is O(n²), oracle-scale only.
+SWEEP_R9 = [
+    "events_hll_users",
+    "events_cms_user_counts",
+    "parts_skyline_2d",
+    "events_cep_pattern_match",
+    "docs_snm_pairs",
+    "docs_source_lang_drift",
+    "dedup_kcore",
+    "dedup_minhash_estimate",
+    "customer_order_streaks",
+    "events_rolling_anomaly",
+    "docs_golden_record",
+    "emb_cluster_purity",
+    "events_funnel_time_quantiles",
+    "nation_top_customers_ties",
+    "orders_pareto_8020",
+    "events_temporal_split",
+    "lineitem_price_equidepth",
+    "events_markov_stationary",
+    "docs_token_budget_allocation",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -334,6 +364,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R7, key="sweep_r7")
     if "sweep_r8" in sections:
         run_sweep(spark, results, names=SWEEP_R8, key="sweep_r8")
+    if "sweep_r9" in sections:
+        run_sweep(spark, results, names=SWEEP_R9, key="sweep_r9")
     print(json.dumps(results))
 
 
