@@ -221,6 +221,11 @@ HEADLINE = [
     "lineitem_price_equidepth",
     "events_markov_stationary",
     "docs_token_budget_allocation",
+    # winsorized robust stats, weighted median (prefix-sum reuse),
+    # bipartite butterfly counting (basket-pair reuse)
+    "orders_winsorized_stats",
+    "lineitem_weighted_median_price",
+    "parts_copurchase_butterflies",
 ]
 
 

@@ -1533,6 +1533,178 @@ def q_docs_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ===========================================================================
+# Winsorized robust statistics (clip at exact p01/p99)
+# ===========================================================================
+@_register(
+    "orders_winsorized_stats",
+    """
+    WITH cuts AS (
+      SELECT quantile_disc(o_totalprice, 0.01) AS lo,
+             quantile_disc(o_totalprice, 0.99) AS hi
+      FROM orders),
+    w AS (
+      SELECT CASE WHEN o_totalprice < lo THEN lo
+                  WHEN o_totalprice > hi THEN hi
+                  ELSE o_totalprice END AS v,
+             CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                  THEN 1 ELSE 0 END AS clipped
+      FROM orders CROSS JOIN cuts)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           min(v) AS lo, max(v) AS hi,
+           CAST(CAST(SUM(CAST(floor(v * 100.0) AS DECIMAL(38,0))) AS DOUBLE)
+                / 100.0 / count(*) AS DOUBLE) AS winsorized_mean
+    FROM w
+    """,
+)
+def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-stats cleaning step between clipping
+    and dropping: values outside the exact [p01, p99] order statistics
+    are pulled TO the fence (not removed), then the mean is computed
+    from exact cent-quantized decimal sums (the scale-0 micro-unit
+    recipe; o_totalprice has 2 decimal digits so ×100 is lossless).
+    Cut points come from the two-pass histogram quantile operator and
+    broadcast as one row; clipping is a map-side CASE; the final
+    aggregate is one combine-friendly pass. Mirrors what a feature
+    pipeline does before z-scoring heavy-tailed monetary columns."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    qrows = exact_quantiles(
+        o.withColumn("s", F.lit("all")), "o_totalprice", [0.01, 0.99], ["s"]
+    )
+    cuts = qrows.groupBy().agg(
+        F.max(F.when(F.col("q") == 0.01, F.col("o_totalprice"))).alias("clo"),
+        F.max(F.when(F.col("q") == 0.99, F.col("o_totalprice"))).alias("chi"),
+    )
+    v = (
+        F.when(F.col("o_totalprice") < F.col("clo"), F.col("clo"))
+        .when(F.col("o_totalprice") > F.col("chi"), F.col("chi"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    clipped = F.when(
+        (F.col("o_totalprice") < F.col("clo"))
+        | (F.col("o_totalprice") > F.col("chi")),
+        1,
+    ).otherwise(0)
+    w = o.select("o_totalprice").crossJoin(F.broadcast(cuts)).select(
+        v.alias("v"), clipped.alias("clipped")
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        (
+            F.sum(F.floor(F.col("v") * 100.0).cast("decimal(38,0)")).cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )
+
+
+# ===========================================================================
+# Weighted median via the distributed global prefix sum
+# ===========================================================================
+@_register(
+    "lineitem_weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w FROM w),
+    c AS (SELECT v, wt, SUM(wt) OVER (ORDER BY v, wt) AS cum FROM w)
+    SELECT min(CASE WHEN 2 * cum >= total_w THEN v END) AS weighted_median,
+           CAST(MIN(total_w) AS BIGINT) AS total_weight
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price: the first value (in price order)
+    whose cumulative weight reaches half the total — lower weighted
+    median, integer weights so the threshold compare is the exact
+    2·cum ≥ W cross-multiplication. The cumulative weight runs through
+    ``global_prefix_sum`` (range exchange + O(partitions) offsets);
+    the single-task ORDER BY window exists only in the oracle. The
+    (v, wt) tiebreak makes the prefix — and therefore the crossing
+    point — a total function of the data."""
+    from ipeds_etl_spark.operators.layout import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    c = global_prefix_sum(li, [F.asc("v"), F.asc("wt")], "wt", "cum")
+    tot = li.agg(F.sum("wt").cast("long").alias("total_w"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("total_w"), F.col("v"))
+            ).alias("weighted_median"),
+            F.min("total_w").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ===========================================================================
+# Butterfly (4-cycle) counting on the order-part bipartite graph
+# ===========================================================================
+@_register(
+    "parts_copurchase_butterflies",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT CAST(SUM((n_co * (n_co - 1)) // 2) AS BIGINT) AS n_butterflies,
+           CAST(count(*) AS BIGINT) AS n_copurchase_pairs,
+           CAST(SUM(CASE WHEN n_co >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_with_reinforcement
+    FROM pairs
+    """,
+)
+def q_parts_copurchase_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2×2 biclique / 4-cycle) count of the order-part
+    bipartite graph — THE cohesion measure for bipartite networks
+    (Wang et al., 'Butterfly counting in bipartite networks', and the
+    motif behind bipartite clustering coefficients): a butterfly is
+    two parts co-purchased by the same TWO orders, i.e. a reinforced
+    co-purchase. Counted without enumerating 4-cycles: butterflies =
+    Σ over co-purchase pairs of C(n_co, 2) — the pair-count table the
+    basket family already materializes (memoized `_basket_items` +
+    rank-capped in-bucket expansion) plus one integer aggregate.
+    n_co·(n_co−1)/2 is exact BIGINT (even product halved)."""
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import _basket_items
+
+    items = _basket_items(spark, sf_dir)
+    pairs = (
+        DD.pairs_within_buckets(
+            items,
+            ["l_orderkey"],
+            F.struct(F.col("l_partkey").alias("id")),
+            cap_mode="agg",
+        )
+        .select(F.col("a.id").alias("p1"), F.col("b.id").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    return pairs.agg(
+        F.sum(F.expr("(n_co * (n_co - 1)) div 2"))
+        .cast("long")
+        .alias("n_butterflies"),
+        F.count(F.lit(1)).alias("n_copurchase_pairs"),
+        F.sum(F.when(F.col("n_co") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("pairs_with_reinforcement"),
+    )
+
+
+# ===========================================================================
 # Corpus composition drift: source × language chi-square contributions
 # ===========================================================================
 @_register(

@@ -624,6 +624,82 @@ def test_token_budget_allocates_exactly_and_by_largest_remainder(spark):
 
 
 # ---------------------------------------------------------------------------
+# Winsorized stats
+# ---------------------------------------------------------------------------
+def test_winsorized_stats_match_python_replay(spark):
+    import math
+
+    from ipeds_etl_spark.queries_wave5 import q_orders_winsorized_stats
+
+    prices = sorted(
+        r.o_totalprice
+        for r in load_table(spark, SF, "orders").select("o_totalprice").collect()
+    )
+    n = len(prices)
+    lo = prices[max(0, math.ceil(0.01 * n) - 1)]
+    hi = prices[max(0, math.ceil(0.99 * n) - 1)]
+    wvals = [min(max(p, lo), hi) for p in prices]
+    r = q_orders_winsorized_stats(spark, SF).collect()[0]
+    assert r.n == n
+    assert r.n_clipped == sum(1 for p in prices if p < lo or p > hi)
+    assert r.lo == lo and r.hi == hi
+    cents = sum(int(math.floor(v * 100.0)) for v in wvals)
+    assert r.winsorized_mean == float(cents) / 100.0 / n
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+def test_weighted_median_matches_python_replay(spark):
+    from ipeds_etl_spark.queries_wave5 import q_lineitem_weighted_median_price
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_extendedprice", "l_quantity")
+        .collect()
+    )
+    pairs = sorted((r.l_extendedprice, int(r.l_quantity)) for r in rows)
+    total = sum(w for _, w in pairs)
+    cum = 0
+    med = None
+    for v, w in pairs:
+        cum += w
+        if 2 * cum >= total:
+            med = v
+            break
+    r = q_lineitem_weighted_median_price(spark, SF).collect()[0]
+    assert r.weighted_median == med
+    assert r.total_weight == total
+
+
+# ---------------------------------------------------------------------------
+# Butterflies
+# ---------------------------------------------------------------------------
+def test_butterflies_match_python_replay(spark):
+    from ipeds_etl_spark.queries_wave5 import q_parts_copurchase_butterflies
+
+    items = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders: dict[int, set] = {}
+    for r in items:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    co: dict[tuple, int] = {}
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                co[(a, b)] = co.get((a, b), 0) + 1
+    r = q_parts_copurchase_butterflies(spark, SF).collect()[0]
+    assert r.n_copurchase_pairs == len(co)
+    assert r.n_butterflies == sum(n * (n - 1) // 2 for n in co.values())
+    assert r.pairs_with_reinforcement == sum(1 for n in co.values() if n >= 2)
+
+
+# ---------------------------------------------------------------------------
 # Drift
 # ---------------------------------------------------------------------------
 def test_drift_contributions_match_python_float_recompute(spark):

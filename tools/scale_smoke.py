@@ -154,6 +154,9 @@ SWEEP_R9 = [
     "lineitem_price_equidepth",
     "events_markov_stationary",
     "docs_token_budget_allocation",
+    "orders_winsorized_stats",
+    "lineitem_weighted_median_price",
+    "parts_copurchase_butterflies",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
