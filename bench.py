@@ -228,8 +228,30 @@ HEADLINE = [
     "parts_copurchase_butterflies",
 ]
 
+#: Headline inclusion criterion (VERDICT r5 item 6): the suite is the
+#: ENTIRE registry minus this exclusion list. Excluded queries embed
+#: an O(n²) brute-force gold standard (all-pairs similarity / shingle
+#: Jaccard verifiers) that only exists to CALIBRATE the scalable
+#: operator at oracle scale — benching them times the deliberately
+#: quadratic verifier, not a production path. Their correctness rows
+#: come from the sf0.01 driver gate like everything else.
+EXCLUDED = {
+    "dedup_minhash_recall": "O(n²) exact-Jaccard gold standard",
+    "dedup_blocking_union_recall": "O(n²) exact-Jaccard gold standard",
+    "emb_ivf_recall": "O(n²) brute-force neighbor gold standard",
+    "emb_pq_recall": "O(n²) brute-force neighbor gold standard",
+    "emb_rp_lsh_recall": "O(n²) brute-force neighbor gold standard",
+    "emb_rp_lsh_banded_recall": "O(n²) brute-force neighbor gold standard",
+}
 
-def main() -> None:
+
+def _run_suite() -> None:
+    """Child-process body: run the suite, write BENCH_SUMMARY.json.
+
+    Everything this function (and Spark) prints goes to the CAPTURED
+    child stdout/stderr — none of it reaches the parent's stdout, so
+    the artifact the driver parses is exactly two clean JSON lines.
+    """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -242,10 +264,30 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
 
+    # Shared-index builds billed to DEDICATED entries (ADVICE r5): the
+    # LSH candidate-pair table and the distinct basket-items table are
+    # memoized per (session, corpus) and consumed by ~10 queries, so
+    # per-query numbers below are consumption-only — the one-time
+    # build cost is timed here, cold, exactly once.
+    from ipeds_etl_spark import queries_ext as qext
+
+    index_builds: dict[str, float] = {}
+    for label, memo, builder in (
+        ("lsh_doc_pairs", qext._LSH_DOC_PAIRS, qext._lsh_doc_pairs),
+        ("basket_items", qext._BASKET_ITEMS, qext._basket_items),
+    ):
+        memo.clear()
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        index_builds[label] = round(time.perf_counter() - t0, 3)
+
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     registered = q.queries()
+    suite = HEADLINE + sorted(
+        n for n in registered if n not in HEADLINE and n not in EXCLUDED
+    )
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in suite:
         fn = registered[name]
         samples = []
         for _ in range(n_runs):
@@ -257,25 +299,62 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     summary = json.dumps(
         {
-            "metric": "headline_suite_total_runtime",
+            "metric": "suite_total_runtime",
             "value": total,
             "unit": "sec",
             "queries": timings,
             "sf": sf,
             "runs_per_query": n_runs,
             "aggregation": "median",
+            "n_queries": len(timings),
+            "index_builds": index_builds,
+            "index_build_total": round(sum(index_builds.values()), 3),
+            "suite_criterion": (
+                "entire registry minus O(n^2) gold-standard recall gates; "
+                "query timings exclude the one-time shared-index builds "
+                "billed under index_builds"
+            ),
+            "excluded": sorted(EXCLUDED),
         }
     )
-    # Triple-emit defense (BENCH_r04 lesson: the driver keeps only a
-    # character-bounded TAIL of stdout, and Spark progress-bar noise
-    # truncated the single JSON line's head → "parsed": null). The
-    # session factory now disables console progress bars entirely, and
-    # the summary additionally goes to a file and to stderr so the
-    # artifact survives any stdout capture window.
     Path(__file__).resolve().parent.joinpath("BENCH_SUMMARY.json").write_text(
         summary + "\n"
     )
     print(summary, file=sys.stderr)
+
+
+def main() -> None:
+    """Parent: re-exec as a captured child, then print ONLY the JSON.
+
+    BENCH_r04/r05 lesson: the driver keeps a character-bounded window
+    of captured stdout, and anything Spark writes there (progress
+    bars, Ivy/log4j banners, native-loader warnings) can push the
+    summary line's head out of it → ``"parsed": null``. Redirecting
+    Spark's noise is whack-a-mole; instead the whole benchmark runs in
+    a CHILD process whose stdout/stderr are captured away, and the
+    parent's stdout is exactly two copies of the one-line JSON summary
+    (first line AND last line), with nothing before, between besides
+    the duplicate, or after.
+    """
+    if os.environ.get("BENCH_CHILD") == "1":
+        _run_suite()
+        return
+    import subprocess
+
+    out_path = Path(__file__).resolve().parent / "BENCH_SUMMARY.json"
+    out_path.unlink(missing_ok=True)  # never serve a stale summary
+    env = dict(os.environ, BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve())],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0 or not out_path.exists():
+        sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-8000:] + "\n")
+        raise SystemExit(proc.returncode or 1)
+    summary = out_path.read_text().strip()
+    print(summary)
     print(summary)
 
 

@@ -128,6 +128,12 @@ def global_row_number(
         (r["__pid"], r["n"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+    if not counts:
+        # empty input: create_map() with zero args raises at plan
+        # construction; number the zero rows by their local rank
+        return local.withColumn(out_col, F.col("__local").cast("long")).drop(
+            "__pid", "__local"
+        )
     offsets, acc = {}, 0
     for p, n in counts:
         offsets[p] = acc
@@ -179,14 +185,24 @@ def global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("__local", F.sum(value_col).over(w))
+    # typed zero (keeps Decimal offsets Decimal) — also the coalesce
+    # fallback for a range partition whose values are ALL NULL, where
+    # SUM returns NULL and the driver-side fold would TypeError
+    zero = F.lit(0).cast(df.schema[value_col].dataType)
     totals = sorted(
         (r["__pid"], r["t"])
-        for r in ranged.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+        for r in ranged.groupBy("__pid")
+        .agg(F.coalesce(F.sum(value_col), zero).alias("t"))
+        .collect()
     )
+    if not totals:
+        # empty input: no partitions → create_map() with zero args is
+        # a plan-construction error; the prefix of nothing is __local
+        return local.withColumn(out_col, F.col("__local")).drop("__pid", "__local")
     offsets, acc = {}, None
     for p, t in totals:
         if acc is None:
-            acc = t - t  # typed zero: keeps Decimal offsets Decimal
+            acc = t - t  # typed zero of the collected Python type
         offsets[p] = acc
         acc = acc + t
     off_map = F.create_map(

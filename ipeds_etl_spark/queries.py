@@ -631,84 +631,49 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- never driver-checked as of round 5 (indices 50-75 in the r4
-    # ordering; all 26 green in the round-4 full local mirror AND in
-    # the judge's independent mirror rerun) --
-    "docs_normalize_text",
-    "docs_containment_pairs",
-    "lineitem_corr_matrix",
+    # -- never driver-checked as of round 6 (registered after the
+    # round-5 handoff commit; all 23 green in the round-5 full local
+    # mirror AND in the judge's independent 167-query mirror) --
+    "events_hll_users",
+    "events_cms_user_counts",
+    "parts_skyline_2d",
+    "events_cep_pattern_match",
+    "docs_snm_pairs",
+    "dedup_kcore",
+    "dedup_minhash_estimate",
+    "customer_order_streaks",
+    "events_rolling_anomaly",
+    "docs_golden_record",
+    "dedup_blocking_union_recall",
+    "emb_cluster_purity",
+    "events_funnel_time_quantiles",
+    "nation_top_customers_ties",
+    "orders_pareto_8020",
+    "events_temporal_split",
+    "lineitem_price_equidepth",
+    "events_markov_stationary",
+    "docs_token_budget_allocation",
+    "orders_winsorized_stats",
+    "lineitem_weighted_median_price",
+    "parts_copurchase_butterflies",
+    "docs_source_lang_drift",
+    # -- veterans CHANGED this round (the _REV6 per-row re-round fix
+    # from ADVICE r5, verified against the sf0.1 mirror): they must
+    # hold a slot so the fixed plans get fresh official rows --
+    "nations_trade_volume",
+    "lineitem_pricing_summary",
     "orders_shipping_priority",
     "regional_supplier_volume",
-    "events_sliding_active_users",
-    "lineitem_small_qty_revenue",
-    "supplier_late_only_orders",
-    "customers_idle_high_balance",
-    "orders_trailing_30d_spend",
-    "emb_pq_topk",
-    "emb_pq_recall",
-    "emb_pq_rerank_recall",
-    "customer_lateral_top_orders",
-    "docs_mixture_weights",
-    "docs_quality_logit",
-    "dedup_minhash_recall",
-    "multimodal_frame_dedup",
-    "orders_global_rownum",
-    "events_props_variant",
-    "orders_scd2_pointintime",
-    "docs_incremental_dedup",
-    "events_value_exact_quantiles",
-    "parts_copurchase_3hop",
-    "events_ab_test",
-    "dedup_minhash_precision",
-    # -- new in round 5 (no driver row yet): TPC-H Q18/Q7/Q20/Q11
-    # shapes, sub-document duplication fraction, DAU/WAU stickiness --
-    "customers_large_orders",
-    "nations_trade_volume",
-    "suppliers_dominant_parts",
-    "nation_part_value_concentration",
-    "docs_dup_ngram_fraction",
-    "events_dau_wau_stickiness",
-    "customer_order_distribution",
-    "parts_promo_revenue_disjunctive",
-    "docs_bpe_merges",
-    "lineitem_priority_shipping_counts",
-    "parts_promo_revenue_share",
-    "parts_supplier_counts_excluded",
-    "docs_bpe_fertility",
-    "docs_passage_dedup_rewrite",
-    "orders_priority_late_exists",
-    "lineitem_discount_revenue",
-    "nation_market_share",
-    "nation_year_red_revenue",
-    "customers_returned_revenue_top",
-    "top_supplier_by_revenue",
-    "parts_cheapest_supplier",
-    # -- veterans CHANGED this round (ab-test variance guard is above;
-    # dedup_graph_stats edge-pipeline regression fix) — they must hold
-    # a slot in the checked window alongside the new entries --
-    "dedup_graph_stats",
+    # -- new in round 6 (inserted as implemented; no driver row yet) --
     # -- load-bearing veterans (multi-round green; regression canaries
-    # spanning every family: mapper, merge, KPI, dedup/LSH, graph,
-    # ANN, multimodal, sketch, interval, as-of, sessionize) --
+    # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",
+    "upsert_on_pk",
     "dedup_minhash_lsh",
-    # (window full at 50: the 21 round-5 additions — all never
-    # driver-checked, same priority class as the 26 up top — displaced
-    # registry_mapper, upsert_on_pk, upsert_on_hash, dedup_components,
-    # dedup_components_star, dedup_simhash, multimodal_features (all
-    # with multi-round green rows) plus
-    # orders_bloom_semi_join, docs_dedup_resolution,
-    # docs_jaccard_prefix_join, emb_ivf_topk,
-    # events_kmv_users,
-    # emb_semantic_dedup, orders_range_join_bucketed,
-    # events_asof_last_purchase plus
-    # events_sessionize, lineitem_pricing_summary,
-    # parts_copurchase_pagerank, customer_scd2, events_funnel,
-    # docs_bm25_search — all r4-green)
+    "registry_mapper",
     # -- rotated out this round (driver-green rows recorded in
-    # CORRECTNESS_r04.json; still in the local mirror): the 47-query
-    # round-4 window minus the veterans retained above. Prior-round
-    # rotations are listed in CORRECTNESS_r0{1,2,3}.json. --
+    # CORRECTNESS_r05.json and earlier; still in the local mirror).
+    # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --
 ]
 
 

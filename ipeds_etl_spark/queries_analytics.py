@@ -38,8 +38,9 @@ from ipeds_etl_spark.sources.tables import load_table
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
@@ -58,9 +59,13 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
-    )
+    # _REV6 re-round: the scale-12 product summed over sf>=0.1 row
+    # counts exceeds 2^53 in integer form, so the final double cast
+    # diverges between engines without a per-row round back to scale 6
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
     n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         exact_sum("l_quantity").alias("sum_qty"),
@@ -1134,8 +1139,9 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -1171,9 +1177,10 @@ def q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
-    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -1197,8 +1204,9 @@ def q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_supplier_volume",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1230,9 +1238,10 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
         "r_regionkey"
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
-    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)

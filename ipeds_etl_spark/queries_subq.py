@@ -779,8 +779,9 @@ def q_customers_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)))
+                AS DOUBLE)
              AS revenue
     FROM lineitem l
     JOIN orders o    ON o.o_orderkey = l.l_orderkey
@@ -798,7 +799,8 @@ def q_nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the 6-way snowflake join with a DISJUNCTIVE
     pair filter over two dimension branches (supplier nation ×
     customer nation). Discounted revenue follows the house decimal
-    idiom (multiply exact decimals, sum, ONE double cast). Scale: all
+    idiom (multiply exact decimals, re-round the product to scale 6,
+    sum, ONE double cast — the _REV6 rule). Scale: all
     four dimension sides (supplier, customer, nation ×2) broadcast;
     the only exchange is lineitem⋈orders on orderkey, and the nation
     pair predicate prunes before the fact-side shuffle because the
@@ -814,9 +816,14 @@ def q_nations_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
-    )
+    # Re-round the per-row product to scale 6 BEFORE the sum (the
+    # _REV6 idiom): the unrounded DECIMAL(18,12) product overflows
+    # 2^53 when summed at sf>=0.1, so the final double cast differs
+    # between engines without it.
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))

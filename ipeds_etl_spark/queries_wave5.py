@@ -1247,11 +1247,21 @@ def q_events_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage channel a per-event split silently admits (the
     split-by-user-not-by-row rule of eval hygiene, quantified). Shape:
     the quantile's two passes + one user-keyed agg + a broadcast 1-row
-    cutoff; everything else is conditional counting."""
+    cutoff; everything else is conditional counting. The (t, user_id)
+    projection is materialized ONCE via localCheckpoint and shared by
+    all consumers (quantile pass 1+2, the event counts, the user agg)
+    — without it each consumer re-plans its own FileScan of the fact
+    table (17 scans in the round-5 plan). Trading one narrow 2-column
+    materialization for ~4 redundant full-fact scans is the right
+    direction at 100 TB, and the checkpoint truncates the shared
+    lineage so no consumer recomputes another's work."""
     from ipeds_etl_spark.operators.quantile import exact_quantiles
 
     e = load_table(spark, sf_dir, "events")
-    ev = e.select(F.unix_micros("ts").alias("t"))
+    base = e.select(F.unix_micros("ts").alias("t"), "user_id").localCheckpoint(
+        eager=False
+    )
+    ev = base.select("t")
     cut = exact_quantiles(
         ev.withColumn("s", F.lit("all")), "t", [0.8], ["s"]
     ).select(F.col("t").alias("cutoff"))
@@ -1264,10 +1274,10 @@ def q_events_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_test"),
     )
     us = (
-        e.groupBy("user_id")
+        base.groupBy("user_id")
         .agg(
-            F.min(F.unix_micros("ts")).alias("mn"),
-            F.max(F.unix_micros("ts")).alias("mx"),
+            F.min("t").alias("mn"),
+            F.max("t").alias("mx"),
         )
         .crossJoin(F.broadcast(cut))
         .agg(
@@ -1625,9 +1635,16 @@ def q_lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFr
     median, integer weights so the threshold compare is the exact
     2·cum ≥ W cross-multiplication. The cumulative weight runs through
     ``global_prefix_sum`` (range exchange + O(partitions) offsets);
-    the single-task ORDER BY window exists only in the oracle. The
-    (v, wt) tiebreak makes the prefix — and therefore the crossing
-    point — a total function of the data."""
+    the single-task ORDER BY window exists only in the oracle.
+    Determinism note: (v, wt) is NOT unique across duplicate
+    lineitems, so PER-ROW cumulative weights are tie-order-dependent
+    (and the oracle's default RANGE frame assigns them differently
+    than Spark's ROWS frame). Only the CROSSING VALUE is a total
+    function of the data: within a tie group all rows share v, so
+    whichever permutation the engines pick, the first row with
+    2·cum ≥ W carries the same v. Do not rely on per-row prefix
+    parity here; use a unique tiebreak (e.g. a row id) if you need
+    it."""
     from ipeds_etl_spark.operators.layout import global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem").select(

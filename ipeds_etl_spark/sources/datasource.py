@@ -79,6 +79,25 @@ class PaginatedJsonReader(DataSourceReader):
         self.year_start = int(options.get("year_start", "0"))
         self.year_end = int(options.get("year_end", str(self.year_start)))
         self.max_retries = int(options.get("max_retries", "3"))
+        # a 404/missing file on page 1 of a year is indistinguishable
+        # from "this year has no data" at the transport level — but a
+        # typo'd base_url/path_template 404s EVERY page-1 and would
+        # silently yield an empty dataset. Default: loud warning per
+        # empty year; strict_404=true upgrades page-1 misses to errors
+        # for endpoints known to have data for every requested year.
+        self.strict_404 = options.get("strict_404", "false").lower() == "true"
+
+    def _empty_year(self, year: int, url: str) -> None:
+        msg = (
+            f"paginated_json: year {year} terminated on page 1 ({url}) — "
+            "empty year, or a misconfigured base_url/path_template. "
+            "Set strict_404=true to make this an error."
+        )
+        if self.strict_404:
+            raise IOError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
 
     def partitions(self):
         return [YearPartition(y) for y in range(self.year_start, self.year_end + 1)]
@@ -129,6 +148,8 @@ class PaginatedJsonReader(DataSourceReader):
             else:
                 body, url = self._fetch_http(year, page)
             if body is None:
+                if page == 1:
+                    self._empty_year(year, url)
                 break
             data = json.loads(body)
             records = data.get("results", [])
@@ -185,6 +206,11 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         empty-page loop."""
         body, url = self._fetch(year, page)
         if body is None:
+            if page == 1:
+                # same misconfiguration guard as the batch reader:
+                # warn (or raise under strict_404) when a year has no
+                # page 1 at all — a typo'd endpoint 404s every year
+                self._r._empty_year(year, url)
             return None, False
         data = json.loads(body)
         records = data.get("results", [])

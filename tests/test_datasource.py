@@ -269,3 +269,48 @@ def test_stream_reader_resumes_from_checkpoint(spark, fixture_api, tmp_path):
     # second run resumes from the committed offset: nothing re-read,
     # nothing duplicated in the sink
     assert spark.read.parquet(out).count() == 6
+
+
+def test_empty_year_warns_and_strict_404_raises(spark, fixture_api):
+    """ADVICE r5: a year with no page 1 (typo'd base_url looks exactly
+    like this) must be LOUD — warning by default, error under
+    strict_404 — instead of silently yielding an empty dataset."""
+    from ipeds_etl_spark.sources.datasource import PaginatedJsonReader
+
+    # 2022 has no fixture directory: page 1 missing
+    opts = {
+        "base_url": f"file://{fixture_api}",
+        "year_start": "2022",
+        "year_end": "2022",
+    }
+    r = PaginatedJsonReader(opts)
+    import logging
+
+    with_warning = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            with_warning.append(record.getMessage())
+
+    h = Capture()
+    logging.getLogger("ipeds_etl_spark.sources.datasource").addHandler(h)
+    try:
+        assert list(r.read(r.partitions()[0])) == []
+    finally:
+        logging.getLogger("ipeds_etl_spark.sources.datasource").removeHandler(h)
+    assert any("terminated on page 1" in m for m in with_warning)
+
+    strict = PaginatedJsonReader({**opts, "strict_404": "true"})
+    with pytest.raises(IOError, match="strict_404|terminated on page 1"):
+        list(strict.read(strict.partitions()[0]))
+
+    # a year that HAS data is unaffected by strict mode
+    ok = PaginatedJsonReader(
+        {
+            "base_url": f"file://{fixture_api}",
+            "year_start": "2021",
+            "year_end": "2021",
+            "strict_404": "true",
+        }
+    )
+    assert len(list(ok.read(ok.partitions()[0]))) == 1

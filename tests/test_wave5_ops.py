@@ -717,3 +717,26 @@ def test_drift_contributions_match_python_float_recompute(spark):
         expect = float(diff * diff) / (float(n) * rt[r.source] * ct[r.lang])
         assert r.chi2_contrib == expect, (r.source, r.lang)
         assert r.expected == float(rt[r.source] * ct[r.lang]) / n
+
+
+def test_global_prefix_sum_edge_cases(spark):
+    """ADVICE r5: empty input must not raise (create_map() with zero
+    args), and an all-NULL range partition must not TypeError the
+    driver-side offset fold (SUM of nulls -> NULL -> coalesced 0)."""
+    from ipeds_etl_spark.operators.layout import global_prefix_sum, global_row_number
+
+    schema = "k int, v long"
+    empty = spark.createDataFrame([], schema)
+    assert global_prefix_sum(empty, [F.asc("k")], "v", "cum", 4).count() == 0
+    assert global_row_number(empty, ["k"], "rn", 4).count() == 0
+
+    # 3 rows, v entirely NULL: partition totals are NULL pre-coalesce
+    rows = [(1, None), (2, None), (3, None)]
+    nulls = spark.createDataFrame(rows, schema)
+    out = global_prefix_sum(nulls, [F.asc("k")], "v", "cum", 2).collect()
+    assert len(out) == 3 and all(r.cum is None for r in out)
+
+    # mixed: NULL values contribute nothing; running sum skips them
+    mixed = spark.createDataFrame([(1, 10), (2, None), (3, 5)], schema)
+    got = {r.k: r.cum for r in global_prefix_sum(mixed, [F.asc("k")], "v", "cum", 2).collect()}
+    assert got == {1: 10, 2: 10, 3: 15}
