@@ -616,6 +616,7 @@ def _load_extensions() -> None:
         queries_ext,
         queries_subq,
         queries_wave5,
+        queries_wave6,
     )
 
 
@@ -665,6 +666,16 @@ _GATE_PRIORITY: list[str] = [
     "orders_shipping_priority",
     "regional_supplier_volume",
     # -- new in round 6 (inserted as implemented; no driver row yet) --
+    "supplier_price_trend",
+    "orders_monthly_seasonality",
+    "events_asof_next_purchase",
+    "lineitem_histogram_quantile_error",
+    "docs_boilerplate_chunks",
+    "docs_unigram_surprisal",
+    "events_kmv_intersection",
+    "events_hll_sliding",
+    "docs_bigram_conditionals",
+    "customer_decile_transition",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",

@@ -1,0 +1,852 @@
+"""Round-6 additions: regression/seasonality analytics on exact
+moments, tolerance-bounded as-of matching, a calibrated histogram
+quantile estimator, boilerplate-chunk profiling, integer-bit unigram
+surprisal, KMV set-operation completion, bigram conditionals, and the
+decile mobility matrix on two-pass quantile cutoffs.
+
+Design rules carried over from the earlier waves (see SCALE.md):
+exact integer/decimal moments with ONE IEEE operation at the very end;
+`x div y` ↔ DuckDB `//` (both truncate toward zero) for scaled-BIGINT
+fixed-point results; order statistics through the two-pass histogram
+quantile, never a buffering `percentile`; windows only over
+metadata-sized frames; no transcendental functions anywhere (libm is
+not cross-engine deterministic — integer bit-lengths stand in for
+log2 where a magnitude is needed).
+
+The reference (kebe3476/ipeds_etl) ships none of these operators; they
+extend its analytics surface following the same oracle-twin discipline
+as the rest of the extension track (see COVERAGE.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions import text as TX
+from ipeds_etl_spark.functions.hashing import parity_hash
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.sources.tables import load_table
+
+_WS_TOKENS = r"list_filter(regexp_split_to_array({x}, '\s+'), t -> len(t) > 0)"
+_HASH10 = "CAST(concat('0x', substr(sha256({x}), 1, 10)) AS BIGINT)"
+
+
+# ===========================================================================
+# Per-supplier OLS price trend from exact integer moments
+# ===========================================================================
+#: centering constants — shifting x and y changes neither the slope
+#: nor its exactness, but keeps every cross-moment comfortably inside
+#: BIGINT (|x'| <= ~1300 days, |y'| <= ~5.3e6 cents; see magnitude
+#: audit in the docstring)
+_TREND_X0 = "DATE '1995-01-01'"
+_TREND_XC = 1250
+_TREND_YC = 5_250_000  # cents
+
+
+@_register(
+    "supplier_price_trend",
+    f"""
+    WITH pts AS (
+      SELECT l_suppkey,
+             datediff('day', {_TREND_X0}, CAST(l_shipdate AS DATE)) - {_TREND_XC} AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+               - {_TREND_YC} AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY l_suppkey)
+    SELECT l_suppkey,
+           n AS n_lines,
+           CAST(((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx) AS BIGINT)
+             AS slope_millicents_per_day
+    FROM m
+    WHERE n > 1 AND n * sxx - sx * sx <> 0
+    ORDER BY l_suppkey
+    """,
+)
+def q_supplier_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier OLS slope of shipped price vs time — the classic
+    "is this supplier's pricing drifting" monitor — computed entirely
+    from exact integer moments: x = day index centered on the date
+    range's midpoint, y = exact cents centered near the price mean,
+    slope = (nΣxy − ΣxΣy)·1000 div (nΣx² − (Σx)²) as a scaled-BIGINT
+    fixed point (milli-cents/day). NO floating point anywhere, so the
+    result is a total function of the data on both engines.
+
+    Magnitude audit (the reason for the centering constants): with
+    |x'| ≤ 1300 and |y'| ≤ 5.3e6 and ~600 lines/supplier at any sf
+    (lineitem and supplier scale together), nΣx'y'·1000 ≤ ~2.4e18 —
+    inside BIGINT with 4x headroom. If per-supplier line counts ever
+    grow 10x beyond that, promote the two products to DECIMAL(38,0)
+    (DuckDB's SUM already widens to HUGEINT).
+
+    Scale: ONE map-combinable aggregate over the fact scan (five
+    integer sums), output O(suppliers). The slope arithmetic runs on
+    the aggregate rows only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_suppkey",
+        (
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            - F.lit(_TREND_XC)
+        ).alias("x"),
+        (
+            (F.col("l_extendedprice").cast("decimal(18,6)") * 100).cast("bigint")
+            - F.lit(_TREND_YC)
+        ).alias("y"),
+    )
+    m = pts.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.filter((F.col("n") > 1) & (den != 0))
+        .select(
+            "l_suppkey",
+            F.col("n").alias("n_lines"),
+            F.expr(
+                "CAST(((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx) AS BIGINT)"
+            ).alias("slope_millicents_per_day"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ===========================================================================
+# Month-of-year seasonality index
+# ===========================================================================
+@_register(
+    "orders_monthly_seasonality",
+    """
+    WITH m AS (
+      SELECT month(o_orderdate) AS month_of_year,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    t AS (SELECT SUM(rev) AS total FROM m)
+    SELECT month_of_year,
+           n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) * 12 / CAST(total AS DOUBLE) AS seasonal_index
+    FROM m CROSS JOIN t
+    ORDER BY month_of_year
+    """,
+)
+def q_orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index (rev_month × 12 / rev_total — 1.0
+    means a perfectly flat month). Sums are exact DECIMAL(18,2) —
+    scale 2, not 6, because the 12-group monthly sums approach the
+    2^53 integer-form boundary at scale 6 on a few hundred times this
+    data (the SCALE.md re-rounding rule applied preemptively: cents
+    are exact for money and 10^4 more headroom). One double
+    multiply-by-12 (exact) + one IEEE division at the end.
+
+    Scale: one 12-group map-combinable agg + a broadcast 1-row total —
+    the cheapest possible seasonality readout at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    t = m.agg(F.sum("rev").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "month_of_year",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            (F.col("rev").cast("double") * 12 / F.col("total").cast("double")).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("month_of_year")
+    )
+
+
+# ===========================================================================
+# Forward as-of match with tolerance (view -> next purchase within 1h)
+# ===========================================================================
+_ASOF_TOL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@_register(
+    "events_asof_next_purchase",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+    m AS (
+      SELECT event_id, user_id, event_type, t,
+             min(CASE WHEN event_type = 'purchase' THEN t END) OVER (
+               PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN 1 FOLLOWING AND {_ASOF_TOL_US} FOLLOWING
+             ) AS next_purchase_t
+      FROM e)
+    SELECT event_id, user_id, t AS view_t, next_purchase_t,
+           next_purchase_t - t AS latency_us
+    FROM m WHERE event_type = 'view'
+    ORDER BY event_id
+    """,
+)
+def q_events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance bound: for every 'view',
+    the user's EARLIEST 'purchase' strictly after it and within one
+    hour (NULL when none) — the attribution-window primitive, spelled
+    as ONE window over the interleaved event stream instead of a
+    range self-join: min(t | purchase) over a RANGE frame of
+    (1, tolerance] microseconds following. The range frame is
+    maintained incrementally by WindowExec (add/remove at the frame
+    edges — the `orders_trailing_30d_spend` property), so per-user
+    cost is O(events), not O(events × window width), and there is no
+    join at all: one user shuffle total.
+
+    Strictness note: the frame starts at 1 following, so a purchase
+    at the exact same microsecond does NOT match — 'next' means
+    strictly later, deterministic on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(1, _ASOF_TOL_US)
+    )
+    m = e.withColumn(
+        "next_purchase_t",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t"))).over(w),
+    )
+    return (
+        m.filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("view_t"),
+            "next_purchase_t",
+            (F.col("next_purchase_t") - F.col("t")).alias("latency_us"),
+        )
+        .orderBy("event_id")
+    )
+
+# ===========================================================================
+# Histogram quantile estimator with built-in calibration against exact
+# ===========================================================================
+_HQ_BINS = 256
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+@_register(
+    "lineitem_histogram_quantile_error",
+    f"""
+    WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      min(l_extendedprice) AS lo,
+                      max(l_extendedprice) AS hi FROM lineitem),
+    b AS (SELECT CAST(least({_HQ_BINS - 1},
+                 floor((l_extendedprice - lo) * {_HQ_BINS} / (hi - lo))) AS INT) AS bin,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM lineitem CROSS JOIN s GROUP BY 1),
+    cb AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM b),
+    tgt AS (SELECT q, greatest(0, CAST(ceil(q * n) AS BIGINT) - 1) AS r
+            FROM (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q)
+            CROSS JOIN s),
+    hit AS (SELECT tgt.q, min(cb.bin) AS bin
+            FROM tgt JOIN cb ON cb.cum > tgt.r GROUP BY tgt.q),
+    ex AS ({" UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS exact_value FROM lineitem"
+        for q in _HQ_QS)})
+    SELECT hit.q,
+           lo + (bin + 1) * ((hi - lo) / {_HQ_BINS}) AS est_value,
+           ex.exact_value,
+           lo + (bin + 1) * ((hi - lo) / {_HQ_BINS}) - ex.exact_value AS err
+    FROM hit JOIN ex ON hit.q = ex.q CROSS JOIN s
+    ORDER BY hit.q
+    """,
+)
+def q_lineitem_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass equi-width histogram quantile ESTIMATOR with its
+    calibration gate attached: estimate p50/p90/p99 of price from a
+    256-bin histogram (right bin edge of the bin containing the target
+    order statistic), then report the error against the EXACT two-pass
+    order statistic — the accuracy audit that justifies shipping the
+    one-pass estimator on a 100 TB column where even the two-pass
+    exact costs a second scan. Bin assignment and edge arithmetic use
+    the IDENTICAL operation order on both engines (every step a
+    correctly-rounded IEEE op), so estimates — not just errors — hash
+    cross-engine.
+
+    Scale: the estimator is ONE map-combinable agg into ≤256 counters
+    (constant state, CMS-style); the cumulative window runs over 256
+    rows; the exact side is the standard two-pass histogram quantile.
+    At 100 TB you run the estimator per-batch and the exact gate on
+    samples — both shapes are here."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = (
+        li.crossJoin(F.broadcast(s))
+        .select(
+            F.least(
+                F.lit(_HQ_BINS - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo")) * _HQ_BINS / (F.col("hi") - F.col("lo"))
+                ),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("cum", F.sum("c").over(Window.orderBy("bin")))
+    )
+    tgt = s.select(
+        "n",
+        F.explode(F.array(*[F.lit(float(q)) for q in _HQ_QS])).alias("q"),
+    ).select(
+        "q",
+        F.greatest(
+            F.lit(0).cast("long"), (F.ceil(F.col("q") * F.col("n")) - 1).cast("long")
+        ).alias("r"),
+    )
+    hit = (
+        tgt.join(F.broadcast(binned), F.col("cum") > F.col("r"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    exact = exact_quantiles(
+        li.withColumn("g", F.lit("all")), "v", list(_HQ_QS), ["g"], n_buckets=4096
+    ).select("q", F.col("v").alias("exact_value"))
+    est = F.col("lo") + (F.col("bin") + 1) * (
+        (F.col("hi") - F.col("lo")) / _HQ_BINS
+    )
+    return (
+        hit.join(exact, "q")
+        .crossJoin(F.broadcast(s))
+        .select(
+            "q",
+            est.alias("est_value"),
+            "exact_value",
+            (est - F.col("exact_value")).alias("err"),
+        )
+        .orderBy("q")
+    )
+
+# ===========================================================================
+# Boilerplate chunk profile (CCNet-style repeated-passage removal signal)
+# ===========================================================================
+_BP_CHUNK = 8  # words per non-overlapping chunk
+_BP_MINDOCS = 5  # chunk seen in >= this many docs => boilerplate
+
+#: non-overlapping 8-word chunks, 1-based inclusive DuckDB slices; a
+#: doc shorter than one chunk contributes itself; the (< CHUNK)-word
+#: tail is DISCARDED on both engines (documented determinism choice)
+_BP_CHUNKS_SQL = (
+    "CASE WHEN len({w}) < 8 THEN [array_to_string({w}, ' ')] "
+    "ELSE list_transform(range(len({w}) // 8), "
+    "i -> array_to_string({w}[i*8+1:i*8+8], ' ')) END"
+)
+
+
+@_register(
+    "docs_boilerplate_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    ch AS (
+      SELECT doc_id, source, {_HASH10.format(x='g')} AS h
+      FROM (SELECT doc_id, source, unnest({_BP_CHUNKS_SQL.format(w='w')}) AS g FROM t)),
+    freq AS (
+      SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ch GROUP BY h)
+    SELECT ch.source,
+           CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN freq.n_docs >= {_BP_MINDOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(SUM(CASE WHEN freq.n_docs >= {_BP_MINDOCS} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS boilerplate_frac
+    FROM ch JOIN freq ON ch.h = freq.h
+    GROUP BY ch.source
+    ORDER BY ch.source
+    """,
+)
+def q_docs_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate profile per source: chop every document into
+    NON-overlapping 8-word chunks (the cheap cousin of the
+    `docs_dup_ngram_fraction` sliding shingles — 1/8th the rows),
+    call a chunk boilerplate when it appears in >= 5 distinct
+    documents, and report each source's boilerplate instance
+    fraction — the "repeated passage" signal CCNet-style pipelines
+    use to strip headers/footers/navigation before training. Exact.
+
+    Scale: chunking is map-side (one generated array per doc, O(doc)
+    allocation); document frequency is one exchange on the chunk hash
+    (map-combinable count over map-side-deduped (doc, h) pairs); the
+    instance stream joins that O(distinct chunks) table on the same
+    hash key — shuffle reuse — and the final source rollup is
+    O(sources). A doc's sub-chunk tail is discarded identically on
+    both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("w")
+    )
+    nch = F.size("w")
+    chunks = F.when(
+        nch < _BP_CHUNK, F.array(F.array_join("w", " "))
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(0, size(w) div {_BP_CHUNK} - 1), "
+            f"i -> array_join(slice(w, i*{_BP_CHUNK}+1, {_BP_CHUNK}), ' '))"
+        )
+    )
+    ch = d.select(
+        "doc_id", "source", F.explode(F.transform(chunks, parity_hash)).alias("h")
+    )
+    freq = (
+        ch.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs_h"))
+    )
+    boiler = F.sum(F.when(F.col("n_docs_h") >= _BP_MINDOCS, 1).otherwise(0))
+    return (
+        ch.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            boiler.cast("long").alias("n_boilerplate"),
+            (boiler.cast("double") / F.count(F.lit(1))).alias("boilerplate_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Unigram surprisal in integer bits (libm-free LM quality proxy)
+# ===========================================================================
+@_register(
+    "docs_unigram_surprisal",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({_WS_TOKENS.format(x='text')}) AS t FROM documents),
+    cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(length(to_base(CAST(SUM(c) AS BIGINT), 2)) AS BIGINT)
+                     AS total_bits FROM cnt)
+    SELECT tok.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(total_bits - length(to_base(cnt.c, 2))) AS BIGINT) AS sum_bits,
+           CAST(SUM(total_bits - length(to_base(cnt.c, 2))) AS DOUBLE) / count(*)
+             AS avg_surprisal_bits
+    FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot
+    GROUP BY tok.source
+    ORDER BY tok.source
+    """,
+)
+def q_docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy WITHOUT libm: per-token surprisal in
+    whole bits = bitlength(total_tokens) − bitlength(count(token)) —
+    the integer floor-log2 approximation of −log2 p(token), computed
+    via binary-string length (`conv(x,10,2)` ↔ `to_base(x,2)`), which
+    is pure integer arithmetic and therefore bit-identical across
+    engines (the house ban on ln/log2 — libm is not cross-engine
+    deterministic — applied to LM scoring, same trick as the
+    `docs_vocabulary` df-rank spelling). Per-source mean bits/token is
+    the corpus-quality readout: sources full of rare junk tokens score
+    high, repetitive boilerplate scores low — the CCNet perplexity
+    filter's shape with a verifiable arithmetic core.
+
+    Scale: one token-count exchange (map-combinable), one join of the
+    token stream against the O(vocab) count table on the same token
+    key, one O(sources) rollup + a broadcast 1-row total. When vocab
+    fits in memory the join auto-broadcasts; at web scale it rides
+    the token-hash exchange already paid by the count."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    cnt = d.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("total"),
+        F.length(F.conv(F.sum("c").cast("string"), 10, 2)).cast("long").alias(
+            "total_bits"
+        ),
+    )
+    bits_c = F.length(F.conv(F.col("c").cast("string"), 10, 2)).cast("long")
+    joined = d.join(cnt, "t").crossJoin(F.broadcast(tot))
+    surp = F.sum(F.col("total_bits") - bits_c)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            surp.cast("long").alias("sum_bits"),
+            (surp.cast("double") / F.count(F.lit(1))).alias("avg_surprisal_bits"),
+        )
+        .orderBy("source")
+    )
+
+# ===========================================================================
+# KMV sketch set operations: pairwise union / Jaccard / intersection
+# ===========================================================================
+_KMV_K = 64
+
+
+def _kmv_inter_oracle() -> str:
+    from ipeds_etl_spark.operators import sketches as SK
+
+    sk = SK.kmv_sketch_sql("CAST(user_id AS VARCHAR)", _KMV_K)
+    merged = SK.kmv_merge_sql("a.sk", "b.sk", _KMV_K)
+    union_est = SK.kmv_estimate_from_sql("m", _KMV_K)
+    return f"""
+    WITH s AS (SELECT event_type, {sk} AS sk FROM events GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.sk AS ska, b.sk AS skb, {merged} AS m
+      FROM s a JOIN s b ON a.event_type < b.event_type),
+    est AS (
+      SELECT type_a, type_b,
+             {union_est} AS union_est,
+             CAST(len(list_intersect(list_intersect(m, ska), skb)) AS DOUBLE)
+               / len(m) AS jaccard_est
+      FROM pairs),
+    ud AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_common
+      FROM ud a JOIN ud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT est.type_a, est.type_b, est.union_est, est.jaccard_est,
+           est.jaccard_est * est.union_est AS intersection_est,
+           ex.exact_common
+    FROM est JOIN ex ON est.type_a = ex.type_a AND est.type_b = ex.type_b
+    ORDER BY est.type_a, est.type_b
+    """
+
+
+@_register("events_kmv_intersection", _kmv_inter_oracle())
+def q_events_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation completion (the Theta-sketch algebra): from
+    one bounded sketch per event type, estimate pairwise audience
+    UNION (k-th min estimator on the merged sketch), JACCARD (fraction
+    of the merged sketch's k minima present in BOTH input sketches —
+    the classic KMV/Theta intersection rule), and INTERSECTION
+    (jaccard × union), with the exact common-user count joined
+    alongside as the calibration column. Everything runs on the
+    deterministic parity hash, so DuckDB replays the estimates
+    bit-for-bit (division and one product — no reordered float sums).
+
+    Scale: sketch build is one map-combinable agg (state ≤ k hashes
+    per type); the pair algebra runs on an O(types²) frame of
+    k-length arrays. The exact side is one distinct + a user-keyed
+    self-join — the audit you run at gate scale, while the sketch
+    path is the one that survives 100 TB."""
+    from ipeds_etl_spark.operators import sketches as SK
+
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    s = e.groupBy("event_type").agg(SK.kmv_sketch(uid, _KMV_K).alias("sk"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.sk").alias("ska"),
+        F.col("b.sk").alias("skb"),
+        SK.kmv_merge(F.col("a.sk"), F.col("b.sk"), _KMV_K).alias("m"),
+    )
+    union_est = SK.kmv_estimate_from(F.col("m"), _KMV_K)
+    jacc = (
+        F.size(F.array_intersect(F.array_intersect("m", "ska"), "skb")).cast("double")
+        / F.size("m")
+    )
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        union_est.alias("union_est"),
+        jacc.alias("jaccard_est"),
+    )
+    ud = e.select("event_type", "user_id").distinct()
+    ua, ub = ud.alias("ua"), ud.alias("ub")
+    ex = (
+        ua.join(
+            ub,
+            (F.col("ua.user_id") == F.col("ub.user_id"))
+            & (F.col("ua.event_type") < F.col("ub.event_type")),
+        )
+        .groupBy(
+            F.col("ua.event_type").alias("type_a"),
+            F.col("ub.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return (
+        est.join(ex, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "union_est",
+            "jaccard_est",
+            (F.col("jaccard_est") * F.col("union_est")).alias("intersection_est"),
+            "exact_common",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ===========================================================================
+# Sliding-window HLL: hourly registers merged across adjacent hours
+# ===========================================================================
+def _hll_sliding_oracle() -> str:
+    from ipeds_etl_spark.operators import sketches as SK
+
+    b = SK.hll_bucket_sql("CAST(user_id AS VARCHAR)")
+    r = SK.hll_rho_sql("CAST(user_id AS VARCHAR)")
+    pow_r = SK.hll_register_pow_sql("r")
+    est = SK.hll_estimate_from_registers_sql("sp", "nreg")
+    return f"""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, {b} AS bucket, {r} AS rho FROM events),
+    hourly AS (
+      SELECT hr, bucket, max(rho) AS r FROM h GROUP BY hr, bucket),
+    contrib AS (
+      SELECT unnest([hr, hr + INTERVAL 1 HOUR]) AS win_end, bucket, r FROM hourly),
+    regs AS (SELECT win_end, bucket, max(r) AS r FROM contrib GROUP BY win_end, bucket),
+    per AS (SELECT win_end, SUM({pow_r}) AS sp, CAST(count(*) AS BIGINT) AS nreg
+            FROM regs GROUP BY win_end),
+    ex AS (
+      SELECT w.win_end AS win_end, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users
+      FROM (SELECT DISTINCT win_end FROM contrib) w
+      JOIN events e
+        ON date_trunc('hour', e.ts) BETWEEN w.win_end - INTERVAL 1 HOUR AND w.win_end
+      GROUP BY w.win_end)
+    SELECT strftime(per.win_end, '%Y-%m-%d %H:00') AS window_end_hour,
+           ex.exact_users, {est} AS hll_users,
+           ({est} - ex.exact_users) / ex.exact_users AS rel_err
+    FROM per JOIN ex ON per.win_end = ex.win_end
+    ORDER BY window_end_hour
+    """
+
+
+@_register("events_hll_sliding", _hll_sliding_oracle())
+def q_events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour distinct-user estimates WITHOUT rescanning: the
+    raw stream is compacted once into hourly HLL registers; each hour
+    then contributes its registers to the two sliding windows that
+    contain it (a map-side explode of the O(hours × 64) register
+    frame), and windows merge by MAX — the mergeable-sketch property
+    doing the work a naive rolling COUNT(DISTINCT) would pay a full
+    band-join for (`events_dau_wau_stickiness` documents that exact
+    shape; this is its sketch dual). Exact per-window counts ride
+    alongside as the calibration column.
+
+    Scale: ONE corpus-sized agg (hour × bucket registers); everything
+    downstream is O(hours × 64) rows. State per window is exactly 64
+    small ints regardless of cardinality — the register-reuse pattern
+    that makes sliding uniques tractable on an unbounded stream."""
+    from ipeds_etl_spark.operators import sketches as SK
+
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    h = e.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        SK.hll_bucket(uid).alias("bucket"),
+        SK.hll_rho(uid).alias("rho"),
+    )
+    hourly = h.groupBy("hr", "bucket").agg(F.max("rho").alias("r"))
+    contrib = hourly.select(
+        F.explode(
+            F.array(F.col("hr"), F.col("hr") + F.expr("INTERVAL 1 HOUR"))
+        ).alias("win_end"),
+        "bucket",
+        "r",
+    )
+    regs = contrib.groupBy("win_end", "bucket").agg(F.max("r").alias("r"))
+    per = regs.groupBy("win_end").agg(
+        F.sum(SK.hll_register_pow(F.col("r"))).alias("sp"),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    wins = contrib.select("win_end").distinct()
+    ex = (
+        wins.join(
+            e.select(F.date_trunc("hour", "ts").alias("ehr"), "user_id"),
+            (F.col("ehr") >= F.col("win_end") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ehr") <= F.col("win_end")),
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    est = SK.hll_estimate_from_registers(F.col("sp"), F.col("nreg"))
+    return (
+        per.join(ex, "win_end")
+        .select(
+            F.date_format("win_end", "yyyy-MM-dd HH:00").alias("window_end_hour"),
+            "exact_users",
+            est.alias("hll_users"),
+            ((est - F.col("exact_users")) / F.col("exact_users")).alias("rel_err"),
+        )
+        .orderBy("window_end_hour")
+    )
+
+# ===========================================================================
+# Bigram conditionals: top next-token per head with conditional prob
+# ===========================================================================
+@_register(
+    "docs_bigram_conditionals",
+    f"""
+    WITH t AS (SELECT {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    bg AS (
+      SELECT s.a AS head, s.b AS nxt
+      FROM (SELECT unnest(list_transform(range(len(w) - 1),
+                   i -> {{'a': w[i+1], 'b': w[i+2]}})) AS s
+            FROM t WHERE len(w) >= 2)),
+    pc AS (SELECT head, nxt, CAST(count(*) AS BIGINT) AS pair_n
+           FROM bg GROUP BY head, nxt),
+    hc AS (SELECT head, CAST(SUM(pair_n) AS BIGINT) AS head_n FROM pc GROUP BY head),
+    top AS (
+      SELECT head, nxt, pair_n FROM pc
+      QUALIFY row_number() OVER (PARTITION BY head ORDER BY pair_n DESC, nxt) = 1)
+    SELECT top.head, top.nxt AS top_next, top.pair_n, hc.head_n,
+           CAST(top.pair_n AS DOUBLE) / hc.head_n AS cond_p
+    FROM top JOIN hc ON top.head = hc.head
+    ORDER BY top.head
+    """,
+)
+def q_docs_bigram_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-head-token most-likely next token with its conditional
+    probability — the bigram-LM table a fertility/packing pipeline
+    inspects to sanity-check a tokenizer's merge candidates (the BPE
+    scorer in `operators/bpe.py` ranks exactly these adjacent-pair
+    counts). Bigrams are generated MAP-SIDE from each doc's token
+    array (no self-join on position anywhere); the per-head winner is
+    the associative min(struct(-count, token)) pick — the
+    `docs_golden_record` survivorship idiom, so no window touches the
+    corpus-sized pair stream on the Spark side (the oracle uses
+    QUALIFY, its SinglePartition being oracle-only as usual). Count
+    arithmetic exact; ONE division per head row.
+
+    Scale: one exchange on (head, next) for pair counts (map-side
+    combinable), then O(vocab²)-bounded frames — head totals and the
+    argmax both ride a second small exchange on head."""
+    d = load_table(spark, sf_dir, "documents").select(
+        TX.tokens(F.col("text")).alias("w")
+    )
+    bg = d.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))")
+        ).alias("s")
+    ).select(F.col("s.a").alias("head"), F.col("s.b").alias("nxt"))
+    pc = bg.groupBy("head", "nxt").agg(F.count(F.lit(1)).alias("pair_n"))
+    per_head = pc.groupBy("head").agg(
+        F.sum("pair_n").alias("head_n"),
+        F.min(F.struct((-F.col("pair_n")).alias("neg_n"), F.col("nxt").alias("tok"))).alias(
+            "w_"
+        ),
+    )
+    return per_head.select(
+        "head",
+        F.col("w_.tok").alias("top_next"),
+        (-F.col("w_.neg_n")).cast("long").alias("pair_n"),
+        F.col("head_n").cast("long").alias("head_n"),
+        ((-F.col("w_.neg_n")).cast("double") / F.col("head_n")).alias("cond_p"),
+    ).orderBy("head")
+
+
+# ===========================================================================
+# Customer spend-decile YoY transition matrix (mobility analysis)
+# ===========================================================================
+_DEC_Y1, _DEC_Y2 = 1996, 1997
+_DEC_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _decile_oracle() -> str:
+    qlist = ", ".join(str(q) for q in _DEC_QS)
+    bucket = " + ".join(
+        f"CASE WHEN spend > cuts[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, len(_DEC_QS) + 1)
+    )
+    return f"""
+    WITH sp AS (
+      SELECT o_custkey, year(o_orderdate) AS y,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders WHERE year(o_orderdate) IN ({_DEC_Y1}, {_DEC_Y2})
+      GROUP BY 1, 2),
+    cuts AS (
+      SELECT y, quantile_disc(spend, [{qlist}]) AS cuts FROM sp GROUP BY y),
+    dec AS (
+      SELECT sp.o_custkey, sp.y, CAST(1 + {bucket} AS INTEGER) AS decile
+      FROM sp JOIN cuts ON sp.y = cuts.y)
+    SELECT a.decile AS decile_{_DEC_Y1}, b.decile AS decile_{_DEC_Y2},
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM dec a JOIN dec b ON a.o_custkey = b.o_custkey
+     AND a.y = {_DEC_Y1} AND b.y = {_DEC_Y2}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@_register("customer_decile_transition", _decile_oracle())
+def q_customer_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-decile mobility matrix: customers are
+    bucketed into WITHIN-YEAR spend deciles and the (decile_y1 →
+    decile_y2) transition counts come out — the cohort-mobility
+    readout behind churn/upsell models, and for a training-data
+    pipeline the drift check on any score whose deciles should be
+    stable across snapshots. Deciles use exact per-year quantile
+    cutoffs from the two-pass histogram quantile (`exact_quantiles`
+    with year as the group — NEVER ntile(), whose global sort is one
+    task per partition clause), and bucket assignment is the RFM
+    cut-point CASE chain over a broadcast 9-cutoff row. Customers
+    active in only one of the two years drop out via the inner join
+    (documented choice — the matrix is over the retained cohort).
+
+    Scale: one (customer, year) spend agg; quantile's two passes over
+    it; bucketing map-side against broadcast cutoffs; the transition
+    join is customer-keyed between two year-slices of the same frame;
+    output ≤ 100 cells."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    sp = (
+        o.filter(F.year("o_orderdate").isin(_DEC_Y1, _DEC_Y2))
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").alias("y")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        .localCheckpoint(eager=False)
+    )
+    cuts = (
+        exact_quantiles(sp, "spend", _DEC_QS, ["y"])
+        .groupBy("y")
+        .agg(F.sort_array(F.collect_list("spend")).alias("cuts"))
+    )
+    bucket = F.lit(1)
+    for i in range(1, len(_DEC_QS) + 1):
+        bucket = bucket + F.when(
+            F.col("spend") > F.element_at("cuts", i), 1
+        ).otherwise(0)
+    dec = sp.join(F.broadcast(cuts), "y").select(
+        "o_custkey", "y", bucket.cast("int").alias("decile")
+    )
+    a, b = dec.alias("a"), dec.alias("b")
+    return (
+        a.filter(F.col("a.y") == _DEC_Y1)
+        .join(
+            b.filter(F.col("b.y") == _DEC_Y2),
+            F.col("a.o_custkey") == F.col("b.o_custkey"),
+        )
+        .groupBy(
+            F.col("a.decile").alias(f"decile_{_DEC_Y1}"),
+            F.col("b.decile").alias(f"decile_{_DEC_Y2}"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(f"decile_{_DEC_Y1}", f"decile_{_DEC_Y2}")
+    )

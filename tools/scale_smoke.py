@@ -339,6 +339,52 @@ def run_sweep(spark, results: dict, names: list[str] | None = None, key: str = "
     results[key] = sweep
 
 
+def run_verdict_r6(spark, results: dict) -> None:
+    """VERDICT r5 item 4: sf1 measurements (not just shape arguments)
+    for the round-5 wave's iterative/candidate-bounded operators —
+    rounds must stay fixed and candidate counts linear when the corpus
+    grows 10x."""
+    from ipeds_etl_spark import queries as q
+    from ipeds_etl_spark import queries_wave5 as w5
+
+    reg = q.queries()
+    out: dict = {}
+
+    t0 = time.perf_counter()
+    reg["docs_bpe_merges"](spark, SF1_DIR).collect()
+    out["bpe_merges"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        # rounds are STRUCTURALLY vocabulary-bound: the merge loop is
+        # unrolled to a fixed count in operators/bpe.py regardless of
+        # corpus size; the corpus enters once (word-frequency pass)
+        "rounds": "fixed (unrolled merge rounds, corpus-independent)",
+    }
+
+    t0 = time.perf_counter()
+    kc_rows = reg["dedup_kcore"](spark, SF1_DIR).collect()
+    out["kcore"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "rounds": w5._KCORE_ROUNDS,
+        "result": [r.asDict() for r in kc_rows][:3],
+    }
+
+    n_docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet").count()
+    t0 = time.perf_counter()
+    n_snm = reg["docs_snm_pairs"](spark, SF1_DIR).count()
+    out["snm"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "n_docs": n_docs,
+        "candidate_bound_n_times_w": n_docs * w5._SNM_W,
+        "pairs_past_jaccard": n_snm,
+    }
+
+    t0 = time.perf_counter()
+    bf = reg["parts_copurchase_butterflies"](spark, SF1_DIR).collect()[0].asDict()
+    out["butterflies"] = {"sec": round(time.perf_counter() - t0, 2), **bf}
+
+    results["verdict_r6"] = out
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
@@ -369,6 +415,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R8, key="sweep_r8")
     if "sweep_r9" in sections:
         run_sweep(spark, results, names=SWEEP_R9, key="sweep_r9")
+    if "verdict_r6" in sections:
+        run_verdict_r6(spark, results)
     print(json.dumps(results))
 
 
