@@ -262,7 +262,7 @@ _HLL_STATE_SCHEMA = T.StructType(
 )
 
 
-def hll_distinct_stream(events: DataFrame) -> DataFrame:
+def hll_distinct_stream(events: DataFrame, include_global: bool = False) -> DataFrame:
     """Streaming HLL distinct-user estimate per event_type — the
     max-merge sibling of ``kmv_distinct_stream`` with even tighter
     state: EXACTLY m = 64 small ints per key, independent of both the
@@ -274,7 +274,17 @@ def hll_distinct_stream(events: DataFrame) -> DataFrame:
     batch boundary invisible: at every trigger the emitted estimate
     equals the batch ``events_hll_users`` raw estimator over all rows
     seen so far, bit-for-bit (the harmonic sum is exact-dyadic in both
-    forms; cross-checked by test)."""
+    forms; cross-checked by test).
+
+    ``include_global=True`` additionally maintains the max-MERGED
+    global registers under the reserved key ``__all__`` — the
+    streaming twin of the batch query's grouping-sets/Expand pass:
+    each input row is exploded map-side to its own type key AND the
+    global key, so the ``__all__`` state is structurally the merge of
+    the per-type registers (register merge IS max), at the cost of one
+    extra state row of 64 ints total. This is how a streaming job gets
+    per-group and all-up uniques from ONE stateful operator instead of
+    two queries over the same source."""
     from pyspark.sql import functions as F
 
     from ipeds_etl_spark.operators.sketches import (
@@ -313,9 +323,14 @@ def hll_distinct_stream(events: DataFrame) -> DataFrame:
         )
 
     uid = F.col("user_id").cast("string")
+    key = (
+        F.explode(F.array(F.col("event_type"), F.lit("__all__")))
+        if include_global
+        else F.col("event_type")
+    )
     return (
         events.select(
-            "event_type",
+            key.alias("event_type"),
             hll_bucket(uid).cast("int").alias("bucket"),
             hll_rho(uid).cast("int").alias("rho"),
         )

@@ -709,3 +709,39 @@ def test_transform_with_state_matches_v1_api_and_batch(spark, stream_dir):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_hll_stream_global_expand_twin_matches_batch(spark, stream_dir):
+    """VERDICT r5 stretch: the GROUPING-SETS form's streaming twin.
+    With include_global=True every row feeds its own type key AND the
+    reserved __all__ key (the map-side explode standing in for the
+    batch Expand), so the stream's __all__ registers are the max-merge
+    of the per-type ones and the final estimate must equal the batch
+    query's merged-global row bit-for-bit — per-type rows included."""
+    from ipeds_etl_spark.queries_wave5 import q_events_hll_users
+    from ipeds_etl_spark.streaming.stateful import hll_distinct_stream
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    (
+        hll_distinct_stream(stream, include_global=True)
+        .writeStream.format("memory")
+        .queryName("hll_stream_global")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    emitted = spark.sql("SELECT * FROM hll_stream_global").collect()
+    assert emitted, "stream emitted nothing"
+    final = {}
+    for r in emitted:  # last emit per key = final registers
+        final[r["event_type"]] = (r["hll_users"], r["filled_registers"])
+    batch = {
+        r.event_type: (r.hll_users, 64 - r.empty_registers)
+        for r in q_events_hll_users(spark, SF).collect()
+    }
+    assert "__all__" in final and set(final) == set(batch)
+    for et, (est, filled) in final.items():
+        assert est == batch[et][0], (et, est, batch[et][0])
+        assert filled == batch[et][1]
