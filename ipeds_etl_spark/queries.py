@@ -676,6 +676,11 @@ _GATE_PRIORITY: list[str] = [
     "events_hll_sliding",
     "docs_bigram_conditionals",
     "customer_decile_transition",
+    "docs_length_ks_drift",
+    "emb_label_centroid_distances",
+    "docs_zipf_bitslope",
+    "events_window_dedup",
+    "parts_supplier_hhi",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",

@@ -850,3 +850,366 @@ def q_customer_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(f"decile_{_DEC_Y1}", f"decile_{_DEC_Y2}")
     )
+
+# ===========================================================================
+# Two-sample Kolmogorov-Smirnov drift statistic (exact, cross-multiplied)
+# ===========================================================================
+_KS_A, _KS_B = "en", "de"
+
+
+@_register(
+    "docs_length_ks_drift",
+    f"""
+    WITH v AS (
+      SELECT n_chars,
+             CAST(SUM(CASE WHEN lang = '{_KS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN lang = '{_KS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM documents WHERE lang IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY n_chars),
+    c AS (
+      SELECT n_chars,
+             SUM(ca) OVER (ORDER BY n_chars) AS cuma,
+             SUM(cb) OVER (ORDER BY n_chars) AS cumb
+      FROM v),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM v),
+    d AS (
+      SELECT n_chars, abs(cuma * nb - cumb * na) AS dnum, na, nb
+      FROM c CROSS JOIN t)
+    SELECT CAST(min(CASE WHEN dnum = m THEN n_chars END) AS BIGINT) AS ks_at_n_chars,
+           CAST(m AS BIGINT) AS ks_numerator,
+           CAST(min(na) * min(nb) AS BIGINT) AS ks_denominator,
+           CAST(m AS DOUBLE) / (min(na) * min(nb)) AS ks_stat
+    FROM d CROSS JOIN (SELECT max(dnum) AS m FROM d) mm
+    GROUP BY m
+    """,
+)
+def q_docs_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    'en' and 'de' document-length distributions — the
+    distribution-shift alarm an eval-hygiene pipeline runs on any
+    feature whose drift would silently skew training (the continuous
+    companion to `docs_source_lang_drift`'s categorical chi-square).
+    The ECDF difference is cross-multiplied to stay integer-exact
+    (|cumA·nB − cumB·nA|, one IEEE division at the very end), and the
+    argmax location comes out with a min-tiebreak so the whole row is
+    a total function of the data.
+
+    Scale: one map-combinable count agg compacts the corpus to
+    O(distinct lengths) rows; the cumulative windows run over that
+    compacted frame (bounded by the value domain, not the corpus —
+    the `events_rolling_anomaly` compaction argument; swap in
+    `global_prefix_sum` if the domain were ever corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(_KS_A, _KS_B)
+    )
+    v = d.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == _KS_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("lang") == _KS_B, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("n_chars")
+    c = v.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    t = v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    dd = c.crossJoin(F.broadcast(t)).select(
+        "n_chars",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias("dnum"),
+        "na",
+        "nb",
+    )
+    mm = dd.agg(F.max("dnum").alias("m"))
+    return (
+        dd.crossJoin(F.broadcast(mm))
+        .groupBy("m")
+        .agg(
+            F.min(F.when(F.col("dnum") == F.col("m"), F.col("n_chars")))
+            .cast("long")
+            .alias("ks_at_n_chars"),
+            F.min("na").alias("_na"),
+            F.min("nb").alias("_nb"),
+        )
+        .select(
+            "ks_at_n_chars",
+            F.col("m").cast("long").alias("ks_numerator"),
+            (F.col("_na") * F.col("_nb")).cast("long").alias("ks_denominator"),
+            (F.col("m").cast("double") / (F.col("_na") * F.col("_nb"))).alias(
+                "ks_stat"
+            ),
+        )
+    )
+
+
+# ===========================================================================
+# Label-centroid distance matrix on quantized-exact embedding sums
+# ===========================================================================
+_CENT_Q = 1000  # milli-unit quantization of embedding components
+
+
+@_register(
+    "emb_label_centroid_distances",
+    f"""
+    WITH q AS (
+      SELECT label, i AS dim,
+             CAST(floor(embedding[i] * {_CENT_Q}) AS BIGINT) AS qv
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+    s AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY label, dim),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST((a.sq * b.n - b.sq * a.n) AS BIGINT)
+                      * (a.sq * b.n - b.sq * a.n)) AS BIGINT) AS num,
+             min(a.n) AS na, min(b.n) AS nb
+      FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           sqrt(CAST(num AS DOUBLE)) / (na * nb * {_CENT_Q}) AS centroid_dist
+    FROM p ORDER BY label_a, label_b
+    """,
+)
+def q_emb_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Euclidean distances between per-label embedding
+    centroids — the cluster-separation / embedding-drift readout an
+    ANN pipeline tracks across model versions. Components are
+    floor-quantized to milli-units FIRST (one correctly-rounded
+    multiply + floor per value), making every centroid numerator an
+    exact BIGINT; the pairwise distance numerator is the
+    cross-multiplied Σ(Sa·nb − Sb·na)² — integer-exact and (with
+    milli quantization) comfortably inside 2^53, so the final
+    sqrt-then-divide is two correctly-rounded IEEE ops on identical
+    inputs in both engines. Magnitude audit: |S| ≤ n·1000, diff ≤
+    2·n_a·n_b·1000, squared×64 dims ≤ ~1.4e15 at sf0.01 — the
+    quantization grid is WHY the 2^53 rule holds (micro-units would
+    overflow it a millionfold).
+
+    Scale: one (label × 64) sum agg over the exploded components —
+    map-combinable, output O(labels × dims); the pair join runs on
+    that tiny frame. The corpus is touched once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * _CENT_Q).cast("bigint").alias("qv"),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    diff = F.col("a.sq") * F.col("b.n") - F.col("b.sq") * F.col("a.n")
+    p = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(diff * diff).alias("num"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        (
+            F.sqrt(F.col("num").cast("double"))
+            / (F.col("na") * F.col("nb") * _CENT_Q)
+        ).alias("centroid_dist"),
+    ).orderBy("label_a", "label_b")
+
+# ===========================================================================
+# Zipf rank-frequency bit-slope (libm-free power-law check)
+# ===========================================================================
+@_register(
+    "docs_zipf_bitslope",
+    f"""
+    WITH cnt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_WS_TOKENS.format(x='text')}) AS t FROM documents)
+      GROUP BY t),
+    rk AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM cnt),
+    pts AS (
+      SELECT CAST(length(to_base(r, 2)) AS BIGINT) AS x,
+             CAST(length(to_base(c, 2)) AS BIGINT) AS y
+      FROM rk),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts)
+    SELECT n AS n_vocab,
+           CAST(((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx) AS BIGINT)
+             AS zipf_bitslope_milli
+    FROM m
+    """,
+)
+def q_docs_zipf_bitslope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law check without libm: OLS slope of
+    bitlength(count) against bitlength(rank) over the vocabulary —
+    integer-granularity log-log regression (a Zipfian corpus gives a
+    slope near −1000 milli; boilerplate-heavy or truncated corpora
+    bend it), combining the `docs_unigram_surprisal` bit-log trick
+    with the `supplier_price_trend` exact-moment OLS. Every number is
+    integer until the final scaled truncating division — bit-identical
+    across engines by construction.
+
+    Scale: one token-count exchange; ranks via the distributed
+    two-phase `global_row_number` over the O(vocab) count table (the
+    oracle's single-task row_number window is oracle-only); moments
+    are one map-combinable 1-row agg."""
+    from ipeds_etl_spark.operators.layout import global_row_number
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    cnt = d.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    rk = global_row_number(
+        cnt.select((-F.col("c")).alias("negc"), "t", "c"), ["negc", "t"], "r"
+    )
+    bits = lambda col: F.length(F.conv(F.col(col).cast("string"), 10, 2)).cast("long")
+    pts = rk.select(bits("r").alias("x"), bits("c").alias("y"))
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").alias("n_vocab"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("zipf_bitslope_milli"),
+    )
+
+
+# ===========================================================================
+# Within-window event dedup (tumbling 10-minute, keep earliest)
+# ===========================================================================
+_WD_WIN_US = 600_000_000  # 10 minutes
+
+
+@_register(
+    "events_window_dedup",
+    f"""
+    WITH e AS (
+      SELECT event_type, user_id, epoch_us(ts) AS t, event_id,
+             epoch_us(ts) // {_WD_WIN_US} AS win
+      FROM events),
+    k AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+      FROM (SELECT event_type, user_id, win, min(t) AS t0
+            FROM e GROUP BY event_type, user_id, win)
+      GROUP BY event_type),
+    a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1)
+    SELECT a.event_type, a.n_events, k.n_kept,
+           a.n_events - k.n_kept AS n_dropped,
+           CAST(a.n_events - k.n_kept AS DOUBLE) / a.n_events AS drop_frac
+    FROM a JOIN k ON a.event_type = k.event_type
+    ORDER BY a.event_type
+    """,
+)
+def q_events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event dedup readout: within each 10-minute
+    window, repeated (user, type) events collapse to the earliest one
+    — the batch twin of the stream's dropDuplicatesWithinWatermark
+    (same key, same window arithmetic), reported as kept/dropped
+    counts per type. Window id is integer floor-division of epoch
+    micros — exact on both engines; no session state needed because
+    the window is TUMBLING (the sessionize operator handles the
+    gap-based case).
+
+    Scale: one (type, user, window) agg — map-combinable, state one
+    row per active key-window — plus an O(types) rollup. This is the
+    cheap first pass a pipeline runs before the expensive content
+    dedup: at 100 TB it kills the retry/duplicate-delivery storm for
+    the cost of a single exchange."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.expr(f"unix_micros(ts) div {_WD_WIN_US}").alias("win"),
+    )
+    kept = (
+        e.groupBy("event_type", "user_id", "win")
+        .agg(F.min("t").alias("t0"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    alln = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        alln.join(kept, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            (F.col("n_events") - F.col("n_kept")).alias("n_dropped"),
+            (
+                (F.col("n_events") - F.col("n_kept")).cast("double")
+                / F.col("n_events")
+            ).alias("drop_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# Supplier concentration per part (Herfindahl-Hirschman index)
+# ===========================================================================
+@_register(
+    "parts_supplier_hhi",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    p AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(q * q) AS BIGINT) AS sq2,
+             CAST(SUM(q) AS BIGINT) AS qt
+      FROM ps GROUP BY 1)
+    SELECT l_partkey, n_suppliers,
+           CAST((sq2 * 10000) // (qt * qt) AS BIGINT) AS hhi_bp
+    FROM p WHERE qt > 0
+    ORDER BY l_partkey
+    """,
+)
+def q_parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration monitor: the Herfindahl–Hirschman index of
+    each part's supplier quantity shares, in basis points —
+    HHI = Σ share² = Σq²·10000 div (Σq)², cross-multiplied so the
+    whole figure is one truncating integer division (10000 bp = single
+    supplier, 10000/n = perfectly split). The procurement-risk dual of
+    `suppliers_dominant_parts`' share threshold.
+
+    Scale: two map-combinable aggs — (part, supplier) quantity, then
+    the per-part moment rollup; both ride the same partkey-prefixed
+    key, so AQE coalesces them into one effective exchange. Output
+    O(parts). Magnitude: q ≤ 50·lines-per-(part,supplier); q²·10⁴
+    needs ~2^47 per part at 1000× this density — BIGINT-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,0)")).cast("bigint").alias("q")
+    )
+    p = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.sum("q").alias("qt"),
+    )
+    return (
+        p.filter(F.col("qt") > 0)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            F.expr("CAST((sq2 * 10000) div (qt * qt) AS BIGINT)").alias("hhi_bp"),
+        )
+        .orderBy("l_partkey")
+    )
