@@ -268,3 +268,58 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_index", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("window_sha", T.StringType(), False),
+        T.StructField("energy", T.LongType(), False),
+    ]
+)
+
+
+def window_audio(media: DataFrame, win: int = 64, hop: int = 48) -> DataFrame:
+    """Audio framing: one payload → overlapping fixed-length windows
+    with hop (the STFT/spectrogram frame shape a torchaudio-backed
+    pipeline produces before any FFT) via row-expanding
+    ``mapInPandas``. Window count for an n-byte payload is
+    ``1 + ceil(max(0, n - win) / hop)`` — the last window may be
+    short; a payload shorter than one window yields itself. Per
+    window: a sha256 fingerprint (the chunk-dedup key) and an integer
+    "energy" (byte-sum — the deterministic stand-in for RMS; a real
+    decoder would compute it from PCM samples, same schema).
+
+    Scale: map-only Arrow-batched expansion, ~n/hop output rows per
+    payload; no shuffle until a consumer groups on the fingerprint."""
+
+    def run(batches):
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, lens, shas, eng = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                k = 1 if n <= win else (n - win + hop - 1) // hop + 1
+                for i in range(k):
+                    w = bytes(p[i * hop : i * hop + win])
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    lens.append(len(w))
+                    shas.append(_hl.sha256(w).hexdigest())
+                    eng.append(sum(w))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "window_index": _pd.Series(idxs, dtype="int32"),
+                    "n_bytes": _pd.Series(lens, dtype="int64"),
+                    "window_sha": shas,
+                    "energy": _pd.Series(eng, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

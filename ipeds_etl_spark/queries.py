@@ -681,6 +681,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_zipf_bitslope",
     "events_window_dedup",
     "parts_supplier_hhi",
+    "multimodal_audio_windows",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",

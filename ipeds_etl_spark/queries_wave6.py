@@ -288,8 +288,14 @@ def q_lineitem_histogram_quantile_error(spark: SparkSession, sf_dir: str) -> Dat
     samples — both shapes are here."""
     from ipeds_etl_spark.operators.quantile import exact_quantiles
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v")
+    # one materialized 1-column projection feeds all consumers (stats
+    # agg, histogram, both exact-quantile passes) — without it each
+    # consumer re-plans its own parquet scan (9 scans in the first
+    # audit; the events_temporal_split single-scan rule)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+        .localCheckpoint(eager=False)
     )
     s = li.agg(
         F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
@@ -1212,4 +1218,80 @@ def q_parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((sq2 * 10000) div (qt * qt) AS BIGINT)").alias("hhi_bp"),
         )
         .orderBy("l_partkey")
+    )
+
+# ===========================================================================
+# Audio-window chunk profile through the mapInPandas framing operator
+# ===========================================================================
+_AW_WIN, _AW_HOP = 64, 48
+
+
+@_register(
+    "multimodal_audio_windows",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS n,
+             CASE WHEN length(text) <= {_AW_WIN} THEN 1
+                  ELSE (length(text) - {_AW_WIN} + {_AW_HOP} - 1) // {_AW_HOP} + 1 END
+               AS k
+      FROM documents),
+    w AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(k),
+                    i -> substr(text, CAST(i * {_AW_HOP} + 1 AS INT), {_AW_WIN})))
+               AS win
+      FROM d),
+    f AS (
+      SELECT doc_id, source, sha256(win) AS wsha,
+             list_sum(list_transform(range(len(win)),
+                      j -> ascii(substr(win, CAST(j + 1 AS INT), 1)))) AS energy
+      FROM w)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(DISTINCT wsha) AS BIGINT) AS n_distinct_windows,
+           CAST(1.0 - CAST(count(DISTINCT wsha) AS DOUBLE) / count(*) AS DOUBLE)
+             AS dup_frac,
+           CAST(SUM(energy) AS BIGINT) AS sum_energy
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-modality plumbing end-to-end: payloads frame into
+    overlapping 64-byte windows with a 48-byte hop (the STFT frame
+    shape) through the Arrow-batched `window_audio` mapInPandas
+    operator — real schema, real batch expansion, stubbed decode per
+    the container's no-codec policy — then a per-source chunk profile:
+    window count, distinct fingerprints, duplicate-window fraction
+    (the audio-chunk dedup signal), and total byte-energy. The oracle
+    replays the framing arithmetic with ASCII substr (payload = UTF-8
+    of single-byte text, so char slicing ≡ byte slicing) and the
+    energy as an ascii-code list sum — the whole Python stage is
+    byte-for-byte verifiable.
+
+    Scale: framing is map-only (~n/hop rows per payload); the profile
+    is one source-keyed agg with an Expand for the distinct. The only
+    Python stage is the documented Arrow mapInPandas — everything
+    before and after is JVM."""
+    from ipeds_etl_spark.operators.multimodal import attach_payload, window_audio
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    w = window_audio(
+        attach_payload(d, "text", "doc_id", modality="audio"),
+        win=_AW_WIN,
+        hop=_AW_HOP,
+    )
+    return (
+        w.join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("window_sha").alias("n_distinct_windows"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("window_sha").cast("double") / F.count(F.lit(1))
+            ).alias("dup_frac"),
+            F.sum("energy").alias("sum_energy"),
+        )
+        .orderBy("source")
     )

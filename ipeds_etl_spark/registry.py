@@ -371,3 +371,80 @@ def drift_report(endpoint: str, incoming_fields: set[str]) -> dict[str, list[str
             f.name for f in ep.fields if not (set(f.candidates) & incoming_fields)
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Declarative endpoint config files (reference README.md:46-55 documents
+# an optional ``config/endpoints.yaml``; the reference snapshot itself
+# is code-declared, like this registry). A config file holds a mapping
+#   {endpoint_name: {path, pk, partition_by?, fields: ["name:type" |
+#    "name:type:alias1|alias2", ...]}}
+# — the same compact field spec ``_f`` parses for the built-ins — as
+# JSON (always available) or YAML (only if a yaml module is installed;
+# gated behind import-try per the container's no-install policy).
+# ---------------------------------------------------------------------------
+def _endpoint_from_spec(name: str, spec: dict) -> Endpoint:
+    for req in ("path", "pk", "fields"):
+        if req not in spec:
+            raise ValueError(f"endpoint {name!r}: missing required key {req!r}")
+    fields = tuple(_f(s) for s in spec["fields"])
+    known = {f.name for f in fields}
+    for k in spec["pk"]:
+        if k not in known:
+            raise ValueError(f"endpoint {name!r}: pk column {k!r} not in fields")
+    return Endpoint(
+        name=name,
+        path=spec["path"],
+        fields=fields,
+        pk=tuple(spec["pk"]),
+        partition_by=tuple(spec.get("partition_by", ("year",))),
+    )
+
+
+def load_endpoints_config(path: str, register: bool = True) -> dict[str, Endpoint]:
+    """Load endpoint declarations from a JSON or YAML config file and
+    (by default) register them alongside the built-ins — the
+    file-declared twin of the code-declared catalog, so deployments can
+    add endpoints without shipping code. Duplicate names OVERRIDE the
+    in-code declaration (deployment wins), matching the reference
+    README's config-over-code intent."""
+    from pathlib import Path as _Path
+
+    text = _Path(path).read_text()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml  # type: ignore
+        except ImportError as e:  # pragma: no cover - no yaml in container
+            raise ImportError(
+                "YAML endpoint configs need a yaml module; use JSON here"
+            ) from e
+        raw = yaml.safe_load(text)
+    else:
+        import json as _json
+
+        raw = _json.loads(text)
+    if not isinstance(raw, dict):
+        raise ValueError("endpoints config must be a mapping of name -> spec")
+    out = {name: _endpoint_from_spec(name, spec) for name, spec in raw.items()}
+    if register:
+        REGISTRY.update(out)
+    return out
+
+
+def dump_endpoints_config() -> dict:
+    """Inverse of ``load_endpoints_config``: the current registry as a
+    JSON-serializable mapping (round-trip pinned by test) — what a
+    deployment writes out to freeze its catalog declaratively."""
+    def field_spec(f: Field) -> str:
+        base = f"{f.name}:{f.type}"
+        return f"{base}:{'|'.join(f.aliases)}" if f.aliases else base
+
+    return {
+        ep.name: {
+            "path": ep.path,
+            "pk": list(ep.pk),
+            "partition_by": list(ep.partition_by),
+            "fields": [field_spec(f) for f in ep.fields],
+        }
+        for ep in REGISTRY.values()
+    }

@@ -104,3 +104,33 @@ def test_coverage_md_count_matches_registry():
     m = re.search(r"^Registered queries: (\d+)$", text, re.MULTILINE)
     assert m, "COVERAGE.md must carry a 'Registered queries: N' line"
     assert int(m.group(1)) == len(entry.queries())
+
+
+def test_endpoints_config_roundtrip(tmp_path):
+    """Declarative endpoint configs (reference README.md:46-55's
+    config/endpoints.yaml surface): dump the code-declared catalog to
+    JSON, reload it, and get identical Endpoint objects back —
+    including the 102-field directory schema with its alias lists.
+    Bad specs fail loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from ipeds_etl_spark.registry import (
+        REGISTRY,
+        dump_endpoints_config,
+        load_endpoints_config,
+    )
+
+    cfg = tmp_path / "endpoints.json"
+    cfg.write_text(json.dumps(dump_endpoints_config()))
+    loaded = load_endpoints_config(str(cfg), register=False)
+    assert loaded == dict(REGISTRY)
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"x": {"path": "/x", "pk": ["nope"], "fields": ["a:i"]}}))
+    with _pytest.raises(ValueError, match="pk column"):
+        load_endpoints_config(str(bad), register=False)
+    bad.write_text(json.dumps({"x": {"pk": ["a"], "fields": ["a:i"]}}))
+    with _pytest.raises(ValueError, match="missing required key"):
+        load_endpoints_config(str(bad), register=False)

@@ -745,3 +745,31 @@ def test_hll_stream_global_expand_twin_matches_batch(spark, stream_dir):
     for et, (est, filled) in final.items():
         assert est == batch[et][0], (et, est, batch[et][0])
         assert filled == batch[et][1]
+
+
+def test_window_audio_framing_shapes(spark):
+    """Audio framing: window count matches 1 + ceil((n - win)/hop),
+    energies equal Python byte sums, fingerprints match sha256 of the
+    exact slices — the mapInPandas plumbing is byte-honest."""
+    import hashlib
+
+    from ipeds_etl_spark.operators.multimodal import attach_payload, window_audio
+
+    d = load_table(spark, SF, "documents").limit(8)
+    media = attach_payload(d, "text", "doc_id", modality="audio")
+    rows = window_audio(media, win=64, hop=48).collect()
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(texts)
+    for doc_id, rs in per_doc.items():
+        p = texts[doc_id].encode()
+        n = len(p)
+        k = 1 if n <= 64 else (n - 64 + 47) // 48 + 1
+        assert sorted(r["window_index"] for r in rs) == list(range(k))
+        for r in rs:
+            w = p[r["window_index"] * 48 : r["window_index"] * 48 + 64]
+            assert r["n_bytes"] == len(w)
+            assert r["energy"] == sum(w)
+            assert r["window_sha"] == hashlib.sha256(w).hexdigest()
