@@ -682,6 +682,7 @@ _GATE_PRIORITY: list[str] = [
     "events_window_dedup",
     "parts_supplier_hhi",
     "multimodal_audio_windows",
+    "emb_pca_power_iteration",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",

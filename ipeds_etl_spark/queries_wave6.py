@@ -1295,3 +1295,117 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ===========================================================================
+# Distributed PCA: top principal component by integer power iteration
+# ===========================================================================
+_PCA_DIMS = 64
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    q = (
+        "SELECT vec_id, i, CAST(floor(embedding[i] * 1000) AS BIGINT) AS qv "
+        "FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)"
+    )
+    # unrolled integer power iteration over the 64x64 scaled matrix
+    iters = []
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        iters.append(
+            f"w{k} AS (SELECT c.i AS i, CAST(SUM(c.cn * {prev}.v) AS BIGINT) AS w "
+            f"FROM c JOIN {prev} ON c.j = {prev}.i GROUP BY c.i), "
+            f"m{k} AS (SELECT max(abs(w)) AS m FROM w{k}), "
+            f"v{k} AS (SELECT i, CAST(w // greatest(1, m // 1000) AS BIGINT) AS v "
+            f"FROM w{k} CROSS JOIN m{k})"
+        )
+        prev = f"v{k}"
+    return f"""
+    WITH q AS ({q}),
+    s AS (SELECT i, CAST(SUM(qv) AS BIGINT) AS si, CAST(count(*) AS BIGINT) AS n
+          FROM q GROUP BY i),
+    c AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST((min(sa.n) * CAST(SUM(a.qv * b.qv) AS BIGINT)
+                   - min(sa.si) * min(sb.si)) // min(sa.n) AS BIGINT) AS cn
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      JOIN s sa ON sa.i = a.i JOIN s sb ON sb.i = b.i
+      GROUP BY a.i, b.i),
+    v0 AS (SELECT i, CAST(1000 AS BIGINT) AS v FROM s),
+    {", ".join(iters)}
+    SELECT i AS dim, v AS loading_milli FROM {prev} ORDER BY dim
+    """
+
+
+@_register("emb_pca_power_iteration", _pca_oracle())
+def q_emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER
+    ITERATION in exact integer arithmetic — the PageRank/Markov
+    scaled-BIGINT recipe applied to PCA, the eigen-analysis an
+    embedding pipeline runs to detect collapsed dimensions / dominant
+    nuisance directions before ANN indexing. Components quantize to
+    milli-units; the scaled covariance C·n = n·Σqᵢqⱼ − ΣqᵢΣqⱼ is an
+    exact BIGINT re-normalized by one truncating div n; each of the 3
+    iterations is a 64-row matrix-vector product with max-|component|
+    renormalization to the 1000 grid (truncating div both engines).
+    The emitted 64-vector is a total function of the data — no
+    eigensolver, no floats, no libm.
+
+    Magnitude audit: |qv| ≤ 1000 so Σqᵢqⱼ ≤ n·10⁶, cn ≤ n·10⁶ after
+    the div-n renormalization, and w = Σⱼ cn·v ≤ 64·n·10⁹ — BIGINT-
+    safe through n ≈ 10⁵ vectors per this geometry; beyond that,
+    promote cn to DECIMAL(38,0) (the oracle's HUGEINT already is).
+
+    Scale: the corpus is touched ONCE — the (i,j) cross-moment agg
+    rides a single vec_id-keyed self-join whose fan-out is the fixed
+    64×64 dim grid, partial-aggregated map-side (this outer-product
+    partial agg IS distributed PCA's canonical shape). Everything
+    after is O(dims²) = 4096 rows, localCheckpointed between rounds
+    like every iterative operator here."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
+    )
+    s = q.groupBy("i").agg(
+        F.sum("qv").alias("si"), F.count(F.lit(1)).alias("n")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    sij = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("sij"))
+    )
+    sa = s.select(F.col("i").alias("i"), F.col("si").alias("sa_si"), "n")
+    sb = s.select(F.col("i").alias("j"), F.col("si").alias("sb_si"))
+    c = (
+        sij.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            "j",
+            F.expr("CAST((n * sij - sa_si * sb_si) div n AS BIGINT)").alias("cn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = s.select("i", F.lit(1000).cast("bigint").alias("v"))
+    for _ in range(_PCA_ITERS):
+        w = (
+            c.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cn") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs("w")).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.expr("CAST(w div greatest(1, m div 1000) AS BIGINT)").alias("v"),
+            )
+        )
+    return v.select(F.col("i").alias("dim"), F.col("v").alias("loading_milli")).orderBy(
+        "dim"
+    )
