@@ -680,12 +680,18 @@ def q_events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(SK.hll_register_pow(F.col("r"))).alias("sp"),
         F.count(F.lit(1)).alias("nreg"),
     )
-    wins = contrib.select("win_end").distinct()
+    # exact side by the SAME covering-window explode (an event's hour
+    # feeds exactly the 2 windows that contain it) — an equi-keyed
+    # distinct-count, NOT a band join: the first sf1 smoke caught the
+    # inequality-join spelling planning a BroadcastNestedLoopJoin of
+    # windows × events (126 s at sf1; this form is 4 s)
     ex = (
-        wins.join(
-            e.select(F.date_trunc("hour", "ts").alias("ehr"), "user_id"),
-            (F.col("ehr") >= F.col("win_end") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("ehr") <= F.col("win_end")),
+        e.select(F.date_trunc("hour", "ts").alias("ehr"), "user_id")
+        .select(
+            F.explode(
+                F.array(F.col("ehr"), F.col("ehr") + F.expr("INTERVAL 1 HOUR"))
+            ).alias("win_end"),
+            "user_id",
         )
         .groupBy("win_end")
         .agg(F.countDistinct("user_id").alias("exact_users"))

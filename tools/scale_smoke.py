@@ -159,6 +159,30 @@ SWEEP_R9 = [
     "parts_copurchase_butterflies",
 ]
 
+#: round-6 wave (this round's additions): exact-moment OLS/PCA,
+#: sketch set-ops, sliding HLL, framing, mobility matrix, KS drift.
+#: Expected shapes: everything is map-combinable aggs + tiny frames;
+#: the PCA self-join fan-out is the fixed 64x64 dim grid.
+SWEEP_R10 = [
+    "supplier_price_trend",
+    "orders_monthly_seasonality",
+    "events_asof_next_purchase",
+    "lineitem_histogram_quantile_error",
+    "docs_boilerplate_chunks",
+    "docs_unigram_surprisal",
+    "events_kmv_intersection",
+    "events_hll_sliding",
+    "docs_bigram_conditionals",
+    "customer_decile_transition",
+    "docs_length_ks_drift",
+    "emb_label_centroid_distances",
+    "docs_zipf_bitslope",
+    "events_window_dedup",
+    "parts_supplier_hhi",
+    "multimodal_audio_windows",
+    "emb_pca_power_iteration",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -417,6 +441,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R9, key="sweep_r9")
     if "verdict_r6" in sections:
         run_verdict_r6(spark, results)
+    if "sweep_r10" in sections:
+        run_sweep(spark, results, names=SWEEP_R10, key="sweep_r10")
     print(json.dumps(results))
 
 
