@@ -179,3 +179,33 @@ def click_attribution_stream(
         ],
         how=how,
     ).select("purchase_id", F.col("p_user").alias("user_id"), "p_ts", "click_id")
+
+
+def window_dedup_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window (user, type) dedup on a stream — the incremental
+    twin of the batch ``events_window_dedup`` query: within each window
+    one event per (user_id, event_type) survives, re-occurrences are
+    dropped. State = one key per active (user, type, window), evicted
+    past the watermark horizon. Batch keeps the EARLIEST event of each
+    key by event time while the stream keeps the FIRST ARRIVAL — the
+    kept KEY SET (and therefore every per-type kept count) is identical
+    either way, which is what the equivalence test pins.
+
+    The window id is the integer floor-division of event-time micros —
+    the SAME arithmetic as the batch query — rather than ``F.window``:
+    a time-window struct derived from a watermarked column becomes a
+    SECOND event-time column, which Spark rejects
+    ("More than one event time columns are available")."""
+    qty, unit = window.split()
+    per_us = {"second": 10**6, "minute": 60 * 10**6, "hour": 3600 * 10**6}[
+        unit.rstrip("s")
+    ]
+    win_us = int(qty) * per_us
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("win", F.expr(f"unix_micros(ts) div {win_us}"))
+        .dropDuplicates(["user_id", "event_type", "win"])
+        .drop("win")
+    )

@@ -773,3 +773,34 @@ def test_window_audio_framing_shapes(spark):
             assert r["n_bytes"] == len(w)
             assert r["energy"] == sum(w)
             assert r["window_sha"] == hashlib.sha256(w).hexdigest()
+
+
+def test_window_dedup_stream_counts_match_batch(spark, stream_dir):
+    """Streaming tumbling-window dedup keeps exactly one event per
+    (user, type, window) — per-type kept counts must equal the batch
+    events_window_dedup readout (key-set equivalence; which instance
+    survives differs by arrival order, the count cannot)."""
+    from ipeds_etl_spark.queries_wave6 import q_events_window_dedup
+    from ipeds_etl_spark.streaming import jobs
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    (
+        jobs.window_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("win_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r.event_type: r.n
+        for r in spark.sql(
+            "SELECT event_type, count(*) AS n FROM win_dedup_stream GROUP BY 1"
+        ).collect()
+    }
+    expect = {
+        r.event_type: r.n_kept for r in q_events_window_dedup(spark, SF).collect()
+    }
+    assert got == expect
