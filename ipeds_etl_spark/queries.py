@@ -689,6 +689,11 @@ _GATE_PRIORITY: list[str] = [
     "upsert_on_pk",
     "dedup_minhash_lsh",
     "registry_mapper",
+    # -- round-6 additions past the 50-slot window (no driver row this
+    # round by construction; green in the full local mirror and picked
+    # up by the next rotation) --
+    "events_seasonal_anomaly",
+    "customer_interpurchase_gaps",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

@@ -1415,3 +1415,142 @@ def q_emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(F.col("i").alias("dim"), F.col("v").alias("loading_milli")).orderBy(
         "dim"
     )
+
+# ===========================================================================
+# Seasonal (dow x hour) baseline anomaly cells
+# ===========================================================================
+@_register(
+    "events_seasonal_anomaly",
+    """
+    WITH cell AS (
+      SELECT CAST(ts AS DATE) AS d, isodow(ts) AS dow, hour(ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3),
+    base AS (
+      SELECT dow, hr,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM cell GROUP BY dow, hr)
+    SELECT strftime(cell.d, '%Y-%m-%d') AS day,
+           cell.dow AS dow, cell.hr AS hr, cell.n AS n,
+           CAST(base.s AS DOUBLE) / base.k AS baseline_mean,
+           CAST(cell.n * base.k - base.s AS BIGINT) AS dev_num,
+           CAST(base.k AS BIGINT) AS dev_den,
+           (CAST(cell.n * base.k - base.s AS BIGINT)
+              * CAST(cell.n * base.k - base.s AS BIGINT))
+             > 4 * base.k * (base.k * base.ss - base.s * base.s) AS is_anomaly
+    FROM cell JOIN base ON cell.dow = base.dow AND cell.hr = base.hr
+    ORDER BY day, cell.dow, cell.hr
+    """,
+)
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly detection: each (day, dow, hour) cell's
+    event count against the BASELINE of all same-(dow, hour) cells —
+    the weekday-rhythm monitor that catches "Tuesday 3pm is dead this
+    week" where a plain rolling window (`events_rolling_anomaly`)
+    would average across unlike hours. The 2σ test is fully
+    cross-multiplied: (n·k − s)² > 4·k·(k·ss − s²) — both sides exact
+    BIGINT (dev² and 4k²·var are the z²>4 inequality scaled by k²),
+    so the anomaly flag is engine-exact with zero divisions; the
+    reported baseline mean is the single IEEE division.
+
+    Scale: one map-combinable (day, dow, hour) compaction — the raw
+    stream never reaches anything wider — then an O(168) baseline agg
+    broadcast back over the O(days × 24) cell frame."""
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        ((F.dayofweek("ts") + 5) % 7 + 1).alias("dow"),  # ISO: Mon=1..Sun=7
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = cell.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("k") - F.col("s")
+    return (
+        cell.join(F.broadcast(base), ["dow", "hr"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "hr",
+            "n",
+            (F.col("s").cast("double") / F.col("k")).alias("baseline_mean"),
+            dev.cast("long").alias("dev_num"),
+            F.col("k").cast("long").alias("dev_den"),
+            (
+                dev * dev
+                > 4 * F.col("k") * (F.col("k") * F.col("ss") - F.col("s") * F.col("s"))
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day", "dow", "hr")
+    )
+
+
+# ===========================================================================
+# Inter-purchase gap quantiles (per-customer lag gaps, exact order stats)
+# ===========================================================================
+@_register(
+    "customer_interpurchase_gaps",
+    """
+    WITH g AS (
+      SELECT datediff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM orders),
+    gg AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_days,
+           CAST(SUM(gap) AS BIGINT) AS sum_days,
+           CAST(SUM(gap) AS DOUBLE) / count(*) AS mean_days
+    FROM gg
+    """,
+)
+def q_customer_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide inter-purchase cadence: per-customer consecutive
+    order gaps (a lag window inside each customer partition — O(orders
+    per customer) state), then EXACT p50/p90 of the gap distribution
+    through the two-pass histogram quantile (the percentile() sort-agg
+    would buffer every gap on one reducer) plus the exact-integer
+    mean. The repurchase-cycle number behind churn windows and
+    replenishment forecasts.
+
+    Scale: one custkey exchange for the lag, the quantile's two
+    map-combinable passes over the gap column, and a 1-row rollup —
+    gaps never collect anywhere."""
+    from ipeds_etl_spark.operators.quantile import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    qs = (
+        exact_quantiles(g.withColumn("s", F.lit("all")), "gap", [0.5, 0.9], ["s"])
+        .groupBy()
+        .pivot("q", [0.5, 0.9])
+        .agg(F.first("gap"))
+        .select(
+            F.col("`0.5`").cast("long").alias("p50_days"),
+            F.col("`0.9`").cast("long").alias("p90_days"),
+        )
+    )
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_days"),
+        (F.sum("gap").cast("double") / F.count(F.lit(1))).alias("mean_days"),
+    )
+    return stats.crossJoin(F.broadcast(qs)).select(
+        "n_gaps", "p50_days", "p90_days", "sum_days", "mean_days"
+    )
