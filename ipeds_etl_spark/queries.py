@@ -694,6 +694,7 @@ _GATE_PRIORITY: list[str] = [
     # up by the next rotation) --
     "events_seasonal_anomaly",
     "customer_interpurchase_gaps",
+    "events_multitouch_attribution",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

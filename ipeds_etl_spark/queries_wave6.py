@@ -1554,3 +1554,110 @@ def q_customer_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame
     return stats.crossJoin(F.broadcast(qs)).select(
         "n_gaps", "p50_days", "p90_days", "sum_days", "mean_days"
     )
+
+# ===========================================================================
+# Multi-touch attribution: U-shaped credit over clicks before a purchase
+# ===========================================================================
+_MTA_TOL_US = 3_600_000_000  # attribution window: 1 hour
+
+
+@_register(
+    "events_multitouch_attribution",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+    cl AS (
+      SELECT event_id AS click_id, user_id, t,
+             min(CASE WHEN event_type = 'purchase' THEN t END) OVER (
+               PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN 1 FOLLOWING AND {_MTA_TOL_US} FOLLOWING
+             ) AS purchase_t
+      FROM e WHERE event_type IN ('click', 'purchase')),
+    a AS (SELECT click_id, user_id, t, purchase_t
+          FROM cl WHERE purchase_t IS NOT NULL
+            AND click_id IN (SELECT event_id FROM e WHERE event_type = 'click')),
+    r AS (
+      SELECT user_id, purchase_t, click_id,
+             row_number() OVER (PARTITION BY user_id, purchase_t
+                                ORDER BY t, click_id) AS pos,
+             CAST(count(*) OVER (PARTITION BY user_id, purchase_t) AS BIGINT) AS n
+      FROM a),
+    w AS (
+      SELECT user_id, purchase_t, click_id, pos, n,
+             CASE WHEN n = 1 THEN CAST(10000 AS BIGINT)
+                  WHEN n = 2 THEN CAST(5000 AS BIGINT)
+                  WHEN pos = 1 OR pos = n THEN CAST(4000 AS BIGINT)
+                  ELSE CAST(2000 // (n - 2) AS BIGINT)
+                    + CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+             END AS credit_bp
+      FROM r)
+    SELECT CAST(count(DISTINCT (user_id, purchase_t)) AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_credited_clicks,
+           CAST(SUM(credit_bp) AS BIGINT) AS total_credit_bp,
+           CAST(SUM(CASE WHEN pos = 1 THEN credit_bp ELSE 0 END) AS BIGINT)
+             AS first_touch_bp,
+           CAST(SUM(CASE WHEN pos = n AND n > 1 THEN credit_bp ELSE 0 END) AS BIGINT)
+             AS last_touch_bp
+    FROM w
+    """,
+)
+def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every click
+    is assigned to the user's NEXT purchase within 1 hour (the
+    `events_asof_next_purchase` forward-as-of RANGE frame — one window,
+    no purchase×click band join), then each purchase's credit is split
+    40/20/40 in integer BASIS POINTS with the middle share apportioned
+    by largest remainder (the `docs_token_budget_allocation` Hamilton
+    rule applied per purchase) — so Σ credit_bp == 10000·n_purchases
+    EXACTLY, which the output proves arithmetically
+    (total_credit_bp = 10000 × n_purchases; pinned by test). The whole
+    computation is integer: no attribution dust is ever lost to float
+    rounding, at any scale.
+
+    Scale: one user shuffle for the as-of window; the position/count
+    windows ride a (user, purchase) key whose group size is the
+    clicks-per-purchase burst (bounded by the 1 h window); one 1-row
+    rollup. No joins on the event stream at all."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    w_asof = (
+        Window.partitionBy("user_id").orderBy("t").rangeBetween(1, _MTA_TOL_US)
+    )
+    cl = e.withColumn(
+        "purchase_t",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t"))).over(w_asof),
+    ).filter(
+        (F.col("event_type") == "click") & F.col("purchase_t").isNotNull()
+    )
+    w_rank = Window.partitionBy("user_id", "purchase_t").orderBy("t", "event_id")
+    w_grp = Window.partitionBy("user_id", "purchase_t")
+    r = cl.select(
+        "user_id",
+        "purchase_t",
+        F.col("event_id").alias("click_id"),
+        F.row_number().over(w_rank).alias("pos"),
+        F.count(F.lit(1)).over(w_grp).alias("n"),
+    )
+    mid = F.expr("CAST(2000 div (n - 2) AS BIGINT)") + F.when(
+        F.col("pos") - 1 <= F.expr("2000 % (n - 2)"), 1
+    ).otherwise(0)
+    credit = (
+        F.when(F.col("n") == 1, F.lit(10000).cast("bigint"))
+        .when(F.col("n") == 2, F.lit(5000).cast("bigint"))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(4000).cast("bigint"))
+        .otherwise(mid)
+    )
+    w = r.withColumn("credit_bp", credit)
+    return w.agg(
+        F.countDistinct("user_id", "purchase_t").alias("n_purchases"),
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        F.sum("credit_bp").cast("long").alias("total_credit_bp"),
+        F.sum(F.when(F.col("pos") == 1, F.col("credit_bp")).otherwise(0))
+        .cast("long")
+        .alias("first_touch_bp"),
+        F.sum(
+            F.when((F.col("pos") == F.col("n")) & (F.col("n") > 1), F.col("credit_bp")).otherwise(0)
+        )
+        .cast("long")
+        .alias("last_touch_bp"),
+    )

@@ -229,3 +229,15 @@ def test_pca_vector_is_dominant_direction(spark):
     rayleigh = vr @ c @ vr
     axis_best = np.diag(c).max()
     assert rayleigh >= axis_best * 0.99
+
+
+def test_multitouch_credit_conserves_exactly(spark):
+    """Largest-remainder apportionment per purchase: total credited
+    basis points must equal 10000 x purchases EXACTLY — no attribution
+    dust (the Hamilton-rule guarantee, integer arithmetic only)."""
+    from ipeds_etl_spark.queries_wave6 import q_events_multitouch_attribution
+
+    (r,) = q_events_multitouch_attribution(spark, SF).collect()
+    assert r.n_purchases > 0 and r.n_credited_clicks >= r.n_purchases
+    assert r.total_credit_bp == 10000 * r.n_purchases
+    assert 0 < r.first_touch_bp <= r.total_credit_bp
