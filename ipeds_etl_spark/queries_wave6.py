@@ -967,18 +967,16 @@ _CENT_Q = 1000  # milli-unit quantization of embedding components
              CAST(floor(embedding[i] * {_CENT_Q}) AS BIGINT) AS qv
       FROM embeddings
       CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
-    s AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq,
-                 CAST(count(*) AS BIGINT) AS n
+    s AS (SELECT label, dim,
+                 CAST((CAST(SUM(qv) AS BIGINT) * 1000) // count(*) AS BIGINT) AS c
           FROM q GROUP BY label, dim),
     p AS (
       SELECT a.label AS label_a, b.label AS label_b,
-             CAST(SUM(CAST((a.sq * b.n - b.sq * a.n) AS BIGINT)
-                      * (a.sq * b.n - b.sq * a.n)) AS BIGINT) AS num,
-             min(a.n) AS na, min(b.n) AS nb
+             CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS num
       FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
       GROUP BY 1, 2)
     SELECT label_a, label_b,
-           sqrt(CAST(num AS DOUBLE)) / (na * nb * {_CENT_Q}) AS centroid_dist
+           sqrt(CAST(num AS DOUBLE)) / {_CENT_Q * 1000} AS centroid_dist
     FROM p ORDER BY label_a, label_b
     """,
 )
@@ -987,19 +985,19 @@ def q_emb_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFram
     centroids — the cluster-separation / embedding-drift readout an
     ANN pipeline tracks across model versions. Components are
     floor-quantized to milli-units FIRST (one correctly-rounded
-    multiply + floor per value), making every centroid numerator an
-    exact BIGINT; the pairwise distance numerator is the
-    cross-multiplied Σ(Sa·nb − Sb·na)² — integer-exact and (with
-    milli quantization) comfortably inside 2^53, so the final
-    sqrt-then-divide is two correctly-rounded IEEE ops on identical
-    inputs in both engines. Magnitude audit: |S| ≤ n·1000, diff ≤
-    2·n_a·n_b·1000, squared×64 dims ≤ ~1.4e15 at sf0.01 — the
-    quantization grid is WHY the 2^53 rule holds (micro-units would
-    overflow it a millionfold).
+    multiply + floor per value, exact BIGINT sums), then each centroid
+    coordinate is itself fixed-pointed to the micro grid by one
+    truncating division (S·1000 div n) — so the squared-difference
+    numerator is bounded by |c| ≤ 10⁶ ⇒ Σ64·(2·10⁶)² ≈ 2.6e14 < 2^53
+    REGARDLESS of corpus size (the first spelling cross-multiplied raw
+    sums, whose square passed 2^53 just beyond sf0.1 — this form's
+    bound is n-free by construction). Final step: one correctly-
+    rounded sqrt + one division on identical inputs in both engines.
 
     Scale: one (label × 64) sum agg over the exploded components —
     map-combinable, output O(labels × dims); the pair join runs on
-    that tiny frame. The corpus is touched once."""
+    that tiny frame. The corpus is touched once. Verified at 100×
+    sf0.1 (500k vectors) by the quad smoke."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "label",
@@ -1010,29 +1008,26 @@ def q_emb_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFram
         F.floor(F.col("x").cast("double") * _CENT_Q).cast("bigint").alias("qv"),
     )
     s = q.groupBy("label", "dim").agg(
-        F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n")
+        F.expr("CAST((CAST(SUM(qv) AS BIGINT) * 1000) div count(*) AS BIGINT)").alias(
+            "c"
+        )
     )
     a, b = s.alias("a"), s.alias("b")
-    diff = F.col("a.sq") * F.col("b.n") - F.col("b.sq") * F.col("a.n")
+    diff = F.col("a.c") - F.col("b.c")
     p = (
         a.join(
             b,
             (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")),
         )
         .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
-        .agg(
-            F.sum(diff * diff).alias("num"),
-            F.min(F.col("a.n")).alias("na"),
-            F.min(F.col("b.n")).alias("nb"),
-        )
+        .agg(F.sum(diff * diff).alias("num"))
     )
     return p.select(
         "label_a",
         "label_b",
-        (
-            F.sqrt(F.col("num").cast("double"))
-            / (F.col("na") * F.col("nb") * _CENT_Q)
-        ).alias("centroid_dist"),
+        (F.sqrt(F.col("num").cast("double")) / (_CENT_Q * 1000)).alias(
+            "centroid_dist"
+        ),
     ).orderBy("label_a", "label_b")
 
 # ===========================================================================
@@ -1660,4 +1655,94 @@ def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .cast("long")
         .alias("last_touch_bp"),
+    )
+
+# ===========================================================================
+# Quality-filter ablation grid (which filter costs which tokens)
+# ===========================================================================
+_ABL_MIN_TOKENS = 40
+_ABL_STOP_BP = 100  # stopword ratio >= 1% (basis points, cross-multiplied)
+_ABL_REP_BP = 1000  # consecutive-dup fraction <= 10%
+
+
+@_register(
+    "docs_quality_ablation",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w,
+             len(list_filter(regexp_extract_all(lower(text), '\\p{{L}}+'),
+                 x -> list_contains(['the','a','of','and','to','in','is','it',
+                                     'for','on','with','as','was','at','by'], x)))
+               AS n_stop
+      FROM documents),
+    f AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             len(w) >= {_ABL_MIN_TOKENS} AS pass_len,
+             CAST(n_stop AS BIGINT) * 10000 >= {_ABL_STOP_BP} * len(w) AS pass_stop,
+             CASE WHEN len(w) >= 2 THEN
+               CAST(len(list_filter(range(len(w) - 1), i -> w[i+1] = w[i+2]))
+                    AS BIGINT) * 10000 <= {_ABL_REP_BP} * (len(w) - 1)
+             ELSE TRUE END AS pass_rep
+      FROM t)
+    SELECT pass_len, pass_stop, pass_rep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM f GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_docs_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation grid: every document evaluated against three
+    independent cheap quality gates — minimum length, minimum English
+    stopword density (the classic "is this natural language" signal),
+    and maximum consecutive-token repetition — and the corpus broken
+    down by the 2³ pass/fail combinations with doc AND token counts
+    per cell. This is the table a data-curation review actually reads:
+    it says which filter is doing the cutting, how much the filters
+    overlap, and what a threshold change would cost in tokens, without
+    re-running the pipeline per configuration. All three gates are
+    integer cross-multiplied (basis points — no ratio is ever
+    materialized as a float), so the grid is engine-exact.
+
+    Scale: entirely map-side per document (two token projections) +
+    one ≤8-group aggregate — the cheapest possible ablation study at
+    any corpus size."""
+    stop_set = [
+        "the", "a", "of", "and", "to", "in", "is", "it",
+        "for", "on", "with", "as", "was", "at", "by",
+    ]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.tokens(F.col("text")).alias("w"),
+        F.size(
+            F.filter(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"\p{L}+"), 0),
+                lambda x: x.isin(*stop_set),
+            )
+        ).alias("n_stop"),
+    )
+    n = F.size("w")
+    n_consec = F.size(
+        F.filter(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.element_at("w", i + 1) == F.element_at("w", i + 2),
+        )
+    )
+    f = d.select(
+        n.alias("n_tokens"),
+        (n >= _ABL_MIN_TOKENS).alias("pass_len"),
+        (F.col("n_stop").cast("bigint") * 10000 >= _ABL_STOP_BP * n).alias(
+            "pass_stop"
+        ),
+        F.when(n >= 2, n_consec.cast("bigint") * 10000 <= _ABL_REP_BP * (n - 1))
+        .otherwise(F.lit(True))
+        .alias("pass_rep"),
+    )
+    return (
+        f.groupBy("pass_len", "pass_stop", "pass_rep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("pass_len", "pass_stop", "pass_rep")
     )

@@ -409,6 +409,21 @@ def run_verdict_r6(spark, results: dict) -> None:
     results["verdict_r6"] = out
 
 
+def run_quad_r6(spark, results: dict) -> None:
+    """Round-6 additions at the 100x (sf10-equivalent) corpus: PCA's
+    outer-product aggregate and the centroid-distance matrix — both
+    claim corpus-size-free downstream frames; measure at 500k vectors."""
+    from ipeds_etl_spark import queries as q
+
+    reg = q.queries()
+    out = {}
+    for name in ("emb_pca_power_iteration", "emb_label_centroid_distances"):
+        t0 = time.perf_counter()
+        n = len(reg[name](spark, SF10_DIR).collect())
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+    results["quad_r6"] = out
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
@@ -443,6 +458,10 @@ def main() -> None:
         run_verdict_r6(spark, results)
     if "sweep_r10" in sections:
         run_sweep(spark, results, names=SWEEP_R10, key="sweep_r10")
+    if "quad_r6" in sections:
+        if not Path(SF10_DIR).exists():
+            build_quad_corpus(spark)
+        run_quad_r6(spark, results)
     print(json.dumps(results))
 
 
