@@ -209,3 +209,62 @@ def window_dedup_stream(
         .dropDuplicates(["user_id", "event_type", "win"])
         .drop("win")
     )
+
+
+def streaming_dedup_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "StreamingQuery":  # noqa: F821 - forward ref, pyspark type
+    """Online crawl ingestion with LSH dedup: each micro-batch of
+    incoming documents is checked against the CURRENT kept corpus
+    (``operators.dedup.incremental_dedup_verdict`` — cross-side-only
+    banded candidates, cost ∝ batch), and only novel documents are
+    appended to the corpus parquet. Because batches run sequentially
+    through foreachBatch, a duplicate arriving in batch k of something
+    kept in batch j<k is rejected — the corpus is duplicate-free by
+    induction, which is exactly the sequential-batch semantics the
+    equivalence test replays.
+
+    At 100 TB the corpus side's banded index would be a maintained
+    table (append the new docs' bands per batch) instead of re-derived
+    per batch; the per-batch join cost is unchanged — the shape here
+    keeps the simpler spelling since the index build is itself one
+    linear pass. Exactly-once: the corpus append and the checkpoint
+    commit are per-batch; a replayed batch re-checks against the
+    corpus and finds its own docs already present, so replays converge
+    (dedup is idempotent by construction)."""
+    from ipeds_etl_spark.operators.dedup import incremental_dedup_verdict
+
+    spark = docs_stream.sparkSession
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col, "lang", "source", "n_chars")
+        try:
+            corpus = spark.read.parquet(corpus_path)
+            have_corpus = True
+        except Exception:
+            have_corpus = False
+        if not have_corpus:
+            batch_df.write.mode("overwrite").parquet(corpus_path)
+            return
+        both = corpus.withColumn("__ex", F.lit(True)).unionByName(
+            batch_df.withColumn("__ex", F.lit(False))
+        )
+        verdict = incremental_dedup_verdict(
+            both, text_col, id_col, F.col("__ex")
+        )
+        keep_ids = verdict.filter(F.col("keep")).select(id_col)
+        kept = batch_df.join(keep_ids, id_col, "left_semi")
+        # also drop docs already present by id (replayed batch)
+        kept = kept.join(corpus.select(id_col), id_col, "left_anti")
+        kept.write.mode("append").parquet(corpus_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -804,3 +804,65 @@ def test_window_dedup_stream_counts_match_batch(spark, stream_dir):
         r.event_type: r.n_kept for r in q_events_window_dedup(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_streaming_dedup_ingest_matches_sequential_batches(spark, tmp_path):
+    """Online LSH-dedup ingestion: stream the corpus in file-sized
+    micro-batches into a kept-corpus sink; the final corpus must equal
+    applying incremental_dedup_verdict sequentially batch-by-batch
+    (duplicate-free by induction), and a near-duplicate planted in a
+    LATER batch must be rejected against a doc kept in an EARLIER one."""
+    import os
+    import time as _time
+
+    from ipeds_etl_spark.operators.dedup import incremental_dedup_verdict
+    from ipeds_etl_spark.streaming import jobs
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, SF, "documents").limit(60).collect()
+    src_dir = str(tmp_path / "doc_stream")
+    os.makedirs(src_dir)
+    schema = load_table(spark, SF, "documents").schema
+
+    def write_flat(rows, name):
+        # the file stream source reads FILES in the dir, not subdirs —
+        # write each micro-batch as one flat parquet file
+        cols = {f.name: [r[f.name] for r in rows] for f in schema.fields}
+        pq.write_table(pa.table(cols), f"{src_dir}/{name}")
+
+    # batch 1: first 30 docs; batch 2: next 30 + a near-clone of doc 0
+    clone = docs[0].asDict()
+    clone["doc_id"] = 99_999_999
+    clone["text"] = clone["text"] + " tail"
+    b2_rows = docs[30:] + [type(docs[0])(**clone)]
+    b2 = spark.createDataFrame(b2_rows, schema)
+    write_flat(docs[:30], "b1.parquet")
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    write_flat(b2_rows, "b2.parquet")
+
+    corpus_path = str(tmp_path / "kept_corpus")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    jobs.streaming_dedup_ingest(
+        stream, corpus_path, str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    kept = spark.read.parquet(corpus_path)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # batch 1 wholesale kept (first write); the planted near-clone of
+    # doc 0 must have been REJECTED against the batch-1 corpus
+    assert set(d.doc_id for d in docs[:30]) <= kept_ids
+    assert 99_999_999 not in kept_ids
+    # sequential replay equivalence for batch 2
+    corpus1 = spark.createDataFrame(docs[:30], schema)
+    both = corpus1.withColumn("__ex", F.lit(True)).unionByName(
+        b2.withColumn("__ex", F.lit(False))
+    )
+    verdict = incremental_dedup_verdict(both, "text", "doc_id", F.col("__ex"))
+    expect_b2 = {r.doc_id for r in verdict.filter(F.col("keep")).collect()}
+    assert kept_ids == set(d.doc_id for d in docs[:30]) | expect_b2
