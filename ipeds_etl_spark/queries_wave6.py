@@ -1746,3 +1746,90 @@ def q_docs_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pass_len", "pass_stop", "pass_rep")
     )
+
+# ===========================================================================
+# Join-key overlap profiler (sketch-estimated selectivity vs exact)
+# ===========================================================================
+def _join_profile_oracle() -> str:
+    from ipeds_etl_spark.operators import sketches as SK
+
+    ska = SK.kmv_sketch_sql("CAST(o_custkey AS VARCHAR)", _KMV_K)
+    skb = SK.kmv_sketch_sql("CAST(c_custkey AS VARCHAR)", _KMV_K)
+    merged = SK.kmv_merge_sql("a.sk", "b.sk", _KMV_K)
+    union_est = SK.kmv_estimate_from_sql("m", _KMV_K)
+    return f"""
+    WITH a AS (SELECT {ska} AS sk FROM orders),
+    b AS (SELECT {skb} AS sk FROM customer),
+    p AS (SELECT a.sk AS ska, b.sk AS skb, {merged} AS m FROM a, b),
+    est AS (
+      SELECT {union_est} AS union_est,
+             CAST(len(list_intersect(list_intersect(m, ska), skb)) AS DOUBLE)
+               / len(m) AS jaccard_est
+      FROM p),
+    ex AS (
+      SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_a,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS exact_b,
+             (SELECT count(*) FROM (
+                SELECT DISTINCT o_custkey FROM orders
+                INTERSECT SELECT DISTINCT c_custkey FROM customer))
+               AS exact_common)
+    SELECT est.union_est, est.jaccard_est,
+           est.jaccard_est * est.union_est AS intersection_est,
+           CAST(ex.exact_a AS BIGINT) AS exact_a,
+           CAST(ex.exact_b AS BIGINT) AS exact_b,
+           CAST(ex.exact_common AS BIGINT) AS exact_common
+    FROM est CROSS JOIN ex
+    """
+
+
+@_register("orders_customer_join_profile", _join_profile_oracle())
+def q_orders_customer_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-selectivity profiling from sketches — estimate how much of
+    each side's key domain a join will touch BEFORE paying the join:
+    one KMV sketch per side (each a single map-combinable agg over its
+    own table — the two scans never meet), Theta-algebra
+    union/Jaccard/intersection estimates on the merged k-minima, and
+    the exact distinct/intersection counts alongside as calibration.
+    This is the profile a pipeline consults to pick broadcast vs
+    shuffle vs bloom-pruned join strategies (`orders_bloom_semi_join`
+    is the action this readout justifies), and the same sketches
+    stored per table-partition give partition-level overlap maps for
+    free (merge is associative).
+
+    Scale: sketch state ≤ k hashes per side regardless of table size;
+    the estimate algebra runs on ONE 1×1 row pair. The exact columns
+    are the gate-scale audit."""
+    from ipeds_etl_spark.operators import sketches as SK
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.agg(SK.kmv_sketch(F.col("o_custkey").cast("string"), _KMV_K).alias("ska"))
+    b = c.agg(SK.kmv_sketch(F.col("c_custkey").cast("string"), _KMV_K).alias("skb"))
+    p = a.crossJoin(F.broadcast(b)).select(
+        "ska", "skb", SK.kmv_merge(F.col("ska"), F.col("skb"), _KMV_K).alias("m")
+    )
+    union_est = SK.kmv_estimate_from(F.col("m"), _KMV_K)
+    jacc = (
+        F.size(F.array_intersect(F.array_intersect("m", "ska"), "skb")).cast("double")
+        / F.size("m")
+    )
+    est = p.select(union_est.alias("union_est"), jacc.alias("jaccard_est"))
+    oa = o.select(F.col("o_custkey").alias("k")).distinct()
+    cb = c.select(F.col("c_custkey").alias("k")).distinct()
+    ex = (
+        oa.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(F.broadcast(cb.agg(F.count(F.lit(1)).alias("exact_b"))))
+        .crossJoin(
+            F.broadcast(
+                oa.intersect(cb).agg(F.count(F.lit(1)).alias("exact_common"))
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        "union_est",
+        "jaccard_est",
+        (F.col("jaccard_est") * F.col("union_est")).alias("intersection_est"),
+        "exact_a",
+        "exact_b",
+        "exact_common",
+    )
