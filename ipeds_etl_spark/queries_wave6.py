@@ -1833,3 +1833,70 @@ def q_orders_customer_join_profile(spark: SparkSession, sf_dir: str) -> DataFram
         "exact_b",
         "exact_common",
     )
+
+# ===========================================================================
+# Header/detail reconciliation (order total vs line-item rollup)
+# ===========================================================================
+@_register(
+    "orders_header_detail_reconciliation",
+    """
+    WITH lsum AS (
+      SELECT l_orderkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)))
+               AS detail_rev
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,6)) AS header_total,
+             lsum.detail_rev,
+             abs(CAST(o.o_totalprice AS DECIMAL(18,6)) - lsum.detail_rev) AS adiff
+      FROM orders o LEFT JOIN lsum ON lsum.l_orderkey = o.o_orderkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN detail_rev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_headerless,
+           CAST(SUM(CASE WHEN adiff * 100 <= header_total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN adiff * 100 > header_total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_1pct,
+           CAST(max(adiff) AS DOUBLE) AS max_abs_diff
+    FROM j
+    """,
+)
+def q_orders_header_detail_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-header reconciliation — the bread-and-butter data-quality
+    check on any header/detail pair: per-order discounted line revenue
+    (exact decimal, the _REV6 re-round) against the order header's
+    total, profiled as exact-match bands (within/beyond 1%, header
+    with no lines). The 1% band is cross-multiplied in decimal
+    (adiff·100 ≤ total — no ratio is ever floated), so every count is
+    engine-exact; only max_abs_diff converts to double, once.
+
+    Scale: one orderkey-keyed map-combinable rollup of lineitem + a
+    same-key join to orders (co-partitioned by AQE on the shared key)
+    + a 1-row profile. The per-order diff column is what a DQ alert
+    would persist; the 1-row profile is what the dashboard reads."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).cast("decimal(18,6)")
+    lsum = li.groupBy("l_orderkey").agg(F.sum(rev).alias("detail_rev"))
+    j = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,6)").alias("header_total")
+    ).join(lsum, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    adiff = F.abs(F.col("header_total") - F.col("detail_rev"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("detail_rev").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_headerless"),
+        F.sum(F.when(adiff * 100 <= F.col("header_total"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.sum(F.when(adiff * 100 > F.col("header_total"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_beyond_1pct"),
+        F.max(adiff).cast("double").alias("max_abs_diff"),
+    )
