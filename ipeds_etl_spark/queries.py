@@ -698,6 +698,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_quality_ablation",
     "orders_customer_join_profile",
     "orders_header_detail_reconciliation",
+    "docs_neyman_allocation",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

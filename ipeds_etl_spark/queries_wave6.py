@@ -1900,3 +1900,103 @@ def q_orders_header_detail_reconciliation(spark: SparkSession, sf_dir: str) -> D
         .alias("n_beyond_1pct"),
         F.max(adiff).cast("double").alias("max_abs_diff"),
     )
+
+# ===========================================================================
+# Neyman (variance-optimal) sample allocation across sources
+# ===========================================================================
+_NEY_BUDGET = 10_000
+
+
+@_register(
+    "docs_neyman_allocation",
+    f"""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS nh,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, nh,
+             nh * CAST(floor(sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)
+               AS wt
+      FROM m),
+    t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+    q AS (
+      SELECT source, nh, wt,
+             CAST(({_NEY_BUDGET} * wt) // tw AS BIGINT) AS floor_alloc,
+             ({_NEY_BUDGET} * wt) % tw AS rem
+      FROM w CROSS JOIN t),
+    r AS (
+      SELECT source, nh, wt, floor_alloc,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             {_NEY_BUDGET} - SUM(floor_alloc) OVER () AS short
+      FROM q)
+    SELECT source, nh AS n_docs, wt AS neyman_weight,
+           CAST(floor_alloc + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r ORDER BY source
+    """,
+)
+def q_docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal (Neyman) sample allocation: each source's share
+    of a 10,000-unit sampling budget proportional to N_h·S_h — the
+    stratified-sampling design that minimizes estimator variance at a
+    fixed budget, the statistically-correct upgrade over the
+    size-proportional `docs_token_budget_allocation`. S_h enters as
+    the INTEGER square root of the exact variance numerator
+    (floor∘sqrt of an exact BIGINT: sqrt is correctly rounded on an
+    exactly-representable input, so the floor is engine-identical —
+    the one sanctioned use of sqrt in a decision path), and the
+    allocation is Hamilton largest-remainder, so Σ alloc == budget
+    EXACTLY and every number is an integer.
+
+    Scale: one map-combinable moment agg per source + O(sources)
+    arithmetic; the remainder-rank window runs over the metadata-sized
+    source frame."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    w = m.select(
+        "source",
+        "nh",
+        (
+            F.col("nh")
+            * F.floor(
+                F.sqrt((F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            ).cast("bigint")
+        ).alias("wt"),
+    )
+    t = w.agg(F.sum("wt").alias("tw"))
+    q = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "nh",
+        "wt",
+        F.expr(f"CAST(({_NEY_BUDGET} * wt) div tw AS BIGINT)").alias("floor_alloc"),
+        F.expr(f"({_NEY_BUDGET} * wt) % tw").alias("rem"),
+    )
+    win = Window.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.select(
+        "source",
+        "nh",
+        "wt",
+        "floor_alloc",
+        F.row_number().over(win).alias("rr"),
+        (F.lit(_NEY_BUDGET) - F.sum("floor_alloc").over(Window.partitionBy())).alias(
+            "short"
+        ),
+    )
+    return r.select(
+        "source",
+        F.col("nh").alias("n_docs"),
+        F.col("wt").alias("neyman_weight"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("source")

@@ -241,3 +241,18 @@ def test_multitouch_credit_conserves_exactly(spark):
     assert r.n_purchases > 0 and r.n_credited_clicks >= r.n_purchases
     assert r.total_credit_bp == 10000 * r.n_purchases
     assert 0 < r.first_touch_bp <= r.total_credit_bp
+
+
+def test_neyman_allocation_conserves_and_favors_variance(spark):
+    """Hamilton conservation (Σ alloc == budget exactly) and the
+    Neyman property: allocation ordering follows N_h·S_h ordering."""
+    from ipeds_etl_spark.queries_wave6 import _NEY_BUDGET, q_docs_neyman_allocation
+
+    rows = q_docs_neyman_allocation(spark, SF).collect()
+    assert rows and sum(r.alloc for r in rows) == _NEY_BUDGET
+    by_wt = sorted(rows, key=lambda r: (-r.neyman_weight, r.source))
+    allocs = [r.alloc for r in by_wt]
+    # largest-remainder keeps allocations within 1 of proportionality:
+    # a strictly higher weight can never get 2+ fewer units
+    for hi, lo in zip(allocs, allocs[1:]):
+        assert hi >= lo - 1
