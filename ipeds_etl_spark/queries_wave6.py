@@ -2000,3 +2000,76 @@ def q_docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     ).orderBy("source")
+
+# ===========================================================================
+# Near-copy point lookup: find near-duplicates of ONE query document
+# ===========================================================================
+_NC_QUERY_DOC = 335
+
+
+def _near_copies_oracle() -> str:
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import _band_key_sql, _minhash_sig_sql
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands_union}),
+    qb AS (SELECT band, band_key FROM bands WHERE doc_id = {_NC_QUERY_DOC}),
+    cand AS (
+      SELECT DISTINCT bands.doc_id FROM bands JOIN qb
+        ON bands.band = qb.band AND bands.band_key = qb.band_key
+      WHERE bands.doc_id <> {_NC_QUERY_DOC}),
+    sets AS (SELECT doc_id, list_distinct(w) AS s FROM toks),
+    qs AS (SELECT s AS qset FROM sets WHERE doc_id = {_NC_QUERY_DOC})
+    SELECT cand.doc_id,
+           CAST(len(list_intersect(sets.s, qset)) AS DOUBLE)
+             / len(list_distinct(list_concat(sets.s, qset))) AS jaccard
+    FROM cand JOIN sets ON sets.doc_id = cand.doc_id CROSS JOIN qs
+    ORDER BY jaccard DESC, cand.doc_id
+    """
+
+
+@_register("docs_find_near_copies", _near_copies_oracle())
+def q_docs_find_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-by-document: all near-copies of ONE query document via
+    the LSH index — the point-lookup dual of the corpus-wide
+    `dedup_minhash_lsh` sweep ("has anyone copied this page?"). The
+    query doc's ≤4 band keys probe the banded index (an equi join that
+    touches only colliding buckets — O(collisions), not O(corpus)),
+    then exact token-set Jaccard scores just the candidate sliver.
+
+    Scale: the banded index is the memoized corpus artifact the dedup
+    family already maintains; a point lookup costs 4 bucket probes +
+    |candidates| Jaccard evaluations — milliseconds against an index
+    of any size, the interactive-latency path a takedown/provenance
+    workflow needs."""
+    from ipeds_etl_spark.operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "text", "doc_id")
+    buckets = DD.lsh_band_buckets(sigs, "doc_id")
+    qb = buckets.filter(F.col("doc_id") == _NC_QUERY_DOC).select("band", "band_key")
+    cand = (
+        buckets.join(F.broadcast(qb), ["band", "band_key"])
+        .filter(F.col("doc_id") != _NC_QUERY_DOC)
+        .select("doc_id")
+        .distinct()
+    )
+    sets = d.select(
+        "doc_id", F.array_distinct(TX.tokens(F.col("text"))).alias("s")
+    )
+    qset = sets.filter(F.col("doc_id") == _NC_QUERY_DOC).select(
+        F.col("s").alias("qset")
+    )
+    inter = F.size(F.array_intersect(F.col("s"), F.col("qset")))
+    union = F.size(F.array_union(F.col("s"), F.col("qset")))
+    return (
+        cand.join(sets, "doc_id")
+        .crossJoin(F.broadcast(qset))
+        .select("doc_id", (inter.cast("double") / union).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "doc_id")
+    )
