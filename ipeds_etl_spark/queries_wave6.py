@@ -2073,3 +2073,90 @@ def q_docs_find_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (inter.cast("double") / union).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "doc_id")
     )
+
+# ===========================================================================
+# Growth accounting: new / retained / resurrected / churned per week
+# ===========================================================================
+@_register(
+    "events_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(date_trunc('week', ts)) // 604800000000 AS BIGINT) AS wk
+      FROM events),
+    lagged AS (
+      SELECT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS first_wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM uw),
+    staged AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM lagged),
+    act AS (
+      SELECT wk, stage, CAST(count(*) AS BIGINT) AS n_users
+      FROM staged GROUP BY wk, stage),
+    churn AS (
+      SELECT a.wk + 1 AS wk, 'churned' AS stage,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM uw a LEFT JOIN uw b
+        ON a.user_id = b.user_id AND b.wk = a.wk + 1
+      WHERE b.user_id IS NULL AND a.wk + 1 <= (SELECT max(wk) FROM uw)
+      GROUP BY a.wk + 1)
+    SELECT wk, stage, n_users FROM act
+    UNION ALL SELECT wk, stage, n_users FROM churn
+    ORDER BY wk, stage
+    """,
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting table (the canonical DAU/MAU decomposition):
+    every (user, week) activity cell classified as NEW (first week
+    ever), RETAINED (also active the previous week), or RESURRECTED
+    (returning after a gap), plus CHURNED counts attributed to the
+    week a user went silent — the four series whose sums reconcile to
+    net weekly active growth. Week ids are integer epoch-week numbers
+    (floor-div of epoch micros — engine-exact, no date arithmetic in
+    the keys).
+
+    Scale: the raw stream compacts to the distinct (user, week) grid
+    first (one map-combinable distinct — the `events_dau_wau` rule);
+    the stage windows run per user over O(weeks-active) rows; churn is
+    a self-join on the compacted grid keyed (user, week+1). Output
+    O(weeks × 4)."""
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(date_trunc('week', ts)) div 604800000000").alias("wk"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w_first = Window.partitionBy("user_id")
+    w_lag = Window.partitionBy("user_id").orderBy("wk")
+    staged = uw.select(
+        "wk",
+        F.when(F.col("wk") == F.min("wk").over(w_first), "new")
+        .when(F.lag("wk").over(w_lag) == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    act = staged.groupBy("wk", "stage").agg(F.count(F.lit(1)).alias("n_users"))
+    mx = uw.agg(F.max("wk").alias("mxwk"))
+    a, b = uw.alias("a"), uw.alias("b")
+    churn = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.wk") == F.col("a.wk") + 1),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("wk") + 1 <= F.col("mxwk"))
+        .select((F.col("wk") + 1).alias("wk"), F.lit("churned").alias("stage"))
+        .groupBy("wk", "stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return act.unionByName(churn).orderBy("wk", "stage")
