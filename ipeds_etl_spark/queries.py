@@ -701,6 +701,8 @@ _GATE_PRIORITY: list[str] = [
     "docs_neyman_allocation",
     "docs_find_near_copies",
     "events_growth_accounting",
+    "docs_near_dup_diff",
+    "orders_stl_lite",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

@@ -2160,3 +2160,143 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     return act.unionByName(churn).orderBy("wk", "stage")
+
+# ===========================================================================
+# Near-dup pair diff: what actually changed between two near-copies
+# ===========================================================================
+def _pair_diff_oracle() -> str:
+    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.queries_ext import _band_key_sql, _minhash_sig_sql
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands_union}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_distinct(w) AS s FROM toks)
+    SELECT pairs.id_a, pairs.id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_common,
+           CAST(len(sa.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_only_a,
+           CAST(len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_only_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+    FROM pairs JOIN sets sa ON sa.doc_id = pairs.id_a
+               JOIN sets sb ON sb.doc_id = pairs.id_b
+    ORDER BY pairs.id_a, pairs.id_b
+    """
+
+
+@_register("docs_near_dup_diff", _pair_diff_oracle())
+def q_docs_near_dup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "what changed" view on near-duplicates: for every LSH
+    candidate pair, the token-set diff — common / only-in-A /
+    only-in-B counts and the Jaccard — the triage table a curator
+    reads to decide whether near-dups are boilerplate variants
+    (small asymmetric diffs) or genuine revisions (balanced diffs).
+
+    Scale: pairs come from the memoized banded index (ids only); the
+    set diff re-attaches the two token arrays by equi-join and is
+    evaluated per CANDIDATE pair — O(pairs), the near-dup re-attach
+    discipline throughout the dedup family."""
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_doc_pairs(spark, sf_dir)
+    sets = d.select("doc_id", F.array_distinct(TX.tokens(F.col("text"))).alias("s"))
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size(F.array_union("s_a", "s_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        inter.cast("long").alias("n_common"),
+        (F.size("s_a") - inter).cast("long").alias("n_only_a"),
+        (F.size("s_b") - inter).cast("long").alias("n_only_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# STL-lite: integer-exact trend / day-of-week seasonal / residual
+# ===========================================================================
+@_register(
+    "orders_stl_lite",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             isodow(o_orderdate) AS dow,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    tr AS (
+      SELECT d, dow, cents,
+             CAST(SUM(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  // (count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+                  AS BIGINT) AS trend
+      FROM daily),
+    se AS (
+      SELECT dow, CAST(SUM(cents - trend) // count(*) AS BIGINT) AS seasonal
+      FROM tr GROUP BY dow)
+    SELECT strftime(tr.d, '%Y-%m-%d') AS day,
+           tr.cents, tr.trend, se.seasonal,
+           tr.cents - tr.trend - se.seasonal AS residual
+    FROM tr JOIN se ON tr.dow = se.dow
+    ORDER BY day
+    """,
+)
+def q_orders_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition, fully integer: daily revenue in
+    exact cents; TREND = centered 7-day moving average (truncating
+    integer division of an exact window sum — the edges use the
+    partial window, same rule both engines); SEASONAL = per-ISO-dow
+    mean of the detrended series (again one truncating div); RESIDUAL
+    = exact remainder. Each component is a BIGINT, so
+    cents == trend + seasonal + residual reconciles bit-for-bit and
+    the decomposition is a total function of the data — the anomaly
+    baseline `events_seasonal_anomaly` reads off raw cells, this one
+    removes trend first (the classic decomposition split).
+
+    Scale: the corpus compacts to O(days) rows in one map-combinable
+    agg; every window thereafter runs over the compacted daily frame
+    (the rolling-anomaly compaction rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        ((F.dayofweek("o_orderdate") + 5) % 7 + 1).alias("dow"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "dow",
+        "cents",
+        F.expr(
+            "CAST(SUM(cents) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            " div (count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))"
+            " AS BIGINT)"
+        ).alias("trend"),
+    )
+    se = tr.groupBy("dow").agg(
+        F.expr("CAST(SUM(cents - trend) div count(*) AS BIGINT)").alias("seasonal")
+    )
+    return (
+        tr.join(F.broadcast(se), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "trend",
+            "seasonal",
+            (F.col("cents") - F.col("trend") - F.col("seasonal")).alias("residual"),
+        )
+        .orderBy("day")
+    )
