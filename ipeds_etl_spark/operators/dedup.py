@@ -562,3 +562,30 @@ def incremental_dedup_verdict(
             (F.col("n_matches") == 0).alias("keep"),
         )
     )
+
+
+def minhash_signatures_from_sets(
+    df: DataFrame, set_col: str, id_col: str, n_perms: int = N_PERMS
+) -> DataFrame:
+    """MinHash signatures over an ARBITRARY set-valued column (array of
+    strings) — the text pipeline's ``minhash_signatures`` with the
+    shingle step removed, generalizing LSH dedup/similarity to any
+    relational set: baskets of parts, users' event-type sets, tag
+    sets. Same parity hash, same permutation family, same downstream
+    ``lsh_band_buckets`` — the banded index machinery is
+    representation-agnostic by construction."""
+    hv = df.select(
+        F.col(id_col), F.transform(F.col(set_col), parity_hash).alias("hv")
+    )
+    arr = (
+        "array("
+        + ", ".join(
+            f"array_min(transform(hv, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+            for a, b in minhash_perms(n_perms)
+        )
+        + ") AS sig"
+    )
+    return (
+        hv.where(F.col("hv").isNotNull() & (F.size("hv") > 0))
+        .selectExpr(id_col, arr)
+    )

@@ -703,6 +703,7 @@ _GATE_PRIORITY: list[str] = [
     "events_growth_accounting",
     "docs_near_dup_diff",
     "orders_stl_lite",
+    "suppliers_similar_by_parts",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

@@ -2300,3 +2300,101 @@ def q_orders_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+# ===========================================================================
+# Relational set similarity: suppliers near-identical by part portfolio
+# ===========================================================================
+def _supplier_sim_oracle() -> str:
+    from ipeds_etl_spark.functions.hashing import PARITY_HEX_DIGITS
+    from ipeds_etl_spark.operators.dedup import (
+        MERSENNE_P,
+        N_PERMS,
+        ROWS_PER_BAND,
+        minhash_perms,
+    )
+
+    h = f"CAST(concat('0x', substr(sha256(x), 1, {PARITY_HEX_DIGITS})) AS BIGINT)"
+    mins = ",\n             ".join(
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_perms(N_PERMS))
+    )
+    def band_key(b):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        return " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    bands_union = " UNION ALL ".join(
+        f"SELECT l_suppkey, {b} AS band, {band_key(b)} AS band_key FROM sig"
+        for b in range(N_PERMS // ROWS_PER_BAND)
+    )
+    return f"""
+    WITH sets AS (
+      SELECT l_suppkey, list_distinct(list(CAST(l_partkey AS VARCHAR))) AS s
+      FROM lineitem GROUP BY l_suppkey),
+    hv AS (SELECT l_suppkey, list_transform(s, x -> {h}) AS hv FROM sets),
+    sig AS (SELECT l_suppkey, {mins} FROM hv),
+    bands AS ({bands_union}),
+    pairs AS (
+      SELECT DISTINCT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.l_suppkey < b.l_suppkey)
+    SELECT pairs.supp_a, pairs.supp_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+    FROM pairs JOIN sets sa ON sa.l_suppkey = pairs.supp_a
+               JOIN sets sb ON sb.l_suppkey = pairs.supp_b
+    ORDER BY pairs.supp_a, pairs.supp_b
+    """
+
+
+@_register("suppliers_similar_by_parts", _supplier_sim_oracle())
+def q_suppliers_similar_by_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH set-similarity on a RELATIONAL set — supplier pairs whose
+    part portfolios band-collide, with exact portfolio Jaccard on the
+    candidate sliver: the text-dedup machinery
+    (`minhash_signatures_from_sets` + the same banded index) applied
+    to "documents" that are sets of part keys. At 100 TB this is how
+    you find near-identical entities by behavior (suppliers by
+    catalog, users by event vocabulary, baskets by contents) without
+    an O(n²) set-similarity join — the generalization the operator
+    layer was designed for.
+
+    Scale: one (supplier, part) distinct + collect_set agg builds the
+    portfolios (set size bounded by catalog breadth); signatures are
+    map-only; candidates are bucket collisions; Jaccard touches only
+    the collided pairs."""
+    from ipeds_etl_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures_from_sets,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_suppkey").agg(
+        F.array_distinct(
+            F.collect_list(F.col("l_partkey").cast("string"))
+        ).alias("s")
+    )
+    sigs = minhash_signatures_from_sets(sets, "s", "l_suppkey")
+    buckets = lsh_band_buckets(sigs, "l_suppkey")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("l_suppkey").alias("supp_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("l_suppkey").alias("supp_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size(F.array_union("s_a", "s_b"))
+    return (
+        pairs.join(sa, "supp_a")
+        .join(sb, "supp_b")
+        .select("supp_a", "supp_b", (inter.cast("double") / union).alias("jaccard"))
+        .orderBy("supp_a", "supp_b")
+    )
