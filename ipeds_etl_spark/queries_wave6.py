@@ -1883,9 +1883,14 @@ def q_orders_header_detail_reconciliation(spark: SparkSession, sf_dir: str) -> D
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
     ).cast("decimal(18,6)")
     lsum = li.groupBy("l_orderkey").agg(F.sum(rev).alias("detail_rev"))
+    # the detail rollup is FACT-derived (O(orders) rows) — never let
+    # AQE broadcast it from compression-skewed size estimates (31 s at
+    # sf1 vs 4 s shuffled; the similarity-reattach lesson): pin a
+    # shuffle-hash join on the shared orderkey, which both sides'
+    # exchanges already provide
     j = o.select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,6)").alias("header_total")
-    ).join(lsum, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    ).join(lsum.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"), "left")
     adiff = F.abs(F.col("header_total") - F.col("detail_rev"))
     return j.agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -2052,7 +2057,16 @@ def q_docs_find_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(d, "text", "doc_id")
     buckets = DD.lsh_band_buckets(sigs, "doc_id")
-    qb = buckets.filter(F.col("doc_id") == _NC_QUERY_DOC).select("band", "band_key")
+    # the query side hashes ONE document — computing it by filtering
+    # the full bucket frame would build corpus signatures TWICE (the
+    # sf1 smoke measured 45 s; this form is ~4 s): derive the ≤4 probe
+    # keys from the query doc alone, O(1) work
+    qb = DD.lsh_band_buckets(
+        DD.minhash_signatures(
+            d.filter(F.col("doc_id") == _NC_QUERY_DOC), "text", "doc_id"
+        ),
+        "doc_id",
+    ).select("band", "band_key")
     cand = (
         buckets.join(F.broadcast(qb), ["band", "band_key"])
         .filter(F.col("doc_id") != _NC_QUERY_DOC)

@@ -183,6 +183,23 @@ SWEEP_R10 = [
     "emb_pca_power_iteration",
 ]
 
+#: round-6 late wave: planner/DQ/analytics composites added after the
+#: first sweep_r10 run
+SWEEP_R11 = [
+    "events_seasonal_anomaly",
+    "customer_interpurchase_gaps",
+    "events_multitouch_attribution",
+    "docs_quality_ablation",
+    "orders_customer_join_profile",
+    "orders_header_detail_reconciliation",
+    "docs_neyman_allocation",
+    "docs_find_near_copies",
+    "events_growth_accounting",
+    "docs_near_dup_diff",
+    "orders_stl_lite",
+    "suppliers_similar_by_parts",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -458,6 +475,8 @@ def main() -> None:
         run_verdict_r6(spark, results)
     if "sweep_r10" in sections:
         run_sweep(spark, results, names=SWEEP_R10, key="sweep_r10")
+    if "sweep_r11" in sections:
+        run_sweep(spark, results, names=SWEEP_R11, key="sweep_r11")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
