@@ -242,6 +242,7 @@ EXCLUDED = {
     "emb_pq_recall": "O(n²) brute-force neighbor gold standard",
     "emb_rp_lsh_recall": "O(n²) brute-force neighbor gold standard",
     "emb_rp_lsh_banded_recall": "O(n²) brute-force neighbor gold standard",
+    "dedup_bcubed_eval": "O(n²) exact-Jaccard truth clustering gold standard",
 }
 
 

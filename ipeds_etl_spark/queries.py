@@ -617,6 +617,7 @@ def _load_extensions() -> None:
         queries_subq,
         queries_wave5,
         queries_wave6,
+        queries_wave7,
     )
 
 
@@ -704,6 +705,10 @@ _GATE_PRIORITY: list[str] = [
     "docs_near_dup_diff",
     "orders_stl_lite",
     "suppliers_similar_by_parts",
+    "docs_dsir_importance",
+    "dedup_bcubed_eval",
+    "lineitem_zorder_stats",
+    "emb_kcenter_coreset",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

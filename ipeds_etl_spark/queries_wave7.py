@@ -1,0 +1,561 @@
+"""Round-6 late wave: data-curation operators — DSIR-style importance
+weighting, extrinsic clustering evaluation (B-cubed) of the dedup
+pipeline, a data-layout pruning audit (z-order vs insertion order),
+and greedy k-center coreset selection.
+
+House rules as everywhere: integer/decimal-exact numerators with one
+IEEE operation per output cell, bit-length (`conv`/`to_base`) in
+place of log2 (the libm ban), `div` ↔ `//` scaled-BIGINT fixed
+point, windows only over metadata-sized frames.
+
+The reference (kebe3476/ipeds_etl) ships none of these; they extend
+its surface under the same oracle-twin discipline (COVERAGE.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions import text as TX
+from ipeds_etl_spark.operators import dedup as DD
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.queries_ext import (
+    _band_key_sql,
+    _docs,
+    _lsh_doc_pairs,
+    _minhash_sig_sql,
+    _SHINGLES,
+    _WS_TOKENS,
+)
+from ipeds_etl_spark.sources.tables import load_table
+
+
+# ===========================================================================
+# DSIR-style importance weights toward a seed set + Mann-Whitney AUC readout
+# ===========================================================================
+
+
+@_register(
+    "docs_dsir_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WS_TOKENS.format(x='text')}) AS t
+      FROM documents),
+    dc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id, t),
+    seed AS (SELECT doc_id, max(n) * 5 >= SUM(n) AS is_tgt
+             FROM dc GROUP BY doc_id),
+    call AS (SELECT t, CAST(count(*) AS BIGINT) AS ca FROM tok GROUP BY t),
+    ctgt AS (SELECT t, CAST(count(*) AS BIGINT) AS ct
+             FROM tok JOIN seed USING (doc_id) WHERE is_tgt GROUP BY t),
+    tots AS (SELECT CAST(SUM(ca) AS BIGINT) AS total_all,
+                    CAST(count(*) AS BIGINT) AS vocab FROM call),
+    ttgt AS (SELECT CAST(count(*) AS BIGINT) AS total_tgt
+             FROM tok JOIN seed USING (doc_id) WHERE is_tgt),
+    sc AS (
+      SELECT tok.doc_id,
+             (CAST(length(to_base(total_all * total_all, 2)) AS BIGINT)
+              - CAST(length(to_base(ca * ca, 2)) AS BIGINT))
+             - (CAST(length(to_base((total_tgt + vocab) * (total_tgt + vocab), 2))
+                     AS BIGINT)
+                - CAST(length(to_base((coalesce(ct, 0) + 1) * (coalesce(ct, 0) + 1),
+                                      2)) AS BIGINT)) AS w
+      FROM tok JOIN call USING (t) LEFT JOIN ctgt USING (t)
+      CROSS JOIN tots CROSS JOIN ttgt),
+    dw AS (SELECT doc_id, (CAST(SUM(w) AS BIGINT) * 100) // count(*) AS score
+           FROM sc GROUP BY doc_id),
+    lab AS (SELECT score, is_tgt FROM dw JOIN seed USING (doc_id)),
+    hist AS (SELECT score,
+                    CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                    CAST(SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS nn
+             FROM lab GROUP BY score),
+    cum AS (SELECT nt, nn,
+                   coalesce(SUM(nn) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS nn_below
+            FROM hist)
+    SELECT (SELECT CAST(SUM(nt) AS BIGINT) FROM hist) AS n_target,
+           (SELECT CAST(SUM(nn) AS BIGINT) FROM hist) AS n_rest,
+           CAST(SUM(nt * (2 * nn_below + nn)) AS BIGINT) AS u2,
+           CAST(SUM(nt * (2 * nn_below + nn)) AS DOUBLE)
+             / (2.0 * (SELECT SUM(nt) FROM hist) * (SELECT SUM(nn) FROM hist))
+             AS auc
+    FROM cum
+    """,
+)
+def q_docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") with a
+    verifiable arithmetic core, plus the evaluation DSIR itself needs:
+    does the weight actually rank seed-like documents first?
+
+    The seed set is the planted repetition defect (a doc whose top
+    token carries ≥ 1/5 of its tokens — the quality-filter direction:
+    importance toward the LOW-quality distribution, used for negative
+    selection). Per-token importance is log2 p_seed(t) − log2
+    p_corpus(t) in HALF-bits — bit-length of the SQUARED count
+    (`conv(x²,10,2)` ↔ `to_base(x²,2)`), the house floor-log2 at 2×
+    resolution, pure integer so both engines agree exactly (BIGINT
+    audit: (total_tokens)² must stay < 2⁶³ — safe through ~3·10⁹
+    tokens; shard the LM beyond that). The seed LM is add-one
+    smoothed over the corpus vocabulary. Per-doc score = 100·Σw / n
+    (length-normalized, integer `div`).
+
+    The readout is the exact Mann-Whitney U / AUC of the score
+    against the seed labels, computed from the SCORE HISTOGRAM —
+    U2 = Σ_s nt(s)·(2·(# rest below s) + nt-ties) — not a pairwise
+    join, so the rank test is one small-frame window over O(distinct
+    scores) rows, never O(n²). AUC ≈ 0.91 at sf0.01: the unigram LM
+    separates the planted defect imperfectly (the corpus draws from a
+    31-token shared vocabulary — exactly the regime where DSIR's
+    hashed-feature LM is weak), and the query reports that honestly
+    instead of hiding it.
+
+    Scale: tokenized projection → two map-combinable count tables on
+    the same token-key exchange (seed LM is count-bounded by the
+    corpus LM), scoring join broadcasts the vocab-sized tables, per-doc
+    rollup map-combines on doc_id, and the AUC window runs over the
+    metadata-sized histogram."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    dc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    seed = dc.groupBy("doc_id").agg(
+        (F.max("n") * 5 >= F.sum("n")).alias("is_tgt")
+    )
+    call = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    tgt_tok = tok.join(seed.filter("is_tgt"), "doc_id").select("t")
+    ctgt = tgt_tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    tots = call.agg(
+        F.sum("ca").cast("long").alias("total_all"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    ttgt = tgt_tok.agg(F.count(F.lit(1)).cast("long").alias("total_tgt"))
+
+    def bits_sq(col):
+        return F.length(F.conv((col * col).cast("string"), 10, 2)).cast("long")
+
+    w = (bits_sq(F.col("total_all")) - bits_sq(F.col("ca"))) - (
+        bits_sq(F.col("total_tgt") + F.col("vocab"))
+        - bits_sq(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+    )
+    sc = (
+        tok.join(call, "t")
+        .join(ctgt, "t", "left")
+        .crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(ttgt))
+        .select("doc_id", w.alias("w"))
+    )
+    dw = sc.groupBy("doc_id").agg(
+        F.expr("(CAST(SUM(w) AS BIGINT) * 100) div count(*)").alias("score")
+    )
+    lab = dw.join(seed, "doc_id")
+    hist = lab.groupBy("score").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).cast("long").alias("nn"),
+    )
+    win = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "nt", "nn", F.coalesce(F.sum("nn").over(win), F.lit(0)).alias("nn_below")
+    )
+    totals = hist.agg(
+        F.sum("nt").cast("long").alias("n_target"),
+        F.sum("nn").cast("long").alias("n_rest"),
+    )
+    return (
+        cum.agg(
+            F.sum(F.col("nt") * (2 * F.col("nn_below") + F.col("nn")))
+            .cast("long")
+            .alias("u2")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_target",
+            "n_rest",
+            "u2",
+            (
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * F.col("n_target") * F.col("n_rest"))
+            ).alias("auc"),
+        )
+    )
+
+
+# ===========================================================================
+# B-cubed evaluation of the LSH dedup clustering vs the exact-Jaccard truth
+# ===========================================================================
+#: fixed-point scale for the per-cell precision/recall terms. Magnitude
+#: audit: term = (n_cell * 1e9) // size * n_cell; n_cell <= N_docs, so at
+#: sf1 (50k docs) worst case 5e4*1e9 = 5e13, * 5e4 = 2.5e18 < 2^63. The
+#: 1e-9 truncation is applied identically by both engines (`div` ↔ `//`).
+_B3_SCALE = 1_000_000_000
+
+
+def _components_sql(edges_cte: str, name: str) -> str:
+    """Min-label fixpoint as a recursive CTE over an edge CTE holding
+    (s, d) both directions — the ``dedup_components`` oracle pattern."""
+    return f"""
+    {name}_reach(id, comp) AS (
+      SELECT s, s FROM {edges_cte}
+      UNION
+      SELECT e.s, r.comp FROM {edges_cte} e JOIN {name}_reach r ON e.d = r.id),
+    {name}_comp AS (SELECT id, min(comp) AS lbl FROM {name}_reach GROUP BY id)"""
+
+
+def _bcubed_oracle() -> str:
+    shingles = _SHINGLES.format(w="w")
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    return f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    bands AS ({bands}),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    rtoks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    rsh AS (SELECT doc_id, list_distinct({shingles}) AS s FROM rtoks),
+    gold AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rsh a JOIN rsh b ON a.doc_id < b.doc_id
+      WHERE 10 * len(list_intersect(a.s, b.s))
+            >= 7 * len(list_distinct(list_concat(a.s, b.s)))),
+    pedges AS (SELECT id_a AS s, id_b AS d FROM lsh
+               UNION SELECT id_b, id_a FROM lsh),
+    {_components_sql('pedges', 'p')},
+    gedges AS (SELECT id_a AS s, id_b AS d FROM gold
+               UNION SELECT id_b, id_a FROM gold),
+    {_components_sql('gedges', 'g')},
+    asg AS (
+      SELECT d.doc_id,
+             coalesce(p.lbl, d.doc_id) AS pred,
+             coalesce(g.lbl, d.doc_id) AS truth
+      FROM documents d
+      LEFT JOIN p_comp p ON p.id = d.doc_id
+      LEFT JOIN g_comp g ON g.id = d.doc_id),
+    psize AS (SELECT pred, CAST(count(*) AS BIGINT) AS ps FROM asg GROUP BY pred),
+    tsize AS (SELECT truth, CAST(count(*) AS BIGINT) AS ts FROM asg GROUP BY truth),
+    cells AS (SELECT pred, truth, CAST(count(*) AS BIGINT) AS n
+              FROM asg GROUP BY pred, truth),
+    terms AS (
+      SELECT ((c.n * {_B3_SCALE}) // p.ps) * c.n AS tp,
+             ((c.n * {_B3_SCALE}) // t.ts) * c.n AS tr
+      FROM cells c JOIN psize p USING (pred) JOIN tsize t USING (truth)),
+    pr AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+             CAST(SUM(tp) AS DOUBLE)
+               / ((SELECT count(*) FROM documents) * CAST({_B3_SCALE} AS DOUBLE))
+               AS bcubed_precision,
+             CAST(SUM(tr) AS DOUBLE)
+               / ((SELECT count(*) FROM documents) * CAST({_B3_SCALE} AS DOUBLE))
+               AS bcubed_recall
+      FROM terms)
+    SELECT n_docs, bcubed_precision, bcubed_recall,
+           (2.0 * bcubed_precision * bcubed_recall)
+             / (bcubed_precision + bcubed_recall) AS bcubed_f1
+    FROM pr
+    """
+
+
+@_register("dedup_bcubed_eval", _bcubed_oracle())
+def q_dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extrinsic clustering evaluation of the WHOLE dedup pipeline:
+    B-cubed precision/recall/F1 (Bagga & Baldwin 1998 — the standard
+    coreference/dedup clustering metric) of the LSH→connected-
+    components clustering against the exact-Jaccard ≥ 0.7 truth
+    clustering (the same O(n²) gold standard ``dedup_minhash_recall``
+    calibrates against, promoted from pair level to cluster level).
+    Singleton docs are their own cluster on both sides. B-cubed
+    reduces to the (pred, truth) contingency table: BP = Σ n²/|pred| /
+    N and BR = Σ n²/|truth| / N — computed in 1e-9 fixed point
+    (`div` ↔ `//`, identical truncation both engines), one IEEE
+    division per output cell, F1 from the two columns in a fixed
+    expression shape.
+
+    Scale: the scalable side (LSH bands → label-propagation
+    components, then three map-combinable aggs over the assignment
+    table) is exactly the production dedup path; the quadratic gold
+    standard exists ONLY at oracle scale, so the query is
+    bench-EXCLUDED like the other recall gates. Oracle replays both
+    fixpoints with recursive CTEs (the ``dedup_components`` pattern,
+    twice)."""
+    from ipeds_etl_spark.operators.components import dedup_clusters
+
+    d = _docs(spark, sf_dir)
+    lsh = _lsh_doc_pairs(spark, sf_dir)
+
+    sets = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh")
+    )
+    L, R = sets.alias("l"), sets.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    gold = (
+        L.join(R, F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(10 * inter >= 7 * union)
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+    )
+
+    pred = dedup_clusters(lsh).select(
+        F.col("id").alias("doc_id"), F.col("component_id").alias("pred")
+    )
+    truth = dedup_clusters(gold).select(
+        F.col("id").alias("doc_id"), F.col("component_id").alias("truth")
+    )
+    asg = (
+        d.select("doc_id")
+        .join(pred, "doc_id", "left")
+        .join(truth, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred", "doc_id").alias("pred"),
+            F.coalesce("truth", "doc_id").alias("truth"),
+        )
+        .localCheckpoint()
+    )
+    psize = asg.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("ps"))
+    tsize = asg.groupBy("truth").agg(F.count(F.lit(1)).cast("long").alias("ts"))
+    cells = asg.groupBy("pred", "truth").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    terms = (
+        cells.join(psize, "pred")
+        .join(tsize, "truth")
+        .select(
+            (
+                F.expr(f"(n * {_B3_SCALE}) div ps") * F.col("n")
+            ).alias("tp"),
+            (
+                F.expr(f"(n * {_B3_SCALE}) div ts") * F.col("n")
+            ).alias("tr"),
+        )
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pr = (
+        terms.agg(F.sum("tp").alias("sp"), F.sum("tr").alias("sr"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            (
+                F.col("sp").cast("double")
+                / (F.col("n_docs") * F.lit(float(_B3_SCALE)))
+            ).alias("bcubed_precision"),
+            (
+                F.col("sr").cast("double")
+                / (F.col("n_docs") * F.lit(float(_B3_SCALE)))
+            ).alias("bcubed_recall"),
+        )
+    )
+    return pr.select(
+        "n_docs",
+        "bcubed_precision",
+        "bcubed_recall",
+        (
+            (F.lit(2.0) * F.col("bcubed_precision") * F.col("bcubed_recall"))
+            / (F.col("bcubed_precision") + F.col("bcubed_recall"))
+        ).alias("bcubed_f1"),
+    )
+
+
+# ===========================================================================
+# Data-layout audit: z-order vs insertion-order min/max pruning
+# ===========================================================================
+#: 4 bits per dimension -> 8-bit z-value -> 64 files of 4 z-cells each.
+_Z_FILES = 64
+
+
+def _z_interleave_sql(pk: str, sk: str) -> str:
+    terms = []
+    for j in range(4):
+        terms.append(f"(({pk} >> {j}) & 1) * {1 << (2 * j + 1)}")
+        terms.append(f"(({sk} >> {j}) & 1) * {1 << (2 * j)}")
+    return " + ".join(terms)
+
+
+@_register(
+    "lineitem_zorder_stats",
+    f"""
+    WITH q AS (
+      SELECT CAST(l_partkey % 16 AS BIGINT) AS pk,
+             CAST(l_suppkey % 16 AS BIGINT) AS sk,
+             CAST(l_orderkey % {_Z_FILES} AS BIGINT) AS fn
+      FROM lineitem),
+    z AS (SELECT pk, sk, fn,
+                 ({_z_interleave_sql('pk', 'sk')}) // 4 AS fz
+          FROM q),
+    zstat AS (SELECT fz, min(pk) AS pmin, max(pk) AS pmax,
+                     min(sk) AS smin, max(sk) AS smax
+              FROM z GROUP BY fz),
+    nstat AS (SELECT fn, min(pk) AS pmin, max(pk) AS pmax,
+                     min(sk) AS smin, max(sk) AS smax
+              FROM z GROUP BY fn),
+    hits AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM zstat) AS n_files,
+        (SELECT CAST(SUM(CASE WHEN pmin <= 7 AND pmax >= 4
+                               AND smin <= 11 AND smax >= 8
+                              THEN 1 ELSE 0 END) AS BIGINT)
+           FROM zstat) AS z_box_files,
+        (SELECT CAST(SUM(CASE WHEN pmin <= 7 AND pmax >= 4
+                               AND smin <= 11 AND smax >= 8
+                              THEN 1 ELSE 0 END) AS BIGINT)
+           FROM nstat) AS nat_box_files,
+        (SELECT CAST(SUM(CASE WHEN smin <= 11 AND smax >= 8
+                              THEN 1 ELSE 0 END) AS BIGINT)
+           FROM zstat) AS z_dim_files,
+        (SELECT CAST(SUM(CASE WHEN smin <= 11 AND smax >= 8
+                              THEN 1 ELSE 0 END) AS BIGINT)
+           FROM nstat) AS nat_dim_files,
+        (SELECT CAST(SUM(CASE WHEN pk BETWEEN 4 AND 7
+                               AND sk BETWEEN 8 AND 11
+                              THEN 1 ELSE 0 END) AS BIGINT)
+           FROM z) AS box_rows)
+    SELECT * FROM hits
+    """,
+)
+def q_lineitem_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: how many files does min/max (zone-map)
+    pruning actually skip under a z-order clustering vs the natural
+    insertion order? Rows are bucketed on two dims (partkey%16,
+    suppkey%16), the 4+4 bits are interleaved into an 8-bit z-value,
+    and files are 4-cell z-ranges (64 files) — vs 64 round-robin
+    insertion-order files (`orderkey % 64`). For each layout the
+    per-file (min,max) of both dims is the zone map, and a file is
+    SCANNED when its ranges overlap the predicate box — exactly the
+    parquet row-group pruning rule. Readout: a 4×4 box query and a
+    one-dim band query touch ~4 and ~16 of 64 z-files but ALL 64
+    insertion-order files (every round-robin file spans the full
+    bucket range). Pure integer arithmetic end to end.
+
+    Scale: this is THE mechanism that makes 100 TB scans affordable —
+    writing fact tables z-ordered on the two most-filtered columns
+    turns zone maps into a 4–16× scan reduction that insertion order
+    never delivers. The audit itself is two map-combinable group-bys
+    (64 groups each) + one filter count; the six scalar outputs are
+    1-row broadcast-joined frames. The WRITE side of the same story is
+    ``operators/layout.py::zorder_write`` (range-partition on the
+    Morton code, parquet-footer-verified by
+    ``tests/test_layout.py::test_zorder_localizes_both_dimensions``);
+    this query is its oracle-checked analytical twin — same bit
+    interleave, measured at the zone-map level."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 16).cast("long").alias("pk"),
+        (F.col("l_suppkey") % 16).cast("long").alias("sk"),
+        (F.col("l_orderkey") % _Z_FILES).cast("long").alias("fn"),
+    )
+    z = li.withColumn(
+        "fz", F.expr(f"({_z_interleave_sql('pk', 'sk')}) div 4")
+    ).localCheckpoint()
+
+    def zone(df: DataFrame, fcol: str) -> DataFrame:
+        return df.groupBy(fcol).agg(
+            F.min("pk").alias("pmin"),
+            F.max("pk").alias("pmax"),
+            F.min("sk").alias("smin"),
+            F.max("sk").alias("smax"),
+        )
+
+    zstat, nstat = zone(z, "fz"), zone(z, "fn")
+    box = (
+        (F.col("pmin") <= 7)
+        & (F.col("pmax") >= 4)
+        & (F.col("smin") <= 11)
+        & (F.col("smax") >= 8)
+    )
+    dim = (F.col("smin") <= 11) & (F.col("smax") >= 8)
+
+    def cnt(df: DataFrame, cond, name: str) -> DataFrame:
+        return df.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        )
+
+    n_files = zstat.agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    rows = z.agg(
+        F.sum(
+            F.when(F.col("pk").between(4, 7) & F.col("sk").between(8, 11), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("box_rows")
+    )
+    out = (
+        n_files.crossJoin(cnt(zstat, box, "z_box_files"))
+        .crossJoin(cnt(nstat, box, "nat_box_files"))
+        .crossJoin(cnt(zstat, dim, "z_dim_files"))
+        .crossJoin(cnt(nstat, dim, "nat_dim_files"))
+        .crossJoin(rows)
+    )
+    return out
+
+
+# ===========================================================================
+# Greedy k-center coreset over embeddings
+# ===========================================================================
+_KCENTER_K = 8
+
+_SQDIST = (
+    "list_sum(list_transform(range(len({a})), "
+    "i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])))"
+)
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    """The greedy traversal unrolled: k ORDER BY ... LIMIT 1 CTE
+    rounds — the oracle pays O(k·n) like the engine, but serially."""
+    dist_c = _SQDIST.format(a="p.v", b="c.v")
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT p.vec_id, p.v, {dist_c} AS mind "
+        "FROM q p CROSS JOIN c0 c)",
+        "c1 AS (SELECT vec_id, v, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(2, k):
+        ctes.append(
+            f"d{r} AS (SELECT p.vec_id, p.v, least(p.mind, {dist_c}) AS mind "
+            f"FROM d{r - 1} p CROSS JOIN c{r - 1} c)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, v, mind FROM d{r} "
+            "ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        ["SELECT 0 AS round, vec_id, CAST(0 AS BIGINT) AS sel_dist_sq FROM c0"]
+        + [
+            f"SELECT {r}, vec_id, CAST(mind AS BIGINT) FROM c{r}"
+            for r in range(1, k)
+        ]
+    )
+    return f"WITH {', '.join(ctes)} {union} ORDER BY round"
+
+
+@_register("emb_kcenter_coreset", _kcenter_oracle())
+def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embeddings table — the diversity-maximizing exemplar sampler for
+    training-data curation (Gonzalez's 2-approximation; the Coreset
+    active-learning selector of Sener & Savarese 2018). Deterministic
+    end to end: TRUNC(x·1000) integer quantization, BIGINT squared
+    euclidean distances, min-id seed, ties toward the smaller id —
+    proven by exact numpy replay in ``tests/test_wave7_ops.py`` AND
+    value-hash-checked against a DuckDB oracle that unrolls the k
+    selection rounds as ORDER BY … LIMIT 1 CTEs (determinism means
+    even an iterative data-dependent argmax can be oracle-twinned).
+
+    Scale: see ``operators/coreset.py`` — k map-side distance passes
+    against broadcast center literals + k struct-max aggregations,
+    localCheckpoint per round; no point-set shuffle, no driver
+    collect beyond one argmax row per round."""
+    from ipeds_etl_spark.operators.coreset import kcenter_coreset_df, quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qvec")
+    )
+    return kcenter_coreset_df(spark, emb, "qvec", "vec_id", k=_KCENTER_K)
