@@ -1,7 +1,9 @@
 """Round-6 late wave: data-curation operators — DSIR-style importance
 weighting, extrinsic clustering evaluation (B-cubed) of the dedup
 pipeline, a data-layout pruning audit (z-order vs insertion order),
-and greedy k-center coreset selection.
+greedy k-center coreset selection, quality label propagation over the
+near-dup graph, and the cross-source contamination matrix from
+per-source KMV shingle sketches.
 
 House rules as everywhere: integer/decimal-exact numerators with one
 IEEE operation per output cell, bit-length (`conv`/`to_base`) in
@@ -559,3 +561,251 @@ def q_emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize_vec(F.col("embedding")).alias("qvec")
     )
     return kcenter_coreset_df(spark, emb, "qvec", "vec_id", k=_KCENTER_K)
+
+
+# ===========================================================================
+# Semi-supervised quality smoothing: label propagation over the dedup graph
+# ===========================================================================
+_LP_ROUNDS = 2
+
+
+def _lp_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    ctes = [
+        f"WITH {_minhash_sig_sql()}",
+        f"bands AS ({bands})",
+        """lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""",
+        "edges AS (SELECT id_a AS s, id_b AS d FROM lsh "
+        "UNION ALL SELECT id_b, id_a FROM lsh)",
+        f"""tok AS (SELECT doc_id, source,
+               unnest({_WS_TOKENS.format(x='text')}) AS t FROM documents)""",
+        """s0 AS (SELECT doc_id, any_value(source) AS source,
+               (1000 * CAST(count(DISTINCT t) AS BIGINT))
+                 // CAST(count(*) AS BIGINT) AS sc
+        FROM tok GROUP BY doc_id)""",
+    ]
+    prev = "s0"
+    for r in range(1, _LP_ROUNDS + 1):
+        ctes.append(
+            f"""s{r} AS (
+      SELECT p.doc_id, p.source,
+             CASE WHEN nb.deg IS NULL THEN p.sc
+                  ELSE (p.sc + nb.tot) // (1 + nb.deg) END AS sc
+      FROM {prev} p LEFT JOIN (
+        SELECT e.s AS doc_id, CAST(SUM(q.sc) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM edges e JOIN {prev} q ON q.doc_id = e.d GROUP BY e.s) nb
+      ON nb.doc_id = p.doc_id)"""
+        )
+        prev = f"s{r}"
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT s0.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s0.sc) AS DOUBLE) / count(*) AS avg_initial,
+           CAST(SUM(fin.sc) AS DOUBLE) / count(*) AS avg_smoothed,
+           CAST(SUM(CASE WHEN fin.sc <> s0.sc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed
+    FROM s0 JOIN {prev} fin USING (doc_id)
+    GROUP BY s0.source ORDER BY s0.source
+    """
+    )
+
+
+@_register("docs_quality_label_propagation", _lp_oracle())
+def q_docs_quality_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised quality smoothing: propagate a per-document
+    quality score over the near-dup graph (LSH candidate pairs) for 2
+    rounds of neighborhood averaging — the label-propagation move used
+    to spread sparse quality/toxicity labels through duplicate
+    clusters before filtering (a near-copy of junk is junk even if its
+    own score looks fine). Score = type-token ratio in permille
+    (1000·distinct/total, truncating div — repetitive docs score low);
+    each round replaces s(v) with (s(v) + Σ_nbr s) div (1 + deg) —
+    integer fixed point, so both engines replay the diffusion exactly.
+    Readout per source: initial vs smoothed mean and how many docs
+    moved (docs off the graph keep their score).
+
+    Scale: edges come from the memoized banded-LSH table (never
+    O(n²)); each round is one neighbor-keyed agg (map-combinable sum +
+    count riding the edge exchange) and one doc-keyed left join —
+    rounds are fixed (2), so total cost is 2 passes over O(edges).
+    The score bootstrap is one token agg."""
+    from ipeds_etl_spark.operators import sketches as _  # noqa: F401
+
+    d = _docs(spark, sf_dir)
+    lsh = _lsh_doc_pairs(spark, sf_dir)
+    edges = lsh.selectExpr("id_a AS s", "id_b AS d").unionAll(
+        lsh.selectExpr("id_b AS s", "id_a AS d")
+    )
+    tok = d.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    s0 = tok.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.expr(
+            "(1000 * CAST(count(DISTINCT t) AS BIGINT))"
+            " div CAST(count(*) AS BIGINT)"
+        ).alias("sc"),
+    ).localCheckpoint(eager=False)
+
+    cur = s0
+    for _r in range(_LP_ROUNDS):
+        nb = (
+            edges.join(
+                cur.select(F.col("doc_id").alias("d"), F.col("sc").alias("nsc")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(
+                F.sum("nsc").cast("long").alias("tot"),
+                F.count(F.lit(1)).cast("long").alias("deg"),
+            )
+            .withColumnRenamed("s", "doc_id")
+        )
+        cur = (
+            cur.join(nb, "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.when(F.col("deg").isNull(), F.col("sc"))
+                .otherwise(F.expr("(sc + tot) div (1 + deg)"))
+                .alias("sc"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    joined = s0.select("doc_id", "source", F.col("sc").alias("sc0")).join(
+        cur.select("doc_id", F.col("sc").alias("scf")), "doc_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.sum("sc0").cast("double") / F.count(F.lit(1))).alias("avg_initial"),
+            (F.sum("scf").cast("double") / F.count(F.lit(1))).alias("avg_smoothed"),
+            F.sum(F.when(F.col("scf") != F.col("sc0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Cross-source contamination matrix from per-source KMV shingle sketches
+# ===========================================================================
+_OVL_K = 64
+
+
+def _overlap_oracle() -> str:
+    from ipeds_etl_spark.operators import sketches as SK
+
+    sk = SK.kmv_sketch_sql("g", _OVL_K)
+    merged = SK.kmv_merge_sql("a.sk", "b.sk", _OVL_K)
+    union_est = SK.kmv_estimate_from_sql("m", _OVL_K)
+    shingles = _SHINGLES.format(w="w")
+    return f"""
+    WITH toks AS (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w
+                  FROM documents),
+    sh AS (SELECT source, unnest({shingles}) AS g FROM toks),
+    s AS (SELECT source, {sk} AS sk FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.sk AS ska, b.sk AS skb, {merged} AS m
+      FROM s a JOIN s b ON a.source < b.source),
+    est AS (
+      SELECT src_a, src_b, {union_est} AS union_est,
+             CAST(len(list_intersect(list_intersect(m, ska), skb)) AS DOUBLE)
+               / len(m) AS jaccard_est
+      FROM pairs),
+    dg AS (SELECT DISTINCT source, g FROM sh),
+    ex AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS exact_common
+      FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT est.src_a, est.src_b, est.union_est, est.jaccard_est,
+           est.jaccard_est * est.union_est AS intersection_est,
+           coalesce(ex.exact_common, 0) AS exact_common
+    FROM est LEFT JOIN ex ON est.src_a = ex.src_a AND est.src_b = ex.src_b
+    ORDER BY est.src_a, est.src_b
+    """
+
+
+@_register("docs_source_overlap_matrix", _overlap_oracle())
+def q_docs_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination matrix: for every pair of sources,
+    estimate shingle-level overlap (union size, Jaccard, intersection)
+    from ONE bounded KMV sketch per source — the audit you run before
+    mixing corpora, where shared boilerplate/near-copies across
+    sources would double-count training mass and leak eval data. The
+    exact distinct-shingle common count rides alongside as the
+    oracle-scale calibration column (the ``events_kmv_intersection``
+    pattern applied to content shingles). Deterministic parity
+    hashing ⇒ the estimates replay bit-for-bit in DuckDB.
+
+    Scale: the sketch build is one map-combinable agg with state ≤ k
+    hashes per source regardless of corpus size; the pair algebra is
+    O(sources²) over k-length arrays — a contamination matrix for
+    1000 sources costs half a million tiny rows, while the raw
+    shingle stream is touched exactly once. The exact side is a
+    shingle-keyed self-join — the gate-scale audit, not the
+    production path."""
+    from ipeds_etl_spark.operators import sketches as SK
+
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "source", F.explode(TX.word_shingles(F.col("text"), 3)).alias("g")
+    )
+    s = sh.groupBy("source").agg(SK.kmv_sketch(F.col("g"), _OVL_K).alias("sk"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.sk").alias("ska"),
+        F.col("b.sk").alias("skb"),
+        SK.kmv_merge(F.col("a.sk"), F.col("b.sk"), _OVL_K).alias("m"),
+    )
+    est = pairs.select(
+        "src_a",
+        "src_b",
+        SK.kmv_estimate_from(F.col("m"), _OVL_K).alias("union_est"),
+        (
+            F.size(F.array_intersect(F.array_intersect("m", "ska"), "skb"))
+            .cast("double")
+            / F.size("m")
+        ).alias("jaccard_est"),
+    )
+    dg = sh.distinct()
+    da, db = dg.alias("da"), dg.alias("db")
+    ex = (
+        da.join(
+            db,
+            (F.col("da.g") == F.col("db.g"))
+            & (F.col("da.source") < F.col("db.source")),
+        )
+        .groupBy(
+            F.col("da.source").alias("src_a"), F.col("db.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_common"))
+    )
+    return (
+        est.join(ex, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "union_est",
+            "jaccard_est",
+            (F.col("jaccard_est") * F.col("union_est")).alias("intersection_est"),
+            F.coalesce("exact_common", F.lit(0)).cast("long").alias("exact_common"),
+        )
+        .orderBy("src_a", "src_b")
+    )

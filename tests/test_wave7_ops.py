@@ -113,3 +113,32 @@ def test_dsir_auc_separates_seed(spark):
     # the unigram importance weight must rank the planted repetition
     # defect well above chance (imperfectly - shared 31-token vocab)
     assert r.auc > 0.75
+
+
+def test_label_propagation_bounds_and_locality(spark):
+    from ipeds_etl_spark.queries_wave7 import q_docs_quality_label_propagation
+
+    rows = q_docs_quality_label_propagation(spark, SF).collect()
+    assert len(rows) == 20  # one per source
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        # permille type-token ratio stays inside its codomain, and the
+        # neighbor-mean diffusion cannot escape the initial hull
+        assert 0 <= r.avg_initial <= 1000
+        assert 0 <= r.avg_smoothed <= 1000
+        assert 0 <= r.n_changed <= r.n_docs
+    # the planted near-dups guarantee a non-trivial graph: something moved
+    assert sum(r.n_changed for r in rows) > 0
+
+
+def test_source_overlap_matrix_estimates(spark):
+    from ipeds_etl_spark.queries_wave7 import q_docs_source_overlap_matrix
+
+    rows = q_docs_source_overlap_matrix(spark, SF).collect()
+    assert len(rows) == 190  # C(20,2) source pairs
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.union_est > 0
+        assert r.intersection_est == r.jaccard_est * r.union_est
+        assert r.exact_common >= 0

@@ -200,6 +200,18 @@ SWEEP_R11 = [
     "suppliers_similar_by_parts",
 ]
 
+#: round-6 data-curation wave (scalable members only: dedup_bcubed_eval's
+#: truth side is the deliberately quadratic gold standard, oracle-scale
+#: by policy). Expected shapes: DSIR = counts + vocab joins + histogram
+#: window; zorder = two 64-group aggs; kcenter = k map passes.
+SWEEP_R12 = [
+    "docs_dsir_importance",
+    "lineitem_zorder_stats",
+    "emb_kcenter_coreset",
+    "docs_quality_label_propagation",
+    "docs_source_overlap_matrix",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -477,6 +489,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R10, key="sweep_r10")
     if "sweep_r11" in sections:
         run_sweep(spark, results, names=SWEEP_R11, key="sweep_r11")
+    if "sweep_r12" in sections:
+        run_sweep(spark, results, names=SWEEP_R12, key="sweep_r12")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
