@@ -711,6 +711,7 @@ _GATE_PRIORITY: list[str] = [
     "emb_kcenter_coreset",
     "docs_quality_label_propagation",
     "docs_source_overlap_matrix",
+    "emb_kmeans_lloyd",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

@@ -809,3 +809,147 @@ def q_docs_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ===========================================================================
+# Distributed Lloyd's k-means (fixed rounds, integer-exact, oracle-unrolled)
+# ===========================================================================
+_KM_K = 8
+_KM_ROUNDS = 3
+_KM_DIM = 64
+
+
+def _kmeans_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS) -> str:
+    dist = _SQDIST.format(a="p.v", b="c.v")
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v "
+        f"FROM q ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS (
+      SELECT p.vec_id, p.v, c.cid, {dist} AS dist
+      FROM q p CROSS JOIN {prev} c
+      QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY {dist}, c.cid) = 1)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""c{r} AS (
+      SELECT cid, list(sv // cnt ORDER BY pos) AS v
+      FROM (
+        SELECT a.cid, t.i AS pos,
+               CAST(SUM(a.v[t.i + 1]) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM a{r} a, range({_KM_DIM}) t(i)
+        GROUP BY a.cid, t.i)
+      GROUP BY cid)"""
+            )
+            prev = f"c{r}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(SUM(dist) AS BIGINT) AS inertia_sq
+    FROM a{rounds} GROUP BY cid ORDER BY cid
+    """
+    )
+
+
+@_register("emb_kmeans_lloyd", _kmeans_oracle())
+def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings, made
+    engine-exact: TRUNC(x·1000) integer coordinates, squared-euclidean
+    BIGINT distances, k=8 centroids seeded from the 8 smallest
+    vec_ids, ties on assignment toward the lower cluster id, centroid
+    update = per-component integer mean (truncating div), 3 fixed
+    rounds. Every quantity is an integer, so the full trajectory —
+    assignments, centroids, final inertia — replays bit-for-bit in
+    the DuckDB oracle, which unrolls the rounds (QUALIFY argmin +
+    per-dimension regroup). Readout: per-cluster size and inertia
+    after round 3 — the centroid-quality curve a curation pipeline
+    monitors when clustering a corpus for mixture balancing.
+
+    Scale: the canonical shape — per round, assignment is a map-side
+    argmin against k BROADCAST centroid literals (an O(k·dim) codegen
+    expression, no join, no shuffle of the point set) and the update
+    is one map-combinable (cid, dim) partial-sum agg whose result is
+    k×dim = 512 rows collected to the driver (metadata-sized, the
+    sanctioned centroid collect, same as `operators/similarity.py`'s
+    IVF build). Corpus crosses the wire zero times; total cost is
+    `rounds` scans of the cached integer projection."""
+    from ipeds_etl_spark.operators.coreset import quantize_vec
+
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            quantize_vec(F.col("embedding")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    seed_rows = pts.orderBy("vec_id").limit(_KM_K).collect()
+    centroids = [(cid, list(r["v"])) for cid, r in enumerate(seed_rows)]
+
+    def dist_to(center):
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in center])
+        diffs = F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    assigned = None
+    for rnd in range(1, _KM_ROUNDS + 1):
+        # argmin over k centroid literals: min of (dist, cid) structs —
+        # a pure codegen expression, no join
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist_to(c).alias("dist"), F.lit(cid).alias("cid")
+                    )
+                    for cid, c in centroids
+                ]
+            )
+        )
+        assigned = pts.select(
+            "vec_id",
+            "v",
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
+        if rnd < _KM_ROUNDS:
+            # centroid update: (cid, dim) partial sums -> k*dim rows
+            # (metadata-sized collect, the sanctioned centroid pull)
+            sums = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum("x").cast("long").alias("sv"),
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for row in sums:
+                by_cid.setdefault(row.cid, {})[row.pos] = int(row.sv) // int(
+                    row.cnt
+                ) if row.sv >= 0 else -((-int(row.sv)) // int(row.cnt))
+            # NB: python // floors while SQL // truncates toward zero —
+            # handled above by negating twice for negative sums
+            centroids = [
+                (cid, [comps[p] for p in range(_KM_DIM)])
+                for cid, comps in sorted(by_cid.items())
+            ]
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("dist").cast("long").alias("inertia_sq"),
+        )
+        .orderBy("cluster_id")
+    )

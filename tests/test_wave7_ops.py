@@ -142,3 +142,44 @@ def test_source_overlap_matrix_estimates(spark):
         assert r.union_est > 0
         assert r.intersection_est == r.jaccard_est * r.union_est
         assert r.exact_common >= 0
+
+
+def test_kmeans_matches_numpy_replay(spark):
+    """Lloyd's with integer coordinates, min-id seeding, lower-cid tie
+    break, and truncating-division centroid updates is a pure function
+    of the data — numpy replays the 3 rounds exactly."""
+    from ipeds_etl_spark.queries_wave7 import q_emb_kmeans_lloyd
+
+    got = [
+        (r.cluster_id, r.n_points, r.inertia_sq)
+        for r in q_emb_kmeans_lloyd(spark, SF).collect()
+    ]
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = tbl["vec_id"].to_numpy()
+    vecs = np.stack(
+        [np.trunc(np.asarray(v, dtype=np.float64) * 1000.0) for v in tbl["embedding"]]
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    vecs = vecs[order]
+    centroids = {cid: vecs[cid].copy() for cid in range(8)}
+
+    assign = dist = None
+    for rnd in range(3):
+        cids = sorted(centroids)
+        d = np.stack([((vecs - centroids[c]) ** 2).sum(axis=1) for c in cids])
+        pick = np.argmin(d, axis=0)  # ties -> first (lowest cid) like the struct min
+        assign = np.array([cids[p] for p in pick])
+        dist = d[pick, np.arange(len(vecs))]
+        if rnd < 2:
+            centroids = {}
+            for c in np.unique(assign):
+                m = vecs[assign == c]
+                s = m.sum(axis=0)
+                centroids[int(c)] = np.sign(s) * (np.abs(s) // len(m))  # trunc div
+
+    want = [
+        (int(c), int((assign == c).sum()), int(dist[assign == c].sum()))
+        for c in np.unique(assign)
+    ]
+    assert got == want

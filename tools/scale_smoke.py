@@ -210,6 +210,7 @@ SWEEP_R12 = [
     "emb_kcenter_coreset",
     "docs_quality_label_propagation",
     "docs_source_overlap_matrix",
+    "emb_kmeans_lloyd",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
