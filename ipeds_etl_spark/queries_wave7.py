@@ -120,7 +120,12 @@ def q_docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup map-combines on doc_id, and the AUC window runs over the
     metadata-sized histogram."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    # the tokenized projection feeds SIX consumers (doc counts, seed
+    # labels, both LMs, totals, scoring) — materialize it once so the
+    # plan reads the corpus a single time (the temporal_split lesson)
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
     dc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("n"))
     seed = dc.groupBy("doc_id").agg(
         (F.max("n") * 5 >= F.sum("n")).alias("is_tgt")
