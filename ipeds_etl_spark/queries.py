@@ -712,6 +712,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_quality_label_propagation",
     "docs_source_overlap_matrix",
     "emb_kmeans_lloyd",
+    "docs_curation_funnel",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

@@ -958,3 +958,181 @@ def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ===========================================================================
+# End-to-end curation funnel: per-stage survivor accounting
+# ===========================================================================
+
+
+def _funnel_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    h10 = "CAST(concat('0x', substr(sha256(g), 1, 10)) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE {_minhash_sig_sql()},
+    bands AS ({bands}),
+    lsh AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    tok AS (SELECT doc_id, unnest({_WS_TOKENS.format(x='text')}) AS t
+            FROM documents),
+    dstat AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS ntok,
+             CAST(max(n) AS BIGINT) AS maxtok
+      FROM (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY doc_id, t)
+      GROUP BY doc_id),
+    s1 AS (SELECT doc_id FROM dstat WHERE ntok >= 10 AND 5 * maxtok < ntok),
+    s2 AS (SELECT min(d.doc_id) AS doc_id
+           FROM documents d JOIN s1 USING (doc_id) GROUP BY d.text),
+    e3 AS (SELECT l.id_a AS s, l.id_b AS d FROM lsh l
+           JOIN s2 a ON a.doc_id = l.id_a JOIN s2 b ON b.doc_id = l.id_b
+           UNION
+           SELECT l.id_b, l.id_a FROM lsh l
+           JOIN s2 a ON a.doc_id = l.id_a JOIN s2 b ON b.doc_id = l.id_b),
+    reach(id, comp) AS (
+      SELECT s, s FROM e3
+      UNION
+      SELECT e.s, r.comp FROM e3 e JOIN reach r ON e.d = r.id),
+    comp AS (SELECT id, min(comp) AS lbl FROM reach GROUP BY id),
+    s3 AS (SELECT s2.doc_id FROM s2 LEFT JOIN comp ON comp.id = s2.doc_id
+           WHERE comp.lbl IS NULL OR comp.lbl = s2.doc_id),
+    dsh AS (SELECT DISTINCT doc_id, {h10} AS h
+           FROM (SELECT doc_id,
+                        unnest({_SHINGLES.format(w='w')}) AS g
+                 FROM (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w
+                       FROM documents))),
+    ev AS (SELECT DISTINCT h FROM dsh WHERE doc_id < 20),
+    ov AS (SELECT dsh.doc_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(ev.h) AS BIGINT) AS hit
+           FROM dsh JOIN s3 ON s3.doc_id = dsh.doc_id
+           LEFT JOIN ev ON ev.h = dsh.h
+           GROUP BY dsh.doc_id),
+    s4 AS (SELECT doc_id FROM ov WHERE 5 * hit < 4 * n),
+    c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+    c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3),
+    c4 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s4)
+    SELECT stage, n_in, n_kept, n_in - n_kept AS n_dropped
+    FROM (
+      SELECT '1_quality' AS stage, c0.n AS n_in, c1.n AS n_kept FROM c0, c1
+      UNION ALL
+      SELECT '2_exact_dedup', c1.n, c2.n FROM c1, c2
+      UNION ALL
+      SELECT '3_near_dedup', c2.n, c3.n FROM c2, c3
+      UNION ALL
+      SELECT '4_decontaminate', c3.n, c4.n FROM c3, c4)
+    ORDER BY stage
+    """
+
+
+@_register("docs_curation_funnel", _funnel_oracle())
+def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE auditable funnel: quality
+    gate (≥10 tokens, top token < 1/5 — the repetition rule) → exact
+    dedup (min-id per identical text) → near-dup resolution (LSH
+    candidate pairs restricted to survivors → connected components →
+    canonical-survivor keep) → benchmark decontamination (drop when
+    distinct-shingle overlap with the planted eval set, doc_id < 20,
+    reaches 0.8 — integer cross-multiplied 5·hit ≥ 4·n). One row per
+    stage with in/kept/dropped counts — the accounting table every
+    training-data run publishes, here value-hash-checked end to end
+    (the oracle replays the component fixpoint as a recursive CTE).
+
+    Scale: each stage is the production-shaped operator it audits —
+    map-combinable token stats, one text-keyed agg, the pair-bounded
+    LSH components (survivor filter is two broadcast-able semi-joins
+    on the pair list), and the broadcast eval-set probe. Counts are
+    1-row frames; the funnel adds nothing beyond its constituent
+    passes."""
+    from ipeds_etl_spark.functions.hashing import parity_hash
+    from ipeds_etl_spark.operators.components import dedup_clusters
+
+    d = _docs(spark, sf_dir)
+    lsh = _lsh_doc_pairs(spark, sf_dir)
+
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    dstat = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("ntok"),
+            F.max("n").cast("long").alias("maxtok"),
+        )
+    )
+    s1 = dstat.filter(
+        (F.col("ntok") >= 10) & (5 * F.col("maxtok") < F.col("ntok"))
+    ).select("doc_id")
+    s2 = (
+        d.join(s1, "doc_id")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    surv_pairs = (
+        lsh.join(s2.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(s2.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    comp = dedup_clusters(surv_pairs).select(
+        F.col("id").alias("doc_id"), F.col("component_id").alias("lbl")
+    )
+    s3 = (
+        s2.join(comp, "doc_id", "left")
+        .filter(F.col("lbl").isNull() | (F.col("lbl") == F.col("doc_id")))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    sh = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(TX.shingles_of(F.col("w"), 3)).alias("g"))
+        .select("doc_id", parity_hash(F.col("g")).alias("h"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") < 20).select(F.col("h").alias("ev_h")).distinct()
+    ov = (
+        sh.join(s3, "doc_id")
+        .join(F.broadcast(ev), sh["h"] == F.col("ev_h"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("ev_h").cast("long").alias("hit"),
+        )
+    )
+    s4 = ov.filter(5 * F.col("hit") < 4 * F.col("n")).select("doc_id")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    c0, c1, c2, c3, c4 = (
+        cnt(d, "c0"),
+        cnt(s1, "c1"),
+        cnt(s2, "c2"),
+        cnt(s3, "c3"),
+        cnt(s4, "c4"),
+    )
+    wide = (
+        c0.crossJoin(c1).crossJoin(c2).crossJoin(c3).crossJoin(c4)
+    )
+    stages = F.array(
+        F.struct(F.lit("1_quality").alias("stage"), F.col("c0").alias("n_in"), F.col("c1").alias("n_kept")),
+        F.struct(F.lit("2_exact_dedup").alias("stage"), F.col("c1").alias("n_in"), F.col("c2").alias("n_kept")),
+        F.struct(F.lit("3_near_dedup").alias("stage"), F.col("c2").alias("n_in"), F.col("c3").alias("n_kept")),
+        F.struct(F.lit("4_decontaminate").alias("stage"), F.col("c3").alias("n_in"), F.col("c4").alias("n_kept")),
+    )
+    return (
+        wide.select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_in").alias("n_in"),
+            F.col("s.n_kept").alias("n_kept"),
+            (F.col("s.n_in") - F.col("s.n_kept")).alias("n_dropped"),
+        )
+        .orderBy("stage")
+    )

@@ -183,3 +183,22 @@ def test_kmeans_matches_numpy_replay(spark):
         for c in np.unique(assign)
     ]
     assert got == want
+
+
+def test_curation_funnel_chains_and_accounts(spark):
+    from ipeds_etl_spark.queries_wave7 import q_docs_curation_funnel
+
+    rows = q_docs_curation_funnel(spark, SF).collect()
+    assert [r.stage for r in rows] == [
+        "1_quality", "2_exact_dedup", "3_near_dedup", "4_decontaminate",
+    ]
+    assert rows[0].n_in == 500
+    for r in rows:
+        assert r.n_in - r.n_kept == r.n_dropped
+        assert 0 <= r.n_kept <= r.n_in
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.n_in == prev.n_kept  # stages chain exactly
+    # the planted defects actually exercise the gates
+    assert rows[0].n_dropped == 11  # repetitive docs at this sf
+    assert rows[2].n_dropped > 0  # near-dups resolved
+    assert rows[3].n_dropped > 0  # eval-set containment

@@ -211,6 +211,7 @@ SWEEP_R12 = [
     "docs_quality_label_propagation",
     "docs_source_overlap_matrix",
     "emb_kmeans_lloyd",
+    "docs_curation_funnel",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
