@@ -618,6 +618,7 @@ def _load_extensions() -> None:
         queries_wave5,
         queries_wave6,
         queries_wave7,
+        queries_wave8,
     )
 
 
@@ -713,6 +714,9 @@ _GATE_PRIORITY: list[str] = [
     "docs_source_overlap_matrix",
     "emb_kmeans_lloyd",
     "docs_curation_funnel",
+    "dedup_lpa_communities",
+    "events_cusum_changepoint",
+    "docs_rater_agreement_kappa",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --
