@@ -717,6 +717,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_lpa_communities",
     "events_cusum_changepoint",
     "docs_rater_agreement_kappa",
+    "docs_winnowing_fingerprints",
+    "docs_temperature_mixture",
+    "orders_key_skew_profile",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

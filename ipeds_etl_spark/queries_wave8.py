@@ -330,3 +330,293 @@ def q_docs_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("po_x1000"),
         ((n * agree - e).cast("double") / (n * n - e)).alias("kappa"),
     )
+
+
+# ===========================================================================
+# Winnowing fingerprints (MOSS) + fingerprint-match pairs
+# ===========================================================================
+#: winnowing geometry: char K-grams, window of W consecutive gram
+#: hashes, stop-fingerprint document-frequency cap, min shared
+#: fingerprints to report a pair. K/W per Schleimer et al. 2003 §4:
+#: guarantees any match of length >= K + W - 1 = 12 chars shares a
+#: fingerprint.
+_WIN_K = 5
+_WIN_W = 8
+_WIN_MAX_DF = 50
+_WIN_MIN_SHARED = 3
+#: pos packs into the low 20 bits of the selection key — document
+#: positions must stay < 2^20 (true by the chunking contract; a 1 MB+
+#: doc should flow through docs_chunk_windows first)
+_WIN_POS_SCALE = 1 << 20
+
+
+def _winnow_oracle() -> str:
+    from ipeds_etl_spark.functions.hashing import parity_hash_sql
+
+    h = parity_hash_sql(f"substr(text, i + 1, {_WIN_K})")
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(text) - {_WIN_K - 1}), i ->
+               struct_pack(pos := i,
+                           key := ({h}) * {_WIN_POS_SCALE} + i))) AS s
+      FROM documents WHERE len(text) >= {_WIN_K + _WIN_W - 1}),
+    k AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
+                 CAST(s.key AS BIGINT) AS key FROM g),
+    m AS (SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS mk,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+          FROM k),
+    fps AS (SELECT DISTINCT doc_id, mk // {_WIN_POS_SCALE} AS fp
+            FROM m WHERE pos <= ng - {_WIN_W}),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_MAX_DF}),
+    fx AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fx a JOIN fx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WIN_MIN_SHARED}
+    ORDER BY n_shared DESC, id_a, id_b
+    """
+
+
+@_register("docs_winnowing_fingerprints", _winnow_oracle())
+def q_docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    the MOSS algorithm): hash every char 5-gram, slide a window of 8
+    consecutive gram hashes, select the minimum per window (leftmost
+    on ties via the packed (hash, pos) key — one BIGINT, hash in the
+    high bits, position in the low 20), and the distinct selected
+    hashes are the document's fingerprints. Guarantee: any shared
+    substring of >= K+W-1 = 12 chars yields a shared fingerprint —
+    the EXACT-substring detector that MinHash (set semantics, order
+    blind) cannot be. Pairs sharing >= 3 fingerprints are reported,
+    after dropping stop-fingerprints present in > 50 docs (boilerplate
+    — same role as LSH's hot-bucket cap).
+
+    Scale: gram explode is map-side; the min-select window partitions
+    by doc_id and is bounded by DOCUMENT length (the per-entity-
+    bounded-frame rule — docs above the 2^20-char position budget go
+    through chunking first). Fingerprints per doc ≈ 2·len/(W+1) and
+    the pair join is fingerprint-bucketed with the DF cap bounding any
+    bucket's expansion at C(50,2) — never O(n²) in the corpus."""
+    from ipeds_etl_spark.functions.hashing import parity_hash
+
+    d = _docs(spark, sf_dir).filter(F.length("text") >= _WIN_K + _WIN_W - 1)
+    g = d.select(
+        "doc_id", F.posexplode(TX.char_ngrams(F.col("text"), _WIN_K)).alias("pos", "g")
+    )
+    keyed = g.select(
+        "doc_id",
+        "pos",
+        (parity_hash(F.col("g")) * F.lit(_WIN_POS_SCALE) + F.col("pos")).alias("key"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            Window.currentRow, _WIN_W - 1
+        )
+    )
+    wcnt = Window.partitionBy("doc_id")
+    sel = keyed.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(wmin).alias("mk"),
+        F.count(F.lit(1)).over(wcnt).alias("ng"),
+    )
+    fps = (
+        sel.filter(F.col("pos") <= F.col("ng") - _WIN_W)
+        .select("doc_id", F.expr(f"mk div {_WIN_POS_SCALE}").alias("fp"))
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WIN_MAX_DF)
+        .select("fp")
+    )
+    fx = fps.join(rare, "fp")
+    a, b = fx.alias("a"), fx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+    )
+
+
+# ===========================================================================
+# Temperature-scaled mixture allocation (T = 2 => weights ∝ sqrt(tokens))
+# ===========================================================================
+_TEMP_BUDGET = 100_000
+
+
+@_register(
+    "docs_temperature_mixture",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> len(t) > 0))) AS BIGINT) AS tok
+      FROM documents GROUP BY source),
+    r0 AS (SELECT source, tok,
+                  CAST(floor(sqrt(CAST(tok AS DOUBLE))) AS BIGINT) AS s0
+           FROM toks),
+    w AS (SELECT source, tok,
+                 CASE WHEN (s0 + 1) * (s0 + 1) <= tok THEN s0 + 1
+                      WHEN s0 * s0 > tok THEN s0 - 1
+                      ELSE s0 END AS isqrt_w
+          FROM r0),
+    tot AS (SELECT CAST(SUM(isqrt_w) AS BIGINT) AS t FROM w),
+    q AS (SELECT source, tok, isqrt_w,
+                 CAST(({_TEMP_BUDGET} * isqrt_w) // t AS BIGINT) AS quota_floor,
+                 CAST(({_TEMP_BUDGET} * isqrt_w) % t AS BIGINT) AS remainder
+          FROM w CROSS JOIN tot),
+    l AS (SELECT CAST({_TEMP_BUDGET} - SUM(quota_floor) AS BIGINT) AS leftover
+          FROM q),
+    r AS (SELECT q.*, l.leftover,
+                 row_number() OVER (ORDER BY remainder DESC, source) AS rk
+          FROM q CROSS JOIN l)
+    SELECT source, tok AS tokens, isqrt_w,
+           CAST(quota_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated
+    FROM r ORDER BY source
+    """,
+)
+def q_docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights at T = 2 — allocation
+    ∝ sqrt(per-source tokens), the standard move that up-samples small
+    high-value sources relative to proportional mixing (multilingual
+    and code/web recipes both use it) — then Hamilton-apportioned to
+    an exact integer token budget. The sqrt is EXACT integer isqrt:
+    libm's sqrt only SEEDS the value, and a ±1 integer correction
+    pins floor(√n) regardless of libm rounding (the libm ban held the
+    same way the k-means centroid quantization pins floor(x+0.5)).
+    Σ allocated == budget exactly, ties to the alphabetically first
+    source (the `docs_token_budget_allocation` contract at T = 2).
+
+    Scale: one token agg, O(sources) everything after, one rank window
+    over the metadata-sized source list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("tok")
+    )
+    s0 = F.floor(F.sqrt(F.col("tok").cast("double"))).cast("long")
+    w = toks.select(
+        "source",
+        "tok",
+        F.when((s0 + 1) * (s0 + 1) <= F.col("tok"), s0 + 1)
+        .when(s0 * s0 > F.col("tok"), s0 - 1)
+        .otherwise(s0)
+        .alias("isqrt_w"),
+    )
+    tot = w.agg(F.sum("isqrt_w").cast("long").alias("t"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok",
+        "isqrt_w",
+        F.expr(f"CAST(({_TEMP_BUDGET} * isqrt_w) div t AS BIGINT)").alias(
+            "quota_floor"
+        ),
+        F.expr(f"CAST(({_TEMP_BUDGET} * isqrt_w) % t AS BIGINT)").alias(
+            "remainder"
+        ),
+    )
+    leftover = q.agg(
+        (F.lit(_TEMP_BUDGET) - F.sum("quota_floor")).cast("long").alias("leftover")
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("remainder"), F.asc("source")))
+    return (
+        q.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", rk)
+        .select(
+            "source",
+            F.col("tok").alias("tokens"),
+            "isqrt_w",
+            (
+                F.col("quota_floor")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Join-key skew profile: exact Gini + concentration shares
+# ===========================================================================
+@_register(
+    "orders_key_skew_profile",
+    """
+    WITH f AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i FROM f),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS tot,
+                 CAST(SUM(i * c) AS BIGINT) AS ic FROM r),
+    t10 AS (SELECT CAST(SUM(c) AS BIGINT) AS top10
+            FROM (SELECT c FROM f ORDER BY c DESC, k ASC LIMIT 10)),
+    mx AS (SELECT CAST(MAX(c) AS BIGINT) AS maxc FROM f)
+    SELECT n AS n_keys, tot AS total_rows,
+           CAST(2 * ic - (n + 1) * tot AS DOUBLE) / (n * tot) AS gini,
+           CAST((1000 * top10) // tot AS BIGINT) AS top10_share_x1000,
+           CAST((1000 * maxc) // tot AS BIGINT) AS max_key_share_x1000
+    FROM s CROSS JOIN t10 CROSS JOIN mx
+    """,
+)
+def q_orders_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for orders ⋈ customer on o_custkey —
+    the numbers a shuffle planner wants BEFORE picking a strategy:
+    exact Gini coefficient of the key-frequency distribution (the
+    textbook G = (2·Σ i·cᵢ − (n+1)·Σc) / (n·Σc) over ascending-sorted
+    counts — numerator and denominator exact BIGINTs, ONE IEEE
+    division), top-10-key share and max-single-key share in exact
+    permille. Gini ≈ 0 ⇒ hash partitioning balances; high Gini + high
+    max share ⇒ salt or AQE-skew-join the hot keys (`operators/
+    skew.py` consumes exactly this signal shape).
+
+    Scale: frequency table is one map-combinable agg to O(keys) rows;
+    the ascending rank comes from `global_row_number` (range exchange
+    + O(partitions) offsets — no SinglePartition window); top-10 is
+    TakeOrderedAndProject. The oracle's ORDER BY window is the
+    single-node replay."""
+    from ipeds_etl_spark.operators.layout import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    f = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    r = global_row_number(f, [F.asc("c"), F.asc("k")], "i")
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("ic"),
+        F.max("c").cast("long").alias("maxc"),
+    )
+    t10 = (
+        f.orderBy(F.desc("c"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("top10"))
+    )
+    return s.crossJoin(F.broadcast(t10)).select(
+        F.col("n").alias("n_keys"),
+        F.col("tot").alias("total_rows"),
+        (
+            (2 * F.col("ic") - (F.col("n") + 1) * F.col("tot")).cast("double")
+            / (F.col("n") * F.col("tot"))
+        ).alias("gini"),
+        F.expr("CAST((1000 * top10) div tot AS BIGINT)").alias(
+            "top10_share_x1000"
+        ),
+        F.expr("CAST((1000 * maxc) div tot AS BIGINT)").alias(
+            "max_key_share_x1000"
+        ),
+    )

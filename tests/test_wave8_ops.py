@@ -92,3 +92,120 @@ def test_kappa_contingency_and_identity(spark):
     assert r.kappa == float(n * (r.yes_yes + r.no_no) - e) / float(n * n - e)
     assert r.po_x1000 == (1000 * (r.yes_yes + r.no_no)) // n
     assert -1.0 <= r.kappa <= 1.0
+
+
+def test_winnowing_matches_python_replay(spark):
+    """Window-min selection with the packed (hash, pos) key is a pure
+    function of the text — replay it per document in Python over the
+    same sha256-prefix hashes and compare the fingerprint pair counts."""
+    import hashlib
+
+    from ipeds_etl_spark.queries_wave8 import (
+        _WIN_K,
+        _WIN_MAX_DF,
+        _WIN_MIN_SHARED,
+        _WIN_POS_SCALE,
+        _WIN_W,
+        q_docs_winnowing_fingerprints,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+    def h40(s: str) -> int:
+        return int(hashlib.sha256(s.encode()).hexdigest()[:10], 16)
+
+    fps = defaultdict(set)
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        if len(text) < _WIN_K + _WIN_W - 1:
+            continue
+        keys = [
+            h40(text[i : i + _WIN_K]) * _WIN_POS_SCALE + i
+            for i in range(len(text) - _WIN_K + 1)
+        ]
+        for i in range(len(keys) - _WIN_W + 1):
+            fps[doc_id].add(min(keys[i : i + _WIN_W]) // _WIN_POS_SCALE)
+    df = Counter(f for s in fps.values() for f in s)
+    want = Counter()
+    by_fp = defaultdict(list)
+    for d, s in fps.items():
+        for f in s:
+            if df[f] <= _WIN_MAX_DF:
+                by_fp[f].append(d)
+    for f, docs in by_fp.items():
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                want[(docs[i], docs[j])] += 1
+    want = {p: c for p, c in want.items() if c >= _WIN_MIN_SHARED}
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in q_docs_winnowing_fingerprints(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Two docs sharing a >= K+W-1-char substring MUST share a
+    fingerprint (Schleimer et al. theorem 1) — checked on the replay's
+    raw fingerprint sets for a planted pair."""
+    import hashlib
+
+    from ipeds_etl_spark.queries_wave8 import _WIN_K, _WIN_POS_SCALE, _WIN_W
+
+    def fset(text: str) -> set:
+        keys = [
+            int(hashlib.sha256(text[i : i + _WIN_K].encode()).hexdigest()[:10], 16)
+            * _WIN_POS_SCALE
+            + i
+            for i in range(len(text) - _WIN_K + 1)
+        ]
+        return {
+            min(keys[i : i + _WIN_W]) // _WIN_POS_SCALE
+            for i in range(len(keys) - _WIN_W + 1)
+        }
+
+    shared = "the quick brown fox jumps"  # 25 chars >= 12
+    a = "AAAA " + shared + " AAAA"
+    b = "BBBBBBBB " + shared + " BB"
+    assert fset(a) & fset(b)
+
+
+def test_temperature_mixture_budget_and_isqrt(spark):
+    from ipeds_etl_spark.queries_wave8 import (
+        _TEMP_BUDGET,
+        q_docs_temperature_mixture,
+    )
+
+    rows = q_docs_temperature_mixture(spark, SF).collect()
+    assert sum(r.allocated for r in rows) == _TEMP_BUDGET
+    import math
+
+    for r in rows:
+        assert r.isqrt_w == math.isqrt(r.tokens)
+    # T=2 compresses the range toward uniform:
+    # the smallest source gets MORE than its proportional share,
+    # the largest gets LESS (the whole point of temperature mixing)
+    total_tok = sum(r.tokens for r in rows)
+    small = min(rows, key=lambda r: r.tokens)
+    large = max(rows, key=lambda r: r.tokens)
+    assert small.allocated * total_tok > _TEMP_BUDGET * small.tokens
+    assert large.allocated * total_tok < _TEMP_BUDGET * large.tokens
+
+
+def test_skew_profile_matches_numpy(spark):
+    from ipeds_etl_spark.queries_wave8 import q_orders_key_skew_profile
+
+    (r,) = q_orders_key_skew_profile(spark, SF).collect()
+    tbl = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    c = np.sort(tbl.groupby("o_custkey").size().to_numpy(dtype=np.int64))
+    n, tot = len(c), int(c.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini = float(2 * int((i * c).sum()) - (n + 1) * tot) / float(n * tot)
+    assert r.n_keys == n
+    assert r.total_rows == tot
+    assert r.gini == gini
+    top10 = int(np.sort(c)[-10:].sum())
+    assert r.top10_share_x1000 == (1000 * top10) // tot
+    assert r.max_key_share_x1000 == (1000 * int(c.max())) // tot
