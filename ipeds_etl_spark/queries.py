@@ -720,6 +720,9 @@ _GATE_PRIORITY: list[str] = [
     "docs_winnowing_fingerprints",
     "docs_temperature_mixture",
     "orders_key_skew_profile",
+    "docs_bootstrap_mean_ci",
+    "docs_langid_calibration",
+    "events_recency_engagement",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

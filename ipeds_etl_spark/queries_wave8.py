@@ -620,3 +620,247 @@ def q_orders_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_key_share_x1000"
         ),
     )
+
+
+# ===========================================================================
+# Deterministic half-sample bootstrap CI for the corpus mean
+# ===========================================================================
+_BOOT_B = 32
+
+
+def _bootstrap_oracle() -> str:
+    from ipeds_etl_spark.functions.hashing import parity_hash_sql
+
+    h = parity_hash_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    return f"""
+    WITH r AS (
+      SELECT n_chars,
+             unnest(list_filter(range({_BOOT_B}), b -> ({h}) % 2 = 0)) AS b
+      FROM documents),
+    m AS (SELECT b, CAST((1000 * SUM(n_chars)) // count(*) AS BIGINT) AS mn
+          FROM r GROUP BY b),
+    s AS (SELECT mn, row_number() OVER (ORDER BY mn) AS rk,
+                 count(*) OVER () AS nb
+          FROM m),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST((1000 * SUM(n_chars)) // count(*) AS BIGINT) AS mean_x1000
+          FROM documents)
+    SELECT n_docs, mean_x1000,
+           (SELECT mn FROM s WHERE rk = 2) AS ci_lo_x1000,
+           (SELECT mn FROM s WHERE rk = {_BOOT_B - 1}) AS ci_hi_x1000,
+           (SELECT CAST(max(nb) AS BIGINT) FROM s) AS n_replicates
+    FROM f
+    """
+
+
+@_register("docs_bootstrap_mean_ci", _bootstrap_oracle())
+def q_docs_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for mean document length:
+    32 replicates, document d belongs to replicate b iff
+    parity_hash(doc_id:b) is even — a HASH-RANDOMIZED design (Efron's
+    half-sampling flavor) that both engines replay bit-for-bit, unlike
+    any RNG-based resample. Each replicate's mean is an exact permille
+    (integer sum, truncating div); the 90%-ish CI is the 2nd/31st
+    order statistic of the 32 replicate means. This is the error bar a
+    corpus-stats dashboard should put on every mean.
+
+    Scale: ONE corpus scan — each row map-side explodes to its ~B/2
+    replicate memberships which partial-aggregate to at most
+    B × partitions rows before the exchange; everything after is over
+    the 32-row replicate frame (the rank window is metadata-sized)."""
+    from ipeds_etl_spark.functions.hashing import parity_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.select(
+        "n_chars",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(_BOOT_B - 1)),
+                lambda b: parity_hash(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        b.cast("string"),
+                    )
+                )
+                % 2
+                == 0,
+            )
+        ).alias("b"),
+    )
+    m = reps.groupBy("b").agg(
+        F.expr("CAST((1000 * sum(n_chars)) div count(*) AS BIGINT)").alias("mn")
+    )
+    w = Window.orderBy("mn")  # 32 rows: metadata-sized
+    s = m.select("mn", F.row_number().over(w).alias("rk")).agg(
+        F.min(F.when(F.col("rk") == 2, F.col("mn"))).alias("ci_lo_x1000"),
+        F.min(F.when(F.col("rk") == _BOOT_B - 1, F.col("mn"))).alias(
+            "ci_hi_x1000"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    f = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST((1000 * sum(n_chars)) div count(*) AS BIGINT)").alias(
+            "mean_x1000"
+        ),
+    )
+    return f.crossJoin(F.broadcast(s)).select(
+        "n_docs", "mean_x1000", "ci_lo_x1000", "ci_hi_x1000", "n_replicates"
+    )
+
+
+# ===========================================================================
+# Language-ID calibration (reliability table vs the labeled lang column)
+# ===========================================================================
+def _calibration_oracle() -> str:
+    from ipeds_etl_spark.functions.text import (
+        LANG_STOPWORDS,
+        lang_id_sql,
+        lang_word_tokens_sql,
+    )
+
+    langs = sorted(LANG_STOPWORDS)
+    score_sum = " + ".join(f"score_{lg}" for lg in langs)
+    top = "list_max([" + ", ".join(f"score_{lg}" for lg in langs) + "])"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             {lang_word_tokens_sql('text')} AS __lang_toks
+      FROM documents),
+    s AS (SELECT doc_id, lang, {lang_id_sql('text')} FROM t),
+    c AS (
+      SELECT lang, pred_lang,
+             CASE WHEN {score_sum} = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((1000 * {top}) // ({score_sum}) AS BIGINT)
+             END AS conf
+      FROM s),
+    b AS (SELECT least(conf // 100, 9) AS bin,
+                 CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS ok,
+                 conf
+          FROM c)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(conf) // count(*) AS BIGINT) AS mean_conf_x1000,
+           CAST((1000 * SUM(ok)) // count(*) AS BIGINT) AS acc_x1000,
+           abs(CAST(SUM(conf) // count(*) AS BIGINT)
+               - CAST((1000 * SUM(ok)) // count(*) AS BIGINT)) AS gap_x1000
+    FROM b GROUP BY bin ORDER BY bin
+    """
+
+
+@_register("docs_langid_calibration", _calibration_oracle())
+def q_docs_langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the n-gram language identifier against
+    the labeled ``lang`` column: confidence = top stopword score over
+    total score in exact permille, binned into deciles; per bin the
+    observed accuracy and the |confidence − accuracy| gap — the
+    calibration readout (the per-bin terms of ECE, which the test
+    assembles) that decides whether lang-id confidences can gate
+    filtering thresholds. All counts integer, one truncating div per
+    cell, ties and zero-score docs handled identically on both
+    engines (conf = 0).
+
+    Scale: map-only scoring (the pre-projected token-array pattern of
+    `text_lang_id` — one tokenize, 5 array-membership counts), one
+    10-row aggregate."""
+    langs = sorted(TX.LANG_STOPWORDS)
+    d = _docs(spark, sf_dir).select(
+        "lang", "text", TX.lang_word_tokens(F.col("text")).alias("wt")
+    )
+    scores = TX.lang_scores(F.col("text"), F.col("wt"))
+    scored = d.select(
+        "lang", *[scores[lg].alias(f"score_{lg}") for lg in langs]
+    )
+    pred = TX.lang_id_from_scores(
+        {lg: F.col(f"score_{lg}") for lg in langs}
+    ).alias("pred_lang")
+    tot = None
+    for lg in langs:
+        tot = F.col(f"score_{lg}") if tot is None else tot + F.col(f"score_{lg}")
+    top = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    c = scored.select(
+        "lang",
+        pred,
+        tot.alias("tot"),
+        top.alias("top"),
+    ).select(
+        "lang",
+        "pred_lang",
+        F.expr(
+            "CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((1000 * top) div tot AS BIGINT) END"
+        ).alias("conf"),
+    )
+    b = c.select(
+        F.least(F.expr("conf div 100"), F.lit(9).cast("long")).alias("bin"),
+        F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0).alias("ok"),
+        "conf",
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(sum(conf) div count(*) AS BIGINT)").alias(
+                "mean_conf_x1000"
+            ),
+            F.expr("CAST((1000 * sum(ok)) div count(*) AS BIGINT)").alias(
+                "acc_x1000"
+            ),
+            F.abs(
+                F.expr("CAST(sum(conf) div count(*) AS BIGINT)")
+                - F.expr("CAST((1000 * sum(ok)) div count(*) AS BIGINT)")
+            ).alias("gap_x1000"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ===========================================================================
+# Recency-weighted engagement score (dyadic decay, exact)
+# ===========================================================================
+@_register(
+    "events_recency_engagement",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events),
+    s AS (
+      SELECT user_id,
+             CAST(SUM(CAST(1 AS BIGINT) << (16 - least(
+               datediff('day', CAST(ts AS DATE), mxd) // 7, 16))) AS BIGINT)
+               AS score,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events CROSS JOIN mx GROUP BY user_id)
+    SELECT user_id, score, n_events
+    FROM s ORDER BY score DESC, user_id LIMIT 25
+    """,
+)
+def q_events_recency_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user engagement for sampling/curriculum
+    weighting: each event contributes 2^(16 − weeks_ago) (capped at 16
+    weeks), i.e. half-life = one week as an EXACT dyadic weight —
+    shifts instead of exp() (the libm ban applied to decay curves).
+    Top-25 users by score, ties to the smaller id. A training-data
+    sampler uses exactly this shape to over-sample recent activity
+    without floating-point drift between runs.
+
+    Scale: one broadcast 1-row max-date, one map-combinable per-user
+    agg, TakeOrderedAndProject for the top-k — no window, no sort of
+    the full aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("mxd"))
+    s = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), 16 - CAST(least("
+                    "datediff(mxd, CAST(ts AS DATE)) div 7, 16) AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return s.orderBy(F.desc("score"), "user_id").limit(25)

@@ -209,3 +209,65 @@ def test_skew_profile_matches_numpy(spark):
     top10 = int(np.sort(c)[-10:].sum())
     assert r.top10_share_x1000 == (1000 * top10) // tot
     assert r.max_key_share_x1000 == (1000 * int(c.max())) // tot
+
+
+def test_bootstrap_hash_replay_and_coverage(spark):
+    """Replicate membership is a pure function of (doc_id, b) — replay
+    the hash in Python; the point estimate must sit inside the CI."""
+    import hashlib
+
+    from ipeds_etl_spark.queries_wave8 import _BOOT_B, q_docs_bootstrap_mean_ci
+
+    (r,) = q_docs_bootstrap_mean_ci(spark, SF).collect()
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    means = []
+    for b in range(_BOOT_B):
+        inc = [
+            int(n)
+            for d, n in zip(tbl["doc_id"], tbl["n_chars"])
+            if int(hashlib.sha256(f"{d}:{b}".encode()).hexdigest()[:10], 16) % 2
+            == 0
+        ]
+        means.append((1000 * sum(inc)) // len(inc))
+    means.sort()
+    assert r.n_replicates == _BOOT_B
+    assert r.ci_lo_x1000 == means[1]
+    assert r.ci_hi_x1000 == means[_BOOT_B - 2]
+    assert r.mean_x1000 == (1000 * int(tbl["n_chars"].sum())) // len(tbl)
+    assert r.ci_lo_x1000 <= r.mean_x1000 <= r.ci_hi_x1000
+
+
+def test_langid_calibration_ece_assembly(spark):
+    """Bins partition the corpus; ECE assembles from the exact per-bin
+    cells; accuracy respects the permille identity."""
+    from ipeds_etl_spark.queries_wave8 import q_docs_langid_calibration
+
+    rows = q_docs_langid_calibration(spark, SF).collect()
+    n = sum(r.n_docs for r in rows)
+    assert n == 500
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.acc_x1000 <= 1000
+        assert r.gap_x1000 == abs(r.mean_conf_x1000 - r.acc_x1000)
+    ece_x1000 = sum(r.gap_x1000 * r.n_docs for r in rows) / n
+    assert 0.0 <= ece_x1000 <= 1000.0
+
+
+def test_recency_engagement_dyadic_replay(spark):
+    from ipeds_etl_spark.queries_wave8 import q_events_recency_engagement
+
+    rows = q_events_recency_engagement(spark, SF).collect()
+    tbl = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    d = tbl["ts"].dt.date
+    mxd = d.max()
+    weeks = ((mxd - d).apply(lambda x: x.days) // 7).clip(upper=16)
+    tbl["w"] = (2 ** (16 - weeks)).astype("int64")
+    g = tbl.groupby("user_id").agg(score=("w", "sum"), n=("w", "size"))
+    want = sorted(
+        ((int(s), int(u), int(n)) for u, (s, n) in g.iterrows()),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = [(r.score, r.user_id, r.n_events) for r in rows]
+    assert got == [(s, u, n) for s, u, n in want]
+    # decay sanity: scores strictly positive, sorted desc
+    assert all(s > 0 for s, _, _ in got)
