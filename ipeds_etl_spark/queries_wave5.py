@@ -1509,8 +1509,11 @@ def q_docs_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
     from ipeds_etl_spark.functions import text as TX
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.groupBy("source").agg(
-        F.sum(TX.token_count(F.col("text")).cast("long")).alias("tok")
+    # one corpus scan: total/quotas/leftover all consume this agg
+    toks = (
+        d.groupBy("source")
+        .agg(F.sum(TX.token_count(F.col("text")).cast("long")).alias("tok"))
+        .localCheckpoint(eager=False)
     )
     tot = toks.agg(F.sum("tok").cast("long").alias("t"))
     q = toks.crossJoin(F.broadcast(tot)).select(

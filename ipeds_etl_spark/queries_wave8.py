@@ -193,9 +193,14 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max(struct)`` agg; the before/after means are one more pass over
     the daily frame joined against the O(types) picks (broadcast)."""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # materialize the daily rollup once: three consumers (totals,
+    # running sum, before/after means) would otherwise each rescan the
+    # fact table (the events_temporal_split single-scan lesson)
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tot = daily.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("nd"),
@@ -424,10 +429,14 @@ def q_docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("key").over(wmin).alias("mk"),
         F.count(F.lit(1)).over(wcnt).alias("ng"),
     )
+    # materialize the fingerprint table once: the DF-cap filter and
+    # both pair-join sides consume it — without this the gram explode
+    # and min-select window re-run per consumer (3 extra corpus scans)
     fps = (
         sel.filter(F.col("pos") <= F.col("ng") - _WIN_W)
         .select("doc_id", F.expr(f"mk div {_WIN_POS_SCALE}").alias("fp"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     rare = (
         fps.groupBy("fp")
@@ -505,8 +514,12 @@ def q_docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one token agg, O(sources) everything after, one rank window
     over the metadata-sized source list."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.groupBy("source").agg(
-        F.sum(TX.token_count(F.col("text")).cast("long")).alias("tok")
+    # one corpus scan: the isqrt weights, their total, the quotas and
+    # the leftover would otherwise each re-run the token aggregate
+    toks = (
+        d.groupBy("source")
+        .agg(F.sum(TX.token_count(F.col("text")).cast("long")).alias("tok"))
+        .localCheckpoint(eager=False)
     )
     s0 = F.floor(F.sqrt(F.col("tok").cast("double"))).cast("long")
     w = toks.select(
