@@ -214,6 +214,20 @@ SWEEP_R12 = [
     "docs_curation_funnel",
 ]
 
+#: wave-8: LPA communities, winnowing pairs, CUSUM, skew Gini,
+#: bootstrap, calibration, temperature mixing, recency decay, kappa
+SWEEP_R13 = [
+    "dedup_lpa_communities",
+    "docs_winnowing_fingerprints",
+    "events_cusum_changepoint",
+    "orders_key_skew_profile",
+    "docs_bootstrap_mean_ci",
+    "docs_langid_calibration",
+    "docs_temperature_mixture",
+    "events_recency_engagement",
+    "docs_rater_agreement_kappa",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -493,6 +507,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R11, key="sweep_r11")
     if "sweep_r12" in sections:
         run_sweep(spark, results, names=SWEEP_R12, key="sweep_r12")
+    if "sweep_r13" in sections:
+        run_sweep(spark, results, names=SWEEP_R13, key="sweep_r13")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
