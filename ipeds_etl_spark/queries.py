@@ -723,6 +723,9 @@ _GATE_PRIORITY: list[str] = [
     "docs_bootstrap_mean_ci",
     "docs_langid_calibration",
     "events_recency_engagement",
+    "emb_cluster_margin",
+    "orders_benford_dq",
+    "parts_skyline_layers",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

@@ -877,3 +877,304 @@ def q_events_recency_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.orderBy(F.desc("score"), "user_id").limit(25)
+
+
+# ===========================================================================
+# Embedding cluster-margin audit (exact integer separation per label)
+# ===========================================================================
+_EMB_DIM = 64
+
+
+@_register(
+    "emb_cluster_margin",
+    f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             unnest(list_transform(range({_EMB_DIM}), i -> struct_pack(
+               dim := i + 1,
+               qv := CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                          AS BIGINT)))) AS s
+      FROM embeddings),
+    q AS (SELECT vec_id, label, s.dim AS dim, s.qv AS qv FROM u),
+    cent AS (SELECT label AS clab, dim,
+                    CAST((1000 * SUM(qv)) // count(*) AS BIGINT) AS c
+             FROM q GROUP BY label, dim),
+    dist AS (SELECT q.vec_id, q.label, cent.clab,
+                    CAST(SUM((1000 * qv - c) * (1000 * qv - c)) AS BIGINT) AS d2
+             FROM q JOIN cent USING (dim)
+             GROUP BY q.vec_id, q.label, cent.clab),
+    m AS (SELECT vec_id, label,
+                 MIN(CASE WHEN clab = label THEN d2 END) AS down,
+                 MIN(CASE WHEN clab <> label THEN d2 END) AS dother
+          FROM dist GROUP BY vec_id, label)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN dother > down THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(dother - down) // count(*) AS BIGINT) AS mean_margin,
+           CAST(MIN(dother - down) AS BIGINT) AS min_margin
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def q_emb_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation margin audit: per vector, squared distance
+    to its OWN label centroid vs the nearest OTHER label centroid, all
+    on the exact integer micro grid (`emb_label_centroid_distances`'
+    quantization: components floor-quantized to milli-units, centroid
+    coordinates fixed-pointed by one truncating div, so |c| ≤ 10⁶ and
+    Σ64·(2·10⁶)² < 2^53 regardless of corpus size). Per label:
+    fraction of vectors on the right side (margin > 0) and the
+    mean/min margin — the readout that says whether labels are
+    SEPARABLE in embedding space before anyone trains a probe on them.
+
+    Scale: corpus is touched once (one (label, dim) centroid agg +
+    one per-vector distance pass against the broadcast O(labels × 64)
+    centroid table); the distance exchange carries n × labels partial
+    rows, map-side combined."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv"),
+    ).localCheckpoint(eager=False)
+    cent = q.groupBy(F.col("label").alias("clab"), "dim").agg(
+        F.expr("CAST((1000 * SUM(qv)) div count(*) AS BIGINT)").alias("c")
+    )
+    diff = 1000 * F.col("qv") - F.col("c")
+    dist = (
+        q.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clab")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+    )
+    m = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clab") == F.col("label"), F.col("d2"))).alias("down"),
+        F.min(F.when(F.col("clab") != F.col("label"), F.col("d2"))).alias(
+            "dother"
+        ),
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.when(F.col("dother") > F.col("down"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr("CAST(SUM(dother - down) div count(*) AS BIGINT)").alias(
+                "mean_margin"
+            ),
+            F.min(F.col("dother") - F.col("down")).cast("long").alias(
+                "min_margin"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ===========================================================================
+# Benford first-digit DQ screen on order totals
+# ===========================================================================
+#: Benford probabilities log10(1+1/d), scaled 1e6 — fixed integer
+#: CONSTANTS (they sum to exactly 1,000,000), so no libm at query time
+_BENFORD_X1E6 = (
+    (1, 301030),
+    (2, 176091),
+    (3, 124939),
+    (4, 96910),
+    (5, 79181),
+    (6, 66947),
+    (7, 57992),
+    (8, 51153),
+    (9, 45757),
+)
+
+
+@_register(
+    "orders_benford_dq",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit),
+    exp AS (SELECT * FROM (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_X1E6)}) AS t(digit, p_x1e6))
+    SELECT exp.digit, coalesce(cnt, 0) AS cnt, p_x1e6,
+           CAST((1000000 * coalesce(cnt, 0)) // n AS BIGINT) AS obs_x1e6,
+           CAST(1000000 * coalesce(cnt, 0) - n * p_x1e6 AS BIGINT)
+             AS deviation_x1e6
+    FROM exp LEFT JOIN obs USING (digit) CROSS JOIN n
+    ORDER BY exp.digit
+    """,
+)
+def q_orders_benford_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order totals — the forensic DQ
+    test for fabricated or truncated numeric columns. First digit via
+    integer rendering (floor → BIGINT → first char: integers print
+    identically on every engine; raw DOUBLE strings do not), expected
+    shares as FIXED integer constants log10(1+1/d)·10⁶ (they sum to
+    exactly 10⁶ — no libm at query time), deviations as exact
+    1e6-scaled BIGINTs. The χ² statistic assembles from these exact
+    cells in the test; the query itself performs zero IEEE operations.
+
+    Scale: one map + one 9-group agg; the expected table is a 9-row
+    literal joined broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    exp = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(dg).cast("long").alias("digit"),
+                            F.lit(p).cast("long").alias("p_x1e6"),
+                        )
+                        for dg, p in _BENFORD_X1E6
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            "p_x1e6",
+            F.expr(
+                "CAST((1000000 * coalesce(cnt, 0)) div n AS BIGINT)"
+            ).alias("obs_x1e6"),
+            (
+                1000000 * F.coalesce(F.col("cnt"), F.lit(0))
+                - F.col("n") * F.col("p_x1e6")
+            )
+            .cast("long")
+            .alias("deviation_x1e6"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ===========================================================================
+# Skyline layers (onion peeling of the 2-D Pareto frontier)
+# ===========================================================================
+_SKY_LAYERS = 3
+
+
+def _skyline_pass(p: DataFrame) -> DataFrame:
+    """One 2-D skyline over (p_retailprice, p_size), both minimized —
+    the prefix-min spelling of `parts_skyline_2d` (per-price min, then
+    the distributed two-phase prefix min; no O(n²) join, no full-data
+    window)."""
+    per_price = p.groupBy("p_retailprice").agg(F.min("p_size").alias("msize"))
+    pp = per_price.withColumn(
+        "bkt", F.floor(F.col("p_retailprice") / 100.0).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pp = pp.withColumn("prev_in", F.min("msize").over(w_in))
+    bstats = pp.groupBy("bkt").agg(F.min("msize").alias("bmin"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bstats = bstats.withColumn("prev_b", F.min("bmin").over(w_b))
+    big = 1 << 31
+    prev_min = F.least(
+        F.coalesce(F.col("prev_in"), F.lit(big)),
+        F.coalesce(F.col("prev_b"), F.lit(big)),
+    )
+    pref = pp.join(F.broadcast(bstats.select("bkt", "prev_b")), "bkt").select(
+        "p_retailprice", "msize", prev_min.alias("prev_min")
+    )
+    return (
+        p.join(pref, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("msize"))
+            & (F.col("p_size") < F.col("prev_min"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def _skyline_layers_oracle() -> str:
+    parts = [
+        """p0 AS (SELECT p_partkey, p_retailprice, p_size FROM part
+             WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)"""
+    ]
+    for k in range(1, _SKY_LAYERS + 1):
+        parts.append(
+            f"""s{k} AS (
+      SELECT * FROM p{k - 1} p WHERE NOT EXISTS (
+        SELECT 1 FROM p{k - 1} q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)))"""
+        )
+        parts.append(
+            f"""p{k} AS (
+      SELECT * FROM p{k - 1}
+      WHERE p_partkey NOT IN (SELECT p_partkey FROM s{k}))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS layer, p_partkey, p_retailprice, p_size FROM s{k}"
+        for k in range(1, _SKY_LAYERS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(layer AS BIGINT) AS layer, p_partkey, p_retailprice, p_size
+    FROM ({union})
+    ORDER BY layer, p_retailprice, p_partkey"""
+    )
+
+
+@_register("parts_skyline_layers", _skyline_layers_oracle())
+def q_parts_skyline_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion peeling of the cheapest-and-smallest Pareto frontier:
+    layer 1 is the skyline, layer 2 the skyline of what remains, layer
+    3 of the rest — the ranking a sourcing engine uses when the first
+    frontier is exhausted (and, in data terms, the layered non-
+    dominated sort NSGA-style selection uses). Each peel is the
+    prefix-min skyline (per-price min + two-phase distributed prefix
+    min — never the O(n²) dominance join the oracle runs), the
+    remainder shrinks monotonically, and the layer count is FIXED at
+    3 (the house iterative contract; remainder localCheckpointed per
+    round).
+
+    Scale: 3 × (one per-price agg + one metadata-sized bucket window
+    + one anti join on p_partkey) — all linear passes."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
+        .select("p_partkey", "p_retailprice", "p_size")
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    cur = p
+    for k in range(1, _SKY_LAYERS + 1):
+        sky = _skyline_pass(cur).withColumn("layer", F.lit(k).cast("long"))
+        out = sky if out is None else out.unionByName(sky)
+        if k < _SKY_LAYERS:
+            cur = cur.join(
+                sky.select("p_partkey"), "p_partkey", "left_anti"
+            ).localCheckpoint(eager=False)
+    return out.select("layer", "p_partkey", "p_retailprice", "p_size").orderBy(
+        "layer", "p_retailprice", "p_partkey"
+    )

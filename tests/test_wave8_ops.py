@@ -271,3 +271,89 @@ def test_recency_engagement_dyadic_replay(spark):
     assert got == [(s, u, n) for s, u, n in want]
     # decay sanity: scores strictly positive, sorted desc
     assert all(s > 0 for s, _, _ in got)
+
+
+def test_cluster_margin_matches_numpy(spark):
+    """Quantized centroid/margin arithmetic replayed exactly in numpy."""
+    from ipeds_etl_spark.queries_wave8 import q_emb_cluster_margin
+
+    rows = {r.label: r for r in q_emb_cluster_margin(spark, SF).collect()}
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    labels = tbl["label"].to_numpy()
+    q = np.stack(
+        [
+            np.floor(np.asarray(v, dtype=np.float64) * 1000.0)
+            for v in tbl["embedding"]
+        ]
+    ).astype(np.int64)
+    # Spark's `div` truncates toward zero; numpy // floors — replicate
+    # trunc explicitly (component sums can be negative)
+    cents = {}
+    for lab in np.unique(labels):
+        sub = q[labels == lab]
+        s = 1000 * sub.sum(axis=0)
+        cents[lab] = np.sign(s) * (np.abs(s) // len(sub))
+    per_label = defaultdict(lambda: [0, 0, [], None])
+    for x, lab in zip(q, labels):
+        d = {
+            cl: int(((1000 * x - c) ** 2).sum()) for cl, c in cents.items()
+        }
+        down = d[lab]
+        dother = min(v for cl, v in d.items() if cl != lab)
+        margin = dother - down
+        agg = per_label[lab]
+        agg[0] += 1
+        agg[1] += 1 if margin > 0 else 0
+        agg[2].append(margin)
+    for lab, (n, ncorr, margins, _) in per_label.items():
+        r = rows[lab]
+        assert r.n_vectors == n
+        assert r.n_correct == ncorr
+        tot = sum(margins)
+        trunc_mean = int(np.sign(tot)) * (abs(tot) // n)
+        assert r.mean_margin == trunc_mean
+        assert r.min_margin == min(margins)
+
+
+def test_benford_constants_and_chi2_assembly(spark):
+    from ipeds_etl_spark.queries_wave8 import _BENFORD_X1E6, q_orders_benford_dq
+
+    assert sum(p for _, p in _BENFORD_X1E6) == 1_000_000
+    rows = q_orders_benford_dq(spark, SF).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n = sum(r.cnt for r in rows)
+    for r in rows:
+        assert r.deviation_x1e6 == 1_000_000 * r.cnt - n * r.p_x1e6
+        assert r.obs_x1e6 == (1_000_000 * r.cnt) // n
+    # chi-square assembles from the exact cells
+    chi2 = sum(
+        (r.cnt - n * r.p_x1e6 / 1e6) ** 2 / (n * r.p_x1e6 / 1e6) for r in rows
+    )
+    assert chi2 >= 0.0
+    # deviations telescope: sum of (1e6*cnt - n*p) over digits == 0
+    assert sum(r.deviation_x1e6 for r in rows) == 0
+
+
+def test_skyline_layers_partition_and_dominance(spark):
+    from ipeds_etl_spark.queries_wave8 import _SKY_LAYERS, q_parts_skyline_layers
+
+    rows = q_parts_skyline_layers(spark, SF).collect()
+    by_layer = defaultdict(list)
+    for r in rows:
+        by_layer[r.layer].append((float(r.p_retailprice), r.p_size, r.p_partkey))
+    assert set(by_layer) <= set(range(1, _SKY_LAYERS + 1))
+    keys = [r.p_partkey for r in rows]
+    assert len(keys) == len(set(keys))  # layers are disjoint
+
+    def dominates(a, b):
+        return a[0] <= b[0] and a[1] <= b[1] and (a[0] < b[0] or a[1] < b[1])
+
+    # within a layer nothing dominates anything
+    for pts in by_layer.values():
+        for a in pts:
+            for b in pts:
+                assert not dominates(a, b)
+    # every layer-(k+1) point is dominated by some layer-k point
+    for k in range(1, max(by_layer)):
+        for b in by_layer.get(k + 1, []):
+            assert any(dominates(a, b) for a in by_layer[k])
