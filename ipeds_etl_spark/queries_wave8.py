@@ -1178,3 +1178,144 @@ def q_parts_skyline_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("layer", "p_partkey", "p_retailprice", "p_size").orderBy(
         "layer", "p_retailprice", "p_partkey"
     )
+
+
+# ===========================================================================
+# Edit-distance verification of LSH candidate pairs
+# ===========================================================================
+#: Levenshtein is O(len_a × len_b) per pair — cap the compared prefix
+#: so per-pair cost is a constant (the banded-verify discipline)
+_EDIT_PREFIX = 200
+
+
+def _edit_verify_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(DD.N_PERMS // DD.ROWS_PER_BAND)
+    )
+    return f"""
+    WITH {_minhash_sig_sql()},
+    bands AS ({bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    px AS (SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS p FROM documents),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+             CAST(greatest(len(a.p), len(b.p), 1) AS BIGINT) AS mx
+      FROM pairs JOIN px a ON a.doc_id = id_a JOIN px b ON b.doc_id = id_b),
+    n AS (SELECT id_a, id_b, lev, (1000 * lev) // mx AS norm_x1000 FROM j)
+    SELECT least(norm_x1000 // 100, 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(norm_x1000) AS BIGINT) AS min_norm_x1000,
+           CAST(max(norm_x1000) AS BIGINT) AS max_norm_x1000
+    FROM n GROUP BY least(norm_x1000 // 100, 9) ORDER BY bucket
+    """
+
+
+@_register("dedup_edit_verify", _edit_verify_oracle())
+def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the LSH candidate pairs — the
+    third verifier lens after set-Jaccard (`dedup_minhash_precision`)
+    and token diff (`docs_near_dup_diff`): normalized Levenshtein on a
+    capped 200-char prefix, histogrammed into permille deciles. Edit
+    distance is ORDER- and REPETITION-sensitive where Jaccard is not
+    (a shuffled boilerplate page is Jaccard-identical but edit-far),
+    so the histogram splits candidates into true copies (bucket 0-1),
+    templated variants (mid), and band-collision noise (high).
+    Levenshtein is exact INTEGER and implemented identically in both
+    engines (proven by `part_name_fuzzy_pairs`).
+
+    Scale: pairs from the memoized banded index; the prefix re-attach
+    is two equi-joins (the dedup-family discipline); per-pair cost is
+    capped at 200×200 cell updates by the prefix bound — O(pairs)
+    total, never O(n²)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("p")
+    )
+    pairs = _lsh_doc_pairs(spark, sf_dir)
+    pa = d.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"))
+    pb = d.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"))
+    j = pairs.join(pa, "id_a").join(pb, "id_b")
+    lev = F.levenshtein(F.col("pa"), F.col("pb")).cast("long")
+    mx = F.greatest(F.length("pa"), F.length("pb"), F.lit(1)).cast("long")
+    n = j.select(lev.alias("lev"), mx.alias("mx")).select(
+        F.expr("CAST((1000 * lev) div mx AS BIGINT)").alias("norm_x1000")
+    )
+    return (
+        n.groupBy(
+            F.least(F.expr("norm_x1000 div 100"), F.lit(9).cast("long")).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("norm_x1000").cast("long").alias("min_norm_x1000"),
+            F.max("norm_x1000").cast("long").alias("max_norm_x1000"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ===========================================================================
+# Nucleus (top-p) source cutoff
+# ===========================================================================
+@_register(
+    "docs_nucleus_sources",
+    """
+    WITH toks AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> len(t) > 0))) AS BIGINT) AS tok
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS t FROM toks),
+    c AS (SELECT source, tok,
+                 CAST(coalesce(SUM(tok) OVER (ORDER BY tok DESC, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+          FROM toks)
+    SELECT source, tok AS tokens,
+           CAST(cum_before + tok AS BIGINT) AS cum_tokens,
+           10 * cum_before < 9 * t AS in_nucleus
+    FROM c CROSS JOIN tot
+    ORDER BY tokens DESC, source
+    """,
+)
+def q_docs_nucleus_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p, p = 0.9) source cutoff: rank sources by token
+    mass descending and keep the smallest prefix covering 90% of the
+    corpus — the top-p sampling rule applied to data mixing (drop the
+    long tail of scraps, keep the mass). Membership is the exact
+    cross-multiplied predicate 10·cum_before < 9·total (a source is in
+    while strictly less than 90% is already covered — so the boundary
+    source that crosses the line is INCLUDED, matching nucleus
+    sampling's convention). No division anywhere.
+
+    Scale: one token agg (map-combinable), then a window over the
+    O(sources) frame — metadata-sized by definition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.groupBy("source")
+        .agg(F.sum(TX.token_count(F.col("text")).cast("long")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    tot = toks.agg(F.sum("tok").cast("long").alias("t"))
+    w = (
+        Window.orderBy(F.desc("tok"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("tok").alias("tokens"),
+            (F.col("cum_before") + F.col("tok")).cast("long").alias("cum_tokens"),
+            (10 * F.col("cum_before") < 9 * F.col("t")).alias("in_nucleus"),
+        )
+        .orderBy(F.desc("tokens"), "source")
+    )

@@ -357,3 +357,73 @@ def test_skyline_layers_partition_and_dominance(spark):
     for k in range(1, max(by_layer)):
         for b in by_layer.get(k + 1, []):
             assert any(dominates(a, b) for a in by_layer[k])
+
+
+def test_edit_verify_matches_python_levenshtein(spark):
+    """Histogram equals a pure-Python Levenshtein replay over the same
+    LSH candidate pairs and capped prefixes."""
+    from ipeds_etl_spark.queries_wave8 import _EDIT_PREFIX, q_dedup_edit_verify
+
+    pairs = [(r.id_a, r.id_b) for r in _lsh_doc_pairs(spark, SF).collect()]
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    txt = dict(zip(tbl["doc_id"], tbl["text"]))
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    hist = Counter()
+    mins, maxs = {}, {}
+    for a, b in pairs:
+        pa, pb = txt[a][:_EDIT_PREFIX], txt[b][:_EDIT_PREFIX]
+        norm = (1000 * lev(pa, pb)) // max(len(pa), len(pb), 1)
+        bkt = min(norm // 100, 9)
+        hist[bkt] += 1
+        mins[bkt] = min(mins.get(bkt, norm), norm)
+        maxs[bkt] = max(maxs.get(bkt, norm), norm)
+
+    got = {
+        r.bucket: (r.n_pairs, r.min_norm_x1000, r.max_norm_x1000)
+        for r in q_dedup_edit_verify(spark, SF).collect()
+    }
+    assert got == {b: (hist[b], mins[b], maxs[b]) for b in hist}
+
+
+def test_nucleus_sources_coverage_boundary(spark):
+    from ipeds_etl_spark.queries_wave8 import q_docs_nucleus_sources
+
+    rows = q_docs_nucleus_sources(spark, SF).collect()
+    total = sum(r.tokens for r in rows)
+    # rows come back in rank order; cum_tokens is the running total
+    run = 0
+    for r in rows:
+        run += r.tokens
+        assert r.cum_tokens == run
+    inside = [r for r in rows if r.in_nucleus]
+    outside = [r for r in rows if not r.in_nucleus]
+    # nucleus covers >= 90% of mass, and dropping its LAST member
+    # (the boundary source) would fall under 90%
+    assert 10 * inside[-1].cum_tokens >= 9 * total
+    assert 10 * (inside[-1].cum_tokens - inside[-1].tokens) < 9 * total
+    # membership is a rank prefix
+    assert all(
+        a.tokens >= b.tokens or (a.tokens, a.source) > (b.tokens, b.source)
+        for a, b in zip(rows, rows[1:])
+    )
+    if outside:
+        # prefix property: the last nucleus member outranks the first
+        # excluded one in the (tokens DESC, source ASC) order
+        last_in, first_out = inside[-1], outside[0]
+        assert last_in.tokens > first_out.tokens or (
+            last_in.tokens == first_out.tokens
+            and last_in.source < first_out.source
+        )
