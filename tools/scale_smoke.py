@@ -226,6 +226,11 @@ SWEEP_R13 = [
     "docs_temperature_mixture",
     "events_recency_engagement",
     "docs_rater_agreement_kappa",
+    "emb_cluster_margin",
+    "orders_benford_dq",
+    "parts_skyline_layers",
+    "dedup_edit_verify",
+    "docs_nucleus_sources",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
