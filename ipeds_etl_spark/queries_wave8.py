@@ -1203,7 +1203,8 @@ def _edit_verify_oracle() -> str:
     px AS (SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS p FROM documents),
     j AS (
       SELECT id_a, id_b,
-             CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+             CAST(CASE WHEN a.p = b.p THEN 0
+                       ELSE levenshtein(a.p, b.p) END AS BIGINT) AS lev,
              CAST(greatest(len(a.p), len(b.p), 1) AS BIGINT) AS mx
       FROM pairs JOIN px a ON a.doc_id = id_a JOIN px b ON b.doc_id = id_b),
     n AS (SELECT id_a, id_b, lev, (1000 * lev) // mx AS norm_x1000 FROM j)
@@ -1239,7 +1240,14 @@ def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = d.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"))
     pb = d.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"))
     j = pairs.join(pa, "id_a").join(pb, "id_b")
-    lev = F.levenshtein(F.col("pa"), F.col("pb")).cast("long")
+    # equality short-circuit: candidate pairs in clone-heavy corpora
+    # mostly share IDENTICAL prefixes, and string equality is O(len)
+    # where the DP matrix is O(len²) — free when it fires; the sf0.1 near-dups diverge inside the prefix so the win shows on exact-dup-heavy corpora
+    lev = (
+        F.when(F.col("pa") == F.col("pb"), F.lit(0))
+        .otherwise(F.levenshtein(F.col("pa"), F.col("pb")))
+        .cast("long")
+    )
     mx = F.greatest(F.length("pa"), F.length("pb"), F.lit(1)).cast("long")
     n = j.select(lev.alias("lev"), mx.alias("mx")).select(
         F.expr("CAST((1000 * lev) div mx AS BIGINT)").alias("norm_x1000")
