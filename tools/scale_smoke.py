@@ -231,6 +231,8 @@ SWEEP_R13 = [
     "parts_skyline_layers",
     "dedup_edit_verify",
     "docs_nucleus_sources",
+    "dedup_lsh_geometry_planner",
+    "events_burstiness_fano",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
