@@ -730,6 +730,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_nucleus_sources",
     "dedup_lsh_geometry_planner",
     "events_burstiness_fano",
+    "multimodal_audio_fingerprint",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

@@ -1490,3 +1490,134 @@ def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("fano_x1000"),
     ).orderBy("event_type")
+
+
+# ===========================================================================
+# Audio landmark fingerprint matching (Shazam-shape, deterministic stand-in)
+# ===========================================================================
+_AF_WIN, _AF_HOP = 64, 48
+_AF_MOD = 997  # energy-band bucketing modulus for the landmark key
+_AF_MAX_DF = 50
+_AF_MIN_SHARED = 2
+
+
+def _audio_fp_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= {_AF_WIN} THEN 1
+                  ELSE (length(text) - {_AF_WIN} + {_AF_HOP} - 1) // {_AF_HOP} + 1
+             END AS k
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(k), i -> struct_pack(
+               idx := i,
+               win := substr(text, CAST(i * {_AF_HOP} + 1 AS INT), {_AF_WIN}))))
+               AS s
+      FROM d),
+    e AS (
+      SELECT doc_id, CAST(s.idx AS BIGINT) AS idx,
+             CAST(list_sum(list_transform(range(len(s.win)),
+                  j -> ascii(substr(s.win, CAST(j + 1 AS INT), 1)))) AS BIGINT)
+               AS e
+      FROM w),
+    nb AS (
+      SELECT doc_id, idx, e,
+             lag(e) OVER (PARTITION BY doc_id ORDER BY idx) AS pe,
+             lead(e) OVER (PARTITION BY doc_id ORDER BY idx) AS ne
+      FROM e),
+    pk AS (SELECT doc_id, idx, e FROM nb
+           WHERE pe IS NOT NULL AND ne IS NOT NULL AND e > pe AND e >= ne),
+    lm AS (
+      SELECT doc_id,
+             CAST(e % {_AF_MOD} AS VARCHAR) || ':'
+               || CAST(lead(e) OVER w2 % {_AF_MOD} AS VARCHAR) || ':'
+               || CAST(lead(idx) OVER w2 - idx AS VARCHAR) AS k
+      FROM pk WINDOW w2 AS (PARTITION BY doc_id ORDER BY idx)),
+    fps AS (SELECT DISTINCT doc_id, k FROM lm WHERE k IS NOT NULL),
+    rare AS (SELECT k FROM fps GROUP BY k HAVING count(*) <= {_AF_MAX_DF}),
+    fx AS (SELECT doc_id, k FROM fps JOIN rare USING (k))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fx a JOIN fx b ON a.k = b.k AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_AF_MIN_SHARED}
+    ORDER BY n_shared DESC, id_a, id_b
+    """
+
+
+@_register("multimodal_audio_fingerprint", _audio_fp_oracle())
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint matching in the Shazam shape (Wang 2003):
+    frame each payload (the `window_audio` Arrow operator — the one
+    sanctioned Python stage), find energy PEAKS (strictly above the
+    previous window, at-or-above the next — the deterministic plateau
+    rule), hash CONSECUTIVE PEAK PAIRS into landmark keys
+    (energy-band : energy-band : time-delta), and report document
+    pairs sharing >= 2 landmarks after a stop-landmark DF cap. With a
+    real codec the energy is per-band spectral magnitude; the synthetic
+    byte-energy stand-in keeps every downstream stage — peak picking,
+    landmark pairing, inverted-index match — real and byte-for-byte
+    oracle-verifiable (the container's no-codec policy, same contract
+    as `multimodal_audio_windows`).
+
+    Scale: framing is map-only (~n/hop rows per payload); peak/landmark
+    windows partition per DOCUMENT (entity-bounded frames); the match
+    is an inverted-index bucket join with the DF cap bounding any
+    landmark's expansion — O(landmarks), never O(docs²)."""
+    from ipeds_etl_spark.operators.multimodal import attach_payload, window_audio
+
+    d = load_table(spark, sf_dir, "documents")
+    w = window_audio(
+        attach_payload(d, "text", "doc_id", modality="audio"),
+        win=_AF_WIN,
+        hop=_AF_HOP,
+    ).select("doc_id", F.col("window_index").cast("long").alias("idx"), "energy")
+    ww = Window.partitionBy("doc_id").orderBy("idx")
+    nb = w.select(
+        "doc_id",
+        "idx",
+        "energy",
+        F.lag("energy").over(ww).alias("pe"),
+        F.lead("energy").over(ww).alias("ne"),
+    )
+    pk = nb.filter(
+        F.col("pe").isNotNull()
+        & F.col("ne").isNotNull()
+        & (F.col("energy") > F.col("pe"))
+        & (F.col("energy") >= F.col("ne"))
+    ).select("doc_id", "idx", F.col("energy").alias("e"))
+    w2 = Window.partitionBy("doc_id").orderBy("idx")
+    lm = pk.select(
+        "doc_id",
+        F.concat(
+            (F.col("e") % _AF_MOD).cast("string"),
+            F.lit(":"),
+            (F.lead("e").over(w2) % _AF_MOD).cast("string"),
+            F.lit(":"),
+            (F.lead("idx").over(w2) - F.col("idx")).cast("string"),
+        ).alias("k"),
+    ).filter(F.col("k").isNotNull())
+    fps = lm.distinct().localCheckpoint(eager=False)
+    rare = (
+        fps.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _AF_MAX_DF)
+        .select("k")
+    )
+    fx = fps.join(rare, "k")
+    a, b = fx.alias("a"), fx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _AF_MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+    )

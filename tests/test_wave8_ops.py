@@ -472,3 +472,52 @@ def test_fano_matches_numpy(spark):
         assert r.mean_x1000 == (1000 * sc) // n
         if n > 1:
             assert r.fano_x1000 == (1000 * (n * scc - sc * sc)) // ((n - 1) * sc)
+
+
+def test_audio_fingerprint_matches_python_replay(spark):
+    """Framing, peak picking, landmark pairing, and the DF-capped
+    match replayed in pure Python over the same UTF-8 payloads."""
+    from ipeds_etl_spark.queries_wave8 import (
+        _AF_HOP,
+        _AF_MAX_DF,
+        _AF_MIN_SHARED,
+        _AF_MOD,
+        _AF_WIN,
+        q_multimodal_audio_fingerprint,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    fps = defaultdict(set)
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        p = text.encode("utf-8")
+        n = len(p)
+        k = 1 if n <= _AF_WIN else (n - _AF_WIN + _AF_HOP - 1) // _AF_HOP + 1
+        e = [
+            sum(p[i * _AF_HOP : i * _AF_HOP + _AF_WIN]) for i in range(k)
+        ]
+        peaks = [
+            (i, e[i])
+            for i in range(1, len(e) - 1)
+            if e[i] > e[i - 1] and e[i] >= e[i + 1]
+        ]
+        for (i1, e1), (i2, e2) in zip(peaks, peaks[1:]):
+            fps[doc_id].add(f"{e1 % _AF_MOD}:{e2 % _AF_MOD}:{i2 - i1}")
+    df = Counter(f for s in fps.values() for f in s)
+    want = Counter()
+    by_k = defaultdict(list)
+    for d, s in fps.items():
+        for f in s:
+            if df[f] <= _AF_MAX_DF:
+                by_k[f].append(d)
+    for f, docs in by_k.items():
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                want[(docs[i], docs[j])] += 1
+    want = {p_: c for p_, c in want.items() if c >= _AF_MIN_SHARED}
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in q_multimodal_audio_fingerprint(spark, SF).collect()
+    }
+    assert got == want

@@ -233,6 +233,7 @@ SWEEP_R13 = [
     "docs_nucleus_sources",
     "dedup_lsh_geometry_planner",
     "events_burstiness_fano",
+    "multimodal_audio_fingerprint",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
