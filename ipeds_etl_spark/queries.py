@@ -619,6 +619,7 @@ def _load_extensions() -> None:
         queries_wave6,
         queries_wave7,
         queries_wave8,
+        queries_wave9,
     )
 
 
@@ -731,6 +732,8 @@ _GATE_PRIORITY: list[str] = [
     "dedup_lsh_geometry_planner",
     "events_burstiness_fano",
     "multimodal_audio_fingerprint",
+    "docs_dedup_survivorship",
+    "docs_keyword_tagging",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

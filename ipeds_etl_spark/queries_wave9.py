@@ -1,0 +1,191 @@
+"""Round-6 coda: curation-bias and routing readouts — per-source
+survivorship of the dedup pipeline (does dedup disproportionately
+drop a source, and does kept quality shift?) and multi-keyword
+taxonomy tagging (the map-only FlashText shape used for topic/license
+routing). House rules as in `queries_wave8`.
+
+The reference (kebe3476/ipeds_etl) ships none of these; they extend
+its surface under the same oracle-twin discipline (COVERAGE.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions import text as TX
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.queries_ext import _lsh_doc_pairs, _WS_TOKENS
+from ipeds_etl_spark.sources.tables import load_table
+
+
+# ===========================================================================
+# Dedup survivorship bias per source
+# ===========================================================================
+def _survivorship_oracle() -> str:
+    from ipeds_etl_spark.queries import ORACLE_SQL
+
+    comp = ORACLE_SQL["dedup_components"]
+    head, _, _tail = comp.rpartition("SELECT id AS doc_id")
+    return (
+        head
+        + f""",
+    res AS (
+      SELECT d.doc_id, d.source,
+             coalesce(c.id IS NULL OR c.id = c.component_id, TRUE) AS keep
+      FROM documents d
+      LEFT JOIN (SELECT id, component_id FROM comps) c ON d.doc_id = c.id),
+    q AS (
+      SELECT doc_id,
+             CAST((1000 * len(list_distinct(w))) // greatest(len(w), 1)
+                  AS BIGINT) AS sc
+      FROM (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents))
+    SELECT res.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((1000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS kept_x1000,
+           CAST(SUM(sc) // count(*) AS BIGINT) AS q_all_x1000,
+           CAST(SUM(CASE WHEN keep THEN sc END)
+                // SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS q_kept_x1000
+    FROM res JOIN q USING (doc_id)
+    GROUP BY res.source
+    ORDER BY res.source
+    """
+    )
+
+
+@_register("docs_dedup_survivorship", _survivorship_oracle())
+def q_docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-bias audit of the dedup pipeline: per source, how
+    many documents survive cluster resolution (LSH → components →
+    canonical keeper; singletons keep), and whether the KEPT quality
+    differs from the source's overall quality (type-token permille —
+    the label-propagation bootstrap score). A clone-heavy source loses
+    most of its mass here; if its kept-quality also drops, dedup is
+    systematically keeping its worst exemplars (min-id keeper is
+    quality-blind) — exactly the bias this table is read to catch
+    before a mixing recipe trusts post-dedup source weights.
+
+    Scale: the resolution is the `docs_dedup_resolution` composition
+    (memoized pairs, O(diameter) label rounds, one left join back);
+    the quality score is one map pass; the readout one O(sources)
+    agg. Every survivor row carries its verdict from the same pass —
+    no second dedup run."""
+    from ipeds_etl_spark.operators.components import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(_lsh_doc_pairs(spark, sf_dir))
+    toks = TX.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("nt"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("CAST((1000 * nd) div nt AS BIGINT)").alias("sc"),
+    )
+    res = scored.join(
+        clusters.select("id", "keep"), scored.doc_id == clusters.id, "left"
+    ).select(
+        "source", "sc", F.coalesce("keep", F.lit(True)).alias("keep")
+    )
+    return (
+        res.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END))"
+                " div count(*) AS BIGINT)"
+            ).alias("kept_x1000"),
+            F.expr("CAST(sum(sc) div count(*) AS BIGINT)").alias("q_all_x1000"),
+            F.expr(
+                "CAST(sum(CASE WHEN keep THEN sc END)"
+                " div sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("q_kept_x1000"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Multi-keyword taxonomy tagging (FlashText shape, map-only)
+# ===========================================================================
+#: a topic taxonomy over the corpus vocabulary — the license/domain
+#: tagger shape with categories that are non-degenerate on this corpus
+_TAXONOMY: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("engine", ("spark", "query", "scan", "sort", "join", "agg")),
+    ("storage", ("table", "row", "column", "partition", "parquet")),
+    ("streaming", ("stream", "window", "batch", "watermark")),
+    ("ml", ("vector", "embedding", "model", "cluster")),
+    ("commerce", ("customer", "order", "part", "supplier")),
+)
+
+
+def _tagging_oracle() -> str:
+    cases = []
+    for tag, words in _TAXONOMY:
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        cases.append(
+            f"SELECT doc_id, source, '{tag}' AS tag,"
+            f" len(list_filter(w, t -> list_contains({lst}, t))) AS hits"
+            " FROM t"
+        )
+    union = " UNION ALL ".join(cases)
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w
+               FROM documents),
+    m AS ({union})
+    SELECT source, tag,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_tagged,
+           CAST(SUM(hits) AS BIGINT) AS n_hits
+    FROM m GROUP BY source, tag
+    HAVING SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) > 0
+    ORDER BY source, tag
+    """
+
+
+@_register("docs_keyword_tagging", _tagging_oracle())
+def q_docs_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-keyword taxonomy tagging — the FlashText/Aho-Corasick
+    routing shape (license screens, topic routing, policy filters)
+    as pure codegen: one tokenize, then per category a literal-array
+    membership count (the `lang_scores` single-scan pattern applied
+    to an arbitrary taxonomy). Per (source, tag): documents tagged
+    and total keyword hits — the routing table a mixing recipe uses
+    to send code to the code pile and legalese to review.
+
+    Scale: map-only per category over one shared token array (the
+    tokenizer subtree is projected ONCE — each category lambda reads
+    the column, not the regex), one (source, tag) agg."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("w")
+    )
+    out = None
+    for tag, words in _TAXONOMY:
+        lit_words = F.array(*[F.lit(w) for w in words])
+        hits = F.size(
+            F.filter(F.col("w"), lambda t: F.array_contains(lit_words, t))
+        )
+        part = d.select(
+            "source", F.lit(tag).alias("tag"), hits.alias("hits")
+        )
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.groupBy("source", "tag")
+        .agg(
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_tagged"),
+            F.sum("hits").cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_docs_tagged") > 0)
+        .orderBy("source", "tag")
+    )

@@ -234,6 +234,8 @@ SWEEP_R13 = [
     "dedup_lsh_geometry_planner",
     "events_burstiness_fano",
     "multimodal_audio_fingerprint",
+    "docs_dedup_survivorship",
+    "docs_keyword_tagging",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
