@@ -189,3 +189,199 @@ def q_docs_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs_tagged") > 0)
         .orderBy("source", "tag")
     )
+
+
+# ===========================================================================
+# PQ reconstruction distortion audit
+# ===========================================================================
+_DIFF2 = (
+    "list_reduce(list_transform(range(len({a})), "
+    "i -> (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))"
+    " * (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _pq_distortion_oracle() -> str:
+    from ipeds_etl_spark.queries_ext import _PQ_M, _PQ_SUB_DIM, _pq_sub_sql
+
+    ctes: list[str] = []
+    for s in range(_PQ_M):
+        ctes.extend(_pq_sub_sql(s))
+    errs = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB_DIM + 1, (s + 1) * _PQ_SUB_DIM
+        errs.append(
+            _DIFF2.format(a=f"e.embedding[{lo}:{hi}]", b=f"n{s}.embedding")
+        )
+    total = errs[0]
+    for x in errs[1:]:
+        total = f"({total} + {x})"
+    joins = "\n      ".join(
+        f"JOIN s{s}_codes n{s} ON n{s}.vec_id = e.vec_id"
+        for s in range(_PQ_M)
+    )
+    codes = ", ".join(f"n{s}.cid AS code_{s}" for s in range(_PQ_M))
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT e.vec_id, {codes}, {total} AS recon_err2
+    FROM embeddings e
+      {joins}
+    ORDER BY e.vec_id
+    """
+
+
+@_register("emb_pq_distortion", _pq_distortion_oracle())
+def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression-quality audit: per vector, the squared L2 error
+    between the original and its codeword reconstruction — the
+    distortion the recall gates (`emb_pq_recall`) can only show
+    indirectly. Every float op is order-pinned (left-fold per-dim
+    (x−y)² sums, left-fold subspace chain — the `pq_topk` bitwise
+    discipline), so the oracle replays codebook training, encoding,
+    AND the distortion bit-identically. Rising distortion on a new
+    corpus version = retrain the codebooks before trusting ADC ranks.
+
+    Scale: map-only over the corpus scan — the codebooks ride as plan
+    literals (no join, no shuffle); output one row per vector."""
+    from ipeds_etl_spark.operators import similarity as SIM
+    from ipeds_etl_spark.operators.similarity import _matrix_lit, dot
+    from ipeds_etl_spark.queries_ext import (
+        _PQ_M,
+        _PQ_SUB_DIM,
+        _pq_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = _pq_codebook(spark, sf_dir)
+    cols = [F.col("vec_id")]
+    errs = []
+    for s, book in enumerate(books):
+        cids = F.lit([int(cid) for cid, _ in book])
+        cvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in book])
+        sub = F.slice(F.col("embedding"), s * _PQ_SUB_DIM + 1, _PQ_SUB_DIM)
+        scored = SIM._scored_centroids(sub, book)
+        code = F.array_max(scored)["cid"]
+        cols.append(code.alias(f"code_{s}"))
+        pos = F.array_position(cids, code).cast("int")
+        cw = F.element_at(cvecs, pos)
+        errs.append(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    cw,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    total = errs[0]
+    for x in errs[1:]:
+        total = total + x
+    return e.select(*cols, total.alias("recon_err2")).orderBy("vec_id")
+
+
+# ===========================================================================
+# CCNet-style head/middle/tail routing by per-source quality terciles
+# ===========================================================================
+@_register(
+    "docs_quality_tercile_routing",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST((1000 * len(list_distinct(w))) // greatest(len(w), 1)
+                  AS BIGINT) AS sc
+      FROM (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w
+            FROM documents)),
+    h AS (SELECT source, sc, CAST(count(*) AS BIGINT) AS c
+          FROM q GROUP BY source, sc),
+    cum AS (SELECT source, sc, c,
+                   CAST(SUM(c) OVER (PARTITION BY source ORDER BY sc
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM h),
+    cuts AS (SELECT source,
+                    min(CASE WHEN 3 * cum >= n THEN sc END) AS lo,
+                    min(CASE WHEN 3 * cum >= 2 * n THEN sc END) AS hi
+             FROM cum GROUP BY source),
+    r AS (SELECT q.source,
+                 CASE WHEN sc <= lo THEN 'tail'
+                      WHEN sc <= hi THEN 'middle'
+                      ELSE 'head' END AS bucket,
+                 sc
+          FROM q JOIN cuts USING (source))
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(sc) AS BIGINT) AS min_sc,
+           CAST(max(sc) AS BIGINT) AS max_sc
+    FROM r GROUP BY source, bucket
+    ORDER BY source, bucket
+    """,
+)
+def q_docs_quality_tercile_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality routing: per source, split documents into
+    head / middle / tail by EXACT quality-score terciles — cutoffs are
+    the smallest scores whose cumulative count crosses n/3 and 2n/3
+    (integer cross-multiplication, no quantile-function semantics to
+    disagree on), mirroring CCNet's per-language perplexity terciles
+    with the type-token permille as the quality proxy. The head bucket
+    feeds training, the middle gets a second look, the tail is
+    dropped — this table is that routing decision, with per-bucket
+    score ranges as the audit trail.
+
+    Scale: scores are permille INTEGERS, so the per-source score
+    histogram has ≤ 1001 rows per source — the cumulative window runs
+    over that metadata-sized frame, never over documents; routing is
+    one broadcast-able cutoff join + one map."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("nt"),
+    ).select(
+        "doc_id", "source", F.expr("CAST((1000 * nd) div nt AS BIGINT)").alias("sc")
+    )
+    h = q.groupBy("source", "sc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark.sql import Window as W
+
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy("sc")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("source")
+    cum = h.select(
+        "source",
+        "sc",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    cuts = cum.groupBy("source").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("sc"))).alias("lo"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("sc"))).alias(
+            "hi"
+        ),
+    )
+    r = q.join(F.broadcast(cuts), "source").select(
+        "source",
+        F.when(F.col("sc") <= F.col("lo"), "tail")
+        .when(F.col("sc") <= F.col("hi"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+        "sc",
+    )
+    return (
+        r.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("sc").cast("long").alias("min_sc"),
+            F.max("sc").cast("long").alias("max_sc"),
+        )
+        .orderBy("source", "bucket")
+    )

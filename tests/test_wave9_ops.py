@@ -49,3 +49,53 @@ def test_keyword_tagging_matches_python_replay(spark):
     got = {(r.source, r.tag): [r.n_docs_tagged, r.n_hits] for r in rows}
     assert got == want
     assert len(got) > 0
+
+
+def test_pq_distortion_matches_numpy(spark):
+    """Reconstruction error replayed in numpy from the same memoized
+    codebooks (the k-center/k-means trajectory-test style)."""
+    import numpy as np
+
+    from ipeds_etl_spark.queries_ext import _PQ_SUB_DIM, _pq_codebook
+    from ipeds_etl_spark.queries_wave9 import q_emb_pq_distortion
+
+    rows = {r.vec_id: r for r in q_emb_pq_distortion(spark, SF).collect()}
+    books = _pq_codebook(spark, SF)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    for vec_id, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        x = np.asarray(emb, dtype=np.float64)
+        r = rows[vec_id]
+        total = 0.0
+        for s, book in enumerate(books):
+            sub = x[s * _PQ_SUB_DIM : (s + 1) * _PQ_SUB_DIM]
+            code = getattr(r, f"code_{s}")
+            cw = np.asarray(dict(book)[code], dtype=np.float64)
+            # left-fold (x-y)^2 sum: same order as both engines
+            acc = 0.0
+            for a, b in zip(sub, cw):
+                acc = acc + (float(a) - float(b)) * (float(a) - float(b))
+            total = total + acc if s else acc
+        assert r.recon_err2 == total
+        assert r.recon_err2 >= 0.0
+
+
+def test_tercile_routing_balance(spark):
+    """Buckets partition each source roughly in thirds (exact within
+    score-tie granularity) and bucket ranges are ordered and disjoint."""
+    from ipeds_etl_spark.queries_wave9 import q_docs_quality_tercile_routing
+
+    rows = q_docs_quality_tercile_routing(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.bucket] = r
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    per_source = tbl.groupby("source").size().to_dict()
+    for src, buckets in by_src.items():
+        n = sum(r.n_docs for r in buckets.values())
+        assert n == per_source[src]
+        # tail gets at least a third (the cutoff crosses n/3 inclusively)
+        assert 3 * buckets["tail"].n_docs >= n
+        # ranges ordered: tail.max <= middle.min range etc. (when present)
+        order = [b for b in ("tail", "middle", "head") if b in buckets]
+        for a, b in zip(order, order[1:]):
+            assert buckets[a].max_sc < buckets[b].min_sc

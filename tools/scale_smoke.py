@@ -236,6 +236,8 @@ SWEEP_R13 = [
     "multimodal_audio_fingerprint",
     "docs_dedup_survivorship",
     "docs_keyword_tagging",
+    "emb_pq_distortion",
+    "docs_quality_tercile_routing",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
