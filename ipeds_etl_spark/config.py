@@ -53,6 +53,13 @@ class Settings:
     #: 102-column registry projection + parquet/zstd writers OOM it
     #: (observed); in local mode the driver JVM IS the executor.
     driver_memory: str = "8g"
+    #: Cap on serialized task results per job. Spark's 1g default is
+    #: undersized next to the 8g heap: materializing a localCheckpoint
+    #: of a large frame (the 26M-pair LSH memo at the sf10 smoke) ships
+    #: ~32 partition payloads through task results in local mode and
+    #: aborts at 1g. 4g keeps the guard (it still catches runaway
+    #: collects) while sizing it to the configured heap.
+    driver_max_result_size: str = "4g"
     #: Logging (reference config.py:140-142).
     log_level: str = "INFO"
 

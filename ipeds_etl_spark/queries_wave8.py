@@ -113,8 +113,14 @@ def q_dedup_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lab", F.col("id")
     )
     for _r in range(_LPA_ROUNDS):
+        # shuffle-hash hint: labels are O(V) and edges O(E) — neither
+        # side is broadcastable at scale, and AQE's compressed-bytes
+        # estimate has been measured to broadcast a 52M-row edge list
+        # at the sf10 smoke (the REATTACH_BROADCAST trap); pin the
+        # strategy instead of trusting the estimate
         nb = edges.join(
-            cur.select(F.col("id").alias("d"), "lab"), "d"
+            cur.select(F.col("id").alias("d"), "lab").hint("shuffle_hash"),
+            "d",
         ).groupBy("s", "lab").agg(F.count(F.lit(1)).alias("c"))
         cur = (
             nb.groupBy("s")

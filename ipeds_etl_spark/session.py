@@ -49,6 +49,7 @@ def get_spark(app_name: str = "ipeds_etl_spark", master: str | None = None) -> S
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", settings.driver_memory)
+        .config("spark.driver.maxResultSize", settings.driver_max_result_size)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(settings.shuffle_partitions))

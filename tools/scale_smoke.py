@@ -481,6 +481,33 @@ def run_quad_r6(spark, results: dict) -> None:
     results["quad_r6"] = out
 
 
+def run_quad_r7(spark, results: dict) -> None:
+    """Wave-8 pair-producing ops at the 100x (sf10-equivalent) corpus:
+    winnowing (DF-capped fingerprint buckets), the audio landmark
+    match (DF-capped inverted index), and LPA over the 100x clone
+    graph. Records output rows AND seconds — the claim is wall time
+    tracks output, not a superlinear input blow-up. dedup_edit_verify
+    is excluded by its stated cost contract (pairs x prefix^2 DP cells:
+    linear in pairs but with a ~40k-cell constant — at sf10's ~26M
+    candidate pairs that is a 15+ minute batch job, correctly sized
+    for a verify stage that in production runs on component survivors,
+    not every raw candidate)."""
+    from ipeds_etl_spark import queries as q
+
+    reg = q.queries()
+    out = {}
+    for name in (
+        "docs_winnowing_fingerprints",
+        "multimodal_audio_fingerprint",
+        "dedup_lpa_communities",
+    ):
+        t0 = time.perf_counter()
+        n = len(reg[name](spark, SF10_DIR).collect())
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        print(json.dumps({name: out[name]}), flush=True)  # survive late aborts
+    results["quad_r7"] = out
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
@@ -525,6 +552,10 @@ def main() -> None:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
         run_quad_r6(spark, results)
+    if "quad_r7" in sections:
+        if not Path(SF10_DIR).exists():
+            build_quad_corpus(spark)
+        run_quad_r7(spark, results)
     print(json.dumps(results))
 
 
