@@ -736,6 +736,8 @@ _GATE_PRIORITY: list[str] = [
     "docs_keyword_tagging",
     "emb_pq_distortion",
     "docs_quality_tercile_routing",
+    "orders_seasonal_naive_backtest",
+    "supplier_ship_latency_percentiles",
     # -- rotated out this round (driver-green rows recorded in
     # CORRECTNESS_r05.json and earlier; still in the local mirror).
     # Prior-round rotations live in CORRECTNESS_r0{1,2,3,4}.json. --

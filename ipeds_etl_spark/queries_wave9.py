@@ -385,3 +385,165 @@ def q_docs_quality_tercile_routing(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source", "bucket")
     )
+
+
+# ===========================================================================
+# Seasonal-naive forecast backtest on monthly revenue
+# ===========================================================================
+@_register(
+    "orders_seasonal_naive_backtest",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS actual_cents
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    j AS (
+      SELECT a.month, a.actual_cents, f.actual_cents AS forecast_cents
+      FROM m a JOIN m f
+        ON f.month = strftime(CAST(a.month || '-01' AS DATE)
+                              - INTERVAL 12 MONTH, '%Y-%m'))
+    SELECT month, actual_cents, forecast_cents,
+           abs(actual_cents - forecast_cents) AS abs_err_cents,
+           CAST((1000 * abs(actual_cents - forecast_cents)) // actual_cents
+                AS BIGINT) AS ape_x1000
+    FROM j ORDER BY month
+    """,
+)
+def q_orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_m = y_{m−12}) on
+    monthly order revenue — the baseline every demand-forecast model
+    must beat, produced the way a backtest harness wants it: one row
+    per forecastable month with the exact absolute error and
+    per-month APE in truncated permille. Revenue is floor-quantized
+    to integer CENTS per order before summing (the scale-0 rule —
+    double sums are order-dependent, cent sums are exact), so errors
+    are exact BIGINTs; WAPE assembles in the test as Σ|err| over
+    Σactual. Lag-12 is an equi-join on the shifted month key, not a
+    window — no ordering requirement at all.
+
+    Scale: one map-combinable monthly rollup to O(months) rows;
+    everything after runs on that metadata-sized frame."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("actual_cents")
+    ).localCheckpoint(eager=False)
+    f = m.select(
+        F.date_format(
+            F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 12),
+            "yyyy-MM",
+        ).alias("month"),
+        F.col("actual_cents").alias("forecast_cents"),
+    )
+    return (
+        m.join(f, "month")
+        .select(
+            "month",
+            "actual_cents",
+            "forecast_cents",
+            F.abs(F.col("actual_cents") - F.col("forecast_cents")).alias(
+                "abs_err_cents"
+            ),
+            F.expr(
+                "CAST((1000 * abs(actual_cents - forecast_cents))"
+                " div actual_cents AS BIGINT)"
+            ).alias("ape_x1000"),
+        )
+        .orderBy("month")
+    )
+
+
+# ===========================================================================
+# Per-supplier order-to-ship lag percentiles (exact, histogram-based)
+# ===========================================================================
+@_register(
+    "supplier_ship_latency_percentiles",
+    """
+    WITH lag AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h AS (SELECT suppkey, d, CAST(count(*) AS BIGINT) AS c
+          FROM lag GROUP BY suppkey, d),
+    cum AS (SELECT suppkey, d, c,
+                   CAST(SUM(c) OVER (PARTITION BY suppkey ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER (PARTITION BY suppkey) AS BIGINT) AS n
+            FROM h)
+    SELECT suppkey, CAST(min(n) AS BIGINT) AS n_items,
+           CAST(min(CASE WHEN 2 * cum >= n THEN d END) AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN 10 * cum >= 9 * n THEN d END) AS BIGINT)
+             AS p90_days,
+           CAST(min(CASE WHEN 100 * cum >= 99 * n THEN d END) AS BIGINT)
+             AS p99_days,
+           CAST(min(d) AS BIGINT) AS min_days
+    FROM cum GROUP BY suppkey ORDER BY suppkey
+    """,
+)
+def q_supplier_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-supplier order-to-ship lag SLA profile: exact p50/p90/p99
+    in days via the integer histogram trick — lag days are a small
+    integer domain, so the per-supplier cumulative runs over a
+    histogram of O(distinct lags) rows, never over line items, and
+    the percentile is the cross-multiplied cutoff (2·cum ≥ n etc.),
+    not an engine quantile function. Negative minimums (present in
+    this corpus) surface as the DQ smell they are — an SLA profile
+    that hides them is lying.
+
+    Scale: one fact-fact equi-join on the orderkey exchange, one
+    map-combinable (supplier, lag) count, per-supplier windows over
+    the metadata-sized histogram, one O(suppliers) rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("d"),
+    )
+    h = lag.groupBy("suppkey", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    w_cum = (
+        W.partitionBy("suppkey")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("suppkey")
+    cum = h.select(
+        "suppkey",
+        "d",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    return (
+        cum.groupBy("suppkey")
+        .agg(
+            F.min("n").cast("long").alias("n_items"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("d")))
+            .cast("long")
+            .alias("p50_days"),
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("d")))
+            .cast("long")
+            .alias("p90_days"),
+            F.min(F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("d")))
+            .cast("long")
+            .alias("p99_days"),
+            F.min("d").cast("long").alias("min_days"),
+        )
+        .orderBy("suppkey")
+    )

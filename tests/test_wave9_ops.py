@@ -99,3 +99,65 @@ def test_tercile_routing_balance(spark):
         order = [b for b in ("tail", "middle", "head") if b in buckets]
         for a, b in zip(order, order[1:]):
             assert buckets[a].max_sc < buckets[b].min_sc
+
+
+def test_seasonal_naive_backtest_matches_pandas(spark):
+    import pandas as pd
+
+    from ipeds_etl_spark.queries_wave9 import q_orders_seasonal_naive_backtest
+
+    rows = {r.month: r for r in q_orders_seasonal_naive_backtest(spark, SF).collect()}
+    tbl = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    import math
+
+    tbl["cents"] = tbl["o_totalprice"].apply(lambda x: int(math.floor(x * 100 + 0.5)))
+    tbl["month"] = tbl["o_orderdate"].dt.strftime("%Y-%m")
+    monthly = tbl.groupby("month")["cents"].sum().to_dict()
+    n_checked = 0
+    for month, actual in monthly.items():
+        y, m = int(month[:4]), int(month[5:7])
+        prev = f"{y - 1:04d}-{m:02d}"
+        if prev not in monthly:
+            assert month not in rows
+            continue
+        r = rows[month]
+        assert r.actual_cents == actual
+        assert r.forecast_cents == monthly[prev]
+        assert r.abs_err_cents == abs(actual - monthly[prev])
+        assert r.ape_x1000 == (1000 * abs(actual - monthly[prev])) // actual
+        n_checked += 1
+    assert n_checked == len(rows) > 0
+    # WAPE assembles from exact cells
+    wape = sum(r.abs_err_cents for r in rows.values()) / sum(
+        r.actual_cents for r in rows.values()
+    )
+    assert 0.0 <= wape
+
+
+def test_ship_latency_percentiles_match_numpy(spark):
+    import numpy as np
+
+    from ipeds_etl_spark.queries_wave9 import (
+        q_supplier_ship_latency_percentiles,
+    )
+
+    rows = {r.suppkey: r for r in q_supplier_ship_latency_percentiles(spark, SF).collect()}
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["d"] = (j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize()).dt.days
+    for suppkey, grp in j.groupby("l_suppkey"):
+        d = np.sort(grp["d"].to_numpy(dtype=np.int64))
+        n = len(d)
+        r = rows[suppkey]
+        assert r.n_items == n
+
+        def cutoff(num, den):
+            # smallest value whose cumulative count crosses num/den
+            k = -(-num * n // den)  # ceil(num*n/den)
+            return int(d[k - 1])
+
+        assert r.p50_days == cutoff(1, 2)
+        assert r.p90_days == cutoff(9, 10)
+        assert r.p99_days == cutoff(99, 100)
+        assert r.min_days == int(d[0])

@@ -238,6 +238,8 @@ SWEEP_R13 = [
     "docs_keyword_tagging",
     "emb_pq_distortion",
     "docs_quality_tercile_routing",
+    "orders_seasonal_naive_backtest",
+    "supplier_ship_latency_percentiles",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
