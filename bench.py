@@ -1,14 +1,38 @@
 #!/usr/bin/env python
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Final stdout is a COMPACT one-line JSON summary (repeated twice, <300
+chars — the driver keeps only a bounded tail of stdout, so the
+per-query map must NOT be on stdout):
 
-Each query is forced end-to-end with the noop sink (full computation,
-no collect/serialization cost). The session is warmed once so JVM/
-codegen startup is not billed to the first query, and each query is
-timed as the MEDIAN of 3 runs so round-over-round deltas are
-attributable to plan changes, not GC/scheduler noise.
+    {"metric": "suite_total_runtime", "value": N, "unit": "sec",
+     "sf": ..., "n_queries": ..., "index_build_total": ...}
+
+The full per-query map (plus methodology fields) is written to
+``BENCH_SUMMARY.json`` next to this file.
+
+Methodology:
+* Each query is forced end-to-end with the noop sink (full
+  computation, no collect/serialization cost) and timed as the MEDIAN
+  of 3 runs.
+* The suite is split across ``$BENCH_CHUNKS`` (default 4) sequential
+  CHILD processes, each a fresh JVM: running 220+ queries through one
+  JVM accrues GC/code-cache/catalog pressure that inflated the round-6
+  suite ~1.5x vs isolated re-timings (VERDICT r6 "What's wrong" §2).
+  Chunked fresh sessions keep round-over-round totals attributable to
+  code, not JVM accretion. Each chunk warms up (codegen + parquet
+  reader) before its first measured query.
+* Shared one-time index builds (LSH candidate pairs, basket items)
+  are pre-built cold in every chunk so per-query numbers are
+  consumption-only; the BILLED build cost is chunk 0's timing, under
+  ``index_builds`` (ADVICE r5 policy).
+
+Usage:
+    python bench.py                 # full suite
+    python bench.py --isolate NAME  # one query, fresh session,
+                                    # median-of-3 (perf-triage tool:
+                                    # separates real plan regressions
+                                    # from suite-context noise)
 """
 
 from __future__ import annotations
@@ -22,9 +46,6 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-
-from ipeds_etl_spark.session import get_spark  # noqa: E402
-from ipeds_etl_spark import queries as q  # noqa: E402
 
 #: Headline suite: one representative per operator family (scan+agg,
 #: window/top-1, multi-join, broadcast rollup, top-k, scalar cleaning,
@@ -51,184 +72,9 @@ HEADLINE = [
     "events_window_hourly",
     "events_sessionize",
     "multimodal_features",
-    # round-2 additions (suite total covers 26 queries from here on;
-    # compare per-query medians round-over-round, not the total)
-    "dedup_components",
-    "docs_split_and_sample",
-    "docs_chunk_windows",
-    "docs_pack_sequences",
-    "events_click_attribution",
-    "orders_range_join_bucketed",
-    # round-2 query families (VERDICT r2 item 7: benched so round-over-
-    # round deltas are attributable)
-    "customer_order_window_funcs",
-    "orders_calendar_dims",
-    "part_name_fuzzy_pairs",
-    # round-3 additions
-    "kpi_grouping_sets",
-    "docs_tfidf_topterms",
-    "events_funnel",
-    "events_user_retention",
-    # capped RP-LSH / centroid near-dup paths (round-3 rework)
-    "emb_rp_lsh_near_dups",
-    "emb_near_dups",
-    # corpus hygiene (round-3 additions)
-    "docs_repetition_filters",
-    "docs_decontaminate",
-    "docs_token_diversity",
-    "events_value_histogram",
-    "dedup_components_star",
-    "dedup_graph_stats",
-    "events_type_transitions",
-    # round-4 additions: distributed prefix-sum sweep line; mergeable
-    # sketch set-ops (three 1-row sketch aggs + broadcast merge)
-    "orders_open_interval_counts",
-    "events_kmv_merge",
-    # round-4, second wave: two-phase quota cap, bloom fact pruning,
-    # frequent n-grams, join-free BM25, map-only PII scrub, exact
-    # prefix-filtered similarity join
-    "docs_source_quota_sample",
-    "orders_bloom_semi_join",
-    "docs_ngram_heavy_hitters",
-    "docs_bm25_search",
-    "customers_pii_scrub",
-    "docs_jaccard_prefix_join",
-    # round-5 additions: TPC-H Q1 shape, one-shuffle SCD2 build,
-    # basket pair mining, sequential paths, cohort LTV, SemDeDup
-    # verdict, full-outer reconciliation
-    "lineitem_pricing_summary",
-    "customer_scd2",
-    "orders_market_basket",
-    "events_top_paths",
-    "customer_cohort_ltv",
-    "emb_semantic_dedup",
-    "nations_customer_supplier_balance",
-    # round-5, second wave: grid resample + LOCF fill, yoy lag
-    # analytics, cut-point RFM scoring, integer-exact PageRank
-    "events_resample_locf",
-    "orders_yoy_growth",
-    "customer_rfm_scores",
-    "parts_copurchase_pagerank",
-    # round-5, third wave: association rules, end-to-end dedup
-    # resolution, relational division, unpivot
-    "orders_basket_rules",
-    "docs_dedup_resolution",
-    "supplier_brand_coverage",
-    "orders_yearly_metrics_long",
-    # round-5, fourth wave: canonical text normalization, containment
-    # (near-subset) pairs, exact-moment correlation matrix
-    "docs_normalize_text",
-    "docs_containment_pairs",
-    "lineitem_corr_matrix",
-    # TPC-H Q3/Q5 shapes: filtered 3-way top-k; 6-way dim-chain join
-    "orders_shipping_priority",
-    "regional_supplier_volume",
-    "events_sliding_active_users",
-    # round-6 wave: correlated-subquery decorrelation (Q17/Q21/Q22
-    # shapes) + the time-RANGE window frame
-    "lineitem_small_qty_revenue",
-    "supplier_late_only_orders",
-    "customers_idle_high_balance",
-    "orders_trailing_30d_spend",
-    # product quantization: compressed-domain ADC scan + two-stage
-    # shortlist/re-rank (codebook build amortized like IVF's)
-    "emb_pq_topk",
-    "emb_pq_rerank_recall",
-    # LATERAL top-n, source-mixing weights, linear quality gate
-    "customer_lateral_top_orders",
-    "docs_mixture_weights",
-    "docs_quality_logit",
-    # frame-fingerprint video dedup through the mapInPandas sampler
-    "multimodal_frame_dedup",
-    # two-phase global row numbering (no Exchange SinglePartition)
-    "orders_global_rownum",
-    # VARIANT-typed semi-structured extraction (Spark 4 parse_json)
-    "events_props_variant",
-    # point-in-time join against the SCD2 dimension
-    "orders_scd2_pointintime",
-    # crawl-over-crawl dedup: incoming batch vs reference corpus
-    "docs_incremental_dedup",
-    # two-pass exact quantiles (no group buffering)
-    "events_value_exact_quantiles",
-    # Spark 4 recursive CTE: bounded 3-hop reachability
-    "parts_copurchase_3hop",
-    # A/B readout: hash assignment + exact algebraic moments
-    "events_ab_test",
-    # candidate-fed precision gate (cheap at any scale)
-    "dedup_minhash_precision",
-    # round-7 wave: TPC-H Q18 (IN over grouped HAVING), Q7 (bilateral
-    # snowflake), Q20 (nested correlated agg in HAVING), Q11 (self-
-    # gating scalar agg), sub-document duplication fraction (map-side
-    # shingle dedup), DAU/WAU stickiness (banded distinct-count)
-    "customers_large_orders",
-    "nations_trade_volume",
-    "suppliers_dominant_parts",
-    "nation_part_value_concentration",
-    "docs_dup_ngram_fraction",
-    "events_dau_wau_stickiness",
-    # Q13 (zero-inclusive outer-join count distribution) and Q19
-    # (cross-side disjunctive residual over an extracted equi key)
-    "customer_order_distribution",
-    "parts_promo_revenue_disjunctive",
-    # distributed BPE tokenizer training (6 unrolled merge rounds)
-    "docs_bpe_merges",
-    # Q12 (CASE agg over residual-filtered join), Q14 (conditional
-    # ratio), Q16 (NOT IN -> null-aware anti join + Expand distinct)
-    "lineitem_priority_shipping_counts",
-    "parts_promo_revenue_share",
-    "parts_supplier_counts_excluded",
-    # BPE apply side: per-doc fertility under the learned tokenizer
-    "docs_bpe_fertility",
-    # passage-level dedup as a rewrite (global first-occurrence keep)
-    "docs_passage_dedup_rewrite",
-    # TPC-H completion: Q4 exists, Q6 pure scan-agg, Q8 share-over-
-    # snowflake, Q9 LIKE rollup, Q10 top-returns, Q15 max-equality,
-    # Q2 correlated-min equality
-    "orders_priority_late_exists",
-    "lineitem_discount_revenue",
-    "nation_market_share",
-    "nation_year_red_revenue",
-    "customers_returned_revenue_top",
-    "top_supplier_by_revenue",
-    "parts_cheapest_supplier",
-    # round-8 wave: verifiable HLL + Count-Min sketches, 2-D skyline
-    # (prefix-min form), CEP sequence regexes, sorted-neighborhood
-    # dedup, composition drift, k-core peel, MinHash calibration,
-    # gaps-and-islands streaks, rolling anomaly, golden record,
-    # cluster purity, funnel latency quantiles, top-k with ties.
-    # (dedup_blocking_union_recall is registered but NOT benched: its
-    # gold standard is the O(n²) verifier, oracle-scale only — the
-    # same exclusion as dedup_minhash_recall.)
-    "events_hll_users",
-    "events_cms_user_counts",
-    "parts_skyline_2d",
-    "events_cep_pattern_match",
-    "docs_snm_pairs",
-    "docs_source_lang_drift",
-    "dedup_kcore",
-    "dedup_minhash_estimate",
-    "customer_order_streaks",
-    "events_rolling_anomaly",
-    "docs_golden_record",
-    "emb_cluster_purity",
-    "events_funnel_time_quantiles",
-    "nation_top_customers_ties",
-    # distributed prefix-sum Pareto, temporal-split leakage audit,
-    # equi-depth histogram, integer Markov fixed point, Hamilton
-    # token-budget apportionment
-    "orders_pareto_8020",
-    "events_temporal_split",
-    "lineitem_price_equidepth",
-    "events_markov_stationary",
-    "docs_token_budget_allocation",
-    # winsorized robust stats, weighted median (prefix-sum reuse),
-    # bipartite butterfly counting (basket-pair reuse)
-    "orders_winsorized_stats",
-    "lineitem_weighted_median_price",
-    "parts_copurchase_butterflies",
 ]
 
-#: Headline inclusion criterion (VERDICT r5 item 6): the suite is the
+#: Suite inclusion criterion (VERDICT r5 item 6): the suite is the
 #: ENTIRE registry minus this exclusion list. Excluded queries embed
 #: an O(n²) brute-force gold standard (all-pairs similarity / shingle
 #: Jaccard verifiers) that only exists to CALIBRATE the scalable
@@ -245,118 +91,210 @@ EXCLUDED = {
     "dedup_bcubed_eval": "O(n²) exact-Jaccard truth clustering gold standard",
 }
 
+SUITE_CRITERION = (
+    "entire registry minus O(n^2) gold-standard recall gates; median-of-3 "
+    "per query via noop sink; suite split across fresh child JVMs "
+    "(BENCH_CHUNKS, default 4) so totals measure code, not single-JVM "
+    "accretion; query timings exclude the one-time shared-index builds, "
+    "billed once under index_builds (rebuilt cold per chunk, chunk 0 "
+    "billed); isolated re-timing of any query: bench.py --isolate NAME"
+)
 
-def _run_suite() -> None:
-    """Child-process body: run the suite, write BENCH_SUMMARY.json.
 
-    Everything this function (and Spark) prints goes to the CAPTURED
-    child stdout/stderr — none of it reaches the parent's stdout, so
-    the artifact the driver parses is exactly two clean JSON lines.
-    """
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    return float(m.group(1)) if m else -1.0
+
+
+def _suite_list() -> list[str]:
+    from ipeds_etl_spark import queries as q
+
+    registered = q.queries()
+    return HEADLINE + sorted(
+        n for n in registered if n not in HEADLINE and n not in EXCLUDED
+    )
+
+
+def _warm_session(sf_dir: str):
+    """Fresh session, generic warm-up (JVM codegen, shuffle machinery,
+    parquet vectorized-reader classpath). Billing class loading to the
+    first measured query would misstate its cost."""
+    from ipeds_etl_spark.session import get_spark
 
     spark = get_spark("ipeds_etl_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Generic warm-up: JVM codegen, shuffle machinery, and the parquet
-    # vectorized-reader classpath (one tiny read). Billing JVM class
-    # loading to the first measured query would misstate its cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
+    return spark
 
-    # Shared-index builds billed to DEDICATED entries (ADVICE r5): the
-    # LSH candidate-pair table and the distinct basket-items table are
-    # memoized per (session, corpus) and consumed by ~10 queries, so
-    # per-query numbers below are consumption-only — the one-time
-    # build cost is timed here, cold, exactly once.
-    from ipeds_etl_spark import queries_ext as qext
 
-    index_builds: dict[str, float] = {}
-    for label, memo, builder in (
-        ("lsh_doc_pairs", qext._LSH_DOC_PAIRS, qext._lsh_doc_pairs),
-        ("basket_items", qext._BASKET_ITEMS, qext._basket_items),
+def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
+    """Cold-build the memoized shared indexes; returns build seconds."""
+    from ipeds_etl_spark.operators import indexes as IDX
+
+    builds: dict[str, float] = {}
+    IDX.release_indexes(spark)
+    for label, builder in (
+        ("lsh_doc_pairs", IDX.lsh_doc_pairs),
+        ("basket_items", IDX.basket_items),
     ):
-        memo.clear()
         t0 = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        index_builds[label] = round(time.perf_counter() - t0, 3)
-
-    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
-    registered = q.queries()
-    suite = HEADLINE + sorted(
-        n for n in registered if n not in HEADLINE and n not in EXCLUDED
-    )
-    timings: dict[str, float] = {}
-    for name in suite:
-        fn = registered[name]
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
-
-    total = round(sum(timings.values()), 3)
-    summary = json.dumps(
-        {
-            "metric": "suite_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "runs_per_query": n_runs,
-            "aggregation": "median",
-            "n_queries": len(timings),
-            "index_builds": index_builds,
-            "index_build_total": round(sum(index_builds.values()), 3),
-            "suite_criterion": (
-                "entire registry minus O(n^2) gold-standard recall gates; "
-                "query timings exclude the one-time shared-index builds "
-                "billed under index_builds"
-            ),
-            "excluded": sorted(EXCLUDED),
-        }
-    )
-    Path(__file__).resolve().parent.joinpath("BENCH_SUMMARY.json").write_text(
-        summary + "\n"
-    )
-    print(summary, file=sys.stderr)
+        builds[label] = round(time.perf_counter() - t0, 3)
+    return builds
 
 
-def main() -> None:
-    """Parent: re-exec as a captured child, then print ONLY the JSON.
+def _time_query(spark, fn, sf_dir: str, n_runs: int) -> list[float]:
+    samples = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return samples
 
-    BENCH_r04/r05 lesson: the driver keeps a character-bounded window
-    of captured stdout, and anything Spark writes there (progress
-    bars, Ivy/log4j banners, native-loader warnings) can push the
-    summary line's head out of it → ``"parsed": null``. Redirecting
-    Spark's noise is whack-a-mole; instead the whole benchmark runs in
-    a CHILD process whose stdout/stderr are captured away, and the
-    parent's stdout is exactly two copies of the one-line JSON summary
-    (first line AND last line), with nothing before, between besides
-    the duplicate, or after.
+
+def _run_chunk() -> None:
+    """Child-process body: run this chunk's slice, write a part file.
+
+    Everything this function (and Spark) prints goes to the CAPTURED
+    child stdout/stderr — none of it reaches the parent's stdout.
     """
-    if os.environ.get("BENCH_CHILD") == "1":
-        _run_suite()
-        return
+    from ipeds_etl_spark import queries as q
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idx = int(os.environ["BENCH_CHUNK_IDX"])
+    total = int(os.environ["BENCH_CHUNK_TOTAL"])
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    spark = _warm_session(sf_dir)
+    index_builds = _build_indexes(spark, sf_dir)
+
+    registered = q.queries()
+    # round-robin slice: spreads each round's heavy additions evenly
+    chunk = _suite_list()[idx::total]
+    timings = {
+        name: round(statistics.median(_time_query(spark, registered[name], sf_dir, n_runs)), 3)
+        for name in chunk
+    }
+    part = {"timings": timings, "index_builds": index_builds, "chunk": idx}
+    Path(__file__).resolve().parent.joinpath(f"BENCH_PART_{idx}.json").write_text(
+        json.dumps(part) + "\n"
+    )
+
+
+def _run_isolate() -> None:
+    """Child-process body for --isolate: one query, fresh session."""
+    from ipeds_etl_spark import queries as q
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    name = os.environ["BENCH_ISOLATE"]
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    spark = _warm_session(sf_dir)
+    _build_indexes(spark, sf_dir)  # consumption-only parity with the suite
+    fn = q.queries()[name]
+    samples = [round(s, 3) for s in _time_query(spark, fn, sf_dir, n_runs)]
+    out = {
+        "metric": "isolated_query_runtime",
+        "query": name,
+        "value": round(statistics.median(samples), 3),
+        "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "samples": samples,
+    }
+    Path(__file__).resolve().parent.joinpath("BENCH_ISOLATE.json").write_text(
+        json.dumps(out) + "\n"
+    )
+
+
+def _spawn_child(extra_env: dict[str, str]) -> None:
     import subprocess
 
-    out_path = Path(__file__).resolve().parent / "BENCH_SUMMARY.json"
-    out_path.unlink(missing_ok=True)  # never serve a stale summary
-    env = dict(os.environ, BENCH_CHILD="1")
+    env = dict(os.environ, **extra_env)
     proc = subprocess.run(
         [sys.executable, str(Path(__file__).resolve())],
         env=env,
         capture_output=True,
         text=True,
     )
-    if proc.returncode != 0 or not out_path.exists():
+    if proc.returncode != 0:
         sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-8000:] + "\n")
         raise SystemExit(proc.returncode or 1)
-    summary = out_path.read_text().strip()
-    print(summary)
-    print(summary)
+
+
+def main() -> None:
+    """Parent: run captured children, merge parts, print ONLY a compact
+    summary line (twice: first and last stdout line).
+
+    BENCH_r04..r06 lesson: the driver keeps a ~2000-char tail of
+    stdout. Child-process capture (r6) removed Spark's noise, but the
+    full summary with 220 per-query entries is ~8 KB and can never fit
+    — so stdout carries a ~200-char compact line and the per-query map
+    lives ONLY in BENCH_SUMMARY.json.
+    """
+    role = os.environ.get("BENCH_CHILD")
+    if role == "chunk":
+        _run_chunk()
+        return
+    if role == "isolate":
+        _run_isolate()
+        return
+
+    here = Path(__file__).resolve().parent
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        out_path = here / "BENCH_ISOLATE.json"
+        out_path.unlink(missing_ok=True)
+        _spawn_child({"BENCH_CHILD": "isolate", "BENCH_ISOLATE": sys.argv[2]})
+        line = out_path.read_text().strip()
+        print(line)
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_chunks = max(1, int(os.environ.get("BENCH_CHUNKS", "4")))
+    out_path = here / "BENCH_SUMMARY.json"
+    out_path.unlink(missing_ok=True)  # never serve a stale summary
+
+    parts = []
+    for i in range(n_chunks):
+        part_path = here / f"BENCH_PART_{i}.json"
+        part_path.unlink(missing_ok=True)
+        _spawn_child({"BENCH_CHILD": "chunk", "BENCH_CHUNK_IDX": str(i),
+                      "BENCH_CHUNK_TOTAL": str(n_chunks)})
+        parts.append(json.loads(part_path.read_text()))
+        part_path.unlink()
+
+    merged: dict[str, float] = {}
+    for p in parts:
+        merged.update(p["timings"])
+    timings = {name: merged[name] for name in _suite_list() if name in merged}
+    index_builds = parts[0]["index_builds"]
+    total = round(sum(timings.values()), 3)
+
+    compact = {
+        "metric": "suite_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(timings),
+        "index_build_total": round(sum(index_builds.values()), 3),
+    }
+    full = dict(
+        compact,
+        queries=timings,
+        runs_per_query=int(os.environ.get("BENCH_RUNS", "3")),
+        aggregation="median",
+        n_chunks=n_chunks,
+        index_builds=index_builds,
+        index_builds_per_chunk={str(p["chunk"]): p["index_builds"] for p in parts},
+        suite_criterion=SUITE_CRITERION,
+        excluded=sorted(EXCLUDED),
+    )
+    out_path.write_text(json.dumps(full) + "\n")
+
+    line = json.dumps(compact)
+    print(line)
+    print(line)
 
 
 if __name__ == "__main__":

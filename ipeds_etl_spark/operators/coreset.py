@@ -68,13 +68,23 @@ def kcenter_greedy(
     the center set at the moment of selection (the k-center coverage
     radius BEFORE the pick takes effect); round 0's is 0 by
     convention. The df must carry an array<long> ``vec_col``.
+
+    Edge cases (ADVICE r6): an empty input returns ``[]``, and when
+    ``k`` exceeds the number of DISTINCT points the traversal stops
+    early — once the farthest remaining distance is 0, every point is
+    already a center (duplicates included) and further rounds would
+    only emit duplicate center ids.
     """
     pts = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).localCheckpoint()
 
-    # seed: minimum id (metadata-sized collect — one row)
-    seed = pts.orderBy("id").limit(1).collect()[0]
+    # seed: minimum id (metadata-sized collect — one row; empty input
+    # means there is nothing to cover)
+    seed_rows = pts.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        return []
+    seed = seed_rows[0]
     centers = [(0, int(seed["id"]), 0)]
     cur = pts.withColumn("mind", _dist_sq(F.col("v"), list(seed["v"])))
 
@@ -89,6 +99,11 @@ def kcenter_greedy(
             .alias("p")
         ).collect()[0]["p"]
         pid, pdist, pvec = int(-picked["negid"]), int(picked["mind"]), list(picked["v"])
+        if pdist == 0:
+            # all points coincide with an existing center: the center
+            # set already covers everything at radius 0 — stop instead
+            # of re-picking covered points
+            break
         centers.append((rnd, pid, pdist))
         cur = cur.withColumn(
             "mind", F.least(F.col("mind"), _dist_sq(F.col("v"), pvec))

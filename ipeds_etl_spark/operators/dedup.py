@@ -515,6 +515,31 @@ def jaccard_prefix_pairs(
     )
 
 
+def intra_batch_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perms: int = N_PERMS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dedup a single batch AGAINST ITSELF: greedy min-id keep
+    over the LSH candidate pairs — every id that appears as the LARGER
+    side of any candidate pair is dropped, so no candidate pair
+    survives intact and the survivor of each duplicate family is its
+    smallest id (deterministic, arrival-order independent). Transitive
+    chains collapse to their global minimum, which is the same keeper
+    rule the batch resolution queries use. Cost: one LSH pass + one
+    anti join, all ∝ batch size — the intra-batch step
+    ``incremental_dedup_verdict`` deliberately leaves out (its
+    docstring delegates intra-batch dedup here)."""
+    losers = (
+        lsh_candidate_pairs(df, text_col, id_col, n_perms, rows_per_band)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def incremental_dedup_verdict(
     df: DataFrame,
     text_col: str,

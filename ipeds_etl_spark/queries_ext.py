@@ -919,16 +919,14 @@ def _docs(spark: SparkSession, sf_dir: str):
 #: amortized across the suite (noted in SCALE.md).
 _IVF_CODEBOOKS: dict[tuple, list] = {}
 
-
-def _corpus_fingerprint(sf_dir: str, name: str) -> tuple:
-    import os
-
-    path = f"{sf_dir}/{name}.parquet"
-    try:
-        st = os.stat(path)
-        return (path, st.st_mtime_ns, st.st_size)
-    except OSError:  # non-local store: fall back to path identity
-        return (path,)
+# Shared, releasable index builders live in operators.indexes (VERDICT
+# r6 items 7+8: lifecycle + registry split); the private names below
+# are kept as aliases because every wave file imports them from here.
+from ipeds_etl_spark.operators.indexes import (  # noqa: E402
+    basket_items as _basket_items,
+    corpus_fingerprint as _corpus_fingerprint,
+    lsh_doc_pairs as _lsh_doc_pairs,
+)
 
 
 def _ivf_codebook(
@@ -943,23 +941,6 @@ def _ivf_codebook(
     return _IVF_CODEBOOKS[key]
 
 
-#: Memoized MinHash-LSH candidate-pair INDEX for the documents table —
-#: the text-side analogue of the IVF/PQ codebook memo above. Seven
-#: registered queries consume the same default-geometry candidate
-#: pairs (the LSH verdict itself, components ×2, graph profile,
-#: recall/precision gates, end-to-end resolution, containment); the
-#: pair set is a deterministic pure function of the corpus files and
-#: the (perms, bands, shingle) geometry, so it is built once per
-#: corpus version and shared — exactly how a production dedup run
-#: materializes its candidate-pair table once and fans analyses out
-#: from it. Materialized via localCheckpoint (the memo must cache the
-#: RESULT, not a lazy plan); keyed additionally by the Spark
-#: application id so a fresh session never sees another session's
-#: checkpoint blocks. TIMING DISCLOSURE: per-query bench numbers for
-#: these consumers are pair-consumption-only after the first build in
-#: a session (noted in SCALE.md, same policy as the IVF codebook).
-_LSH_DOC_PAIRS: dict[tuple, DataFrame] = {}
-
 #: Memoized embeddings row count per corpus version: one metadata-cheap
 #: parquet count, reused by every operator whose join-strategy choice
 #: needs the DECOMPRESSED corpus size (see
@@ -967,55 +948,12 @@ _LSH_DOC_PAIRS: dict[tuple, DataFrame] = {}
 #: compression-skewed 30x+ on repetitive vectors).
 _EMB_COUNTS: dict[tuple, int] = {}
 
-#: Memoized distinct (l_orderkey, l_partkey) basket-items table — the
-#: shared input of the basket/graph family (market basket, association
-#: rules, co-purchase PageRank, 3-hop reachability). Deterministic
-#: function of the lineitem files; localCheckpoint-materialized and
-#: app-id keyed like _LSH_DOC_PAIRS, same SCALE.md timing disclosure:
-#: the ~one distinct shuffle per corpus version is paid once per
-#: session, exactly as a production pipeline materializes its basket
-#: table once.
-_BASKET_ITEMS: dict[tuple, DataFrame] = {}
-
-
-def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (
-        spark.sparkContext.applicationId,
-        _corpus_fingerprint(sf_dir, "lineitem"),
-    )
-    if key not in _BASKET_ITEMS:
-        _BASKET_ITEMS[key] = (
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-            .localCheckpoint()
-        )
-    return _BASKET_ITEMS[key]
-
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     key = _corpus_fingerprint(sf_dir, "embeddings")
     if key not in _EMB_COUNTS:
         _EMB_COUNTS[key] = load_table(spark, sf_dir, "embeddings").count()
     return _EMB_COUNTS[key]
-
-
-def _lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (
-        spark.sparkContext.applicationId,
-        _corpus_fingerprint(sf_dir, "documents"),
-        DD.N_PERMS,
-        DD.ROWS_PER_BAND,
-    )
-    if key not in _LSH_DOC_PAIRS:
-        # plain scan, no parallelism floor: the LSH pipeline is
-        # shuffle-dominated and measured SLOWER behind the _docs
-        # round-robin exchange (see _docs docstring)
-        d = load_table(spark, sf_dir, "documents")
-        _LSH_DOC_PAIRS[key] = DD.lsh_candidate_pairs(
-            d, "text", "doc_id"
-        ).localCheckpoint()
-    return _LSH_DOC_PAIRS[key]
 
 
 def _ivf_sql(n_iters: int = 2, dim: int = 64) -> str:

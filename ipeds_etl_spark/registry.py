@@ -392,12 +392,20 @@ def _endpoint_from_spec(name: str, spec: dict) -> Endpoint:
     for k in spec["pk"]:
         if k not in known:
             raise ValueError(f"endpoint {name!r}: pk column {k!r} not in fields")
+    partition_by = tuple(spec.get("partition_by", ("year",)))
+    # a typo'd partition_by would otherwise surface only at write time
+    # (ADVICE r6) — validate against the declared fields like pk
+    for k in partition_by:
+        if k not in known:
+            raise ValueError(
+                f"endpoint {name!r}: partition_by column {k!r} not in fields"
+            )
     return Endpoint(
         name=name,
         path=spec["path"],
         fields=fields,
         pk=tuple(spec["pk"]),
-        partition_by=tuple(spec.get("partition_by", ("year",))),
+        partition_by=partition_by,
     )
 
 
@@ -407,7 +415,9 @@ def load_endpoints_config(path: str, register: bool = True) -> dict[str, Endpoin
     file-declared twin of the code-declared catalog, so deployments can
     add endpoints without shipping code. Duplicate names OVERRIDE the
     in-code declaration (deployment wins), matching the reference
-    README's config-over-code intent."""
+    README's config-over-code intent; each override is LOGGED (ADVICE
+    r6 — a silent shadow of a built-in is how a stale config hides a
+    schema change)."""
     from pathlib import Path as _Path
 
     text = _Path(path).read_text()
@@ -427,6 +437,14 @@ def load_endpoints_config(path: str, register: bool = True) -> dict[str, Endpoin
         raise ValueError("endpoints config must be a mapping of name -> spec")
     out = {name: _endpoint_from_spec(name, spec) for name, spec in raw.items()}
     if register:
+        overridden = sorted(set(out) & set(REGISTRY))
+        if overridden:
+            import logging
+
+            logging.getLogger(__name__).info(
+                f"endpoints config {path!r} overrides built-in endpoint(s): "
+                f"{', '.join(overridden)}"
+            )
         REGISTRY.update(out)
     return out
 

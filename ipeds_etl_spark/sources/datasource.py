@@ -185,6 +185,8 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self._r = PaginatedJsonReader(options)
+        # misconfiguration warnings fire once per year, not per poll
+        self._warned_years: set[int] = set()
 
     def initialOffset(self) -> dict:
         return {"year": self._r.year_start, "page": 1}
@@ -206,11 +208,24 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         empty-page loop."""
         body, url = self._fetch(year, page)
         if body is None:
-            if page == 1:
-                # same misconfiguration guard as the batch reader:
-                # warn (or raise under strict_404) when a year has no
-                # page 1 at all — a typo'd endpoint 404s every year
-                self._r._empty_year(year, url)
+            if page == 1 and year < self._r.year_end:
+                # misconfiguration guard (batch-reader analogue), but
+                # stream-scoped (ADVICE r6): only for years strictly
+                # before the newest — "no page 1 yet" is a NORMAL
+                # transient state for the live year — and at most once
+                # per year, not per poll. Never strict-raise here: an
+                # IOError would kill the stream permanently over what
+                # may be a publication gap; strict_404 stays a
+                # batch-reader contract.
+                if year not in self._warned_years:
+                    self._warned_years.add(year)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        f"paginated_json stream: year {year} has no page 1 "
+                        f"({url}) — empty year, or a misconfigured "
+                        "base_url/path_template."
+                    )
             return None, False
         data = json.loads(body)
         records = data.get("results", [])
@@ -228,12 +243,21 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         while year <= self._r.year_end:
             rows, has_next = self._rows_for(year, page)
             if rows is None:
+                if page == 1 and year >= self._r.year_end:
+                    # NEWEST year not published yet: HOLD the offset so
+                    # the next poll retries it — rolling over would
+                    # advance past the live year permanently and miss
+                    # it when it publishes (ADVICE r6). Once the year
+                    # exists, its `next` chain terminates it normally.
+                    break
                 # year exhausted (404 / missing file): roll over
                 year, page = year + 1, 1
                 continue
             out.extend(rows)
             if not has_next:
-                # year exhausted (no `next` link): roll over
+                # year exhausted (no `next` link): roll over — the
+                # server's own pagination contract terminates a year,
+                # and pages past a no-`next` page are never visited
                 year, page = year + 1, 1
                 continue
             page += 1

@@ -187,17 +187,25 @@ def window_dedup_stream(
     """Tumbling-window (user, type) dedup on a stream — the incremental
     twin of the batch ``events_window_dedup`` query: within each window
     one event per (user_id, event_type) survives, re-occurrences are
-    dropped. State = one key per active (user, type, window), evicted
-    past the watermark horizon. Batch keeps the EARLIEST event of each
-    key by event time while the stream keeps the FIRST ARRIVAL — the
-    kept KEY SET (and therefore every per-type kept count) is identical
-    either way, which is what the equivalence test pins.
+    dropped. Batch keeps the EARLIEST event of each key by event time
+    while the stream keeps the FIRST ARRIVAL — the kept KEY SET (and
+    therefore every per-type kept count) is identical either way,
+    which is what the equivalence test pins.
 
     The window id is the integer floor-division of event-time micros —
     the SAME arithmetic as the batch query — rather than ``F.window``:
     a time-window struct derived from a watermarked column becomes a
     SECOND event-time column, which Spark rejects
-    ("More than one event time columns are available")."""
+    ("More than one event time columns are available").
+
+    State eviction (ADVICE r6): the derived ``win`` long carries no
+    event-time metadata, so plain ``dropDuplicates`` would keep every
+    key forever on an unbounded stream. ``dropDuplicatesWithinWatermark``
+    evicts a key once the watermark passes its first-seen event time +
+    the delay; because all events of one key fall inside one tumbling
+    window (window ≪ watermark horizon), every true duplicate arrives
+    while the key is still in state — the kept-key-set semantics are
+    unchanged, and state is bounded by horizon × active keys."""
     qty, unit = window.split()
     per_us = {"second": 10**6, "minute": 60 * 10**6, "hour": 3600 * 10**6}[
         unit.rstrip("s")
@@ -206,7 +214,7 @@ def window_dedup_stream(
     return (
         events.withWatermark("ts", watermark)
         .withColumn("win", F.expr(f"unix_micros(ts) div {win_us}"))
-        .dropDuplicates(["user_id", "event_type", "win"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "win"])
         .drop("win")
     )
 
@@ -219,14 +227,19 @@ def streaming_dedup_ingest(
     id_col: str = "doc_id",
 ) -> "StreamingQuery":  # noqa: F821 - forward ref, pyspark type
     """Online crawl ingestion with LSH dedup: each micro-batch of
-    incoming documents is checked against the CURRENT kept corpus
+    incoming documents is first near-deduped AGAINST ITSELF
+    (``operators.dedup.intra_batch_dedup`` — greedy min-id keep over
+    the batch's own LSH candidate pairs, ADVICE r6), then checked
+    against the CURRENT kept corpus
     (``operators.dedup.incremental_dedup_verdict`` — cross-side-only
     banded candidates, cost ∝ batch), and only novel documents are
-    appended to the corpus parquet. Because batches run sequentially
+    appended to the corpus parquet. The intra-batch step runs on EVERY
+    batch including the first, so two near-duplicates arriving together
+    cannot both land in the corpus. Because batches run sequentially
     through foreachBatch, a duplicate arriving in batch k of something
-    kept in batch j<k is rejected — the corpus is duplicate-free by
-    induction, which is exactly the sequential-batch semantics the
-    equivalence test replays.
+    kept in batch j<k is rejected — the corpus is (LSH-candidate-)
+    duplicate-free by induction, which is exactly the sequential-batch
+    semantics the equivalence test replays.
 
     At 100 TB the corpus side's banded index would be a maintained
     table (append the new docs' bands per batch) instead of re-derived
@@ -236,12 +249,16 @@ def streaming_dedup_ingest(
     commit are per-batch; a replayed batch re-checks against the
     corpus and finds its own docs already present, so replays converge
     (dedup is idempotent by construction)."""
-    from ipeds_etl_spark.operators.dedup import incremental_dedup_verdict
+    from ipeds_etl_spark.operators.dedup import (
+        incremental_dedup_verdict,
+        intra_batch_dedup,
+    )
 
     spark = docs_stream.sparkSession
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.select(id_col, text_col, "lang", "source", "n_chars")
+        batch_df = intra_batch_dedup(batch_df, text_col, id_col)
         try:
             corpus = spark.read.parquet(corpus_path)
             have_corpus = True

@@ -314,3 +314,67 @@ def test_empty_year_warns_and_strict_404_raises(spark, fixture_api):
         }
     )
     assert len(list(ok.read(ok.partitions()[0]))) == 1
+
+
+def test_stream_live_year_holds_offset_and_picks_up_late_publication(
+    spark, fixture_api, tmp_path
+):
+    """ADVICE r6: the NEWEST year's missing page 1 is a normal
+    transient state on a live endpoint — the stream must hold its
+    offset (no roll-past, no warning storm) and ingest the year once
+    it publishes; an OLDER missing year warns once and rolls over."""
+    import json as _json
+    import logging
+    import os
+
+    from ipeds_etl_spark.sources.datasource import PaginatedJsonStreamReader
+
+    r = PaginatedJsonStreamReader(
+        {
+            "base_url": f"file://{fixture_api}",
+            "year_start": "2021",
+            "year_end": "2023",  # 2022 older-missing, 2023 live-missing
+        }
+    )
+    msgs = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            msgs.append(record.getMessage())
+
+    h = Capture()
+    log = logging.getLogger("ipeds_etl_spark.sources.datasource")
+    log.addHandler(h)
+    try:
+        rows, off = r.read(r.initialOffset())
+        rows = list(rows)
+        # 2021's one page read; 2022 warned+rolled; 2023 HELD at page 1
+        assert [(x[0], x[1]) for x in rows] == [(2021, 1)]
+        assert off == {"year": 2023, "page": 1}
+        assert sum("2022" in m and "no page 1" in m for m in msgs) == 1
+        assert not any("2023" in m for m in msgs)
+
+        # caught-up poll: empty batch, offset unchanged, NO new warning
+        rows2, off2 = r.read(off)
+        assert list(rows2) == [] and off2 == off
+        assert sum("no page 1" in m for m in msgs) == 1
+    finally:
+        log.removeHandler(h)
+
+    # 2023 publishes late: the next poll picks it up from the held offset
+    d = os.path.join(fixture_api, "2023")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "page1.json"), "w") as f:
+        _json.dump(
+            {"results": [{"unitid": 1, "year": 2023}], "next": None}, f
+        )
+    try:
+        rows3, off3 = r.read(off)
+        rows3 = list(rows3)
+        assert [(x[0], x[1]) for x in rows3] == [(2023, 1)]
+        # once published, the year's own no-`next` terminator ends it
+        assert off3 == {"year": 2024, "page": 1}
+    finally:
+        import shutil
+
+        shutil.rmtree(d)  # fixture is module-scoped: leave it as found

@@ -341,3 +341,34 @@ def test_lsh_pair_memo_invalidates_on_corpus_change(spark, tmp_path):
     odd = p2.filter((F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)).count()
     assert odd == 0
     assert p2.count() <= n1
+
+
+def test_intra_batch_dedup_greedy_min_id(spark):
+    """intra_batch_dedup (ADVICE r6): within one batch, the smaller id
+    of every LSH candidate pair survives; transitive chains collapse;
+    docs with no candidates pass through untouched."""
+    from ipeds_etl_spark.operators.dedup import (
+        intra_batch_dedup,
+        lsh_candidate_pairs,
+    )
+
+    base = " ".join(f"token{i} word{i * 7 % 53}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base + " tiny tail"),          # near-dup of 1
+        (3, base + " tiny tail twist"),    # near-dup of 2 (chain)
+        (4, "completely different content about spark shuffle planning " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(df, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs  # sanity: the clones do collide
+    kept = {r.doc_id for r in intra_batch_dedup(df, "text", "doc_id").collect()}
+    # every id that is the larger side of some pair is dropped
+    losers = {b for (_a, b) in pairs}
+    assert kept == {1, 2, 3, 4} - losers
+    assert 1 in kept and 4 in kept
+    # no surviving candidate pair
+    assert not any(a in kept and b in kept for (a, b) in pairs)

@@ -134,3 +134,45 @@ def test_endpoints_config_roundtrip(tmp_path):
     bad.write_text(json.dumps({"x": {"pk": ["a"], "fields": ["a:i"]}}))
     with _pytest.raises(ValueError, match="missing required key"):
         load_endpoints_config(str(bad), register=False)
+
+
+def test_endpoints_config_partition_by_validated_and_override_logged(tmp_path, caplog):
+    """ADVICE r6: a typo'd partition_by fails at LOAD time (not write
+    time), and overriding a built-in endpoint by name is logged."""
+    import json
+    import logging
+
+    import pytest as _pytest
+
+    from ipeds_etl_spark.registry import REGISTRY, load_endpoints_config
+
+    bad = tmp_path / "bad_part.json"
+    bad.write_text(
+        json.dumps(
+            {"x": {"path": "/x", "pk": ["a"], "fields": ["a:i", "b:s"],
+                   "partition_by": ["yeer"]}}
+        )
+    )
+    with _pytest.raises(ValueError, match="partition_by column 'yeer'"):
+        load_endpoints_config(str(bad), register=False)
+
+    # override of a built-in: registered, and announced in the log
+    orig = REGISTRY["directory"]
+    cfg = tmp_path / "override.json"
+    cfg.write_text(
+        json.dumps(
+            {"directory": {"path": "/d", "pk": ["unitid"],
+                           "fields": ["unitid:i", "year:i"],
+                           "partition_by": ["year"]}}
+        )
+    )
+    try:
+        with caplog.at_level(logging.INFO, logger="ipeds_etl_spark.registry"):
+            load_endpoints_config(str(cfg))
+        assert any(
+            "overrides built-in endpoint" in r.message and "directory" in r.message
+            for r in caplog.records
+        )
+        assert REGISTRY["directory"].path == "/d"
+    finally:
+        REGISTRY["directory"] = orig  # module-level registry: restore

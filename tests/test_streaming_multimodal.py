@@ -809,13 +809,17 @@ def test_window_dedup_stream_counts_match_batch(spark, stream_dir):
 def test_streaming_dedup_ingest_matches_sequential_batches(spark, tmp_path):
     """Online LSH-dedup ingestion: stream the corpus in file-sized
     micro-batches into a kept-corpus sink; the final corpus must equal
-    applying incremental_dedup_verdict sequentially batch-by-batch
-    (duplicate-free by induction), and a near-duplicate planted in a
+    applying intra_batch_dedup + incremental_dedup_verdict sequentially
+    batch-by-batch (duplicate-free by induction — intra-batch pairs
+    are resolved too, ADVICE r6), and a near-duplicate planted in a
     LATER batch must be rejected against a doc kept in an EARLIER one."""
     import os
     import time as _time
 
-    from ipeds_etl_spark.operators.dedup import incremental_dedup_verdict
+    from ipeds_etl_spark.operators.dedup import (
+        incremental_dedup_verdict,
+        intra_batch_dedup,
+    )
     from ipeds_etl_spark.streaming import jobs
 
     import pyarrow as pa
@@ -854,15 +858,21 @@ def test_streaming_dedup_ingest_matches_sequential_batches(spark, tmp_path):
 
     kept = spark.read.parquet(corpus_path)
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
-    # batch 1 wholesale kept (first write); the planted near-clone of
-    # doc 0 must have been REJECTED against the batch-1 corpus
-    assert set(d.doc_id for d in docs[:30]) <= kept_ids
+    # the planted near-clone of doc 0 must have been REJECTED against
+    # the batch-1 corpus (it is the largest id, so intra-batch dedup
+    # cannot be the thing that saved us)
     assert 99_999_999 not in kept_ids
-    # sequential replay equivalence for batch 2
-    corpus1 = spark.createDataFrame(docs[:30], schema)
+    # sequential replay equivalence: intra-dedup each batch, then
+    # cross-check batch 2's survivors against batch 1's kept corpus
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b1 = spark.createDataFrame(docs[:30], schema).select(cols)
+    corpus1 = intra_batch_dedup(b1, "text", "doc_id")
+    expect_b1 = {r.doc_id for r in corpus1.select("doc_id").collect()}
+    assert expect_b1 <= set(d.doc_id for d in docs[:30])
+    b2_intra = intra_batch_dedup(b2.select(cols), "text", "doc_id")
     both = corpus1.withColumn("__ex", F.lit(True)).unionByName(
-        b2.withColumn("__ex", F.lit(False))
+        b2_intra.withColumn("__ex", F.lit(False))
     )
     verdict = incremental_dedup_verdict(both, "text", "doc_id", F.col("__ex"))
     expect_b2 = {r.doc_id for r in verdict.filter(F.col("keep")).collect()}
-    assert kept_ids == set(d.doc_id for d in docs[:30]) | expect_b2
+    assert kept_ids == expect_b1 | expect_b2

@@ -202,3 +202,26 @@ def test_curation_funnel_chains_and_accounts(spark):
     assert rows[0].n_dropped == 11  # repetitive docs at this sf
     assert rows[2].n_dropped > 0  # near-dups resolved
     assert rows[3].n_dropped > 0  # eval-set containment
+
+
+def test_kcenter_edge_cases(spark):
+    """ADVICE r6: empty input returns [], and k > distinct points stops
+    early instead of re-picking covered points (no duplicate center
+    ids, no sel_dist_sq=0 rows past the seed)."""
+    from ipeds_etl_spark.operators.coreset import kcenter_greedy, quantize_vec
+
+    empty = spark.createDataFrame([], "vec_id long, emb array<float>").select(
+        "vec_id", quantize_vec("emb").alias("qvec")
+    )
+    assert kcenter_greedy(empty, "qvec", "vec_id", k=4) == []
+
+    # 2 distinct points (one duplicated), k=5 -> exactly 2 centers
+    dup = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, emb array<float>",
+    ).select("vec_id", quantize_vec("emb").alias("qvec"))
+    centers = kcenter_greedy(dup, "qvec", "vec_id", k=5)
+    ids = [c[1] for c in centers]
+    assert len(ids) == len(set(ids)) == 2
+    assert centers[0] == (0, 1, 0)
+    assert centers[1] == (1, 2, 2 * 1000**2)
