@@ -620,6 +620,7 @@ def _load_extensions() -> None:
         queries_wave7,
         queries_wave8,
         queries_wave9,
+        queries_wave10,
     )
 
 

@@ -1,0 +1,482 @@
+"""Round-7 wave: training-pipeline data management — exact stratified
+splits, deterministic epoch shuffling, PMI collocations, Heaps-law
+vocabulary-growth audit, int8 scalar-quantization distortion, and
+shared-substring span profiling over LSH candidates. House rules as in
+`queries_wave8`: integer-exact or op-order-pinned arithmetic on both
+engines, every aggregate aliased identically in Spark and DuckDB.
+
+The reference (kebe3476/ipeds_etl) ships none of these; they extend its
+surface under the same oracle-twin discipline (COVERAGE.md §2.8).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions import text as TX
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.queries_ext import _SHINGLES, _WS_TOKENS, _lsh_doc_pairs
+from ipeds_etl_spark.sources.tables import load_table
+
+
+# ===========================================================================
+# Exact stratified train/val/test split
+# ===========================================================================
+@_register(
+    "docs_stratified_split_exact",
+    """
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source, lang) AS n
+      FROM documents)
+    SELECT source, lang,
+           CASE WHEN rn <= (8 * n) // 10 THEN 'train'
+                WHEN rn <= (9 * n) // 10 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM r
+    GROUP BY source, lang, split
+    """,
+)
+def q_docs_stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 80/10/10 split with EXACT per-stratum
+    counts: within each (source, lang) stratum documents are ordered by
+    a content-free hash (sha256 of the id — reshuffling the input files
+    cannot move a document across splits), ranked, and cut at the
+    integer 80%/90% marks, so ``n_train = (8n) div 10`` exactly — no
+    Bernoulli drift, which at small strata is the difference between a
+    usable eval set and an empty one. Readout: per (stratum, split)
+    count plus the sum-of-ids checksum that pins the exact assignment.
+
+    Scale: ONE shuffle on the stratum key (the rank window and the
+    count window share it), then a map-side split tag and one agg. A
+    skewed mega-stratum serializes its rank into one task — at 100 TB
+    swap the window for the two-phase range-partitioned rank in
+    ``operators/layout.py`` (same output, O(partitions) offsets)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
+    cw = Window.partitionBy("source", "lang")
+    r = (
+        d.select(
+            "doc_id", "source", "lang",
+            F.sha2(F.col("doc_id").cast("string"), 256).alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+    )
+    split = (
+        F.when(F.expr("rn <= (8 * n) div 10"), "train")
+        .when(F.expr("rn <= (9 * n) div 10"), "val")
+        .otherwise("test")
+    )
+    return (
+        r.select("source", "lang", "doc_id", split.alias("split"))
+        .groupBy("source", "lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+# ===========================================================================
+# Deterministic epoch shuffle + uniformity audit
+# ===========================================================================
+@_register(
+    "docs_epoch_shuffle_blocks",
+    """
+    WITH a AS (
+      SELECT epoch, doc_id,
+             strpos('0123456789abcdef',
+                    substr(sha256(CAST(epoch AS VARCHAR) || ':' ||
+                                  CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS block
+      FROM documents, (SELECT unnest([0, 1]) AS epoch)),
+    g AS (
+      SELECT epoch, block,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM a GROUP BY epoch, block)
+    SELECT epoch, block, n_docs, id_checksum,
+           CAST((1000 * abs(16 * n_docs - sum(n_docs) OVER (PARTITION BY epoch)))
+                // sum(n_docs) OVER (PARTITION BY epoch) AS BIGINT) AS dev_x1000
+    FROM g
+    """,
+)
+def q_docs_epoch_shuffle_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data ordering: each
+    (epoch, doc) gets a pseudo-random position from sha256(epoch:id),
+    bucketed here into 16 blocks by the first hex nibble. Training jobs
+    read blocks in order and get a shuffle that (a) differs per epoch,
+    (b) is reproducible bit-for-bit from the seed, and (c) needs no
+    global sort — exactly how large-scale loaders randomize 100 TB
+    without materializing a permutation. The readout pins the
+    assignment (per-block id checksum) and audits uniformity: dev_x1000
+    is the permille deviation of each block from the epoch mean — a
+    skewed block means the hash is being fed correlated ids.
+
+    Scale: map-only tag + one 32-group agg + an O(32)-row window.
+    The epoch fan-out is an explode of a 2-literal array (rows x
+    epochs, streamed, never buffered)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.sha2(
+                        F.concat(
+                            F.col("epoch").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    1,
+                ),
+            )
+            - 1
+        ).alias("block"),
+    )
+    g = a.groupBy("epoch", "block").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    tot = Window.partitionBy("epoch")
+    return g.select(
+        "epoch",
+        "block",
+        "n_docs",
+        "id_checksum",
+        F.expr(
+            "CAST((1000 * abs(16 * n_docs - sum(n_docs) OVER (PARTITION BY epoch)))"
+            " div (sum(n_docs) OVER (PARTITION BY epoch)) AS BIGINT)"
+        ).alias("dev_x1000"),
+    )
+
+
+# ===========================================================================
+# PMI collocations (integer-exact ranking)
+# ===========================================================================
+@_register(
+    "docs_token_pmi_top",
+    f"""
+    WITH toks AS (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w FROM documents),
+    bg AS (
+      SELECT u.t1 AS t1, u.t2 AS t2 FROM (
+        SELECT unnest(list_transform(range(len(w) - 1),
+                      i -> struct_pack(t1 := w[i+1], t2 := w[i+2]))) AS u
+        FROM toks)),
+    uni AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_t
+      FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+    tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n FROM uni),
+    bgc AS (
+      SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_ab
+      FROM bg GROUP BY t1, t2 HAVING count(*) >= 3)
+    SELECT bgc.t1, bgc.t2, bgc.n_ab,
+           u1.n_t AS n_a, u2.n_t AS n_b,
+           CAST((10000 * bgc.n_ab * tot.n) // (u1.n_t * u2.n_t) AS BIGINT)
+             AS pmi_score_x10k
+    FROM bgc
+    JOIN uni u1 ON bgc.t1 = u1.t
+    JOIN uni u2 ON bgc.t2 = u2.t
+    CROSS JOIN tot
+    ORDER BY pmi_score_x10k DESC, t1, t2
+    LIMIT 50
+    """,
+)
+def q_docs_token_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information, ranked with
+    INTEGER arithmetic: PMI = log p(ab)/(p(a)p(b)) is monotone in
+    n_ab*N/(n_a*n_b) (the bigram total B is a constant shift), so the
+    ranking key is the scaled integer (10^4 * n_ab * N) div (n_a*n_b)
+    — engine-identical, no log. min-count 3 applies the standard PMI
+    rare-pair guard. This is the phrase-mining primitive (multi-word
+    expression detection for tokenizer/vocab curation).
+
+    Scale: two explode+agg passes (unigrams, bigrams — both map-side
+    combinable), two vocabulary-keyed joins (at 100 TB the unigram
+    table is vocabulary-sized: broadcast it), one broadcast 1-row
+    total, and a top-k (TakeOrderedAndProject — no global sort). The
+    10^4 scale keeps the BIGINT envelope safe while n_ab*N < 9.2e14;
+    a 100 TB corpus (N ~ 1e13) multiplies in DECIMAL(38,0) instead —
+    same div, wider lanes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(TX.tokens(F.col("text")).alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " slice(w, 2, greatest(size(w) - 1, 0)),"
+                " (a, b) -> struct(a AS t1, b AS t2))"
+            )
+        ).alias("u")
+    ).select("u.t1", "u.t2")
+    bgc = (
+        bg.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    tot = uni.agg(F.sum("n_t").cast("long").alias("n"))
+    u1 = uni.select(F.col("t").alias("t1"), F.col("n_t").alias("n_a"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("n_t").alias("n_b"))
+    return (
+        bgc.join(u1, "t1")
+        .join(u2, "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1", "t2", "n_ab", "n_a", "n_b",
+            F.expr(
+                "CAST((10000 * n_ab * n) div (n_a * n_b) AS BIGINT)"
+            ).alias("pmi_score_x10k"),
+        )
+        .orderBy(F.desc("pmi_score_x10k"), "t1", "t2")
+        .limit(50)
+    )
+
+
+# ===========================================================================
+# Heaps-law vocabulary-growth audit
+# ===========================================================================
+@_register(
+    "docs_vocab_growth",
+    f"""
+    WITH x AS (
+      SELECT source, doc_id % 2 = 0 AS even, unnest({_WS_TOKENS.format(x='text')}) AS t
+      FROM documents)
+    SELECT source,
+           CAST(count(t) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS vocab,
+           CAST(count(CASE WHEN even THEN t END) AS BIGINT) AS n_tokens_half,
+           CAST(count(DISTINCT CASE WHEN even THEN t END) AS BIGINT) AS vocab_half,
+           CAST(CASE WHEN count(DISTINCT CASE WHEN even THEN t END) = 0 THEN NULL
+                ELSE (1000 * count(DISTINCT t))
+                     // count(DISTINCT CASE WHEN even THEN t END) END AS BIGINT)
+             AS vocab_growth_x1000,
+           CAST(CASE WHEN count(CASE WHEN even THEN t END) = 0 THEN NULL
+                ELSE (1000 * count(t)) // count(CASE WHEN even THEN t END) END AS BIGINT)
+             AS token_growth_x1000,
+           CAST((1000000 * count(DISTINCT t)) // count(t) AS BIGINT) AS ttr_x1e6
+    FROM x
+    GROUP BY source
+    """,
+)
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth audit per source: vocabulary and
+    token counts on the full corpus vs the deterministic doc_id-even
+    half. Heaps' law V(N) = K·N^beta means beta ≈ log(vocab_growth) /
+    log(token_growth); the integer permille ratios are emitted (the
+    log is the analyst's one float op) along with the type-token ratio.
+    A source whose vocabulary growth is near its token growth (beta→1)
+    is id-like/noisy; near-zero growth (beta→0) is boilerplate — both
+    are mixture-weight red flags before training.
+
+    Scale: one explode + one agg keyed on source; the distinct counts
+    are per-source exact (at 100 TB swap exact distinct for the KMV
+    sketch family in ``operators/sketches.py`` — same readout shape,
+    mergeable state)."""
+    d = load_table(spark, sf_dir, "documents")
+    x = d.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(TX.tokens(F.col("text"))).alias("t"),
+    )
+    half_t = F.when(F.col("even"), F.col("t"))
+    return x.groupBy("source").agg(
+        F.count("t").cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("t")).cast("long").alias("vocab"),
+        F.count(half_t).cast("long").alias("n_tokens_half"),
+        F.count_distinct(half_t).cast("long").alias("vocab_half"),
+        F.expr(
+            "CAST(CASE WHEN count(DISTINCT CASE WHEN even THEN t END) = 0 THEN NULL"
+            " ELSE (1000 * count(DISTINCT t))"
+            " div count(DISTINCT CASE WHEN even THEN t END) END AS BIGINT)"
+        ).alias("vocab_growth_x1000"),
+        F.expr(
+            "CAST(CASE WHEN count(CASE WHEN even THEN t END) = 0 THEN NULL"
+            " ELSE (1000 * count(t)) div count(CASE WHEN even THEN t END) END"
+            " AS BIGINT)"
+        ).alias("token_growth_x1000"),
+        F.expr(
+            "CAST((1000000 * count(DISTINCT t)) div count(t) AS BIGINT)"
+        ).alias("ttr_x1e6"),
+    )
+
+
+# ===========================================================================
+# int8 scalar-quantization distortion audit
+# ===========================================================================
+_SQ_DIM = 64
+_SQ_ERR_SCALE = "1000000000000.0"  # 1e12: err^2 quantized to integer picounits
+
+
+def _sq8_term_sql(i: int, elem: str = "v[{idx1}]") -> str:
+    """One dimension's scaled integer squared reconstruction error.
+    Every float op is written ONCE and mirrored verbatim on both
+    engines (left-assoc, explicit casts) so the doubles are
+    bit-identical and the floor is deterministic. ``elem`` abstracts
+    the ONE syntax difference: DuckDB indexes arrays 1-based
+    (``v[{idx1}]``, the default), Spark 0-based (``v[{idx0}]``)."""
+    x = f"CAST({elem.format(idx1=i + 1, idx0=i)} AS DOUBLE)"
+    mn, mx = f"mn{i}", f"mx{i}"
+    code = f"CAST(floor((({x} - {mn}) * 255.0) / ({mx} - {mn}) + 0.5) AS BIGINT)"
+    recon = f"({mn} + (CAST({code} AS DOUBLE) * ({mx} - {mn})) / 255.0)"
+    err = f"({x} - {recon})"
+    return (
+        f"CASE WHEN {mx} = {mn} THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor({err} * {err} * {_SQ_ERR_SCALE} + 0.5) AS BIGINT) END"
+    )
+
+
+def _sq8_oracle() -> str:
+    mins = ", ".join(
+        f"min(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
+        f"max(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(_SQ_DIM)
+    )
+    terms = " + ".join(_sq8_term_sql(i) for i in range(_SQ_DIM))
+    return f"""
+    WITH stats AS (SELECT {mins} FROM embeddings),
+    pv AS (
+      SELECT label, ({terms}) AS dist_q
+      FROM (SELECT label, embedding AS v FROM embeddings) CROSS JOIN stats)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist_q) AS BIGINT) AS total_err_q,
+           CAST(max(dist_q) AS BIGINT) AS max_vec_err_q,
+           CAST(sum(dist_q) // count(*) AS BIGINT) AS mean_err_q
+    FROM pv
+    GROUP BY label
+    """
+
+
+@_register("emb_sq8_distortion", _sq8_oracle())
+def q_emb_sq8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension affine) int8 quantization distortion audit
+    — the SQ counterpart of ``emb_pq_distortion``: per dimension the
+    corpus min/max define a 256-level grid, every component is
+    round-tripped through its code, and the squared reconstruction
+    error (quantized to integer picounits so sums are order-free and
+    engine-identical) is aggregated per label. SQ8 is the cheap 4x
+    compression every vector store offers; this readout is how you
+    decide whether it is safe for a corpus before re-encoding 100 TB
+    of embeddings.
+
+    Scale: the dim stats are ONE map-combinable agg (2·64 columns, one
+    row — broadcast back as a literal row, never collected); the
+    round-trip is map-only codegen; the readout one small agg. Float
+    determinism: identical IEEE op order on both engines (see
+    ``_sq8_term_sql``), integer sums thereafter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("label", F.col("embedding").alias("v"))
+    stats = v.agg(
+        *[
+            c
+            for i in range(_SQ_DIM)
+            for c in (
+                F.min(F.col("v")[i].cast("double")).alias(f"mn{i}"),
+                F.max(F.col("v")[i].cast("double")).alias(f"mx{i}"),
+            )
+        ]
+    )
+    terms = " + ".join(_sq8_term_sql(i, elem="v[{idx0}]") for i in range(_SQ_DIM))
+    pv = v.crossJoin(F.broadcast(stats)).select(
+        "label", F.expr(terms).alias("dist_q")
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("dist_q").cast("long").alias("total_err_q"),
+        F.max("dist_q").cast("long").alias("max_vec_err_q"),
+        F.expr("CAST(sum(dist_q) div count(*) AS BIGINT)").alias("mean_err_q"),
+    )
+
+
+# ===========================================================================
+# Shared-substring span profile over LSH candidates
+# ===========================================================================
+def _shared_span_oracle() -> str:
+    from ipeds_etl_spark.queries import ORACLE_SQL
+
+    pairs_sql = ORACLE_SQL["dedup_minhash_lsh"]
+    w = _WS_TOKENS.format(x="text")
+    sh = _SHINGLES.format(w="w")
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    shp AS (
+      SELECT doc_id, unnest(s) AS sh, unnest(range(1, len(s) + 1)) AS pos
+      FROM (SELECT doc_id, {sh} AS s
+            FROM (SELECT doc_id, {w} AS w FROM documents))),
+    bset AS (SELECT DISTINCT doc_id AS id_b, sh FROM shp),
+    shared AS (
+      SELECT p.id_a, p.id_b, a.pos
+      FROM pairs p
+      JOIN shp a ON a.doc_id = p.id_a
+      JOIN bset b ON b.id_b = p.id_b AND b.sh = a.sh),
+    runs AS (
+      SELECT id_a, id_b, pos,
+             pos - row_number() OVER (PARTITION BY id_a, id_b ORDER BY pos) AS grp
+      FROM shared),
+    spans AS (
+      SELECT id_a, id_b, grp, CAST(count(*) AS BIGINT) AS span_shingles
+      FROM runs GROUP BY id_a, id_b, grp)
+    SELECT id_a, id_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_shingles) + 2 AS BIGINT) AS longest_span_tokens,
+           CAST(sum(span_shingles) AS BIGINT) AS shared_shingles
+    FROM spans
+    GROUP BY id_a, id_b
+    """
+
+
+@_register("docs_shared_span_profile", _shared_span_oracle())
+def q_docs_shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication STRUCTURE for every LSH candidate pair:
+    the a-side positions whose 3-token shingle also occurs in b,
+    collapsed into maximal consecutive runs (the pos - row_number
+    islands trick) — i.e. the length and count of the literal shared
+    substrings behind each near-dup verdict. One long span = quotation
+    / syndicated boilerplate (cut the span, keep both docs); many short
+    spans = template noise (keep both); total ≈ all = true near-dup
+    (drop one). This is the triage that turns a similarity score into
+    an edit decision, per Lee et al.'s substring-dedup observation that
+    document-level verdicts miss span-level duplication.
+
+    Scale: candidate-fed — cost is O(pairs x doc length), never
+    corpus². Joins are keyed on (doc, shingle); the run window
+    partitions by pair (small groups). The pair table is the memoized
+    shared index (``operators/indexes.py``)."""
+    pairs = _lsh_doc_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+    shp = toks.select(
+        "doc_id", F.posexplode(TX.shingles_of(F.col("w"))).alias("pos0", "sh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    a = pairs.join(shp.withColumnRenamed("doc_id", "id_a"), "id_a")
+    bset = shp.select(F.col("doc_id").alias("id_b"), "sh").distinct()
+    shared = a.join(bset, ["id_b", "sh"]).select("id_a", "id_b", "pos")
+    w = Window.partitionBy("id_a", "id_b").orderBy("pos")
+    runs = shared.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("id_a", "id_b", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("span_shingles")
+    )
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        (F.max("span_shingles") + 2).cast("long").alias("longest_span_tokens"),
+        F.sum("span_shingles").cast("long").alias("shared_shingles"),
+    )

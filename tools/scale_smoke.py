@@ -510,6 +510,32 @@ def run_quad_r7(spark, results: dict) -> None:
     results["quad_r7"] = out
 
 
+def run_quad_r8(spark, results: dict) -> None:
+    """VERDICT r6 item 5: the heaviest iterative / driver-artifact ops
+    not yet screened at 100x (sf10-equivalent). The two defect classes
+    the previous quad smokes exposed — collect sizes vs
+    driver_max_result_size, and AQE join-strategy flips on compressed
+    estimates — are exactly what these exercise: Lloyd's per-round
+    512-row centroid collect, k-center's per-round 1-row argmax over a
+    per-round localCheckpoint, BPE's vocabulary-sized merge rounds, and
+    the curation funnel's chain over the 26M-pair LSH memo."""
+    from ipeds_etl_spark import queries as q
+
+    reg = q.queries()
+    out = {}
+    for name in (
+        "emb_kmeans_lloyd",
+        "emb_kcenter_coreset",
+        "docs_bpe_merges",
+        "docs_curation_funnel",
+    ):
+        t0 = time.perf_counter()
+        n = len(reg[name](spark, SF10_DIR).collect())
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        print(json.dumps({name: out[name]}), flush=True)  # survive late aborts
+    results["quad_r8"] = out
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
@@ -558,6 +584,10 @@ def main() -> None:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
         run_quad_r7(spark, results)
+    if "quad_r8" in sections:
+        if not Path(SF10_DIR).exists():
+            build_quad_corpus(spark)
+        run_quad_r8(spark, results)
     print(json.dumps(results))
 
 
