@@ -522,15 +522,19 @@ def intra_batch_dedup(
     n_perms: int = N_PERMS,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Near-dedup a single batch AGAINST ITSELF: greedy min-id keep
-    over the LSH candidate pairs — every id that appears as the LARGER
-    side of any candidate pair is dropped, so no candidate pair
-    survives intact and the survivor of each duplicate family is its
-    smallest id (deterministic, arrival-order independent). Transitive
-    chains collapse to their global minimum, which is the same keeper
-    rule the batch resolution queries use. Cost: one LSH pass + one
-    anti join, all ∝ batch size — the intra-batch step
-    ``incremental_dedup_verdict`` deliberately leaves out (its
+    """Near-dedup a single batch AGAINST ITSELF: greedy larger-side
+    drop over the LSH candidate pairs — every id that appears as the
+    LARGER side (``id_b``) of any candidate pair is dropped. The hard
+    invariant is that NO candidate pair survives intact; survivors are
+    exactly the ids never seen as the larger side of a pair, which is
+    deterministic and arrival-order independent. This is NOT the
+    connected-component min-keep rule the batch resolution queries
+    use: for pairs (1,3),(2,3) both 1 and 2 survive (2 never appears
+    as ``id_b``), whereas CC-min would keep only 1. Callers needing
+    component semantics should resolve via
+    ``operators.components`` before the anti join (ADVICE r7). Cost:
+    one LSH pass + one anti join, all ∝ batch size — the intra-batch
+    step ``incremental_dedup_verdict`` deliberately leaves out (its
     docstring delegates intra-batch dedup here)."""
     losers = (
         lsh_candidate_pairs(df, text_col, id_col, n_perms, rows_per_band)

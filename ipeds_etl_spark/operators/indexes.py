@@ -78,7 +78,8 @@ def _checkpoint_tracked(df: DataFrame) -> tuple:
 
 def lsh_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized default-geometry MinHash-LSH candidate pairs over
-    ``documents`` (columns ``doc_id_a < doc_id_b``)."""
+    ``documents`` (columns ``id_a < id_b``, as emitted by
+    ``lsh_candidate_pairs`` and joined on by all consumers)."""
     key = (
         spark.sparkContext.applicationId,
         corpus_fingerprint(sf_dir, "documents"),

@@ -388,6 +388,15 @@ def _endpoint_from_spec(name: str, spec: dict) -> Endpoint:
         if req not in spec:
             raise ValueError(f"endpoint {name!r}: missing required key {req!r}")
     fields = tuple(_f(s) for s in spec["fields"])
+    # a typo'd type code would otherwise surface only as a bare
+    # KeyError at struct_type/mapper time, far from the config
+    for f in fields:
+        if f.type not in _SPARK_TYPES:
+            raise ValueError(
+                f"endpoint {name!r}: field {f.name!r} has unknown type "
+                f"code {f.type!r}; expected one of {sorted(_SPARK_TYPES)} "
+                "(i=int, l=long, s=string, d=double)"
+            )
     known = {f.name for f in fields}
     for k in spec["pk"]:
         if k not in known:

@@ -243,12 +243,15 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         while year <= self._r.year_end:
             rows, has_next = self._rows_for(year, page)
             if rows is None:
-                if page == 1 and year >= self._r.year_end:
-                    # NEWEST year not published yet: HOLD the offset so
-                    # the next poll retries it — rolling over would
-                    # advance past the live year permanently and miss
-                    # it when it publishes (ADVICE r6). Once the year
-                    # exists, its `next` chain terminates it normally.
+                if year >= self._r.year_end:
+                    # LIVE (newest) year: HOLD the offset for ANY
+                    # missing page, not just page 1 — if a page > 1
+                    # transiently 404s while its predecessor advertised
+                    # a `next` link, rolling over would skip the rest
+                    # of the live year permanently (ADVICE r7). The
+                    # next poll retries the same page; only the
+                    # server's own no-`next` terminator rolls the live
+                    # year over.
                     break
                 # year exhausted (404 / missing file): roll over
                 year, page = year + 1, 1

@@ -205,12 +205,27 @@ def window_dedup_stream(
     the delay; because all events of one key fall inside one tumbling
     window (window ≪ watermark horizon), every true duplicate arrives
     while the key is still in state — the kept-key-set semantics are
-    unchanged, and state is bounded by horizon × active keys."""
-    qty, unit = window.split()
-    per_us = {"second": 10**6, "minute": 60 * 10**6, "hour": 3600 * 10**6}[
-        unit.rstrip("s")
-    ]
-    win_us = int(qty) * per_us
+    unchanged, and state is bounded by horizon × active keys. A
+    window longer than the watermark delay would silently re-emit
+    duplicates within one tumbling window, so that combination is
+    rejected up front (ADVICE r7)."""
+
+    def _us(spec: str) -> int:
+        qty, unit = spec.split()
+        per = {"second": 10**6, "minute": 60 * 10**6, "hour": 3600 * 10**6}[
+            unit.rstrip("s")
+        ]
+        return int(qty) * per
+
+    win_us = _us(window)
+    wm_us = _us(watermark)
+    if win_us > wm_us:
+        raise ValueError(
+            f"window ({window}) must not exceed the watermark delay "
+            f"({watermark}): dropDuplicatesWithinWatermark would evict "
+            "a key's state before its tumbling window closes, silently "
+            "re-emitting duplicates within one window"
+        )
     return (
         events.withWatermark("ts", watermark)
         .withColumn("win", F.expr(f"unix_micros(ts) div {win_us}"))

@@ -146,3 +146,106 @@ def test_write_core_txn_backend(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_core(spark, "directory", mapped, core, backend="bogus")
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §3 E3 over a FILE-DECLARED endpoint (VERDICT r7 item 5): the
+# flatten-in-engine vs flatten-in-driver symmetry must hold for an
+# endpoint the registry has never seen in code — declared only via
+# ``registry.load_endpoints_config`` (the reference's doc-only
+# ``config/endpoints.yaml`` path, README.md:46-55) — proving the
+# registry compiler (mapper_select_stages and friends) is truly
+# endpoint-generic, not specialized to the built-ins.
+# ---------------------------------------------------------------------------
+
+GRAD_CONFIG = {
+    "graduation": {
+        "path": "ipeds/grad-rates/{year}/",
+        "pk": ["unitid", "year"],
+        "fields": [
+            "unitid:i",
+            "year:i",
+            "cohort_size:i:cohort|grcohort",
+            "completers_150:i",
+            "grad_rate:d",
+            "notes:s",
+        ],
+    }
+}
+
+GRAD_PAGES = [
+    [
+        # alias fallback (grcohort), whitespace strip, plain values
+        {"unitid": 1, "year": 2022, "grcohort": "850",
+         "completers_150": 510, "grad_rate": "0.6", "notes": "  ok  "},
+        # year MISSING -> backfilled from the page row (E3's explicit
+        # edge, reference etl/core_io.py:87-89); sentinels -> NULL;
+        # malformed double -> NULL; empty string -> NULL
+        {"unitid": 2, "cohort": "-2", "completers_150": "-1",
+         "grad_rate": "bad", "notes": ""},
+    ],
+    [
+        {"unitid": 3, "year": 2022, "cohort": "430",
+         "completers_150": "120", "grad_rate": "0.279"},
+    ],
+]
+
+
+def test_config_endpoint_flatten_symmetry(spark, tmp_path):
+    import json as _json
+
+    from ipeds_etl_spark import registry
+    from ipeds_etl_spark.plans.core_pipeline import map_records
+
+    cfg = tmp_path / "endpoints.json"
+    cfg.write_text(_json.dumps(GRAD_CONFIG))
+    loaded = registry.load_endpoints_config(str(cfg))
+    assert set(loaded) == {"graduation"}
+    assert "graduation" in registry.list_endpoints()
+    try:
+        # --- flatten-in-engine: raw pages -> explode payload JSON ->
+        # registry mapper -> core table (the E2/pipeline path) ---
+        wh = str(tmp_path / "wh")
+        metrics = pipeline.run_load(spark, "graduation", 2022, GRAD_PAGES, wh)
+        assert metrics["rows_inserted"] == 3
+        engine_core = spark.read.parquet(f"{wh}/core/graduation")
+
+        # --- flatten-in-driver: expand the SAME page lists in Python
+        # on the driver (the reference notebook's lateral-unnest twin,
+        # 20_load_core_directory.ipynb:226-230), stringify values the
+        # way the JSON payload round-trip does, then apply the SAME
+        # registry contract ---
+        recs = [
+            ({k: None if v is None else str(v) for k, v in rec.items()}, 2022)
+            for page in GRAD_PAGES
+            for rec in page
+        ]
+        driver_df = spark.createDataFrame(
+            recs, "rec map<string,string>, page_year int"
+        )
+        driver_core = map_records("graduation", driver_df).filter(
+            F.col("unitid").isNotNull()
+        )
+
+        # partitionBy("year") moves year to the end on read-back; the
+        # symmetry contract is same columns + same types + same rows,
+        # independent of that physical ordering
+        assert {f.name: f.dataType for f in engine_core.schema.fields} == {
+            f.name: f.dataType for f in driver_core.schema.fields
+        }
+        engine_core = engine_core.select(*driver_core.columns)
+        assert engine_core.exceptAll(driver_core).count() == 0
+        assert driver_core.exceptAll(engine_core).count() == 0
+
+        # semantics spot-checks (same on both paths by the above)
+        rows = {r["unitid"]: r for r in engine_core.collect()}
+        assert rows[1]["cohort_size"] == 850          # alias grcohort
+        assert rows[1]["notes"] == "ok"               # whitespace strip
+        assert rows[2]["year"] == 2022                # page-year backfill
+        assert rows[2]["cohort_size"] is None         # sentinel -2
+        assert rows[2]["completers_150"] is None      # sentinel -1
+        assert rows[2]["grad_rate"] is None           # malformed double
+        assert rows[2]["notes"] is None               # empty string
+        assert rows[3]["grad_rate"] == 0.279
+    finally:
+        registry.REGISTRY.pop("graduation", None)     # keep registry pristine

@@ -806,6 +806,23 @@ def test_window_dedup_stream_counts_match_batch(spark, stream_dir):
     assert got == expect
 
 
+def test_window_dedup_stream_rejects_window_beyond_watermark(spark, stream_dir):
+    """window > watermark delay would evict a key's state before its
+    tumbling window closes, silently re-emitting duplicates — the
+    combination must be rejected at construction (ADVICE r7), not
+    documented away."""
+    import pytest as _pytest
+
+    from ipeds_etl_spark.streaming import jobs
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    with _pytest.raises(ValueError, match="watermark"):
+        jobs.window_dedup_stream(stream, window="1 hour", watermark="10 minutes")
+    # boundary: window == watermark delay is allowed
+    jobs.window_dedup_stream(stream, window="10 minutes", watermark="10 minutes")
+
+
 def test_streaming_dedup_ingest_matches_sequential_batches(spark, tmp_path):
     """Online LSH-dedup ingestion: stream the corpus in file-sized
     micro-batches into a kept-corpus sink; the final corpus must equal
