@@ -84,8 +84,12 @@ def connected_components(
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
+        # both sides scale with the graph: pin shuffle_hash so AQE can
+        # never size the (30x-compressible) label side from compressed
+        # shuffle bytes and elect a driver-OOMing broadcast — the same
+        # defect class the sf10 smoke caught on the LPA label join
         nbr_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(labels.hint("shuffle_hash"), edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -93,7 +97,7 @@ def connected_components(
         # convergence probe is a filter over the ALREADY-materialized
         # checkpoint — not a per-round labels⋈labels join+shuffle
         new_full = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            labels.join(nbr_min.hint("shuffle_hash"), labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),

@@ -78,7 +78,13 @@ def rebuild_gold(spark: SparkSession, endpoint: str, warehouse: str) -> dict[str
     * ``yearly_counts``       — institutions per (year, state) (A2 shape).
     """
     ep = registry.get_endpoint(endpoint)
-    core = spark.read.parquet(f"{warehouse}/core/{endpoint}")
+    # manifest-resolved read: a txn-backed core resolves to its live
+    # generations (a plain parquet read would union every generation
+    # and double-count); tables without a manifest fall back to the
+    # plain read unchanged
+    from ipeds_etl_spark.operators import txn
+
+    core = txn.read_table(spark, f"{warehouse}/core/{endpoint}")
     from pyspark.sql import Window
 
     # latest row per non-year key part (institutions_latest shape);
@@ -188,6 +194,97 @@ def refresh_gold_incremental(
         fsutil.rename(spark, tmp, path)
         out[name] = spark.read.parquet(path).count()
     return out
+
+
+def refresh_gold_from_txn_diff(
+    spark: SparkSession,
+    endpoint: str,
+    warehouse: str,
+    v_from: int,
+    v_to: int | None = None,
+    partition_col: str = "year",
+) -> dict[str, int]:
+    """End-to-end incremental gold refresh driven by the txn log
+    (VERDICT r7 item 7): fold everything that happened to a
+    txn-backed core table between commit ``v_from`` and commit
+    ``v_to`` (default: latest) into the stored gold views, without
+    the caller having to carry the merge batch around.
+
+    The txn manifest makes this O(changed data), not O(table):
+
+    1. Manifest diff — partitions whose generation pointer changed
+       between the two commits (a metadata-sized comparison; manifests
+       are one JSON doc per version).
+    2. Read ONLY those partitions at each version (generation dirs are
+       immutable, so both snapshots reconstruct exactly) and run the
+       PK-keyed CDC (``operators.cdc.snapshot_diff``) over them — one
+       co-partitioned full-outer join on the touched slice.
+    3. Feed (post-images, pre-images) to
+       :func:`refresh_gold_incremental` — counting-IVM for the yearly
+       counts, mergeable-max for institutions_latest.
+
+    At 100 TB a nightly merge touches a handful of year partitions;
+    this path reads those partitions twice and the gold tables once —
+    the full core is never scanned. ``rebuild_gold`` remains the
+    recompute oracle (equivalence pinned by test).
+
+    Deletes are rejected: the upsert merge path never deletes, and
+    ``institutions_latest`` has no retraction rule for a disappeared
+    latest row (a delete-capable feed needs the full-rebuild path).
+    """
+    from ipeds_etl_spark.operators import txn
+    from ipeds_etl_spark.operators.cdc import snapshot_diff
+
+    core_path = f"{warehouse}/core/{endpoint}"
+    man_from = txn.read_manifest(spark, core_path, version=v_from)
+    man_to = txn.read_manifest(spark, core_path, version=v_to)
+    changed_entries = sorted(
+        part
+        for part, gen in man_to.items()
+        if man_from.get(part) != gen
+    )
+    if any(part not in man_to for part in man_from):
+        raise ValueError(
+            "partition(s) dropped between versions — the incremental "
+            "gold refresh has no retraction rule for whole-partition "
+            "deletes; use rebuild_gold"
+        )
+    out_paths = {
+        "institutions_latest": f"{warehouse}/vw/{endpoint}_institutions_latest",
+        "yearly_counts": f"{warehouse}/vw/{endpoint}_yearly_counts",
+    }
+    if not changed_entries:
+        return {
+            name: spark.read.parquet(path).count()
+            for name, path in out_paths.items()
+        }
+    changed_vals = [e.split("=", 1)[1] for e in changed_entries]
+    ep = registry.get_endpoint(endpoint)
+    cast_t = registry.struct_type(endpoint)[partition_col].dataType
+    part_filter = F.col(partition_col).isin(
+        [F.lit(v).cast(cast_t) for v in changed_vals]
+    )
+    # read_table enumerates generation dirs explicitly with a basePath,
+    # so this filter is partition pruning over the touched slice only
+    old = txn.read_table(spark, core_path, version=v_from).filter(part_filter)
+    new = txn.read_table(spark, core_path, version=v_to).filter(part_filter)
+    cols = [c for c in new.columns if c not in ep.pk]
+    diff = snapshot_diff(old, new, pk=list(ep.pk), compare_cols=cols)
+    if diff.filter(F.col("change_type") == "delete").limit(1).count():
+        raise ValueError(
+            "row deletes found in the snapshot diff — the incremental "
+            "gold refresh is insert/update-only; use rebuild_gold"
+        )
+    delta = diff.select(
+        *ep.pk, *[F.col(f"new_{c}").alias(c) for c in cols]
+    )
+    pre_images = (
+        diff.filter(F.col("change_type") == "update")
+        .select(*ep.pk, *[F.col(f"old_{c}").alias(c) for c in cols])
+    )
+    return refresh_gold_incremental(
+        spark, endpoint, warehouse, delta, pre_images=pre_images
+    )
 
 
 def _sized_coalesce(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:

@@ -621,6 +621,7 @@ def _load_extensions() -> None:
         queries_wave8,
         queries_wave9,
         queries_wave10,
+        queries_wave11,
     )
 
 
@@ -636,69 +637,77 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- never driver-checked as of round 7 (the 41 registered after
-    # the round-6 rotation freeze; all green in the round-6 full local
-    # mirror AND in the judge's independent 227-query mirror). With
-    # these, cumulative driver-green coverage reaches 227/227. --
-    "events_multitouch_attribution",
-    "docs_quality_ablation",
-    "orders_customer_join_profile",
-    "orders_header_detail_reconciliation",
-    "docs_neyman_allocation",
-    "docs_find_near_copies",
-    "events_growth_accounting",
-    "docs_near_dup_diff",
-    "orders_stl_lite",
-    "suppliers_similar_by_parts",
-    "docs_dsir_importance",
-    "dedup_bcubed_eval",
-    "lineitem_zorder_stats",
-    "emb_kcenter_coreset",
-    "docs_quality_label_propagation",
-    "docs_source_overlap_matrix",
-    "emb_kmeans_lloyd",
+    # -- never driver-checked as of round 8: the 6 wave-10 queries
+    # registered after the round-7 rotation freeze (all green in the
+    # judge's independent 233-query mirror) plus the 4 wave-11 queries
+    # registered THIS round before this rotation commit (registry-
+    # freeze discipline, VERDICT r7 item 3). With the wave-10 six,
+    # cumulative driver-green coverage reaches 233/233. --
+    "docs_stratified_split_exact",   # also re-ranked via layout.py this round
+    "docs_epoch_shuffle_blocks",
+    "docs_token_pmi_top",
+    "docs_vocab_growth",
+    "emb_sq8_distortion",
+    "docs_shared_span_profile",
+    "docs_unigram_rarity",
+    "docs_concat_chunk_packing",
+    "docs_ngram_novelty",
+    "emb_semdedup",
+    # -- changed-implementation re-gates: the sf10 quad_r8 smoke led
+    # to shuffle_hash pins inside connected_components and the
+    # curation funnel this round; every consumer of those paths gets a
+    # fresh official row. --
     "docs_curation_funnel",
-    "dedup_lpa_communities",
-    "events_cusum_changepoint",
-    "docs_rater_agreement_kappa",
-    "docs_winnowing_fingerprints",
-    "docs_temperature_mixture",
-    "orders_key_skew_profile",
-    "docs_bootstrap_mean_ci",
-    "docs_langid_calibration",
-    "events_recency_engagement",
-    "emb_cluster_margin",
-    "orders_benford_dq",
-    "parts_skyline_layers",
-    "dedup_edit_verify",
-    "docs_nucleus_sources",
-    "dedup_lsh_geometry_planner",
-    "events_burstiness_fano",
-    "multimodal_audio_fingerprint",
     "docs_dedup_survivorship",
-    "docs_keyword_tagging",
-    "emb_pq_distortion",
-    "docs_quality_tercile_routing",
-    "orders_seasonal_naive_backtest",
-    "supplier_ship_latency_percentiles",
+    "docs_dedup_resolution",
+    "dedup_components",
+    "dedup_components_star",
+    "docs_golden_record",
+    "dedup_bcubed_eval",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",
     "upsert_on_pk",
     "dedup_minhash_lsh",
     "registry_mapper",
-    # -- veteran slots (one per operator family not covered above:
-    # TPC-H Q1 scan-agg, broadcast dim chain, decontamination anti-
-    # join, IVF ANN, sessionization) --
+    # -- veteran slots (one per operator family: TPC-H Q1 scan-agg,
+    # broadcast dim chain, decontamination anti-join, IVF ANN,
+    # sessionization) --
     "lineitem_pricing_summary",
     "enrich_join",
     "docs_decontaminate",
     "emb_ivf_topk",
     "events_sessionize",
-    # -- new in round 7 (registered after this rotation freeze; green
-    # in the full local mirror, picked up by the next rotation) --
+    # -- family veterans filling the remaining window slots (raw
+    # roundtrip, cleaning, hashing, JSON, merge-on-hash, windows/dims,
+    # filters, text analysis, dedup variants, CDC, ANN, streaming-twin
+    # dedup, sliding HLL) --
+    "json_page_roundtrip",
+    "sentinel_clean",
+    "coalesce_pick",
+    "stable_hash",
+    "json_extract_agg",
+    "upsert_on_hash",
+    "latest_per_key_agg",
+    "dim_lookup_agg",
+    "count_star",
+    "filter_between_topk",
+    "filter_in_agg",
+    "filter_eq_sort",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "orders_snapshot_diff",
+    "emb_topk_bruteforce",
+    "emb_near_dups",
+    "events_window_dedup",
+    "events_hll_sliding",
     # -- rotated out this round (driver-green rows recorded in
-    # CORRECTNESS_r0{1..6}.json; still in the local mirror). --
+    # CORRECTNESS_r0{1..7}.json; still in the local mirror). --
 ]
 
 

@@ -54,21 +54,30 @@ def q_docs_stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     usable eval set and an empty one. Readout: per (stratum, split)
     count plus the sum-of-ids checksum that pins the exact assignment.
 
-    Scale: ONE shuffle on the stratum key (the rank window and the
-    count window share it), then a map-side split tag and one agg. A
-    skewed mega-stratum serializes its rank into one task — at 100 TB
-    swap the window for the two-phase range-partitioned rank in
-    ``operators/layout.py`` (same output, O(partitions) offsets)."""
+    Scale (hardened per VERDICT r7 item 6): the per-stratum rank is
+    NOT a ``row_number`` window on the stratum key — that serializes a
+    skewed mega-stratum (one giant ``lang``) into one task. Instead
+    the rank is derived from the two-phase range-partitioned
+    ``operators/layout.global_row_number`` over (stratum, hash, id):
+    the range exchange splits a mega-stratum across many partitions
+    (the hash varies within it), and the within-stratum rank is the
+    global number minus the stratum's minimum — recovered from one
+    map-combinable per-stratum agg (strata are source × lang —
+    metadata-sized, broadcast back). Same output as the window form
+    bit-for-bit; no single-task stage at any stratum skew."""
+    from ipeds_etl_spark.operators.layout import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
-    cw = Window.partitionBy("source", "lang")
-    r = (
-        d.select(
-            "doc_id", "source", "lang",
-            F.sha2(F.col("doc_id").cast("string"), 256).alias("h"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(cw))
+    hashed = d.select(
+        "doc_id", "source", "lang",
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("h"),
+    )
+    ranked = global_row_number(hashed, ["source", "lang", "h", "doc_id"], "grn")
+    stats = ranked.groupBy("source", "lang").agg(
+        F.min("grn").alias("g0"), F.count(F.lit(1)).alias("n")
+    )
+    r = ranked.join(F.broadcast(stats), ["source", "lang"]).withColumn(
+        "rn", F.col("grn") - F.col("g0") + 1
     )
     split = (
         F.when(F.expr("rn <= (8 * n) div 10"), "train")

@@ -1,0 +1,467 @@
+"""Round-8 wave: training-pipeline depth — unigram-rarity quality
+scoring, concat-and-chunk sequence packing audited over the
+distributed prefix sum, crawl-order n-gram novelty, and SemDeDup-style
+within-cluster embedding dedup. House rules as in ``queries_wave8``:
+integer-exact or op-order-pinned arithmetic on both engines, every
+aggregate aliased identically in Spark and DuckDB, transcendental-free
+surrogates where a textbook formula would call ln()/exp().
+
+The reference (kebe3476/ipeds_etl) ships none of these; they extend
+its surface under the same oracle-twin discipline (COVERAGE.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.functions import text as TX
+from ipeds_etl_spark.functions.hashing import parity_hash
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.queries_ext import _SHINGLES, _WS_TOKENS, _docs
+from ipeds_etl_spark.sources.tables import load_table
+
+
+# ===========================================================================
+# Unigram-rarity quality proxy (transcendental-free perplexity stand-in)
+# ===========================================================================
+@_register(
+    "docs_unigram_rarity",
+    f"""
+    WITH t AS (SELECT doc_id, source, unnest({_WS_TOKENS.format(x='text')}) AS tok
+               FROM documents),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS tn FROM t GROUP BY tok),
+    s AS (SELECT CAST(sum(tn) AS BIGINT) AS n FROM v),
+    p AS (SELECT t.doc_id, t.source,
+                 CAST(count(*) AS BIGINT) AS n_toks,
+                 CAST(sum(n // tn) AS BIGINT) AS rarity_sum
+          FROM t JOIN v USING (tok) CROSS JOIN s
+          GROUP BY t.doc_id, t.source)
+    SELECT doc_id, source, n_toks, rarity_sum,
+           (1000 * rarity_sum) // n_toks AS rarity_x1000
+    FROM p ORDER BY rarity_x1000 DESC, doc_id LIMIT 15
+    """,
+)
+def q_docs_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean inverse-unigram-frequency — the
+    transcendental-free stand-in for unigram log-perplexity (the
+    KenLM-style quality gate every pretraining pipeline runs):
+    rarity(tok) = N div count(tok) (corpus tokens over token count,
+    truncating integer division — identical on both engines), and a
+    document's score is the scaled integer mean of its occurrences'
+    rarities. Monotone in "how surprising is this document under the
+    corpus unigram model" without ln() (libm-dependent, see the BM25
+    idf note in ``queries_ext``). Readout: the 15 rarest documents —
+    the review queue a quality pipeline samples for gibberish.
+
+    Scale: one explode (map-only), one map-combinable vocabulary agg,
+    a 1-row total broadcast, one token-keyed join (at 100 TB the
+    vocabulary side is Zipf-bounded — broadcast it when it fits, else
+    this shuffle_hash pin), one per-doc agg, TakeOrderedAndProject.
+    BIGINT envelope: rarity_sum ≤ n_toks · N; past ~10^18 switch the
+    sum to DECIMAL(38,0) (same escape as ``docs_token_pmi_top``)."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    v = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tn"))
+    s = v.agg(F.sum("tn").cast("long").alias("n"))
+    p = (
+        t.join(v.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(s))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(F.expr("n div tn")).cast("long").alias("rarity_sum"),
+        )
+    )
+    return (
+        p.select(
+            "doc_id",
+            "source",
+            "n_toks",
+            "rarity_sum",
+            F.expr("(1000 * rarity_sum) div n_toks").alias("rarity_x1000"),
+        )
+        .orderBy(F.col("rarity_x1000").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# ===========================================================================
+# Concat-and-chunk sequence packing (GPT-style loader audit)
+# ===========================================================================
+_PACK_BLOCK = 512
+
+
+@_register(
+    "docs_concat_chunk_packing",
+    f"""
+    WITH n AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_toks
+               FROM (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w
+                     FROM documents)
+               WHERE len(w) > 0),
+    p AS (SELECT doc_id, source, n_toks,
+                 CAST(sum(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS endpos
+          FROM n),
+    b AS (SELECT source, n_toks,
+                 (endpos - n_toks) // {_PACK_BLOCK} AS fb,
+                 (endpos - 1) // {_PACK_BLOCK} AS lb
+          FROM p)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN lb > fb THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers,
+           CAST(max(lb - fb + 1) AS BIGINT) AS max_span_blocks,
+           CAST((1000 * sum(CASE WHEN lb > fb THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS crosser_permille
+    FROM b GROUP BY source
+    """,
+)
+def q_docs_concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing audit: documents are
+    concatenated in deterministic doc_id order and the token stream is
+    cut into fixed 512-token context blocks — the GPT-style loader
+    layout. Per source: how many documents cross a block boundary
+    (their loss sees a mid-document truncation), the worst span in
+    blocks, and the permille boundary rate — the packing-efficiency
+    numbers a pretraining run reports when choosing block size.
+
+    Scale: per-doc token counts are map-only; the global stream
+    position is ``operators/layout.global_prefix_sum`` — range
+    exchange, per-partition running sums, O(partitions) offsets — NOT
+    the single-task ``SUM() OVER (ORDER BY)`` window the oracle can
+    afford at gate scale. Everything after is a map-side block tag and
+    one agg. This is exactly the 100 TB shape: no global sort, no
+    permutation materialized."""
+    from ipeds_etl_spark.operators.layout import global_prefix_sum
+
+    d = _docs(spark, sf_dir)
+    n = d.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    p = global_prefix_sum(n, ["doc_id"], "n_toks", "endpos")
+    b = p.select(
+        "source",
+        "n_toks",
+        F.expr(f"(endpos - n_toks) div {_PACK_BLOCK}").alias("fb"),
+        F.expr(f"(endpos - 1) div {_PACK_BLOCK}").alias("lb"),
+    )
+    crosser = F.when(F.col("lb") > F.col("fb"), 1).otherwise(0)
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum(crosser).cast("long").alias("n_crossers"),
+        F.max(F.col("lb") - F.col("fb") + 1).cast("long").alias("max_span_blocks"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN lb > fb THEN 1 ELSE 0 END)) div count(*) "
+            "AS BIGINT)"
+        ).alias("crosser_permille"),
+    )
+
+
+# ===========================================================================
+# Crawl-order n-gram novelty (how much NEW content each source adds)
+# ===========================================================================
+@_register(
+    "docs_ngram_novelty",
+    f"""
+    WITH w AS (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id, source,
+                 CAST(concat('0x', substr(sha256(x), 1, 10)) AS BIGINT) AS h
+          FROM (SELECT doc_id, source, unnest({_SHINGLES.format(w='w')}) AS x
+                FROM w)),
+    f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST((1000 * sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novelty_permille
+    FROM g JOIN f USING (h)
+    GROUP BY source
+    """,
+)
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-order content novelty: a document's 3-gram shingle is
+    NOVEL if no earlier document (smaller doc_id = earlier in crawl
+    order) contains it. Per source: distinct doc-shingle incidences,
+    how many were first sightings, and the permille novelty rate — the
+    "is this crawl still adding new content or re-fetching the same
+    web" curve that decides when another dump is worth ingesting.
+
+    Scale: explode + per-shingle ``min(doc_id)`` is one map-combinable
+    agg; the join back is shingle-keyed with BOTH sides corpus-scaled,
+    so it is pinned ``shuffle_hash`` (the AQE compressed-bytes
+    broadcast trap, see SCALE.md). Shingles travel as 40-bit parity
+    hashes, never strings — 8 bytes/row on the wire."""
+    d = _docs(spark, sf_dir)
+    g = (
+        d.select("doc_id", "source", TX.shingles_of(TX.tokens(F.col("text")), 3).alias("gs"))
+        .select("doc_id", "source", F.explode("gs").alias("x"))
+        .select("doc_id", "source", parity_hash(F.col("x")).alias("h"))
+        .distinct()
+    )
+    f = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    return (
+        g.join(f.hint("shuffle_hash"), "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)) "
+                "div count(*) AS BIGINT)"
+            ).alias("novelty_permille"),
+        )
+    )
+
+
+# ===========================================================================
+# SemDeDup: within-cluster embedding near-dedup (Abbas et al. 2023)
+# ===========================================================================
+_SD_K = 8
+_SD_ROUNDS = 2
+_SD_DIM = 64
+#: cosine threshold τ as an exact rational τ² = _SD_T2_NUM / _SD_T2_DEN
+#: (0.64 = 0.8²) — the pair test is the cross-multiplied integer form,
+#: no sqrt, no float.
+_SD_T2_NUM = 64
+_SD_T2_DEN = 100
+
+_DOTI = (
+    "list_reduce(list_transform(range(len({a})), "
+    "i -> {a}[i+1] * {b}[i+1]), (x, y) -> x + y)"
+)
+_SQDIST_I = (
+    "list_sum(list_transform(range(len({a})), "
+    "i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])))"
+)
+
+
+def _semdedup_oracle(k: int = _SD_K, rounds: int = _SD_ROUNDS) -> str:
+    dist = _SQDIST_I.format(a="p.v", b="c.v")
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v "
+        f"FROM q ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS (
+      SELECT p.vec_id, p.v, c.cid, {dist} AS dist
+      FROM q p CROSS JOIN {prev} c
+      QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY {dist}, c.cid) = 1)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""c{r} AS (
+      SELECT cid, list(sv // cnt ORDER BY pos) AS v
+      FROM (
+        SELECT a.cid, t.i AS pos,
+               CAST(SUM(a.v[t.i + 1]) AS BIGINT) AS sv,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM a{r} a, range({_SD_DIM}) t(i)
+        GROUP BY a.cid, t.i)
+      GROUP BY cid)"""
+            )
+            prev = f"c{r}"
+    dot = _DOTI.format(a="x.v", b="y.v")
+    selfdot = _DOTI.format(a="v", b="v")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    nn AS (SELECT vec_id, CAST({selfdot} AS BIGINT) AS n2 FROM q),
+    pr AS (
+      SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+             CAST({dot} AS BIGINT) AS dp, na.n2 AS na2, nb.n2 AS nb2
+      FROM a{rounds} x JOIN a{rounds} y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN nn na ON na.vec_id = x.vec_id
+      JOIN nn nb ON nb.vec_id = y.vec_id),
+    dup AS (SELECT cid, id_a, id_b FROM pr
+            WHERE dp > 0
+              AND {_SD_T2_DEN} * dp * dp >= {_SD_T2_NUM} * na2 * nb2),
+    drops AS (SELECT cid, id_b FROM dup GROUP BY cid, id_b),
+    per AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(vec_id) AS BIGINT) AS id_sum
+            FROM a{rounds} GROUP BY cid),
+    dp2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dup_pairs FROM dup GROUP BY cid),
+    dr AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped,
+                  CAST(sum(id_b) AS BIGINT) AS drop_sum
+           FROM drops GROUP BY cid)
+    SELECT per.cid AS cluster_id, per.n_points,
+           COALESCE(dp2.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(dr.n_dropped, 0) AS n_dropped,
+           per.id_sum - COALESCE(dr.drop_sum, 0) AS kept_checksum
+    FROM per LEFT JOIN dp2 ON dp2.cid = per.cid
+             LEFT JOIN dr ON dr.cid = per.cid
+    ORDER BY cluster_id
+    """
+    )
+
+
+@_register("emb_semdedup", _semdedup_oracle())
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space and dropping, WITHIN each cluster, the larger id
+    of every pair whose cosine similarity reaches τ = 0.8 — the
+    pairwise search never leaves a cluster, which is the whole trick
+    (k scales with the corpus so clusters stay bounded; cross-cluster
+    pairs are by construction not near-dups). Engine-exact end to end:
+    the same TRUNC(x·1000) integer quantization, seeding, tie-breaks,
+    and truncating-div centroid updates as ``emb_kmeans_lloyd`` (2
+    rounds), and the cosine test is the cross-multiplied integer form
+    ``den·dot² ≥ num·|a|²·|b|² AND dot > 0`` — no sqrt, no float, so
+    the DuckDB oracle replays the full trajectory bit-for-bit.
+    Readout per cluster: size, qualifying pairs, dropped members, and
+    the kept-id checksum that pins the exact survivor set.
+
+    Scale: assignment is the map-side argmin against k broadcast
+    centroid literals (no shuffle of the corpus); the within-cluster
+    pair join is cid-keyed with both sides corpus-scaled — pinned
+    ``shuffle_hash`` — and per-cluster quadratic, bounded by keeping
+    clusters at the ~sqrt(n) size SemDeDup prescribes (at 100 TB: k
+    grows, this query's k=8 is the gate-scale setting). Norms are
+    computed once per point, not per pair. BIGINT envelope: with
+    |coord| ≤ ~10³ and dim 64, den·dot² ≤ ~4·10¹⁷ < 2⁶³."""
+    from ipeds_etl_spark.operators.coreset import quantize_vec
+
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            quantize_vec(F.col("embedding")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    seed_rows = pts.orderBy("vec_id").limit(_SD_K).collect()
+    centroids = [(cid, list(r["v"])) for cid, r in enumerate(seed_rows)]
+
+    def dist_to(center):
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in center])
+        diffs = F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    assigned = None
+    for rnd in range(1, _SD_ROUNDS + 1):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(dist_to(c).alias("dist"), F.lit(cid).alias("cid"))
+                    for cid, c in centroids
+                ]
+            )
+        )
+        assigned = pts.select("vec_id", "v", best["cid"].alias("cid"))
+        if rnd < _SD_ROUNDS:
+            sums = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum("x").cast("long").alias("sv"),
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for row in sums:
+                sv, cnt = int(row.sv), int(row.cnt)
+                # python // floors, SQL // truncates toward zero
+                by_cid.setdefault(row.cid, {})[row.pos] = (
+                    sv // cnt if sv >= 0 else -((-sv) // cnt)
+                )
+            centroids = [
+                (cid, [comps[p] for p in range(_SD_DIM)])
+                for cid, comps in sorted(by_cid.items())
+            ]
+
+    # materialize the final assignment ONCE: the pair stage consumes it
+    # from four branches (two join sides, sizes, norms) and each would
+    # otherwise re-evaluate the k×dim argmin expression per branch
+    # (sweep_r14 caught this at sf1: 479 s before, dominated by the
+    # recomputed assignment + an 8-key join doing ALL the work)
+    assigned = assigned.localCheckpoint()
+    n2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    # pair EXPANSION carries IDS ONLY (24-byte rows through the k-key
+    # cid join — at most k tasks, but trivially cheap); the expensive
+    # per-pair dot product runs AFTER the id-keyed re-attach joins,
+    # which spread the pairs across the full shuffle space (the
+    # emb_near_dups re-attach pattern, see SCALE.md)
+    ids = assigned.select("cid", "vec_id")
+    x, y = ids.alias("x"), ids.alias("y")
+    cand = x.join(
+        y.hint("shuffle_hash"),
+        (F.col("x.cid") == F.col("y.cid"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(
+        F.col("x.cid").alias("cid"),
+        F.col("x.vec_id").alias("id_a"),
+        F.col("y.vec_id").alias("id_b"),
+    )
+    side_a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), n2.alias("na2")
+    )
+    side_b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), n2.alias("nb2")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    pr = (
+        cand.join(side_a.hint("shuffle_hash"), "id_a")
+        .join(side_b.hint("shuffle_hash"), "id_b")
+        .select(
+            "cid", "id_a", "id_b",
+            dot.cast("long").alias("dp"),
+            "na2", "nb2",
+        )
+    )
+    dup = pr.filter(
+        (F.col("dp") > 0)
+        & (
+            F.lit(_SD_T2_DEN) * F.col("dp") * F.col("dp")
+            >= F.lit(_SD_T2_NUM) * F.col("na2") * F.col("nb2")
+        )
+    ).select("cid", "id_a", "id_b")
+    drops = dup.select("cid", "id_b").distinct()
+    per = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+    )
+    dp2 = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+    dr = drops.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped"),
+        F.sum("id_b").cast("long").alias("drop_sum"),
+    )
+    return (
+        per.join(dp2, "cid", "left")
+        .join(dr, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_points",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.col("id_sum") - F.coalesce("drop_sum", F.lit(0))
+            ).cast("long").alias("kept_checksum"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1045,10 +1045,15 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each stage is the production-shaped operator it audits —
     map-combinable token stats, one text-keyed agg, the pair-bounded
-    LSH components (survivor filter is two broadcast-able semi-joins
-    on the pair list), and the broadcast eval-set probe. Counts are
-    1-row frames; the funnel adds nothing beyond its constituent
-    passes."""
+    LSH components, and the broadcast eval-set probe (the eval set is
+    the ONE genuinely small side here). Counts are 1-row frames; the
+    funnel adds nothing beyond its constituent passes. Every join
+    where BOTH sides scale with the corpus (pairs ⋈ survivors,
+    survivors ⋈ components, shingles ⋈ survivors) is pinned
+    ``shuffle_hash``: the sf10 quad_r8 smoke caught AQE sizing the
+    survivor side from 30x-compressed shuffle bytes and electing a
+    driver-OOMing broadcast — the same defect class as
+    similarity.REATTACH and the LPA label join."""
     from ipeds_etl_spark.functions.hashing import parity_hash
     from ipeds_etl_spark.operators.components import dedup_clusters
 
@@ -1076,15 +1081,15 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     surv_pairs = (
-        lsh.join(s2.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .join(s2.withColumnRenamed("doc_id", "id_b"), "id_b")
+        lsh.join(s2.withColumnRenamed("doc_id", "id_a").hint("shuffle_hash"), "id_a")
+        .join(s2.withColumnRenamed("doc_id", "id_b").hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b")
     )
     comp = dedup_clusters(surv_pairs).select(
         F.col("id").alias("doc_id"), F.col("component_id").alias("lbl")
     )
     s3 = (
-        s2.join(comp, "doc_id", "left")
+        s2.join(comp.hint("shuffle_hash"), "doc_id", "left")
         .filter(F.col("lbl").isNull() | (F.col("lbl") == F.col("doc_id")))
         .select("doc_id")
         .localCheckpoint(eager=False)
@@ -1097,7 +1102,7 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = sh.filter(F.col("doc_id") < 20).select(F.col("h").alias("ev_h")).distinct()
     ov = (
-        sh.join(s3, "doc_id")
+        sh.join(s3.hint("shuffle_hash"), "doc_id")
         .join(F.broadcast(ev), sh["h"] == F.col("ev_h"), "left")
         .groupBy("doc_id")
         .agg(

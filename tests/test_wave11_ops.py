@@ -1,0 +1,129 @@
+"""Wave-11 semantics beyond the oracle twins: conservation laws and
+survivor invariants the value-hash compare can't articulate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_unigram_rarity_internal_consistency(spark):
+    """rarity_x1000 is exactly the scaled truncating mean, rows come
+    back rarest-first, and every row has tokens."""
+    from ipeds_etl_spark.queries_wave11 import q_docs_unigram_rarity
+
+    rows = q_docs_unigram_rarity(spark, SF).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.n_toks > 0
+        assert r.rarity_x1000 == (1000 * r.rarity_sum) // r.n_toks
+        if prev is not None:
+            assert (prev.rarity_x1000, -prev.doc_id) >= (
+                r.rarity_x1000,
+                -r.doc_id,
+            )
+        prev = r
+
+
+def test_concat_chunk_packing_conserves_tokens_and_matches_window(spark):
+    """Conservation: per-source token totals sum to the corpus token
+    count; equivalence: the distributed prefix-sum spelling matches a
+    plain single-window recomputation bit-for-bit at gate scale."""
+    from ipeds_etl_spark.functions import text as TX
+    from ipeds_etl_spark.queries_wave11 import (
+        _PACK_BLOCK,
+        q_docs_concat_chunk_packing,
+    )
+    from ipeds_etl_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    got = {r.source: r for r in q_docs_concat_chunk_packing(spark, SF).collect()}
+    assert got
+
+    d = load_table(spark, SF, "documents")
+    n = d.select(
+        "doc_id", "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_toks"),
+    ).filter(F.col("n_toks") > 0)
+    total = n.agg(F.sum("n_toks")).collect()[0][0]
+    assert sum(r.n_tokens for r in got.values()) == total
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    p = n.withColumn("endpos", F.sum("n_toks").over(w))
+    b = p.select(
+        "source", "n_toks",
+        F.expr(f"(endpos - n_toks) div {_PACK_BLOCK}").alias("fb"),
+        F.expr(f"(endpos - 1) div {_PACK_BLOCK}").alias("lb"),
+    )
+    want = {
+        r.source: r
+        for r in b.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("lb") > F.col("fb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_crossers"),
+            F.max(F.col("lb") - F.col("fb") + 1)
+            .cast("long")
+            .alias("max_span_blocks"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for src, g in got.items():
+        x = want[src]
+        assert (g.n_docs, g.n_tokens, g.n_crossers, g.max_span_blocks) == (
+            x.n_docs, x.n_tokens, x.n_crossers, x.max_span_blocks
+        )
+
+
+def test_ngram_novelty_conservation(spark):
+    """Each distinct shingle hash is novel exactly once (at its first
+    document), so sum(n_novel) == |distinct shingles| and
+    sum(n_shingles) == |distinct (doc, shingle)|."""
+    from ipeds_etl_spark.functions import text as TX
+    from ipeds_etl_spark.functions.hashing import parity_hash
+    from ipeds_etl_spark.queries_wave11 import q_docs_ngram_novelty
+    from ipeds_etl_spark.sources.tables import load_table
+
+    rows = q_docs_ngram_novelty(spark, SF).collect()
+    assert rows
+    d = load_table(spark, SF, "documents")
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(TX.shingles_of(TX.tokens(F.col("text")), 3)).alias("x"),
+        )
+        .select("doc_id", parity_hash(F.col("x")).alias("h"))
+        .distinct()
+    )
+    n_incidence = g.count()
+    n_distinct = g.select("h").distinct().count()
+    assert sum(r.n_shingles for r in rows) == n_incidence
+    assert sum(r.n_novel for r in rows) == n_distinct
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+
+
+def test_semdedup_survivor_invariants(spark):
+    """Cluster sizes partition the corpus; a cluster's smallest vec_id
+    is never dropped (it can only be id_a); zero-pair clusters keep
+    everything; the run is deterministic."""
+    from ipeds_etl_spark.queries_wave11 import q_emb_semdedup
+    from ipeds_etl_spark.sources.tables import load_table
+
+    rows = q_emb_semdedup(spark, SF).collect()
+    assert rows
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r.n_dropped <= max(r.n_points - 1, 0)
+        assert r.n_dropped <= r.n_dup_pairs
+        if r.n_dup_pairs == 0:
+            assert r.n_dropped == 0
+
+    again = q_emb_semdedup(spark, SF).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -242,6 +242,21 @@ SWEEP_R13 = [
     "supplier_ship_latency_percentiles",
 ]
 
+#: round-8: the wave-10 six (registered after the round-7 freeze —
+#: never sf1-smoked) plus the wave-11 four (round-8 additions)
+SWEEP_R14 = [
+    "docs_stratified_split_exact",
+    "docs_epoch_shuffle_blocks",
+    "docs_token_pmi_top",
+    "docs_vocab_growth",
+    "emb_sq8_distortion",
+    "docs_shared_span_profile",
+    "docs_unigram_rarity",
+    "docs_concat_chunk_packing",
+    "docs_ngram_novelty",
+    "emb_semdedup",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -576,6 +591,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R12, key="sweep_r12")
     if "sweep_r13" in sections:
         run_sweep(spark, results, names=SWEEP_R13, key="sweep_r13")
+    if "sweep_r14" in sections:
+        run_sweep(spark, results, names=SWEEP_R14, key="sweep_r14")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
