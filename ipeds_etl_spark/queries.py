@@ -653,6 +653,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_concat_chunk_packing",
     "docs_ngram_novelty",
     "emb_semdedup",
+    "docs_hybrid_rrf",
     # -- changed-implementation re-gates: the sf10 quad_r8 smoke led
     # to shuffle_hash pins inside connected_components and the
     # curation funnel this round; every consumer of those paths gets a
@@ -693,7 +694,6 @@ _GATE_PRIORITY: list[str] = [
     "count_star",
     "filter_between_topk",
     "filter_in_agg",
-    "filter_eq_sort",
     "text_token_stats",
     "text_quality",
     "text_lang_id",

@@ -12,7 +12,7 @@ its surface under the same oracle-twin discipline (COVERAGE.md §2.8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ipeds_etl_spark.functions import text as TX
@@ -464,4 +464,136 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("kept_checksum"),
         )
         .orderBy("cluster_id")
+    )
+
+
+# ===========================================================================
+# Hybrid retrieval: reciprocal-rank fusion of lexical + semantic rankings
+# ===========================================================================
+_RRF_K = 60
+_RRF_TOP = 5
+_COS_QC = (
+    "({d} / (sqrt({da}) * sqrt({db})))".format(
+        d="list_reduce(list_transform(range(len(q.embedding)), "
+          "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
+        da="list_reduce(list_transform(range(len(q.embedding)), "
+           "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
+        db="list_reduce(list_transform(range(len(c.embedding)), "
+           "i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
+    )
+)
+
+
+@_register(
+    "docs_hybrid_rrf",
+    f"""
+    WITH s AS (SELECT doc_id, list_distinct({_SHINGLES.format(w='w')}) AS sh
+               FROM (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w
+                     FROM documents)),
+    qy AS (SELECT doc_id AS query_id, sh AS qsh FROM s WHERE doc_id < 5),
+    lex AS (SELECT query_id, s.doc_id,
+                   CAST(len(list_intersect(qsh, s.sh)) AS BIGINT) AS lex_n
+            FROM qy, s WHERE s.doc_id <> query_id),
+    lr AS (SELECT query_id, doc_id, lex_n,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY lex_n DESC, doc_id) AS BIGINT) AS lex_rank
+           FROM lex),
+    sem AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id, {_COS_QC} AS cos
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    sr AS (SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+           FROM sem),
+    f AS (SELECT lr.query_id, lr.doc_id, lex_n, lex_rank, sem_rank,
+                 CAST((1000000 // ({_RRF_K} + lex_rank))
+                      + (1000000 // ({_RRF_K} + sem_rank)) AS BIGINT) AS rrf_x1e6
+          FROM lr JOIN sr ON sr.query_id = lr.query_id AND sr.doc_id = lr.doc_id)
+    SELECT * FROM (
+      SELECT query_id, doc_id, lex_n, lex_rank, sem_rank, rrf_x1e6,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS fused_rank
+      FROM f)
+    WHERE fused_rank <= {_RRF_TOP}
+    ORDER BY query_id, fused_rank
+    """,
+)
+def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): for each query document, a LEXICAL ranking (distinct shared
+    3-gram shingles, ties to the lower doc_id) and a SEMANTIC ranking
+    (embedding cosine, the ``emb_topk_bruteforce`` ordering) fuse as
+    rrf = Σ 1/(60 + rank) — here the exact scaled-integer form
+    ``10⁶ div (60 + rank)`` summed over both lists, so the fused
+    ordering is integer-exact cross-engine even though the cosine
+    itself is a double (only its RANK enters the fusion — the
+    float-robustness trick RRF is loved for in production RAG stacks).
+    Readout: top-5 fused per query with both constituent ranks.
+
+    Scale: gate-scale ranks are full (every candidate ranked per
+    query, 5 broadcast queries × corpus). At 100 TB each list comes
+    from its production shortlist — the ANN index (IVF/PQ, this repo)
+    for semantic, an inverted shingle index for lexical — and RRF
+    fuses shortlists of depth O(100); missing-from-one-list candidates
+    then take rank = list_depth + 1. The fusion itself is a per-query
+    window over O(shortlist) rows — metadata-sized however big the
+    corpus. Both cross joins here carry a 5-row broadcast side."""
+    from ipeds_etl_spark.operators.similarity import cosine
+
+    d = _docs(spark, sf_dir)
+    s = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles_of(TX.tokens(F.col("text")), 3)).alias("sh"),
+    )
+    qy = s.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
+    )
+    lex = (
+        F.broadcast(qy)
+        .crossJoin(s)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("qsh", "sh")).cast("long").alias("lex_n"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("lex_n").desc(), "doc_id")
+    lr = lex.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sem = (
+        F.broadcast(qe)
+        .crossJoin(e.select(F.col("vec_id").alias("doc_id"), "embedding"))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "doc_id")
+    sr = sem.withColumn("sem_rank", F.row_number().over(ws).cast("long")).select(
+        "query_id", "doc_id", "sem_rank"
+    )
+
+    f = lr.join(sr, ["query_id", "doc_id"]).select(
+        "query_id",
+        "doc_id",
+        "lex_n",
+        "lex_rank",
+        "sem_rank",
+        F.expr(
+            f"CAST((1000000 div ({_RRF_K} + lex_rank)) "
+            f"+ (1000000 div ({_RRF_K} + sem_rank)) AS BIGINT)"
+        ).alias("rrf_x1e6"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_x1e6").desc(), "doc_id")
+    return (
+        f.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .orderBy("query_id", "fused_rank")
     )

@@ -127,3 +127,29 @@ def test_semdedup_survivor_invariants(spark):
 
     again = q_emb_semdedup(spark, SF).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """Each query emits exactly the top-5 fused ranks 1..5; the fused
+    score is exactly 10^6 div (60+lex_rank) + 10^6 div (60+sem_rank);
+    fused ordering is monotone in the score with doc_id tiebreak; a doc
+    that is rank 1 on BOTH lists must be fused rank 1."""
+    from ipeds_etl_spark.queries_wave11 import _RRF_K, q_docs_hybrid_rrf
+
+    rows = q_docs_hybrid_rrf(spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert [r.fused_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == 5
+        for r in rs:
+            assert r.rrf_x1e6 == (10**6 // (_RRF_K + r.lex_rank)) + (
+                10**6 // (_RRF_K + r.sem_rank)
+            )
+        for a, b in zip(rs, rs[1:]):
+            assert (a.rrf_x1e6, -a.doc_id) >= (b.rrf_x1e6, -b.doc_id)
+        double_winner = [r for r in rs if r.lex_rank == 1 and r.sem_rank == 1]
+        if double_winner:
+            assert double_winner[0].fused_rank == 1
