@@ -654,6 +654,7 @@ _GATE_PRIORITY: list[str] = [
     "docs_ngram_novelty",
     "emb_semdedup",
     "docs_hybrid_rrf",
+    "docs_hard_negatives",
     # -- changed-implementation re-gates: the sf10 quad_r8 smoke led
     # to shuffle_hash pins inside connected_components and the
     # curation funnel this round; every consumer of those paths gets a
@@ -696,7 +697,6 @@ _GATE_PRIORITY: list[str] = [
     "filter_in_agg",
     "text_token_stats",
     "text_quality",
-    "text_lang_id",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_simhash",

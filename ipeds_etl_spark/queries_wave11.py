@@ -607,3 +607,95 @@ def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= _RRF_TOP)
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ===========================================================================
+# Hard-negative mining: semantically near, lexically disjoint
+# ===========================================================================
+_HN_TOP = 3
+_COS_QC2 = (
+    "({d} / (sqrt({da}) * sqrt({db})))".format(
+        d="list_reduce(list_transform(range(len(q.embedding)), "
+          "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
+        da="list_reduce(list_transform(range(len(q.embedding)), "
+           "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
+        db="list_reduce(list_transform(range(len(c.embedding)), "
+           "i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
+    )
+)
+
+
+@_register(
+    "docs_hard_negatives",
+    f"""
+    WITH s AS (SELECT doc_id, list_distinct({_SHINGLES.format(w='w')}) AS sh
+               FROM (SELECT doc_id, {_WS_TOKENS.format(x='text')} AS w
+                     FROM documents)),
+    j AS (SELECT s.doc_id, sh, embedding
+          FROM s JOIN embeddings e ON e.vec_id = s.doc_id),
+    qy AS (SELECT doc_id AS query_id, sh AS qsh, embedding AS qv
+           FROM j WHERE doc_id < 5),
+    hn AS (SELECT query_id, c.doc_id AS neighbor_id,
+                  ({_COS_QC2.replace("q.embedding", "qv")}) AS cos_sim
+           FROM qy q, j c
+           WHERE c.doc_id <> q.query_id
+             AND len(list_intersect(q.qsh, c.sh)) = 0)
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS hn_rank
+      FROM hn)
+    WHERE hn_rank <= {_HN_TOP}
+    ORDER BY query_id, hn_rank
+    """,
+)
+def q_docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each query document, the top-3 candidates by embedding cosine
+    among documents that share ZERO 3-gram shingles with it —
+    semantically near but lexically disjoint, exactly the negatives
+    that teach a bi-encoder something (an easy random negative is
+    lexically unrelated AND semantically far; a false negative shares
+    surface text). The lexical-disjointness gate runs FIRST so the
+    cosine ranking never sees surface-overlapping candidates.
+
+    Scale: the query side (here 5 rows, production O(10k) anchor
+    batch) broadcasts with its shingle sets and vectors; candidates
+    stream map-only through the disjointness test + cosine — one scan,
+    no shuffle except the per-query top-k. At 100 TB the cosine leg
+    comes from the ANN shortlist (IVF/PQ, this repo) and the shingle
+    gate applies to the O(shortlist) survivors; the full-scan form
+    here is the gate-scale gold standard of that funnel."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = _docs(spark, sf_dir)
+    s = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles_of(TX.tokens(F.col("text")), 3)).alias("sh"),
+    )
+    j = s.join(e, s.doc_id == e.vec_id).select("doc_id", "sh", "embedding")
+    qy = j.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("sh").alias("qsh"),
+        F.col("embedding").alias("qv"),
+    )
+    from ipeds_etl_spark.operators.similarity import cosine
+
+    hn = (
+        F.broadcast(qy)
+        .crossJoin(j)
+        .filter(
+            (F.col("doc_id") != F.col("query_id"))
+            & (F.size(F.array_intersect("qsh", "sh")) == 0)
+        )
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        hn.withColumn("hn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hn_rank") <= _HN_TOP)
+        .orderBy("query_id", "hn_rank")
+    )

