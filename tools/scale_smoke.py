@@ -257,6 +257,15 @@ SWEEP_R14 = [
     "emb_semdedup",
 ]
 
+#: round-8 late wave: retrieval fusion + contrastive negative mining —
+#: both are broadcast-anchor × corpus scans; the smoke checks the
+#: anchor-side broadcast survives a 10× corpus and the per-anchor
+#: rank windows stay partition-parallel
+SWEEP_R15 = [
+    "docs_hybrid_rrf",
+    "docs_hard_negatives",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -593,6 +602,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R13, key="sweep_r13")
     if "sweep_r14" in sections:
         run_sweep(spark, results, names=SWEEP_R14, key="sweep_r14")
+    if "sweep_r15" in sections:
+        run_sweep(spark, results, names=SWEEP_R15, key="sweep_r15")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
