@@ -590,7 +590,10 @@ def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "sem_rank"
     )
 
-    f = lr.join(sr, ["query_id", "doc_id"]).select(
+    # Both ranked lists scale with the corpus (anchors × candidates):
+    # pin shuffle_hash so AQE's compressed-bytes estimate can never
+    # elect a driver-OOMing broadcast of either side (SCALE.md trap).
+    f = lr.join(sr.hint("shuffle_hash"), ["query_id", "doc_id"]).select(
         "query_id",
         "doc_id",
         "lex_n",
@@ -613,16 +616,6 @@ def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hard-negative mining: semantically near, lexically disjoint
 # ===========================================================================
 _HN_TOP = 3
-_COS_QC2 = (
-    "({d} / (sqrt({da}) * sqrt({db})))".format(
-        d="list_reduce(list_transform(range(len(q.embedding)), "
-          "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
-        da="list_reduce(list_transform(range(len(q.embedding)), "
-           "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
-        db="list_reduce(list_transform(range(len(c.embedding)), "
-           "i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)), (x, y) -> x + y)",
-    )
-)
 
 
 @_register(
@@ -636,7 +629,7 @@ _COS_QC2 = (
     qy AS (SELECT doc_id AS query_id, sh AS qsh, embedding AS qv
            FROM j WHERE doc_id < 5),
     hn AS (SELECT query_id, c.doc_id AS neighbor_id,
-                  ({_COS_QC2.replace("q.embedding", "qv")}) AS cos_sim
+                  ({_COS_QC.replace("q.embedding", "qv")}) AS cos_sim
            FROM qy q, j c
            WHERE c.doc_id <> q.query_id
              AND len(list_intersect(q.qsh, c.sh)) = 0)
@@ -672,7 +665,10 @@ def q_docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(TX.shingles_of(TX.tokens(F.col("text")), 3)).alias("sh"),
     )
-    j = s.join(e, s.doc_id == e.vec_id).select("doc_id", "sh", "embedding")
+    # Shingle sets ⋈ vectors: both sides corpus-scaled → pinned.
+    j = s.join(e.hint("shuffle_hash"), s.doc_id == e.vec_id).select(
+        "doc_id", "sh", "embedding"
+    )
     qy = j.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"),
         F.col("sh").alias("qsh"),
