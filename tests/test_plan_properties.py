@@ -108,6 +108,11 @@ EXPECTATIONS = {
     "customers_returned_revenue_top": (1, 3, 0),
     "top_supplier_by_revenue": (4, 1, 0),
     "parts_cheapest_supplier": (4, 3, 0),
+    # round-8 late wave: anchor batches broadcast (the 5-row side),
+    # anchor-side scans filter-pushed (doc_id/vec_id < 5), fusion /
+    # re-attach joins pinned shuffle_hash (never SMJ), zero Python
+    "docs_hybrid_rrf": (8, 2, 0),
+    "docs_hard_negatives": (8, 1, 0),
 }
 
 
