@@ -655,6 +655,7 @@ _GATE_PRIORITY: list[str] = [
     "emb_semdedup",
     "docs_hybrid_rrf",
     "docs_hard_negatives",
+    "emb_mrl_funnel_recall",
     # -- changed-implementation re-gates: the sf10 quad_r8 smoke led
     # to shuffle_hash pins inside connected_components and the
     # curation funnel this round; every consumer of those paths gets a
@@ -700,7 +701,6 @@ _GATE_PRIORITY: list[str] = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "orders_snapshot_diff",
     "emb_topk_bruteforce",
     "emb_near_dups",

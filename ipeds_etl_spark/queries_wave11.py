@@ -695,3 +695,141 @@ def q_docs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hn_rank") <= _HN_TOP)
         .orderBy("query_id", "hn_rank")
     )
+
+
+# ===========================================================================
+# Matryoshka funnel retrieval: prefix-dim shortlist -> full-dim rerank
+# ===========================================================================
+_MRL_DIM = 16
+_MRL_SHORTLIST = 50
+_MRL_K = 10
+
+
+def _cos16(a: str, b: str) -> str:
+    from ipeds_etl_spark.queries_ext import _cos_sql
+
+    return _cos_sql(a, b)
+
+
+@_register(
+    "emb_mrl_funnel_recall",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, embedding[1:{_MRL_DIM}] AS emb16
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, emb16 AS q16
+          FROM e WHERE vec_id < 5),
+    p AS (SELECT query_id, c.vec_id AS cand_id,
+                 {_cos16('q.qv', 'c.embedding')} AS cos64,
+                 {_cos16('q.q16', 'c.emb16')} AS cos16
+          FROM q, e c WHERE c.vec_id <> q.query_id),
+    r AS (SELECT query_id, cand_id, cos64, cos16,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos64 DESC, cand_id) AS exact_rank,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos16 DESC, cand_id) AS coarse_rank
+          FROM p),
+    f AS (SELECT query_id, cand_id, exact_rank,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos64 DESC, cand_id) AS funnel_rank
+          FROM r WHERE coarse_rank <= {_MRL_SHORTLIST})
+    SELECT r.query_id,
+           CAST({_MRL_K} AS BIGINT) AS k,
+           CAST(sum(CASE WHEN f.funnel_rank <= {_MRL_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_funnel_hits,
+           CAST(sum(CASE WHEN r.coarse_rank <= {_MRL_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_direct_hits,
+           CAST((1000 * sum(CASE WHEN f.funnel_rank <= {_MRL_K} THEN 1 ELSE 0 END))
+                // {_MRL_K} AS BIGINT) AS funnel_recall_permille,
+           CAST((1000 * sum(CASE WHEN r.coarse_rank <= {_MRL_K} THEN 1 ELSE 0 END))
+                // {_MRL_K} AS BIGINT) AS direct_recall_permille
+    FROM r LEFT JOIN f ON f.query_id = r.query_id AND f.cand_id = r.cand_id
+    WHERE r.exact_rank <= {_MRL_K}
+    GROUP BY r.query_id
+    ORDER BY r.query_id
+    """,
+)
+def q_emb_mrl_funnel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) funnel retrieval audit:
+    stage 1 ranks candidates by cosine over the FIRST 16 dimensions of
+    the same embedding (the truncation trick MRL-trained encoders are
+    shipped for), keeps a 50-deep shortlist; stage 2 reranks the
+    shortlist with the full 64-dim cosine. Per anchor: recall@10 of
+    the funnel vs the exact full-dim top-10, alongside the recall of
+    using the 16-dim ranking DIRECTLY — the gap between the two
+    columns is the measured value of the rerank stage, the number that
+    decides the shortlist depth in production.
+
+    Scale: ONE broadcast-anchor corpus scan computes both cosines per
+    pair (the prefix dot product is not even a separate pass); ranks
+    are per-anchor windows. At 100 TB stage 1 is served by an ANN
+    index over the 16-dim prefixes (4× smaller index than full-dim —
+    the entire point of MRL) and stage 2 touches O(shortlist) rows per
+    anchor; this full-scan form is the gold standard that CALIBRATES
+    that index (same contract as ``emb_pq_rerank_recall``). Float
+    discipline: both cosines are the op-order-pinned fold; only RANKS
+    and integer hit counts cross into the result."""
+    from ipeds_etl_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.slice("embedding", 1, _MRL_DIM).alias("emb16")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("emb16").alias("q16"),
+    )
+    p = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cos64"),
+            cosine(F.col("q16"), F.col("emb16")).alias("cos16"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("cos64").desc(), "cand_id")
+    wc = Window.partitionBy("query_id").orderBy(F.col("cos16").desc(), "cand_id")
+    r = p.withColumn("exact_rank", F.row_number().over(we)).withColumn(
+        "coarse_rank", F.row_number().over(wc)
+    )
+    # Conditional-sort trick: ranking shortlist members FIRST, then by
+    # cos64, makes row_number equal the within-shortlist rerank rank —
+    # no self-join, so the corpus pipeline (scan + both cosines + both
+    # rank windows) runs exactly ONCE. All three windows share one
+    # query_id exchange; only the sort key differs.
+    wf = Window.partitionBy("query_id").orderBy(
+        (F.col("coarse_rank") > _MRL_SHORTLIST).asc(),
+        F.col("cos64").desc(),
+        "cand_id",
+    )
+    r = r.withColumn(
+        "funnel_rank",
+        F.when(
+            F.col("coarse_rank") <= _MRL_SHORTLIST, F.row_number().over(wf)
+        ),
+    )
+    hits = (
+        r.filter(F.col("exact_rank") <= _MRL_K)
+        .groupBy("query_id")
+        .agg(
+            F.lit(_MRL_K).cast("long").alias("k"),
+            F.sum(
+                F.when(F.col("funnel_rank") <= _MRL_K, 1).otherwise(0)
+            ).cast("long").alias("n_funnel_hits"),
+            F.sum(
+                F.when(F.col("coarse_rank") <= _MRL_K, 1).otherwise(0)
+            ).cast("long").alias("n_direct_hits"),
+            F.expr(
+                f"CAST((1000 * sum(CASE WHEN funnel_rank <= {_MRL_K} THEN 1 ELSE 0 END)) "
+                f"div {_MRL_K} AS BIGINT)"
+            ).alias("funnel_recall_permille"),
+            F.expr(
+                f"CAST((1000 * sum(CASE WHEN coarse_rank <= {_MRL_K} THEN 1 ELSE 0 END)) "
+                f"div {_MRL_K} AS BIGINT)"
+            ).alias("direct_recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+    return hits

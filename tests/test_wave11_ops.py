@@ -183,3 +183,21 @@ def test_hard_negatives_lexical_disjointness(spark):
             assert not (sh[qid] & sh[r.neighbor_id]), (qid, r.neighbor_id)
         for a, b in zip(rs, rs[1:]):
             assert (a.cos_sim, -a.neighbor_id) >= (b.cos_sim, -b.neighbor_id)
+
+
+def test_mrl_funnel_recall_invariants(spark):
+    """Funnel recall can never be below direct recall (the rerank can
+    only fix prefix-ranking mistakes among the shortlist, and the
+    shortlist contains the direct top-10 by construction); hits are
+    bounded by k; recall permille is exactly 1000*hits div k; one row
+    per anchor."""
+    from ipeds_etl_spark.queries_wave11 import _MRL_K, q_emb_mrl_funnel_recall
+
+    rows = q_emb_mrl_funnel_recall(spark, SF).collect()
+    assert len(rows) == 5
+    assert [r.query_id for r in rows] == sorted(r.query_id for r in rows)
+    for r in rows:
+        assert r.k == _MRL_K
+        assert 0 <= r.n_direct_hits <= r.n_funnel_hits <= _MRL_K
+        assert r.funnel_recall_permille == (1000 * r.n_funnel_hits) // _MRL_K
+        assert r.direct_recall_permille == (1000 * r.n_direct_hits) // _MRL_K
