@@ -100,6 +100,20 @@ def _latest_manifest(
     return int(pick[1:-5]), doc["partitions"], doc.get("meta", {})
 
 
+def latest_version(spark: SparkSession, table_path: str) -> int:
+    """Current committed version number (0 for an empty/new table).
+
+    Public pin-point for multi-read consistency: a caller that needs
+    the manifest AND the data of "latest" must resolve the version
+    number ONCE here and pass it explicitly to both
+    :func:`read_manifest` and :func:`read_table` — two separate
+    ``version=None`` reads each re-list the directory, and a commit
+    landing between them makes the pair internally inconsistent
+    (the same-listing discipline :func:`_latest_manifest` mandates
+    for commits, applied to readers)."""
+    return _latest_manifest(spark, table_path)[0]
+
+
 def read_manifest(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict[str, str]:

@@ -231,11 +231,25 @@ def refresh_gold_from_txn_diff(
     Deletes are rejected: the upsert merge path never deletes, and
     ``institutions_latest`` has no retraction rule for a disappeared
     latest row (a delete-capable feed needs the full-rebuild path).
+    Schema-changing commits (columns added or dropped between the two
+    versions) are also rejected toward ``rebuild_gold``: the gold fold
+    has no rule for back-filling a new column into pre-images.
+
+    Returns the per-view row counts plus ``refreshed_to_version`` — the
+    resolved ``v_to`` — so callers can checkpoint it as the next run's
+    ``v_from``.
     """
     from ipeds_etl_spark.operators import txn
     from ipeds_etl_spark.operators.cdc import snapshot_diff
 
     core_path = f"{warehouse}/core/{endpoint}"
+    if v_to is None:
+        # pin "latest" ONCE: resolving it separately in read_manifest
+        # and read_table below would race a concurrent commit — the
+        # changed-partition set (manifest A) would then disagree with
+        # the data actually diffed (manifest B), silently excluding
+        # the concurrent commit's partitions from the refresh
+        v_to = txn.latest_version(spark, core_path)
     man_from = txn.read_manifest(spark, core_path, version=v_from)
     man_to = txn.read_manifest(spark, core_path, version=v_to)
     changed_entries = sorted(
@@ -254,10 +268,12 @@ def refresh_gold_from_txn_diff(
         "yearly_counts": f"{warehouse}/vw/{endpoint}_yearly_counts",
     }
     if not changed_entries:
-        return {
+        out = {
             name: spark.read.parquet(path).count()
             for name, path in out_paths.items()
         }
+        out["refreshed_to_version"] = v_to
+        return out
     changed_vals = [e.split("=", 1)[1] for e in changed_entries]
     ep = registry.get_endpoint(endpoint)
     cast_t = registry.struct_type(endpoint)[partition_col].dataType
@@ -268,8 +284,23 @@ def refresh_gold_from_txn_diff(
     # so this filter is partition pruning over the touched slice only
     old = txn.read_table(spark, core_path, version=v_from).filter(part_filter)
     new = txn.read_table(spark, core_path, version=v_to).filter(part_filter)
+    if set(old.columns) != set(new.columns):
+        # read_table tolerates cross-generation schema evolution
+        # (unionByName null-fill), but the gold fold cannot: a column
+        # added between the versions has no old_<c> pre-image, and
+        # selecting it from the v_from snapshot would raise anyway
+        raise ValueError(
+            "schema changed between versions "
+            f"(only in v{v_from}: {sorted(set(old.columns) - set(new.columns))}, "
+            f"only in v{v_to}: {sorted(set(new.columns) - set(old.columns))}) — "
+            "schema-changing commits require rebuild_gold"
+        )
     cols = [c for c in new.columns if c not in ep.pk]
     diff = snapshot_diff(old, new, pk=list(ep.pk), compare_cols=cols)
+    # one materialization shared by the delete guard, delta, and
+    # pre_images — without it each of the three re-executes the
+    # full-outer snapshot diff (touched partitions scanned 3×)
+    diff = diff.localCheckpoint(eager=True)
     if diff.filter(F.col("change_type") == "delete").limit(1).count():
         raise ValueError(
             "row deletes found in the snapshot diff — the incremental "
@@ -282,9 +313,11 @@ def refresh_gold_from_txn_diff(
         diff.filter(F.col("change_type") == "update")
         .select(*ep.pk, *[F.col(f"old_{c}").alias(c) for c in cols])
     )
-    return refresh_gold_incremental(
+    out = refresh_gold_incremental(
         spark, endpoint, warehouse, delta, pre_images=pre_images
     )
+    out["refreshed_to_version"] = v_to
+    return out
 
 
 def _sized_coalesce(df: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:

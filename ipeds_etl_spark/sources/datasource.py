@@ -187,6 +187,9 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
         self._r = PaginatedJsonReader(options)
         # misconfiguration warnings fire once per year, not per poll
         self._warned_years: set[int] = set()
+        # live-year hold warnings fire once per (year, page), not per
+        # poll — a permanently missing page > 1 must leave a log signal
+        self._warned_holds: set[tuple[int, int]] = set()
 
     def initialOffset(self) -> dict:
         return {"year": self._r.year_start, "page": 1}
@@ -252,6 +255,24 @@ class PaginatedJsonStreamReader(SimpleDataSourceStreamReader):
                     # next poll retries the same page; only the
                     # server's own no-`next` terminator rolls the live
                     # year over.
+                    if page > 1 and (year, page) not in self._warned_holds:
+                        # the once-per-year "no page 1" warning above
+                        # never covers this hold (it fires only for
+                        # years before the live one), so a server that
+                        # advertised `next` and then truncated the
+                        # chain would stall ingestion with no log
+                        # signal at all (ADVICE r8) — warn once per
+                        # held (year, page)
+                        self._warned_holds.add((year, page))
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            f"paginated_json stream: holding offset at "
+                            f"year {year} page {page} — predecessor "
+                            "advertised `next` but the page is missing; "
+                            "retrying every poll until it appears or "
+                            "the year terminates"
+                        )
                     break
                 # year exhausted (404 / missing file): roll over
                 year, page = year + 1, 1

@@ -378,3 +378,67 @@ def test_stream_live_year_holds_offset_and_picks_up_late_publication(
         import shutil
 
         shutil.rmtree(d)  # fixture is module-scoped: leave it as found
+
+
+def test_stream_live_year_truncated_chain_warns_once(
+    spark, fixture_api, tmp_path
+):
+    """ADVICE r8: a live-year page > 1 that goes missing AFTER its
+    predecessor advertised `next` (server truncated the chain) holds
+    the offset — correct — but must also leave a log signal, exactly
+    once per held (year, page), so a permanently stuck stream is
+    observable; log volume stays flat across polls."""
+    import json as _json
+    import logging
+    import os
+    import shutil
+
+    from ipeds_etl_spark.sources.datasource import PaginatedJsonStreamReader
+
+    d = os.path.join(fixture_api, "2023")
+    os.makedirs(d, exist_ok=True)
+    # page 1 advertises next, but page 2 is never published
+    with open(os.path.join(d, "page1.json"), "w") as f:
+        _json.dump(
+            {"results": [{"unitid": 1, "year": 2023}], "next": "?page=2"}, f
+        )
+    msgs = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            msgs.append(record.getMessage())
+
+    h = Capture()
+    log = logging.getLogger("ipeds_etl_spark.sources.datasource")
+    log.addHandler(h)
+    try:
+        r = PaginatedJsonStreamReader(
+            {
+                "base_url": f"file://{fixture_api}",
+                "year_start": "2023",
+                "year_end": "2023",
+            }
+        )
+        rows, off = r.read(r.initialOffset())
+        assert [(x[0], x[1]) for x in list(rows)] == [(2023, 1)]
+        assert off == {"year": 2023, "page": 2}  # held, not rolled over
+        held = [m for m in msgs if "holding offset" in m]
+        assert len(held) == 1 and "page 2" in held[0]
+
+        # repeated caught-up polls: offset still held, NO warning storm
+        for _ in range(3):
+            rows2, off2 = r.read(off)
+            assert list(rows2) == [] and off2 == off
+        assert sum("holding offset" in m for m in msgs) == 1
+
+        # the page finally publishes: stream resumes, year terminates
+        with open(os.path.join(d, "page2.json"), "w") as f:
+            _json.dump(
+                {"results": [{"unitid": 2, "year": 2023}], "next": None}, f
+            )
+        rows3, off3 = r.read(off)
+        assert [(x[0], x[1]) for x in list(rows3)] == [(2023, 2)]
+        assert off3 == {"year": 2024, "page": 1}
+    finally:
+        log.removeHandler(h)
+        shutil.rmtree(d)  # fixture is module-scoped: leave it as found

@@ -199,10 +199,13 @@ def test_config_endpoint_flatten_symmetry(spark, tmp_path):
 
     cfg = tmp_path / "endpoints.json"
     cfg.write_text(_json.dumps(GRAD_CONFIG))
-    loaded = registry.load_endpoints_config(str(cfg))
-    assert set(loaded) == {"graduation"}
-    assert "graduation" in registry.list_endpoints()
+    # registration inside the try: if any assert below fails, the
+    # finally still unregisters, keeping the global registry pristine
+    # for later tests in the same session (ADVICE r8)
     try:
+        loaded = registry.load_endpoints_config(str(cfg))
+        assert set(loaded) == {"graduation"}
+        assert "graduation" in registry.list_endpoints()
         # --- flatten-in-engine: raw pages -> explode payload JSON ->
         # registry mapper -> core table (the E2/pipeline path) ---
         wh = str(tmp_path / "wh")

@@ -769,6 +769,9 @@ def test_refresh_gold_from_txn_diff_matches_rebuild(spark, tmp_path):
 
     inc = pipeline.refresh_gold_from_txn_diff(spark, "directory", wh, v_from=v1)
     assert inc["institutions_latest"] == 4
+    # the resolved "latest" is returned so callers can checkpoint it as
+    # the next v_from (and is pinned ONCE internally — ADVICE r8 TOCTOU)
+    assert inc["refreshed_to_version"] == txn.latest_version(spark, core_path)
 
     # ground truth: full rebuild from the same (manifest-resolved) core
     wh2 = str(tmp_path / "wh2")
@@ -808,4 +811,30 @@ def test_refresh_gold_from_txn_diff_rejects_deletes(spark, tmp_path):
         core_path,
     )
     with pytest.raises(ValueError, match="delete"):
+        pipeline.refresh_gold_from_txn_diff(spark, "directory", wh, v_from=v1)
+
+
+def test_refresh_gold_from_txn_diff_rejects_schema_change(spark, tmp_path):
+    """A commit that added a column between the versions must be
+    refused toward rebuild_gold (ADVICE r8): snapshot_diff has no
+    old_<c> pre-image for the new column, and silently comparing only
+    shared columns would let its values bypass the gold fold."""
+    from ipeds_etl_spark import pipeline
+
+    wh = str(tmp_path / "wh")
+    core_path = f"{wh}/core/directory"
+    base = spark.createDataFrame(
+        [(1, 2020, "A", "CA")],
+        "unitid int, year int, inst_name string, state_abbr string",
+    )
+    txn.upsert_into_txn_table(spark, core_path, base, ["unitid", "year"])
+    v1 = txn._latest_manifest(spark, core_path)[0]
+    pipeline.rebuild_gold(spark, "directory", wh)
+    # evolved commit: same rows plus a brand-new column
+    evolved = spark.createDataFrame(
+        [(1, 2020, "A2", "CA", "www.a.edu")],
+        "unitid int, year int, inst_name string, state_abbr string, website string",
+    )
+    txn.commit_overwrite_partitions(spark, evolved, core_path)
+    with pytest.raises(ValueError, match="schema changed.*rebuild_gold"):
         pipeline.refresh_gold_from_txn_diff(spark, "directory", wh, v_from=v1)
