@@ -237,6 +237,14 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SD_K = 8
 _SD_ROUNDS = 2
 _SD_DIM = 64
+#: per-cluster examination cap (VERDICT r8 stretch): the within-cluster
+#: pair search examines only the ``cap`` smallest vec_ids of a cluster;
+#: members beyond it are KEPT unexamined and counted in ``n_overflow``
+#: (non-zero ⇒ that cluster's dedup is partial ⇒ raise k). Turns a
+#: degenerate mega-cluster from a silent n² job into a loud audit row.
+#: 10k (the shared ``pairs_within_buckets`` default) never binds at any
+#: gate/smoke scale — clusters are ~n/k ≤ ~350 even at sf10 k=√n.
+_SD_CLUSTER_CAP = 10_000
 #: cosine threshold τ as an exact rational τ² = _SD_T2_NUM / _SD_T2_DEN
 #: (0.64 = 0.8²) — the pair test is the cross-multiplied integer form,
 #: no sqrt, no float.
@@ -253,7 +261,9 @@ _SQDIST_I = (
 )
 
 
-def _semdedup_oracle(k: int = _SD_K, rounds: int = _SD_ROUNDS) -> str:
+def _semdedup_oracle(
+    k: int = _SD_K, rounds: int = _SD_ROUNDS, cap: int = _SD_CLUSTER_CAP
+) -> str:
     dist = _SQDIST_I.format(a="p.v", b="c.v")
     ctes = [
         "q AS (SELECT vec_id, list_transform(embedding, "
@@ -291,11 +301,15 @@ def _semdedup_oracle(k: int = _SD_K, rounds: int = _SD_ROUNDS) -> str:
         + ",\n    ".join(ctes)
         + f""",
     nn AS (SELECT vec_id, CAST({selfdot} AS BIGINT) AS n2 FROM q),
+    am AS (SELECT vec_id, v, cid,
+                  row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+           FROM a{rounds}),
     pr AS (
       SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
              CAST({dot} AS BIGINT) AS dp, na.n2 AS na2, nb.n2 AS nb2
-      FROM a{rounds} x JOIN a{rounds} y
+      FROM am x JOIN am y
         ON x.cid = y.cid AND x.vec_id < y.vec_id
+       AND x.rn <= {cap} AND y.rn <= {cap}
       JOIN nn na ON na.vec_id = x.vec_id
       JOIN nn nb ON nb.vec_id = y.vec_id),
     dup AS (SELECT cid, id_a, id_b FROM pr
@@ -312,6 +326,7 @@ def _semdedup_oracle(k: int = _SD_K, rounds: int = _SD_ROUNDS) -> str:
     SELECT per.cid AS cluster_id, per.n_points,
            COALESCE(dp2.n_dup_pairs, 0) AS n_dup_pairs,
            COALESCE(dr.n_dropped, 0) AS n_dropped,
+           GREATEST(per.n_points - {cap}, CAST(0 AS BIGINT)) AS n_overflow,
            per.id_sum - COALESCE(dr.drop_sum, 0) AS kept_checksum
     FROM per LEFT JOIN dp2 ON dp2.cid = per.cid
              LEFT JOIN dr ON dr.cid = per.cid
@@ -333,18 +348,54 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds), and the cosine test is the cross-multiplied integer form
     ``den·dot² ≥ num·|a|²·|b|² AND dot > 0`` — no sqrt, no float, so
     the DuckDB oracle replays the full trajectory bit-for-bit.
-    Readout per cluster: size, qualifying pairs, dropped members, and
-    the kept-id checksum that pins the exact survivor set.
+    Readout per cluster: size, qualifying pairs, dropped members, the
+    examination-cap overflow, and the kept-id checksum that pins the
+    exact survivor set.
 
-    Scale: assignment is the map-side argmin against k broadcast
-    centroid literals (no shuffle of the corpus); the within-cluster
-    pair join is cid-keyed with both sides corpus-scaled — pinned
-    ``shuffle_hash`` — and per-cluster quadratic, bounded by keeping
-    clusters at the ~sqrt(n) size SemDeDup prescribes (at 100 TB: k
-    grows, this query's k=8 is the gate-scale setting). Norms are
-    computed once per point, not per pair. BIGINT envelope: with
-    |coord| ≤ ~10³ and dim 64, den·dot² ≤ ~4·10¹⁷ < 2⁶³."""
+    Gate-scale instance of :func:`semdedup_report` (k=8; at 100 TB k
+    grows ~√n per the paper — the sf10 screen in SCALE.md runs
+    k=√n=350 through the same code's broadcast-join assignment path).
+    """
+    return semdedup_report(spark, sf_dir)
+
+
+#: above this k the argmin expression tree (k·dim literals) stops being
+#: a sane codegen unit; assignment switches to the broadcast-join form
+_SD_LITERAL_K_MAX = 32
+
+
+def semdedup_report(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _SD_K,
+    rounds: int = _SD_ROUNDS,
+    cluster_cap: int = _SD_CLUSTER_CAP,
+) -> DataFrame:
+    """Parameterized SemDeDup core (see ``q_emb_semdedup`` for
+    semantics). Two scale guards beyond the registered gate instance:
+
+    * **Assignment strategy by k**: k ≤ 32 uses the map-side argmin
+      over k centroid LITERALS (pure codegen, corpus never shuffles);
+      larger k switches to a broadcast of the k-row centroid frame,
+      per-(point, centroid) distances, and a map-combinable
+      ``min(struct(dist, cid))`` — same tie-break (lower cid), same
+      integers, but the expression tree stays O(dim) instead of
+      O(k·dim). The point set crosses the wire once per round (partial
+      aggregation collapses it to one row per point pre-shuffle).
+    * **Per-cluster examination cap** (VERDICT r8 stretch): the pair
+      expansion goes through ``pairs_within_buckets(cap_mode='window')``
+      — the rank-capped in-bucket expansion — so ONE degenerate
+      mega-cluster costs at most cap² pairs and surfaces as a non-zero
+      ``n_overflow`` audit column (members beyond the cap are KEPT
+      unexamined), instead of silently burning an n² job. The cap
+      keeps the agg buffer itself bounded, not just the expansion.
+
+    Norms are computed once per point, not per pair; the expensive
+    dot products run after the id-keyed ``shuffle_hash`` re-attach
+    spreads pairs across the full shuffle space. BIGINT envelope:
+    |coord| ≤ ~10³, dim 64 ⇒ den·dot² ≤ ~4·10¹⁷ < 2⁶³."""
     from ipeds_etl_spark.operators.coreset import quantize_vec
+    from ipeds_etl_spark.operators.dedup import pairs_within_buckets
 
     pts = (
         load_table(spark, sf_dir, "embeddings")
@@ -354,7 +405,7 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    seed_rows = pts.orderBy("vec_id").limit(_SD_K).collect()
+    seed_rows = pts.orderBy("vec_id").limit(k).collect()
     centroids = [(cid, list(r["v"])) for cid, r in enumerate(seed_rows)]
 
     def dist_to(center):
@@ -362,18 +413,45 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         diffs = F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b))
         return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
-    assigned = None
-    for rnd in range(1, _SD_ROUNDS + 1):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(dist_to(c).alias("dist"), F.lit(cid).alias("cid"))
-                    for cid, c in centroids
-                ]
+    def assign(cents) -> DataFrame:
+        if len(cents) <= _SD_LITERAL_K_MAX:
+            best = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            dist_to(c).alias("dist"), F.lit(cid).alias("cid")
+                        )
+                        for cid, c in cents
+                    ]
+                )
             )
+            return pts.select("vec_id", "v", best["cid"].alias("cid"))
+        cdf = spark.createDataFrame(
+            [(cid, [int(x) for x in c]) for cid, c in cents],
+            "cid long, cv array<long>",
         )
-        assigned = pts.select("vec_id", "v", best["cid"].alias("cid"))
-        if rnd < _SD_ROUNDS:
+        d = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        best = (
+            pts.join(F.broadcast(cdf))
+            .select("vec_id", d.alias("dist"), "cid")
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+        # both sides corpus-scaled: pin the strategy (AQE's
+        # compressed-bytes estimate elects OOMing broadcasts at scale)
+        return pts.join(best.hint("shuffle_hash"), "vec_id").select(
+            "vec_id", "v", "cid"
+        )
+
+    assigned = None
+    for rnd in range(1, rounds + 1):
+        assigned = assign(centroids)
+        if rnd < rounds:
             sums = (
                 assigned.select("cid", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cid", "pos")
@@ -406,24 +484,25 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
-    # pair EXPANSION carries IDS ONLY (24-byte rows through the k-key
-    # cid join — at most k tasks, but trivially cheap); the expensive
-    # per-pair dot product runs AFTER the id-keyed re-attach joins,
-    # which spread the pairs across the full shuffle space (the
-    # emb_near_dups re-attach pattern, see SCALE.md)
+    # pair EXPANSION carries IDS ONLY, rank-capped per cluster
+    # (pairs_within_buckets: cap bounds BOTH the agg buffer and the
+    # quadratic expansion; overflow members are kept unexamined); the
+    # expensive per-pair dot product runs AFTER the id-keyed re-attach
+    # joins, which spread the pairs across the full shuffle space (the
+    # emb_near_dups re-attach pattern, see SCALE.md). cid re-attaches
+    # with the vectors — pairs never cross a cluster by construction.
     ids = assigned.select("cid", "vec_id")
-    x, y = ids.alias("x"), ids.alias("y")
-    cand = x.join(
-        y.hint("shuffle_hash"),
-        (F.col("x.cid") == F.col("y.cid"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
-    ).select(
-        F.col("x.cid").alias("cid"),
-        F.col("x.vec_id").alias("id_a"),
-        F.col("y.vec_id").alias("id_b"),
-    )
+    cand = pairs_within_buckets(
+        ids,
+        ["cid"],
+        F.struct(F.col("vec_id").alias("id")),
+        max_bucket_size=cluster_cap,
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     side_a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), n2.alias("na2")
+        F.col("vec_id").alias("id_a"),
+        "cid",
+        F.col("v").alias("va"),
+        n2.alias("na2"),
     )
     side_b = assigned.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), n2.alias("nb2")
@@ -469,6 +548,9 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_points",
             F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.greatest(
+                F.col("n_points") - F.lit(cluster_cap), F.lit(0)
+            ).cast("long").alias("n_overflow"),
             (
                 F.col("id_sum") - F.coalesce("drop_sum", F.lit(0))
             ).cast("long").alias("kept_checksum"),

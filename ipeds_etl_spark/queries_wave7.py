@@ -1031,7 +1031,9 @@ def _funnel_oracle() -> str:
 
 
 @_register("docs_curation_funnel", _funnel_oracle())
-def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_docs_curation_funnel(
+    spark: SparkSession, sf_dir: str, profile: dict | None = None
+) -> DataFrame:
     """The whole curation pipeline as ONE auditable funnel: quality
     gate (≥10 tokens, top token < 1/5 — the repetition rule) → exact
     dedup (min-id per identical text) → near-dup resolution (LSH
@@ -1053,12 +1055,36 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shuffle_hash``: the sf10 quad_r8 smoke caught AQE sizing the
     survivor side from 30x-compressed shuffle bytes and electing a
     driver-OOMing broadcast — the same defect class as
-    similarity.REATTACH and the LPA label join."""
+    similarity.REATTACH and the LPA label join.
+
+    ``profile`` (optional dict, VERDICT r8 item 1): when provided,
+    each stage is EAGERLY materialized (localCheckpoint) and its
+    incremental wall seconds recorded under stage-named keys — the
+    sf10 smoke's per-stage share readout. Adds materialization
+    boundaries the production plan doesn't have (stages that Catalyst
+    would pipeline are forced apart), so profile mode is a
+    measurement tool, not the benched path; ``profile=None`` leaves
+    the plan untouched."""
+    import time as _time
+
     from ipeds_etl_spark.functions.hashing import parity_hash
     from ipeds_etl_spark.operators.components import dedup_clusters
 
+    def mark(df: DataFrame, stage: str) -> DataFrame:
+        if profile is None:
+            return df
+        t0 = _time.perf_counter()
+        out = df.localCheckpoint(eager=True)
+        profile[stage] = round(_time.perf_counter() - t0, 2)
+        return out
+
     d = _docs(spark, sf_dir)
+    t0 = _time.perf_counter()
     lsh = _lsh_doc_pairs(spark, sf_dir)
+    if profile is not None:
+        # memo build cost if cold, ~0 if another consumer already built
+        # it (billed like bench bills lsh_doc_pairs)
+        profile["lsh_memo"] = round(_time.perf_counter() - t0, 2)
 
     tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
     dstat = (
@@ -1070,15 +1096,19 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("maxtok"),
         )
     )
-    s1 = dstat.filter(
-        (F.col("ntok") >= 10) & (5 * F.col("maxtok") < F.col("ntok"))
-    ).select("doc_id")
-    s2 = (
+    s1 = mark(
+        dstat.filter(
+            (F.col("ntok") >= 10) & (5 * F.col("maxtok") < F.col("ntok"))
+        ).select("doc_id"),
+        "1_token_quality",
+    )
+    s2 = mark(
         d.join(s1, "doc_id")
         .groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False),
+        "2_exact_dedup",
     )
     surv_pairs = (
         lsh.join(s2.withColumnRenamed("doc_id", "id_a").hint("shuffle_hash"), "id_a")
@@ -1088,11 +1118,12 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup_clusters(surv_pairs).select(
         F.col("id").alias("doc_id"), F.col("component_id").alias("lbl")
     )
-    s3 = (
+    s3 = mark(
         s2.join(comp.hint("shuffle_hash"), "doc_id", "left")
         .filter(F.col("lbl").isNull() | (F.col("lbl") == F.col("doc_id")))
         .select("doc_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False),
+        "3_components",
     )
     sh = (
         d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
@@ -1110,7 +1141,10 @@ def q_docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("ev_h").cast("long").alias("hit"),
         )
     )
-    s4 = ov.filter(5 * F.col("hit") < 4 * F.col("n")).select("doc_id")
+    s4 = mark(
+        ov.filter(5 * F.col("hit") < 4 * F.col("n")).select("doc_id"),
+        "4_decontaminate",
+    )
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias(name))

@@ -560,11 +560,112 @@ def run_quad_r8(spark, results: dict) -> None:
     results["quad_r8"] = out
 
 
+def run_funnel_r9(spark, results: dict) -> None:
+    """VERDICT r8 item 1: a CLEAN, solo sf10 measurement of the
+    heaviest registered pipeline op (`docs_curation_funnel`) — the
+    r8 number (572.4 s) was taken sharing the box with a concurrent
+    correctness run. Protocol: bill the 26M-pair LSH memo build
+    separately (exactly as bench bills `lsh_doc_pairs`), then one
+    profile pass (eager per-stage materialization → stage shares;
+    adds checkpoint boundaries, so it is NOT the billed number),
+    then clean median-of-3 of the registered plan over the warm
+    memo."""
+    import statistics
+
+    from ipeds_etl_spark import queries as q
+    from ipeds_etl_spark.queries_ext import _lsh_doc_pairs
+    from ipeds_etl_spark.queries_wave7 import q_docs_curation_funnel
+
+    reg = q.queries()
+    out: dict = {}
+    t0 = time.perf_counter()
+    out["n_pairs_memo"] = _lsh_doc_pairs(spark, SF10_DIR).count()
+    out["lsh_memo_build_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"funnel_r9_memo": out}), flush=True)
+
+    prof: dict = {}
+    t0 = time.perf_counter()
+    n = len(q_docs_curation_funnel(spark, SF10_DIR, profile=prof).collect())
+    out["profile_pass"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "stages": prof,
+        "rows": n,
+    }
+    print(json.dumps({"funnel_r9_profile": out["profile_pass"]}), flush=True)
+
+    samples = []
+    construct = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = reg["docs_curation_funnel"](spark, SF10_DIR)
+        # the components fixpoint runs DRIVER-LOOPED jobs during plan
+        # construction (per-round convergence counts), so its share
+        # lives here, not in any collect-side stage
+        construct.append(round(time.perf_counter() - t0, 2))
+        df.collect()
+        samples.append(round(time.perf_counter() - t0, 2))
+        print(
+            json.dumps(
+                {
+                    "funnel_r9_clean_sample": samples[-1],
+                    "construct_share": construct[-1],
+                }
+            ),
+            flush=True,
+        )
+    out["clean_samples"] = samples
+    out["construct_samples"] = construct
+    out["clean_median_sec"] = round(statistics.median(samples), 2)
+    results["funnel_r9"] = out
+
+
+def run_semdedup_r9(spark, results: dict) -> None:
+    """VERDICT r8 item 2: emb_semdedup at sf10 with k ≈ √n (the
+    paper's own prescription, previously only argued in the
+    docstring). Verifies (a) the broadcast-join assignment path at a
+    realistic k, (b) per-cluster pair counts stay bounded (max/p99
+    cluster size, examined-pair total), (c) zero cap overflow — no
+    silent mega-cluster quadratic, no AQE/collect defect."""
+    from ipeds_etl_spark.queries_wave11 import semdedup_report
+
+    n_vecs = spark.read.parquet(f"{SF10_DIR}/embeddings.parquet").count()
+    k = int(n_vecs**0.5)
+    t0 = time.perf_counter()
+    rows = semdedup_report(spark, SF10_DIR, k=k).collect()
+    sec = round(time.perf_counter() - t0, 2)
+    sizes = sorted(r.n_points for r in rows)
+    examined_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    results["semdedup_r9"] = {
+        "sec": sec,
+        "k": k,
+        "n_vecs": n_vecs,
+        "n_clusters": len(rows),
+        "max_cluster": sizes[-1],
+        "p99_cluster": sizes[int(0.99 * (len(sizes) - 1))],
+        "mean_cluster": round(n_vecs / max(len(sizes), 1), 1),
+        "examined_pairs": examined_pairs,
+        "n_dup_pairs": sum(r.n_dup_pairs for r in rows),
+        "n_dropped": sum(r.n_dropped for r in rows),
+        "n_overflow": sum(r.n_overflow for r in rows),
+    }
+    print(json.dumps({"semdedup_r9": results["semdedup_r9"]}), flush=True)
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict = {}
+    r9_sections = {"funnel_r9", "semdedup_r9"}
+    if r9_sections & set(sections):
+        build_quad_corpus(spark)  # always fresh: stale /tmp corpora lie
+        if "funnel_r9" in sections:
+            run_funnel_r9(spark, results)
+        if "semdedup_r9" in sections:
+            run_semdedup_r9(spark, results)
+        if set(sections) <= r9_sections:
+            print(json.dumps(results))
+            return
     if "sweep_quad" in sections:
         build_quad_corpus(spark)
         results["n_docs_quad"] = spark.read.parquet(
