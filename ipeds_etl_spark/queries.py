@@ -622,6 +622,7 @@ def _load_extensions() -> None:
         queries_wave9,
         queries_wave10,
         queries_wave11,
+        queries_wave12,
     )
 
 
@@ -637,36 +638,24 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- never driver-checked as of round 8: the 6 wave-10 queries
-    # registered after the round-7 rotation freeze (all green in the
-    # judge's independent 233-query mirror) plus the 4 wave-11 queries
-    # registered THIS round before this rotation commit (registry-
-    # freeze discipline, VERDICT r7 item 3). With the wave-10 six,
-    # cumulative driver-green coverage reaches 233/233. --
-    "docs_stratified_split_exact",   # also re-ranked via layout.py this round
-    "docs_epoch_shuffle_blocks",
-    "docs_token_pmi_top",
-    "docs_vocab_growth",
-    "emb_sq8_distortion",
-    "docs_shared_span_profile",
-    "docs_unigram_rarity",
-    "docs_concat_chunk_packing",
-    "docs_ngram_novelty",
+    # -- round 9 window. Freeze discipline (VERDICT r8 item 6): lead
+    # with everything newly registered this round (the 5 wave-12
+    # queries — never driver-checked), then re-gate every query whose
+    # implementation round 9 changed, then canaries/veterans.
+    # Cumulative driver-green coverage entering round 9: 240/240. --
+    "docs_cdc_chunk_dedup",
+    "docs_dp_source_histogram",
+    "events_srm_check",
+    "customer_revenue_gini",
+    "docs_packing_fragmentation",
+    # -- changed-implementation re-gates: emb_semdedup now runs the
+    # parameterized semdedup_report core (rank-capped pair expansion
+    # via pairs_within_buckets + n_overflow audit column + dual
+    # assignment strategies); docs_curation_funnel gained the optional
+    # stage-profile instrumentation (plan unchanged at profile=None,
+    # re-gated anyway). --
     "emb_semdedup",
-    "docs_hybrid_rrf",
-    "docs_hard_negatives",
-    "emb_mrl_funnel_recall",
-    # -- changed-implementation re-gates: the sf10 quad_r8 smoke led
-    # to shuffle_hash pins inside connected_components and the
-    # curation funnel this round; every consumer of those paths gets a
-    # fresh official row. --
     "docs_curation_funnel",
-    "docs_dedup_survivorship",
-    "docs_dedup_resolution",
-    "dedup_components",
-    "dedup_components_star",
-    "docs_golden_record",
-    "dedup_bcubed_eval",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",
@@ -684,7 +673,7 @@ _GATE_PRIORITY: list[str] = [
     # -- family veterans filling the remaining window slots (raw
     # roundtrip, cleaning, hashing, JSON, merge-on-hash, windows/dims,
     # filters, text analysis, dedup variants, CDC, ANN, streaming-twin
-    # dedup, sliding HLL) --
+    # dedup, sliding HLL, components consumers, retrieval pair) --
     "json_page_roundtrip",
     "sentinel_clean",
     "coalesce_pick",
@@ -706,8 +695,19 @@ _GATE_PRIORITY: list[str] = [
     "emb_near_dups",
     "events_window_dedup",
     "events_hll_sliding",
+    "docs_dedup_resolution",
+    "dedup_components",
+    "dedup_components_star",
+    "docs_golden_record",
+    "docs_dedup_survivorship",
+    "docs_hybrid_rrf",
+    "docs_hard_negatives",
+    "docs_ngram_novelty",
+    "docs_stratified_split_exact",
+    "docs_concat_chunk_packing",
+    "emb_kmeans_lloyd",
     # -- rotated out this round (driver-green rows recorded in
-    # CORRECTNESS_r0{1..7}.json; still in the local mirror). --
+    # CORRECTNESS_r0{1..8}.json; still in the local mirror). --
 ]
 
 
