@@ -648,6 +648,7 @@ _GATE_PRIORITY: list[str] = [
     "events_srm_check",
     "customer_revenue_gini",
     "docs_packing_fragmentation",
+    "emb_ivf_probe_sweep",
     # -- changed-implementation re-gates: emb_semdedup now runs the
     # parameterized semdedup_report core (rank-capped pair expansion
     # via pairs_within_buckets + n_overflow audit column + dual

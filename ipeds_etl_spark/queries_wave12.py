@@ -490,3 +490,108 @@ def q_docs_packing_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ===========================================================================
+# IVF probe sweep: the ANN quality-cost tuning curve
+# ===========================================================================
+_SWEEP_PROBES = (1, 2, 4)
+
+
+def _ivf_probe_sweep_oracle() -> str:
+    from ipeds_etl_spark.queries_ext import _COS_AB, _IVF_PAIR_COS, _ivf_sql
+
+    per_probe_ctes = ",\n    ".join(
+        f"""probes{p} AS (SELECT vec_id, embedding, cid AS centroid_id
+               FROM scored WHERE rn <= {p} AND vec_id < 5),
+    ivf{p} AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_IVF_PAIR_COS} DESC, n.vec_id ASC) AS rnk
+      FROM probes{p} q JOIN assigned n
+        ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id)
+      WHERE rnk <= 5)"""
+        for p in _SWEEP_PROBES
+    )
+    arms = "\n      UNION ALL\n      ".join(
+        f"""SELECT CAST({p} AS BIGINT) AS n_probe,
+             CAST(count(*) AS BIGINT) AS k_total,
+             CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+             CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall
+      FROM brute b LEFT JOIN ivf{p} i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+        for p in _SWEEP_PROBES
+    )
+    return f"""
+    WITH {_ivf_sql()},
+    brute AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5)
+      WHERE rnk <= 5),
+    {per_probe_ctes}
+    SELECT * FROM ({arms})
+    ORDER BY n_probe
+    """
+
+
+@_register("emb_ivf_probe_sweep", _ivf_probe_sweep_oracle())
+def q_emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning curve: recall@5 of the refined-centroid IVF at
+    nprobe ∈ {1, 2, 4} against the exact brute-force top-5, aggregated
+    over the 5-query anchor batch — the measurement that decides the
+    probe budget before a production rollout (recall climbs toward 1
+    as nprobe approaches the centroid count; the cost climbs
+    linearly). Extends the single-point ``emb_ivf_recall`` gate to the
+    curve FAISS's own tuning loop sweeps.
+
+    Scale: the brute-force ground truth is O(anchors × corpus) map
+    work — the same sanctioned broadcast-anchor shape as every recall
+    gate here (bench-excluded with them; at production scale the truth
+    set comes from an offline exact pass, not a per-run recompute).
+    Each probe arm scans only its probed partitions; the deterministic
+    k-means codebook is memoized once per corpus
+    (``operators/indexes.py``), so the sweep reuses ONE assignment
+    pass across all three arms."""
+    from ipeds_etl_spark.operators import similarity as SIM
+    from ipeds_etl_spark.queries_ext import _ivf_codebook
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+    out = None
+    for p in _SWEEP_PROBES:
+        ivf = SIM.ivf_topk(
+            e, queries, "vec_id", "embedding",
+            k=5, n_centroids=8, n_probe=p,
+            cent_rows=_ivf_codebook(spark, sf_dir),
+        )
+        arm = (
+            brute.alias("b")
+            .join(
+                ivf.alias("i"),
+                on=[
+                    F.col("b.query_id") == F.col("i.query_id"),
+                    F.col("b.neighbor_id") == F.col("i.neighbor_id"),
+                ],
+                how="left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("k_total"),
+                F.count(F.col("i.neighbor_id")).cast("long").alias("n_hit"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                "k_total",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("k_total")).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("n_probe")

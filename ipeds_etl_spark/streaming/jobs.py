@@ -119,6 +119,64 @@ def value_histogram_stream(
     )
 
 
+def srm_stream(events: DataFrame) -> DataFrame:
+    """Live sample-ratio-mismatch monitor — the incremental twin of
+    ``events_srm_check`` (wave 12): per experiment (event_type), keep
+    the running distinct-user count in each hash-assigned arm and the
+    collapsed integer chi-square ``10⁶·(n_a−n_b)²`` vs ``crit·n``
+    alarm, re-evaluated every micro-batch. SRM is precisely the alarm
+    you want STREAMING: a broken assignment path should page someone
+    hours into the experiment, not at the readout.
+
+    Consume with ``outputMode('complete')`` (or ``update``): the
+    per-experiment row is a running aggregate, not an append stream.
+
+    State: the user-dedup keyed state is deliberately UNBOUNDED in
+    event time — a user who returns weeks later is still the same
+    experimental unit, so no watermark can ever evict assignment
+    state without corrupting the ratio. O(experiments × users) keys
+    of a few bytes each; a deployment that cannot afford exact
+    distinct swaps this stage for the bounded-state KMV sketch
+    (``streaming/stateful.py::kmv_distinct_stream``) per (experiment,
+    arm) and accepts an approximate alarm. The chi-square arithmetic
+    is the same integer form as the batch query — stream and batch
+    agree bit-for-bit on every emitted row (equivalence-tested)."""
+    from ipeds_etl_spark.functions.hashing import parity_hash
+    from ipeds_etl_spark.queries_wave12 import _SRM_CRIT_X1E6
+
+    arm = parity_hash(
+        F.concat(F.lit("srm|"), F.col("user_id").cast("string"))
+    ) % 2
+    distinct_users = events.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    g = distinct_users.withColumn("arm", arm).groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("users_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("users_b"),
+    )
+    d = F.col("users_a") - F.col("users_b")
+    n = F.col("users_a") + F.col("users_b")
+    return g.select(
+        "event_type",
+        "users_a",
+        "users_b",
+        n.alias("total_users"),
+        d.alias("delta"),
+        F.expr(
+            "(1000000 * (users_a - users_b) * (users_a - users_b)) "
+            "div (users_a + users_b)"
+        ).alias("chi2_x1e6"),
+        F.when(F.lit(1_000_000) * d * d >= F.lit(_SRM_CRIT_X1E6) * n, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("srm_flag"),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

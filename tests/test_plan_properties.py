@@ -113,6 +113,14 @@ EXPECTATIONS = {
     # re-attach joins pinned shuffle_hash (never SMJ), zero Python
     "docs_hybrid_rrf": (8, 2, 0),
     "docs_hard_negatives": (8, 1, 0),
+    # round-9 wave: CDC chunking is per-doc window + chunk-hash
+    # exchange reused by the accounting join; DP histogram and the
+    # packing audit are one source agg of codegen arithmetic; SRM is
+    # distinct + agg sharing nothing corpus²; zero Python everywhere
+    "docs_cdc_chunk_dedup": (8, 0, 0),
+    "docs_dp_source_histogram": (2, 0, 0),
+    "events_srm_check": (3, 0, 0),
+    "docs_packing_fragmentation": (2, 0, 0),
 }
 
 
@@ -153,3 +161,26 @@ def test_bucketed_range_join_has_no_nested_loop(spark):
     # contrast that justifies the operator)
     plain = q.queries()["orders_range_join_periods"](spark, SF)
     assert "BroadcastNestedLoopJoin" in plain._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_gini_rank_is_range_partitioned_not_single_task(spark):
+    """customer_revenue_gini's whole reason to exist as a Spark form:
+    the global rank must come from the two-phase range exchange, NOT a
+    `row_number() OVER (ORDER BY ...)` window, whose plan funnels the
+    full table through one `Exchange SinglePartition` task. Allowed
+    SinglePartition exchanges: exactly the final metadata-sized 1-row
+    aggregate combine."""
+    df = q.queries()["customer_revenue_gini"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    # the range exchange itself sits BEHIND global_row_number's
+    # localCheckpoint boundary (the ranged frame is pinned so counts
+    # and ranks see one assignment), so the visible two-phase
+    # signature is the window keyed on the range-partition id
+    assert "hashpartitioning(__pid" in plan, (
+        "two-phase rank signature missing — the rank is not windowed "
+        "on the range-partition id"
+    )
+    assert plan.count("singlepartition") <= 1, (
+        "extra SinglePartition exchange — the rank degraded to the "
+        "global-window form"
+    )

@@ -893,3 +893,35 @@ def test_streaming_dedup_ingest_matches_sequential_batches(spark, tmp_path):
     verdict = incremental_dedup_verdict(both, "text", "doc_id", F.col("__ex"))
     expect_b2 = {r.doc_id for r in verdict.filter(F.col("keep")).collect()}
     assert kept_ids == expect_b1 | expect_b2
+
+
+def test_srm_stream_matches_batch(spark, stream_dir):
+    """The streaming SRM monitor's final complete-mode table must equal
+    the batch wave-12 query bit-for-bit (same hash arms, same integer
+    chi-square), and replaying the same files must not change it
+    (distinct-user state absorbs re-delivery)."""
+    from ipeds_etl_spark.queries_wave12 import q_events_srm_check
+
+    schema = load_table(spark, SF, "events").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    jobs.run_to_memory(jobs.srm_stream(stream), "srm_stream", "complete")
+    got = {
+        r["event_type"]: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM srm_stream").collect()
+    }
+    # batch twin over the SAME staged files (srm_stream is a plain
+    # DataFrame transform, so it runs on a batch frame directly)
+    batch_df = spark.read.parquet(stream_dir)
+    want = {
+        r["event_type"]: tuple(r)[1:]
+        for r in jobs.srm_stream(batch_df).collect()
+    }
+    assert got == want and len(got) > 0
+    # and the batch REGISTERED query on the original table agrees on
+    # every shared experiment (same arms, same counts)
+    reg = {
+        r["event_type"]: (r["users_a"], r["users_b"], r["srm_flag"])
+        for r in q_events_srm_check(spark, SF).collect()
+    }
+    staged = {k: (v[0], v[1], v[5]) for k, v in got.items()}
+    assert staged == reg

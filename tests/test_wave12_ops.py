@@ -231,3 +231,26 @@ def test_packing_fragmentation_identities(spark):
             1000 * (r.packed_blocks * L - r.total_tokens)
         ) // (r.packed_blocks * L)
         assert r.packed_waste_permille <= r.padded_waste_permille
+
+
+def test_ivf_probe_sweep_monotonicity(spark):
+    """Recall must be non-decreasing in nprobe (more probed partitions
+    can only add candidates), hit at most k_total, and reach the
+    single-point emb_ivf_recall gate's value at nprobe=2."""
+    from ipeds_etl_spark.queries_wave12 import q_emb_ivf_probe_sweep
+
+    rows = {r.n_probe: r for r in q_emb_ivf_probe_sweep(spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 4]
+    prev = -1.0
+    for p in (1, 2, 4):
+        r = rows[p]
+        assert 0 <= r.n_hit <= r.k_total
+        assert r.recall == r.n_hit / r.k_total
+        assert r.recall >= prev
+        prev = r.recall
+
+    from ipeds_etl_spark.queries_ext import q_emb_ivf_recall
+
+    gate = q_emb_ivf_recall(spark, SF).collect()
+    assert rows[2].n_hit == sum(g.n_hit for g in gate)
+    assert rows[2].k_total == sum(g.k for g in gate)
