@@ -657,6 +657,7 @@ _GATE_PRIORITY: list[str] = [
     # re-gated anyway). --
     "emb_semdedup",
     "docs_curation_funnel",
+    "dedup_ngram_jaccard",   # r9 incidence-expansion rewrite (22x at sf1)
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",

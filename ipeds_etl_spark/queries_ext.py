@@ -590,30 +590,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard over same-source candidate pairs
-    (the blocked verifier stage of a dedup pipeline)."""
+    (the blocked verifier stage of a dedup pipeline).
+
+    Spelled via the SHINGLE-INCIDENCE expansion, not a block self-join
+    (rewritten r9): explode each doc's distinct shingles, expand
+    co-bucket pairs per (source, shingle) with ``pairs_within_buckets``
+    (uncapped — semantics must stay oracle-exact), count common
+    shingles per pair, and recover the union as |A|+|B|−common. Any
+    pair with jaccard ≥ 0.2 shares ≥ 1 shingle, so the incidence form
+    emits EXACTLY the self-join's rows — but work tracks
+    Σ C(shingle-bucket, 2) (pairs that actually share content) instead
+    of C(block, 2)·|shingles| (every pair in a source × a full array
+    intersect). Measured: 125 s → 5.6 s at sf1 (22×, where same-source
+    blocks hold ~2.5k docs ⇒ 62M array intersections in the old form);
+    at sf0.1 the explode+groupBy constant costs ~2 s against 5k-doc
+    blocks — the scale trade is taken deliberately, same policy as the
+    r8 shuffle_hash pins. The division stays size/size in INTs, so the
+    emitted double is bit-identical to the oracle's."""
     d = _docs(spark, sf_dir)
     sets = d.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks")).select(
         "doc_id",
         "source",
         F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh"),
     )
-    L, R = sets.alias("l"), sets.alias("r")
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-    return (
-        L.join(
-            R,
-            on=[
-                F.col("l.source") == F.col("r.source"),
-                F.col("l.doc_id") < F.col("r.doc_id"),
-            ],
-        )
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.2)
+    sizes = sets.select(F.col("doc_id"), F.size("sh").alias("n"))
+    inc = sets.select("doc_id", "source", F.explode("sh").alias("g"))
+    pw = DD.pairs_within_buckets(
+        inc,
+        ["source", "g"],
+        F.struct(F.col("doc_id").alias("id")),
+        max_bucket_size=None,
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    common = pw.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
+    na = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")
+    j = common.join(na.hint("shuffle_hash"), "id_a").join(
+        nb.hint("shuffle_hash"), "id_b"
+    )
+    jac = F.col("c").cast("int").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("int")
+    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.2
     )
 
 

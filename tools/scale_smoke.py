@@ -266,6 +266,18 @@ SWEEP_R15 = [
     "docs_hard_negatives",
 ]
 
+#: round-9 wave-12: CDC chunking (token-bounded), DP histogram / SRM /
+#: packing audit (one-agg shapes), Gini (two-phase global rank) — all
+#: expected ~linear; emb_ivf_probe_sweep excluded (brute-force gold
+#: standard, same policy as the bench EXCLUDED list)
+SWEEP_R16 = [
+    "docs_cdc_chunk_dedup",
+    "docs_dp_source_histogram",
+    "events_srm_check",
+    "customer_revenue_gini",
+    "docs_packing_fragmentation",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -705,6 +717,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R14, key="sweep_r14")
     if "sweep_r15" in sections:
         run_sweep(spark, results, names=SWEEP_R15, key="sweep_r15")
+    if "sweep_r16" in sections:
+        run_sweep(spark, results, names=SWEEP_R16, key="sweep_r16")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
