@@ -663,6 +663,24 @@ def run_semdedup_r9(spark, results: dict) -> None:
     print(json.dumps({"semdedup_r9": results["semdedup_r9"]}), flush=True)
 
 
+def run_quad_r9(spark, results: dict) -> None:
+    """Round-9 additions at the 100x (sf10-equivalent) corpus: the CDC
+    chunker (token-bounded map + per-doc window — must stay ~linear at
+    500k docs) and the rewritten incidence-form ngram Jaccard (work
+    tracks shared-shingle pair increments; the 100x clone density is
+    the stress: every shingle's same-source bucket grows ~100x)."""
+    from ipeds_etl_spark import queries as q
+
+    reg = q.queries()
+    out = {}
+    for name in ("docs_cdc_chunk_dedup", "dedup_ngram_jaccard"):
+        t0 = time.perf_counter()
+        n = reg[name](spark, SF10_DIR).count()
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        print(json.dumps({name: out[name]}), flush=True)  # survive late aborts
+    results["quad_r9"] = out
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
@@ -731,6 +749,10 @@ def main() -> None:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
         run_quad_r8(spark, results)
+    if "quad_r9" in sections:
+        if not Path(SF10_DIR).exists():
+            build_quad_corpus(spark)
+        run_quad_r9(spark, results)
     print(json.dumps(results))
 
 
