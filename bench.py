@@ -446,19 +446,26 @@ def main() -> None:
     top_heavy = sorted(timings, key=timings.get, reverse=True)[:AUTO_ISOLATE_TOP]
     isolates: dict[str, float] = {}
     for name in top_heavy:
-        part_path = here / "BENCH_ISOLATE_PART.json"
-        part_path.unlink(missing_ok=True)
-        _spawn_child(
-            {
-                "BENCH_CHILD": "isolate",
-                "BENCH_ISOLATE": name,
-                "BENCH_ISOLATE_MODE": "auto-top5",
-            }
-        )
-        line = part_path.read_text().strip()
-        part_path.unlink()
-        _append_isolate(here, line)
-        isolates[name] = json.loads(line)["value"]
+        # fail-soft: the isolate record is supplementary — a broken
+        # isolate must never cost the run its primary suite line
+        try:
+            part_path = here / "BENCH_ISOLATE_PART.json"
+            part_path.unlink(missing_ok=True)
+            _spawn_child(
+                {
+                    "BENCH_CHILD": "isolate",
+                    "BENCH_ISOLATE": name,
+                    "BENCH_ISOLATE_MODE": "auto-top5",
+                }
+            )
+            line = part_path.read_text().strip()
+            part_path.unlink()
+            _append_isolate(here, line)
+            isolates[name] = json.loads(line)["value"]
+        except SystemExit:
+            sys.stderr.write(f"bench: isolate {name} child failed; continuing\n")
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"bench: isolate {name} failed: {e}\n")
 
     # --- sf1 track (VERDICT r8 item 3): re-time the heaviest queries
     # at the 10x corpus, where plan changes register above the session
@@ -467,44 +474,53 @@ def main() -> None:
     sf1_builds: dict[str, float] = {}
     sf1_on = os.environ.get("BENCH_SF1", "1") != "0" and _sf_of(sf_dir) == 0.1
     if sf1_on:
-        sf1_top = int(os.environ.get("BENCH_SF1_TOP", "30"))
-        sf1_chunks = max(1, int(os.environ.get("BENCH_SF1_CHUNKS", "2")))
-        sf1_list = [
-            n
-            for n in sorted(timings, key=timings.get, reverse=True)
-            if n not in SF1_EXCLUDED
-        ][:sf1_top]
-        sf1_parts = []
-        for i in range(sf1_chunks):
-            part_path = here / f"BENCH_SF1_PART_{i}.json"
-            part_path.unlink(missing_ok=True)
-            _spawn_child(
-                {
-                    "BENCH_CHILD": "sf1chunk",
-                    "BENCH_SF1_LIST": ",".join(sf1_list),
-                    "BENCH_CHUNK_IDX": str(i),
-                    "BENCH_CHUNK_TOTAL": str(sf1_chunks),
-                }
-            )
-            sf1_parts.append(json.loads(part_path.read_text()))
-            part_path.unlink()
-        sf1_merged: dict[str, float] = {}
-        for p in sf1_parts:
-            sf1_merged.update(p["timings"])
-            for name, err in p.get("errors", {}).items():
-                errors[f"sf1:{name}"] = err
-                sys.stderr.write(f"bench sf1: {name} FAILED: {err}\n")
-        sf1_timings = {n: sf1_merged[n] for n in sf1_list if n in sf1_merged}
-        sf1_build_names = {n for p in sf1_parts for n in p["index_builds"]}
-        sf1_builds = {
-            n: round(
-                statistics.median(
-                    p["index_builds"][n] for p in sf1_parts if n in p["index_builds"]
-                ),
-                3,
-            )
-            for n in sorted(sf1_build_names)
-        }
+        # fail-soft like the isolates: the sf1 line is the second
+        # billed metric, but losing it must not lose the first
+        try:
+            sf1_top = int(os.environ.get("BENCH_SF1_TOP", "30"))
+            sf1_chunks = max(1, int(os.environ.get("BENCH_SF1_CHUNKS", "2")))
+            sf1_list = [
+                n
+                for n in sorted(timings, key=timings.get, reverse=True)
+                if n not in SF1_EXCLUDED
+            ][:sf1_top]
+            sf1_parts = []
+            for i in range(sf1_chunks):
+                part_path = here / f"BENCH_SF1_PART_{i}.json"
+                part_path.unlink(missing_ok=True)
+                _spawn_child(
+                    {
+                        "BENCH_CHILD": "sf1chunk",
+                        "BENCH_SF1_LIST": ",".join(sf1_list),
+                        "BENCH_CHUNK_IDX": str(i),
+                        "BENCH_CHUNK_TOTAL": str(sf1_chunks),
+                    }
+                )
+                sf1_parts.append(json.loads(part_path.read_text()))
+                part_path.unlink()
+            sf1_merged: dict[str, float] = {}
+            for p in sf1_parts:
+                sf1_merged.update(p["timings"])
+                for name, err in p.get("errors", {}).items():
+                    errors[f"sf1:{name}"] = err
+                    sys.stderr.write(f"bench sf1: {name} FAILED: {err}\n")
+            sf1_timings = {n: sf1_merged[n] for n in sf1_list if n in sf1_merged}
+            sf1_build_names = {n for p in sf1_parts for n in p["index_builds"]}
+            sf1_builds = {
+                n: round(
+                    statistics.median(
+                        p["index_builds"][n]
+                        for p in sf1_parts
+                        if n in p["index_builds"]
+                    ),
+                    3,
+                )
+                for n in sorted(sf1_build_names)
+            }
+        except SystemExit:
+            sys.stderr.write("bench: sf1 chunk child failed; continuing\n")
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"bench: sf1 track failed: {e}\n")
 
     compact = {
         "metric": "suite_total_runtime",

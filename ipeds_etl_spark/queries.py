@@ -649,6 +649,8 @@ _GATE_PRIORITY: list[str] = [
     "customer_revenue_gini",
     "docs_packing_fragmentation",
     "emb_ivf_probe_sweep",
+    "events_bot_score",
+    "emb_pq_codebook_balance",
     # -- changed-implementation re-gates: emb_semdedup now runs the
     # parameterized semdedup_report core (rank-capped pair expansion
     # via pairs_within_buckets + n_overflow audit column + dual

@@ -595,3 +595,199 @@ def q_emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out.orderBy("n_probe")
+
+
+# ===========================================================================
+# Web-log bot heuristics: training-data hygiene for event-derived corpora
+# ===========================================================================
+#: rule thresholds (plan constants): a minute with ≥3 events, a single
+#: event type carrying ≥60% of a user's volume, and sustained ≥2
+#: events per active minute each score one point; ≥2 points ⇒ bot.
+_BOT_BURST_MIN = 3
+_BOT_MONOTONY_PERMILLE = 600
+_BOT_POINTS_FLAG = 2
+
+
+@_register(
+    "events_bot_score",
+    f"""
+    WITH pm AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id, minute),
+    u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                 CAST(count(*) AS BIGINT) AS active_minutes,
+                 CAST(max(c) AS BIGINT) AS max_per_minute
+          FROM pm GROUP BY user_id),
+    pt AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id, event_type),
+    tt AS (SELECT user_id, CAST(max(c) AS BIGINT) AS top_type_events,
+                 CAST(count(*) AS BIGINT) AS n_types
+           FROM pt GROUP BY user_id),
+    j AS (SELECT u.user_id, n_events, active_minutes, max_per_minute,
+                 n_types, (1000 * top_type_events) // n_events AS top_type_permille
+          FROM u JOIN tt ON tt.user_id = u.user_id),
+    sc AS (SELECT j.*,
+                  CAST(CASE WHEN max_per_minute >= {_BOT_BURST_MIN} THEN 1 ELSE 0 END
+                     + CASE WHEN top_type_permille >= {_BOT_MONOTONY_PERMILLE} THEN 1 ELSE 0 END
+                     + CASE WHEN n_events >= 2 * active_minutes THEN 1 ELSE 0 END
+                     AS BIGINT) AS bot_points
+           FROM j)
+    SELECT user_id, n_events, active_minutes, max_per_minute, n_types,
+           top_type_permille, bot_points,
+           CAST(CASE WHEN bot_points >= {_BOT_POINTS_FLAG} THEN 1 ELSE 0 END AS BIGINT)
+             AS is_bot
+    FROM sc
+    ORDER BY bot_points DESC, n_events DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot/automation scoring over user event streams — the
+    hygiene gate a web-log-derived training corpus runs before text
+    extraction (automated traffic poisons both dedup statistics and
+    quality priors). Three integer heuristics per user: burst rate
+    (max events in any one minute), type monotony (top event type's
+    permille share), and sustained density (≥2 events per active
+    minute); ≥2 points flags the user. Review queue = top 20 by score.
+
+    Scale: two map-combinable aggregates — (user, minute) and
+    (user, type) — whose second stages and the final join all share
+    one user_id exchange; minute ids are integer floor-divs of epoch
+    micros (`unix_micros` ↔ DuckDB `epoch_us`, the exact-parity pair).
+    O(users) rows of codegen arithmetic; top-20 is a distributed
+    TakeOrderedAndProject, never a full sort."""
+    e = load_table(spark, sf_dir, "events")
+    pm = (
+        e.select("user_id", F.expr("unix_micros(ts) div 60000000").alias("minute"))
+        .groupBy("user_id", "minute")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    u = pm.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("active_minutes"),
+        F.max("c").cast("long").alias("max_per_minute"),
+    )
+    pt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tt = pt.groupBy("user_id").agg(
+        F.max("c").cast("long").alias("top_type_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    j = u.join(tt, "user_id").select(
+        "user_id",
+        "n_events",
+        "active_minutes",
+        "max_per_minute",
+        "n_types",
+        F.expr("(1000 * top_type_events) div n_events").alias(
+            "top_type_permille"
+        ),
+    )
+    pts = (
+        F.when(F.col("max_per_minute") >= _BOT_BURST_MIN, 1).otherwise(0)
+        + F.when(
+            F.col("top_type_permille") >= _BOT_MONOTONY_PERMILLE, 1
+        ).otherwise(0)
+        + F.when(
+            F.col("n_events") >= 2 * F.col("active_minutes"), 1
+        ).otherwise(0)
+    ).cast("long")
+    sc = j.withColumn("bot_points", pts)
+    return (
+        sc.select(
+            "*",
+            F.when(F.col("bot_points") >= _BOT_POINTS_FLAG, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_bot"),
+        )
+        .orderBy(F.desc("bot_points"), F.desc("n_events"), "user_id")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# PQ codebook utilization audit
+# ===========================================================================
+def _pq_balance_oracle() -> str:
+    from ipeds_etl_spark.queries_ext import _PQ_M, _pq_sub_sql
+
+    ctes: list[str] = []
+    for s in range(_PQ_M):
+        ctes.extend(_pq_sub_sql(s))
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({s} AS BIGINT) AS subspace, cid FROM s{s}_codes"
+        for s in range(_PQ_M)
+    )
+    joined_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined_ctes},
+    codes AS ({unions}),
+    per AS (SELECT subspace, cid, CAST(count(*) AS BIGINT) AS n
+            FROM codes GROUP BY subspace, cid),
+    tot AS (SELECT subspace,
+                   CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(*) AS BIGINT) AS n_codes_used,
+                   CAST(max(n) AS BIGINT) AS nmax,
+                   CAST(sum(n * n) AS BIGINT) AS s2
+            FROM per GROUP BY subspace)
+    SELECT subspace, n_codes_used,
+           (1000 * nmax) // nt AS max_code_share_permille,
+           (1000000 * s2) // (nt * nt) AS simpson_x1e6
+    FROM tot ORDER BY subspace
+    """
+
+
+@_register("emb_pq_codebook_balance", _pq_balance_oracle())
+def q_emb_pq_codebook_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook utilization audit: per subspace, how evenly the
+    corpus distributes over the 16 codewords — codes used, the hottest
+    code's permille share, and the Simpson concentration ×10⁶ (uniform
+    over k codes → 10⁶/k = 62,500; one dead-centroid subspace reads
+    instantly as a higher Simpson and a lower used count). Unbalanced
+    codebooks waste code bits and flatten ADC score resolution — this
+    is the health check FAISS users run as `codebook imbalance factor`
+    (Jégou et al. 2011), here integer-exact and oracle-replayed through
+    the same deterministic train+encode CTEs as the PQ search queries.
+
+    Scale: encoding is the map-only codebook-literal argmax (corpus
+    never shuffles); the audit aggregates (subspace, code) — at most
+    M×k = 64 groups — so everything after the map is metadata-sized.
+    BIGINT envelope: Σn² ≤ n² = (2·10⁵)² = 4·10¹⁰, ×10⁶ < 2⁶³."""
+    from ipeds_etl_spark.operators import similarity as SIM
+    from ipeds_etl_spark.queries_ext import _PQ_M, _PQ_SUB_DIM, _pq_codebook
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = SIM.pq_encode(
+        e, "vec_id", "embedding", _pq_codebook(spark, sf_dir),
+        sub_dim=_PQ_SUB_DIM,
+    )
+    stack = F.expr(
+        "stack({m}, {args})".format(
+            m=_PQ_M,
+            args=", ".join(
+                f"CAST({s} AS BIGINT), code_{s}" for s in range(_PQ_M)
+            ),
+        )
+    ).alias("subspace", "cid")
+    per = (
+        codes.select(stack)
+        .groupBy("subspace", "cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = per.groupBy("subspace").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("n_codes_used"),
+        F.max("n").cast("long").alias("nmax"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    return (
+        tot.select(
+            "subspace",
+            "n_codes_used",
+            F.expr("(1000 * nmax) div nt").alias("max_code_share_permille"),
+            F.expr("(1000000 * s2) div (nt * nt)").alias("simpson_x1e6"),
+        )
+        .orderBy("subspace")
+    )

@@ -254,3 +254,80 @@ def test_ivf_probe_sweep_monotonicity(spark):
     gate = q_emb_ivf_recall(spark, SF).collect()
     assert rows[2].n_hit == sum(g.n_hit for g in gate)
     assert rows[2].k_total == sum(g.k for g in gate)
+
+
+def test_bot_score_python_replay(spark):
+    """The per-user heuristics and the point rule must equal an
+    independent Python replay over the raw events."""
+    from ipeds_etl_spark.queries_wave12 import (
+        _BOT_BURST_MIN,
+        _BOT_MONOTONY_PERMILLE,
+        _BOT_POINTS_FLAG,
+        q_events_bot_score,
+    )
+    from ipeds_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    ).collect()
+    per_min: dict[tuple, int] = {}
+    per_type: dict[tuple, int] = {}
+    for r in ev:
+        per_min[(r.user_id, r.us // 60_000_000)] = (
+            per_min.get((r.user_id, r.us // 60_000_000), 0) + 1
+        )
+        per_type[(r.user_id, r.event_type)] = (
+            per_type.get((r.user_id, r.event_type), 0) + 1
+        )
+    users: dict[int, dict] = {}
+    for (u, _), c in per_min.items():
+        g = users.setdefault(u, {"n": 0, "mins": 0, "mx": 0, "top": 0, "nt": 0})
+        g["n"] += c
+        g["mins"] += 1
+        g["mx"] = max(g["mx"], c)
+    for (u, _), c in per_type.items():
+        g = users[u]
+        g["top"] = max(g["top"], c)
+        g["nt"] += 1
+
+    def points(g):
+        tp = (1000 * g["top"]) // g["n"]
+        return (
+            int(g["mx"] >= _BOT_BURST_MIN)
+            + int(tp >= _BOT_MONOTONY_PERMILLE)
+            + int(g["n"] >= 2 * g["mins"])
+        )
+
+    want = sorted(
+        (
+            (-points(g), -g["n"], u)
+            for u, g in users.items()
+        )
+    )[:20]
+    got = q_events_bot_score(spark, SF).collect()
+    assert [r.user_id for r in got] == [u for _, _, u in want]
+    for r in got:
+        g = users[r.user_id]
+        assert (r.n_events, r.active_minutes, r.max_per_minute, r.n_types) == (
+            g["n"], g["mins"], g["mx"], g["nt"]
+        )
+        assert r.top_type_permille == (1000 * g["top"]) // g["n"]
+        assert r.bot_points == points(g)
+        assert r.is_bot == int(points(g) >= _BOT_POINTS_FLAG)
+
+
+def test_pq_codebook_balance_bounds(spark):
+    """Simpson ×10⁶ is bounded below by the uniform value 10⁶/n_used
+    and above by 10⁶; per-subspace shares are consistent; subspaces
+    cover exactly the PQ geometry."""
+    from ipeds_etl_spark.queries_ext import _PQ_M
+    from ipeds_etl_spark.queries_wave12 import q_emb_pq_codebook_balance
+
+    rows = q_emb_pq_codebook_balance(spark, SF).collect()
+    assert [r.subspace for r in rows] == list(range(_PQ_M))
+    for r in rows:
+        assert 1 <= r.n_codes_used <= 16
+        # uniform lower bound (integer-truncated), degenerate upper
+        assert 1_000_000 // r.n_codes_used <= r.simpson_x1e6 + r.n_codes_used
+        assert r.simpson_x1e6 <= 1_000_000
+        assert 1000 // r.n_codes_used <= r.max_code_share_permille <= 1000

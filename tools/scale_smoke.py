@@ -276,6 +276,8 @@ SWEEP_R16 = [
     "events_srm_check",
     "customer_revenue_gini",
     "docs_packing_fragmentation",
+    "events_bot_score",
+    "emb_pq_codebook_balance",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
