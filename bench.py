@@ -110,8 +110,11 @@ SUITE_CRITERION = (
     "billed once under index_builds (rebuilt cold per chunk; billed "
     "per-index MEDIAN across chunks, since identical cold builds showed "
     "a 2.2x spread from JVM/page-cache context in r7 — the median is "
-    "stable round-over-round where chunk 0 was not); isolated re-timing "
-    "of any query: bench.py --isolate NAME"
+    "stable round-over-round where chunk 0 was not); r10 adds the PQ "
+    "codebook train to the billed builds (VERDICT r9 item 4 — "
+    "build-once-query-many, same class as the LSH memo), so PQ-family "
+    "query lines measure encode/search/audit only from r10 on; "
+    "isolated re-timing of any query: bench.py --isolate NAME"
 )
 
 SF1_CRITERION = (
@@ -122,8 +125,23 @@ SF1_CRITERION = (
     "(default 2) in BENCH_SF1_CHUNKS (default 2) fresh child JVMs — the "
     "sf0.1 suite is saturated at ~0.6 s/query session constants, so "
     "genuine plan changes only register here; sf1 shared-index builds "
-    "billed separately under index_builds_sf1. Disable: BENCH_SF1=0"
+    "billed separately under index_builds_sf1; the sf1 top-5 heaviest "
+    "get solo fresh-JVM isolate medians appended to BENCH_ISOLATE.json "
+    "(VERDICT r9 item 5 — the sf1 line is the scaling signal and shows "
+    "the same box-noise class as sf0.1). Disable: BENCH_SF1=0"
 )
+
+#: queries force-included in the sf1 list regardless of sf0.1 rank:
+#: the scale story they carry IS their reason to exist (a twin whose
+#: payoff only registers at 10x would otherwise be invisible to the
+#: track that justifies it).
+SF1_FORCE_INCLUDE = {
+    "parts_copurchase_3hop_bfs": (
+        "level-synchronous BFS twin registered (r10) to REPLACE "
+        "parts_copurchase_3hop's sf1 exclusion — its sf1 row is the "
+        "deliverable (VERDICT r9 item 3)"
+    ),
+}
 
 #: auto-isolate (VERDICT r8 item 5): after the suite, the top-N heaviest
 #: queries are re-timed solo (fresh JVM each) and APPENDED to
@@ -138,9 +156,10 @@ SF1_EXCLUDED = {
         "contract); the 10x-denser sf1 co-purchase graph exceeds "
         "Spark's 1M-row cteRecursionRowLimit (RECURSION_ROW_LIMIT_"
         "EXCEEDED, measured r9) — dense-graph transitive walks belong "
-        "to the level-synchronous DataFrame BFS/components form, which "
-        "dedups per level; the CTE form stays correct at its "
-        "documented sparse-graph scale"
+        "to the level-synchronous DataFrame BFS form, REGISTERED r10 "
+        "as parts_copurchase_3hop_bfs (same oracle, force-included in "
+        "the sf1 list); the CTE form stays correct at its documented "
+        "sparse-graph scale"
     ),
 }
 
@@ -185,6 +204,17 @@ def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         builds[label] = round(time.perf_counter() - t0, 3)
+    # PQ codebook: the one-time train cost of the PQ ANN family
+    # (VERDICT r9 item 4 — ~10 s of emb_pq_codebook_balance's 11.8 s
+    # sf1 smoke was codebook TRAINING, the same build-once-query-many
+    # class as the LSH pair memo). Driver-side memo (a list, no
+    # DataFrame sink), so timing the call is the build cost; PQ-family
+    # query lines then measure encode/search/audit only.
+    from ipeds_etl_spark import queries_ext as QE
+
+    t0 = time.perf_counter()
+    QE._pq_codebook(spark, sf_dir)
+    builds["pq_codebook"] = round(time.perf_counter() - t0, 3)
     return builds
 
 
@@ -484,6 +514,11 @@ def main() -> None:
                 for n in sorted(timings, key=timings.get, reverse=True)
                 if n not in SF1_EXCLUDED
             ][:sf1_top]
+            sf1_list += [
+                n
+                for n in SF1_FORCE_INCLUDE
+                if n in timings and n not in sf1_list
+            ]
             sf1_parts = []
             for i in range(sf1_chunks):
                 part_path = here / f"BENCH_SF1_PART_{i}.json"
@@ -522,6 +557,40 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"bench: sf1 track failed: {e}\n")
 
+    # --- sf1 auto-isolates (VERDICT r9 item 5): the sf1 line is the
+    # scaling signal and shows the same same-code box-noise band as
+    # sf0.1 (0.92-1.25x across r9's three generations); solo fresh-JVM
+    # medians for its top-5 make that adjudicable from recorded data ---
+    sf1_isolates: dict[str, float] = {}
+    if sf1_timings:
+        sf1_dir = os.environ.get("BENCH_SF1_DIR", _SF1_DIR_DEFAULT)
+        for name in sorted(sf1_timings, key=sf1_timings.get, reverse=True)[
+            :AUTO_ISOLATE_TOP
+        ]:
+            try:
+                part_path = here / "BENCH_ISOLATE_PART.json"
+                part_path.unlink(missing_ok=True)
+                _spawn_child(
+                    {
+                        "BENCH_CHILD": "isolate",
+                        "BENCH_ISOLATE": name,
+                        "BENCH_ISOLATE_MODE": "auto-top5-sf1",
+                        "SPARK_GRAFT_SF_DIR": sf1_dir,
+                        # sample-count parity with the billed sf1 line
+                        "BENCH_RUNS": os.environ.get("BENCH_SF1_RUNS", "2"),
+                    }
+                )
+                line = part_path.read_text().strip()
+                part_path.unlink()
+                _append_isolate(here, line)
+                sf1_isolates[name] = json.loads(line)["value"]
+            except SystemExit:
+                sys.stderr.write(
+                    f"bench: sf1 isolate {name} child failed; continuing\n"
+                )
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(f"bench: sf1 isolate {name} failed: {e}\n")
+
     compact = {
         "metric": "suite_total_runtime",
         "value": total,
@@ -529,6 +598,10 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "n_queries": len(timings),
         "index_build_total": round(sum(index_builds.values()), 3),
+        # per-query fail-soft means errored queries silently SHRINK the
+        # headline totals (ADVICE r9): a nonzero n_errors flags that
+        # this run's totals are not comparable to a clean run's
+        "n_errors": len(errors),
     }
     if sf1_timings:
         compact["sf1_total"] = round(sum(sf1_timings.values()), 3)
@@ -544,6 +617,8 @@ def main() -> None:
         suite_criterion=SUITE_CRITERION,
         excluded=sorted(EXCLUDED),
         isolates_top5=isolates,
+        isolates_top5_sf1=sf1_isolates,
+        sf1_force_include=dict(SF1_FORCE_INCLUDE),
         queries_sf1=sf1_timings,
         index_builds_sf1=sf1_builds,
         sf1_runs_per_query=int(os.environ.get("BENCH_SF1_RUNS", "2")),

@@ -638,28 +638,32 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- round 9 window. Freeze discipline (VERDICT r8 item 6): lead
-    # with everything newly registered this round (the 5 wave-12
-    # queries — never driver-checked), then re-gate every query whose
-    # implementation round 9 changed, then canaries/veterans.
-    # Cumulative driver-green coverage entering round 9: 240/240. --
-    "docs_cdc_chunk_dedup",
-    "docs_dp_source_histogram",
-    "events_srm_check",
+    # -- round 10 window. Freeze discipline (VERDICT r9 item 6): lead
+    # with everything newly registered this round, then re-gate every
+    # query whose implementation round 10 changed, then canaries/
+    # veterans. (The r9 window's lead block was the 8 wave-12 queries
+    # — eight, not five; comment corrected per ADVICE r9.)
+    # Cumulative driver-green coverage entering round 10: 248/248. --
+    "parts_copurchase_3hop_bfs",  # NEW r10: level-synchronous BFS twin
+    # -- changed-implementation re-gates: dedup_ngram_jaccard moved to
+    # the source-blocked PPJoin prefix filter (lossless hot-bucket
+    # bound, VERDICT r9 item 1 + ADVICE NULL-source fix);
+    # customer_revenue_gini moved to decimal(38,0) arithmetic (ADVICE
+    # r9 int64-wrap fix); jaccard_prefix_pairs gained block_cols (re-
+    # gate its direct consumer docs_jaccard_prefix_join);
+    # parts_copurchase_3hop's edge build factored into a shared
+    # helper; docs_curation_funnel + components consumers re-gated for
+    # the components-algorithm race knob (VERDICT r9 item 2). --
+    "dedup_ngram_jaccard",
     "customer_revenue_gini",
-    "docs_packing_fragmentation",
-    "emb_ivf_probe_sweep",
-    "events_bot_score",
-    "emb_pq_codebook_balance",
-    # -- changed-implementation re-gates: emb_semdedup now runs the
-    # parameterized semdedup_report core (rank-capped pair expansion
-    # via pairs_within_buckets + n_overflow audit column + dual
-    # assignment strategies); docs_curation_funnel gained the optional
-    # stage-profile instrumentation (plan unchanged at profile=None,
-    # re-gated anyway). --
-    "emb_semdedup",
+    "docs_jaccard_prefix_join",
+    "parts_copurchase_3hop",
     "docs_curation_funnel",
-    "dedup_ngram_jaccard",   # r9 incidence-expansion rewrite (22x at sf1)
+    "docs_dedup_resolution",
+    "dedup_components",
+    "dedup_components_star",
+    "docs_golden_record",
+    "docs_dedup_survivorship",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",
@@ -699,19 +703,17 @@ _GATE_PRIORITY: list[str] = [
     "emb_near_dups",
     "events_window_dedup",
     "events_hll_sliding",
-    "docs_dedup_resolution",
-    "dedup_components",
-    "dedup_components_star",
-    "docs_golden_record",
-    "docs_dedup_survivorship",
     "docs_hybrid_rrf",
     "docs_hard_negatives",
     "docs_ngram_novelty",
     "docs_stratified_split_exact",
     "docs_concat_chunk_packing",
     "emb_kmeans_lloyd",
+    "emb_semdedup",
+    "docs_cdc_chunk_dedup",
+    "emb_pq_codebook_balance",
     # -- rotated out this round (driver-green rows recorded in
-    # CORRECTNESS_r0{1..8}.json; still in the local mirror). --
+    # CORRECTNESS_r0{1..9}.json; still in the local mirror). --
 ]
 
 

@@ -592,46 +592,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard over same-source candidate pairs
     (the blocked verifier stage of a dedup pipeline).
 
-    Spelled via the SHINGLE-INCIDENCE expansion, not a block self-join
-    (rewritten r9): explode each doc's distinct shingles, expand
-    co-bucket pairs per (source, shingle) with ``pairs_within_buckets``
-    (uncapped — semantics must stay oracle-exact), count common
-    shingles per pair, and recover the union as |A|+|B|−common. Any
-    pair with jaccard ≥ 0.2 shares ≥ 1 shingle, so the incidence form
-    emits EXACTLY the self-join's rows — but work tracks
-    Σ C(shingle-bucket, 2) (pairs that actually share content) instead
-    of C(block, 2)·|shingles| (every pair in a source × a full array
-    intersect). Measured: 125 s → 5.6 s at sf1 (22×, where same-source
-    blocks hold ~2.5k docs ⇒ 62M array intersections in the old form);
-    at sf0.1 the explode+groupBy constant costs ~2 s against 5k-doc
-    blocks — the scale trade is taken deliberately, same policy as the
-    r8 shuffle_hash pins. The division stays size/size in INTs, so the
-    emitted double is bit-identical to the oracle's."""
+    Spelled via the source-blocked PPJOIN PREFIX FILTER (rewritten
+    r10, VERDICT r9 item 1): the r9 shingle-incidence expansion was
+    uncapped by design (oracle exactness), which left one silent-n²
+    exposure — a boilerplate shingle present in most of a source's
+    documents creates one (source, shingle) bucket whose pair
+    expansion is quadratic in that fraction. The prefix filter is the
+    LOSSLESS fix: order each doc's shingles by per-source document
+    frequency (rarest first) and only the first (1−t)·|x|+1 expand
+    into candidates — any pair with J ≥ t must share a prefix shingle
+    (the intersection cannot fit in the suffix), so the candidate set
+    is provably a superset of the output, while a ubiquitous shingle
+    ranks LAST in every doc and its bucket never forms (bounded-
+    intermediate test: test_dedup_similarity hot-shingle case).
+    Verification is exact set Jaccard on the candidate sliver; the
+    division stays size-int / size-int, so the emitted double is
+    bit-identical to the oracle's. NULL-source docs are dropped up
+    front — the oracle's ``a.source = b.source`` never pairs them
+    (ADVICE r9). Same output as the r9 form; the hot bucket is gone."""
     d = _docs(spark, sf_dir)
-    sets = d.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks")).select(
-        "doc_id",
-        "source",
-        F.array_distinct(TX.shingles_of(F.col("toks"), 3)).alias("sh"),
-    )
-    sizes = sets.select(F.col("doc_id"), F.size("sh").alias("n"))
-    inc = sets.select("doc_id", "source", F.explode("sh").alias("g"))
-    pw = DD.pairs_within_buckets(
-        inc,
-        ["source", "g"],
-        F.struct(F.col("doc_id").alias("id")),
-        max_bucket_size=None,
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    common = pw.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("c"))
-    na = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na")
-    nb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb")
-    j = common.join(na.hint("shuffle_hash"), "id_a").join(
-        nb.hint("shuffle_hash"), "id_b"
-    )
-    jac = F.col("c").cast("int").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("c")
-    ).cast("int")
-    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.2
+    return DD.jaccard_prefix_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, block_cols=["source"]
     )
 
 

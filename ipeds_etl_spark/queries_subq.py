@@ -543,20 +543,11 @@ _RCTE_SQL = """
     """
 
 
-@_register("parts_copurchase_3hop", _RCTE_SQL)
-def q_parts_copurchase_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts reachable within 3 co-purchase hops of each seed part —
-    Spark 4's RECURSIVE CTE surface, exercised inside its current
-    limits: recursion must be UNION ALL (the distinct-union form that
-    would terminate on cycles is not supported yet —
-    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, checked this round), so
-    termination comes from the explicit depth bound and dedup happens
-    once, in the final DISTINCT aggregate. Path multiplicity is
-    bounded by deg³ per seed (this graph: max degree 13). For
-    unbounded-diameter closure the DataFrame-iterative components
-    operators remain the scale path; this query pins the declarative
-    spelling end-to-end against DuckDB's identical recursion."""
-    li = load_table(spark, sf_dir, "lineitem")
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edge list (s, d): part pairs sharing ≥ 2
+    orders, both directions, materialized once (``localCheckpoint``) —
+    a recursive CTE re-evaluates referenced CTEs each round, and the
+    iterative BFS twin re-joins it per level."""
     from ipeds_etl_spark.queries_ext import _basket_items
 
     items = _basket_items(spark, sf_dir)
@@ -574,14 +565,35 @@ def q_parts_copurchase_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= 2)
     )
-    edges = (
+    return (
         pairs.select(F.col("key_a").alias("s"), F.col("key_b").alias("d"))
         .unionByName(pairs.select(F.col("key_b").alias("s"), F.col("key_a").alias("d")))
-        # materialize ONCE: a recursive CTE re-evaluates its referenced
-        # CTEs each round, so the basket pair expansion would run 4x
-        # (measured 6.5s -> see bench); the edge list is tiny
         .localCheckpoint(eager=False)
     )
+
+
+@_register("parts_copurchase_3hop", _RCTE_SQL)
+def q_parts_copurchase_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts reachable within 3 co-purchase hops of each seed part —
+    Spark 4's RECURSIVE CTE surface, exercised inside its current
+    limits: recursion must be UNION ALL (the distinct-union form that
+    would terminate on cycles is not supported yet —
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, checked this round), so
+    termination comes from the explicit depth bound and dedup happens
+    once, in the final DISTINCT aggregate. Path multiplicity is
+    bounded by deg³ per seed (this graph: max degree 13). For
+    unbounded-diameter closure the DataFrame-iterative components
+    operators remain the scale path; this query pins the declarative
+    spelling end-to-end against DuckDB's identical recursion.
+
+    SCALE CONTRACT (measured r9): UNION ALL recursion enumerates
+    PATHS, O(deg³) per seed — on the 10×-denser sf1 graph that
+    exceeds Spark's 1M-row cteRecursionRowLimit. The scale path is
+    the level-synchronous frontier-dedup twin
+    (``parts_copurchase_3hop_bfs``), registered with the SAME oracle;
+    this form stays as the declarative API demo at its documented
+    sparse-graph scale."""
+    edges = _copurchase_edges(spark, sf_dir)
     edges.createOrReplaceTempView("rcte_edges")
     return spark.sql(
         """
@@ -597,6 +609,58 @@ def q_parts_copurchase_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT seed, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_reachable_3hop
         FROM walk GROUP BY seed ORDER BY seed
         """
+    )
+
+
+@_register("parts_copurchase_3hop_bfs", _RCTE_SQL)
+def q_parts_copurchase_3hop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS twin of ``parts_copurchase_3hop``
+    (VERDICT r9 item 3) — same output contract (depth-bounded
+    reachability count per seed), same DuckDB oracle, but the
+    DataFrame-iterative form that survives dense graphs: the frontier
+    is DEDUPLICATED per level (``distinct`` + anti-join against the
+    visited set), so per-level rows are bounded by seeds × nodes
+    instead of the CTE's O(deg³) path enumeration that exceeds
+    Spark's 1M-row recursion limit on the sf1 graph.
+
+    Correctness of frontier-dedup BFS for "reachable within ≤ 3
+    hops": a node's FIRST-reached depth is ≤ 3 iff it is reachable
+    within 3 hops, and first-reached nodes enter exactly one frontier,
+    so ``visited`` after 3 expansions is exactly the ≤3-hop closure.
+
+    Scale shape: 3 statically-unrolled rounds of (frontier ⋈ edges →
+    distinct → anti-join visited → union) — every join pinned
+    ``shuffle_hash`` (both sides scale with the graph; AQE's
+    compressed-bytes estimates are the measured defect class), each
+    level's frames lineage-truncated so round N's plan does not embed
+    round N−1's."""
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.filter(F.col("s") % 100 == 0)
+        .select(F.col("s").alias("seed"))
+        .distinct()
+    )
+    visited = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint(
+        eager=False
+    )
+    frontier = visited
+    for _ in range(3):
+        nxt = (
+            frontier.join(
+                edges.hint("shuffle_hash"), frontier["node"] == edges["s"]
+            )
+            .select("seed", F.col("d").alias("node"))
+            .distinct()
+        )
+        fresh = nxt.join(
+            visited.hint("shuffle_hash"), ["seed", "node"], "left_anti"
+        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(fresh).localCheckpoint(eager=False)
+        frontier = fresh
+    return (
+        visited.groupBy("seed")
+        .agg((F.count(F.lit(1)) - 1).cast("long").alias("n_reachable_3hop"))
+        .orderBy("seed")
     )
 
 

@@ -366,9 +366,10 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM rev)
     SELECT CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(x) AS BIGINT) AS total_revenue,
-           (1000 * (2 * CAST(sum(rnk * x) AS BIGINT)
-                    - (CAST(count(*) AS BIGINT) + 1) * CAST(sum(x) AS BIGINT)))
-             // (CAST(count(*) AS BIGINT) * CAST(sum(x) AS BIGINT)) AS gini_x1000
+           CAST((CAST(1000 AS HUGEINT) * (2 * CAST(sum(rnk * x) AS HUGEINT)
+                    - (CAST(count(*) AS HUGEINT) + 1) * CAST(sum(x) AS HUGEINT)))
+             // (CAST(count(*) AS HUGEINT) * CAST(sum(x) AS HUGEINT))
+             AS BIGINT) AS gini_x1000
     FROM r
     """,
 )
@@ -379,8 +380,16 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how concentrated is our corpus/revenue/token budget" audit, here
     integer-exact: revenues floor to whole currency units (SUM the
     exact decimals FIRST, floor once) and the result ships ×1000
-    truncated. BIGINT envelope: Σ rank·x ≤ n·Σx ≈ 3·10¹⁴ at sf0.1,
-    ×2000 ≈ 7·10¹⁷ < 2⁶³ (an sf100 run should rescale to ×100).
+    truncated. Arithmetic envelope (ADVICE r9: the original BIGINT
+    form wrapped silently at ~sf10 — 1000·(2T−(n+1)S) ≈ 1000·G·n·S
+    reaches ~10²¹ ≫ 2⁶³): every product/sum past the per-row rnk·x is
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), good to n·Σx < 10³⁵ ≈
+    sf10¹⁴ — checked-overflow types on both engines, so an envelope
+    breach raises instead of recording garbage. The integral quotient
+    is recovered exactly as (numer − numer % denom) / denom — decimal
+    remainder is exact, and decimal division of an exact multiple
+    yields the exact integer — rather than `div`, which Spark defines
+    only on integral operands.
 
     Scale: the rank comes from ``layout.global_row_number`` — the
     two-phase range-exchange form — NOT a ``row_number() OVER (ORDER
@@ -396,17 +405,46 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("o_totalprice")).cast("long").alias("x")
     )
     r = global_row_number(rev, ["x", "c"], "rnk")
-    return r.agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("x").cast("long").alias("total_revenue"),
-        F.sum(F.col("rnk").cast("long") * F.col("x")).cast("long").alias("__t"),
-    ).select(
-        "n_customers",
-        "total_revenue",
-        F.expr(
-            "(1000 * (2 * __t - (n_customers + 1) * total_revenue)) "
-            "div (n_customers * total_revenue)"
-        ).alias("gini_x1000"),
+    return gini_from_ranked(r)
+
+
+def gini_from_ranked(r: DataFrame) -> DataFrame:
+    """Decimal-exact gini×1000 from a ``(x, rnk)`` frame (ascending
+    dense global rank, 1-based). Split out so the overflow envelope is
+    testable on synthetic magnitudes the tables never reach
+    (test_round10_ops: values where the old int64 form wrapped)."""
+    dec = "decimal(38,0)"
+    return (
+        r.agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            # per-row rnk·x fits int64 (rnk ≤ n, x per key — the
+            # stated per-row contract); everything ACCUMULATED is
+            # decimal(38,0), including Σx: a plain long sum wraps
+            # silently, a decimal one raises (caught writing the
+            # round-10 envelope test)
+            F.sum(F.col("x").cast(dec)).cast(dec).alias("__s"),
+            F.sum((F.col("rnk") * F.col("x")).cast(dec)).cast(dec).alias("__t"),
+        )
+        .select(
+            "n_customers",
+            F.col("__s").alias("__sdec"),
+            (
+                F.lit(1000).cast(dec)
+                * (
+                    F.lit(2).cast(dec) * F.col("__t")
+                    - (F.col("n_customers").cast(dec) + F.lit(1).cast(dec))
+                    * F.col("__s")
+                )
+            ).alias("__numer"),
+            (F.col("n_customers").cast(dec) * F.col("__s")).alias("__denom"),
+        )
+        .select(
+            "n_customers",
+            F.col("__sdec").cast("long").alias("total_revenue"),
+            ((F.col("__numer") - F.col("__numer") % F.col("__denom")) / F.col("__denom"))
+            .cast("long")
+            .alias("gini_x1000"),
+        )
     )
 
 

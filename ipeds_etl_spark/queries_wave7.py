@@ -1030,9 +1030,21 @@ def _funnel_oracle() -> str:
     """
 
 
+#: Components algorithm inside the funnel's near-dup stage — the sf10
+#: race knob (VERDICT r9 item 2: the fixpoint is a measured 94% of the
+#: funnel's sf10 cost). Both algorithms return the identical min-id
+#: labeling (equivalence pinned in test_components_sampling); the
+#: default is whichever won the recorded sf10 race (SCALE.md
+#: components_race_r10).
+FUNNEL_COMPONENTS_ALGORITHM = "label"
+
+
 @_register("docs_curation_funnel", _funnel_oracle())
 def q_docs_curation_funnel(
-    spark: SparkSession, sf_dir: str, profile: dict | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    profile: dict | None = None,
+    components_algorithm: str | None = None,
 ) -> DataFrame:
     """The whole curation pipeline as ONE auditable funnel: quality
     gate (≥10 tokens, top token < 1/5 — the repetition rule) → exact
@@ -1115,7 +1127,10 @@ def q_docs_curation_funnel(
         .join(s2.withColumnRenamed("doc_id", "id_b").hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b")
     )
-    comp = dedup_clusters(surv_pairs).select(
+    comp = dedup_clusters(
+        surv_pairs,
+        algorithm=components_algorithm or FUNNEL_COMPONENTS_ALGORITHM,
+    ).select(
         F.col("id").alias("doc_id"), F.col("component_id").alias("lbl")
     )
     s3 = mark(

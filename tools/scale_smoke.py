@@ -683,11 +683,100 @@ def run_quad_r9(spark, results: dict) -> None:
     results["quad_r9"] = out
 
 
+def run_components_race_r10(spark, results: dict) -> None:
+    """VERDICT r9 items 2 + 7: (a) a tracked 3-sample cold median for
+    the 127.6M-pair LSH memo build (previous sessions read 397.3 s and
+    251.9 s on identical code — a range, not a number); (b) the
+    never-run race — min-label propagation vs large/small-star
+    contraction — on that pair graph, ABAB so both arms share box
+    conditions; (c) the funnel re-measured median-of-3 with the
+    winning algorithm, construct_share recorded."""
+    import statistics
+
+    from ipeds_etl_spark import queries as q
+    from ipeds_etl_spark.operators.indexes import lsh_doc_pairs, release_indexes
+    from ipeds_etl_spark.queries_wave7 import q_docs_curation_funnel
+
+    out: dict = {}
+    # --- (a) memo build: median of 3 COLD builds ---
+    builds = []
+    for i in range(3):
+        release_indexes(spark)
+        t0 = time.perf_counter()
+        n_pairs = lsh_doc_pairs(spark, SF10_DIR).count()
+        builds.append(round(time.perf_counter() - t0, 2))
+        print(
+            json.dumps({"memo_build_sample": builds[-1], "n_pairs": n_pairs}),
+            flush=True,
+        )
+    out["memo_build_samples"] = builds
+    out["memo_build_median_sec"] = round(statistics.median(builds), 2)
+    out["n_pairs"] = n_pairs
+
+    # --- (b) the race, on the warm memo (build billed above) ---
+    pairs = lsh_doc_pairs(spark, SF10_DIR)
+    race: dict = {"label": [], "star": []}
+    rounds: dict = {}
+    for _ in range(2):  # ABAB
+        for alg, fn in (
+            ("label", connected_components),
+            ("star", connected_components_star),
+        ):
+            stats: dict = {}
+            t0 = time.perf_counter()
+            n = fn(pairs, stats=stats).count()
+            race[alg].append(round(time.perf_counter() - t0, 2))
+            rounds[alg] = stats.get("rounds")
+            print(
+                json.dumps(
+                    {f"components_{alg}_sample": race[alg][-1],
+                     "rounds": rounds[alg], "n_nodes": n}
+                ),
+                flush=True,
+            )
+    out["race"] = {
+        alg: {"samples": v, "median_sec": round(statistics.median(v), 2),
+              "rounds": rounds[alg]}
+        for alg, v in race.items()
+    }
+    winner = min(race, key=lambda a: statistics.median(race[a]))
+    out["winner"] = winner
+    print(json.dumps({"components_race_winner": winner}), flush=True)
+
+    # --- (c) funnel median-of-3 with the winner, construct share ---
+    samples, construct = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df = q_docs_curation_funnel(
+            spark, SF10_DIR, components_algorithm=winner
+        )
+        construct.append(round(time.perf_counter() - t0, 2))
+        df.collect()
+        samples.append(round(time.perf_counter() - t0, 2))
+        print(
+            json.dumps(
+                {"funnel_r10_sample": samples[-1],
+                 "construct_share": construct[-1]}
+            ),
+            flush=True,
+        )
+    out["funnel_winner_samples"] = samples
+    out["funnel_winner_median_sec"] = round(statistics.median(samples), 2)
+    out["funnel_construct_samples"] = construct
+    results["components_race_r10"] = out
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["iterative", "sweep"]
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict = {}
+    if "race_r10" in sections:
+        build_quad_corpus(spark)
+        run_components_race_r10(spark, results)
+        if sections == ["race_r10"]:
+            print(json.dumps(results))
+            return
     r9_sections = {"funnel_r9", "semdedup_r9"}
     if r9_sections & set(sections):
         build_quad_corpus(spark)  # always fresh: stale /tmp corpora lie
