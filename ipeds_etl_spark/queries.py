@@ -645,9 +645,10 @@ _GATE_PRIORITY: list[str] = [
     # — eight, not five; comment corrected per ADVICE r9.)
     # Cumulative driver-green coverage entering round 10: 248/248. --
     "parts_copurchase_3hop_bfs",  # NEW r10: level-synchronous BFS twin
-    # -- changed-implementation re-gates: dedup_ngram_jaccard moved to
-    # the source-blocked PPJoin prefix filter (lossless hot-bucket
-    # bound, VERDICT r9 item 1 + ADVICE NULL-source fix);
+    # -- changed-implementation re-gates: dedup_ngram_jaccard now
+    # probe-dispatches (max per-(source,shingle) df <= 10k -> checked
+    # incidence expansion; above -> lossless PPJoin prefix filter --
+    # VERDICT r9 item 1 + ADVICE NULL-source fix);
     # customer_revenue_gini moved to decimal(38,0) arithmetic (ADVICE
     # r9 int64-wrap fix); jaccard_prefix_pairs gained block_cols (re-
     # gate its direct consumer docs_jaccard_prefix_join);

@@ -592,25 +592,43 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard over same-source candidate pairs
     (the blocked verifier stage of a dedup pipeline).
 
-    Spelled via the source-blocked PPJOIN PREFIX FILTER (rewritten
-    r10, VERDICT r9 item 1): the r9 shingle-incidence expansion was
-    uncapped by design (oracle exactness), which left one silent-n²
-    exposure — a boilerplate shingle present in most of a source's
-    documents creates one (source, shingle) bucket whose pair
-    expansion is quadratic in that fraction. The prefix filter is the
-    LOSSLESS fix: order each doc's shingles by per-source document
-    frequency (rarest first) and only the first (1−t)·|x|+1 expand
-    into candidates — any pair with J ≥ t must share a prefix shingle
-    (the intersection cannot fit in the suffix), so the candidate set
-    is provably a superset of the output, while a ubiquitous shingle
-    ranks LAST in every doc and its bucket never forms (bounded-
-    intermediate test: test_dedup_similarity hot-shingle case).
-    Verification is exact set Jaccard on the candidate sliver; the
-    division stays size-int / size-int, so the emitted double is
-    bit-identical to the oracle's. NULL-source docs are dropped up
-    front — the oracle's ``a.source = b.source`` never pairs them
-    (ADVICE r9). Same output as the r9 form; the hot bucket is gone."""
+    PROBE-DISPATCHED between two oracle-exact plans (r10, VERDICT r9
+    item 1 — closing the last silent-n² exposure without paying for
+    the cure on corpora that don't need it):
+
+    * **Probe**: one memoized map-combinable aggregate — the max
+      per-(source, shingle) document frequency, i.e. the largest
+      bucket the incidence expansion would ever create. The same
+      know-your-data-then-pick-the-plan discipline as
+      ``similarity.REATTACH_BROADCAST_MAX_BYTES`` (optimizer
+      estimates are not trusted for quadratic risks; a measured row
+      count is).
+    * **max df ≤ NGRAM_HOT_DF_BOUND** → the shingle-incidence
+      expansion (``dedup.ngram_jaccard_incidence_pairs``, the r9 22×
+      form): its per-bucket quadratic is now CHECKED against the
+      bound instead of silently assumed — measured ABAB at sf1:
+      5.6–6.7 s vs the prefix form's 10 s (the freq-join + rank
+      window + candidate distinct + array verify constant doesn't pay
+      off when no hot bucket exists).
+    * **max df > bound** (boilerplate corpus — "all rights reserved"
+      in most docs of one source) → the source-blocked PPJoin prefix
+      filter (``dedup.jaccard_prefix_pairs``): lossless by the prefix
+      theorem, and the ubiquitous shingle ranks LAST in every doc's
+      rarity order so its quadratic bucket never forms (bounded-
+      intermediate test: test_round10_ops hot-shingle case, which
+      also pins both branches row-identical on the same corpus).
+
+    Both branches drop NULL-source docs up front — the oracle's
+    ``a.source = b.source`` never pairs them (ADVICE r9) — and both
+    keep the division size-int/size-int, so the emitted double is
+    bit-identical to the oracle's. Probe disclosure: memoized per
+    corpus version like the LSH memo; first call pays one agg, billed
+    medians measure the dispatched plan."""
     d = _docs(spark, sf_dir)
+    if _ngram_blocked_max_df(spark, sf_dir) <= NGRAM_HOT_DF_BOUND:
+        return DD.ngram_jaccard_incidence_pairs(
+            d, "text", "doc_id", k=3, threshold=0.2, block_cols=["source"]
+        )
     return DD.jaccard_prefix_pairs(
         d, "text", "doc_id", k=3, threshold=0.2, block_cols=["source"]
     )
@@ -953,6 +971,42 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     if key not in _EMB_COUNTS:
         _EMB_COUNTS[key] = load_table(spark, sf_dir, "embeddings").count()
     return _EMB_COUNTS[key]
+
+
+#: Largest (source, shingle) bucket the ngram-jaccard incidence
+#: expansion may face before the query dispatches to the prefix-
+#: filtered plan: 10k ⇒ worst single-bucket expansion ~5·10⁷ pair rows
+#: (the same envelope as dedup.MAX_BUCKET_SIZE_DEFAULT — streamed, not
+#: buffered, thanks to the posexplode+slice expansion).
+NGRAM_HOT_DF_BOUND = 10_000
+
+#: Memoized max per-(source, 3-shingle) document frequency per corpus
+#: version — the quadratic-risk probe for dedup_ngram_jaccard's plan
+#: dispatch (see its docstring). One map-combinable agg; at 100 TB
+#: this is a metadata-cheap pass next to the expansion it guards.
+_NGRAM_MAX_DF: dict[tuple, int] = {}
+
+
+def _ngram_blocked_max_df(spark: SparkSession, sf_dir: str) -> int:
+    key = _corpus_fingerprint(sf_dir, "documents")
+    if key not in _NGRAM_MAX_DF:
+        d = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
+        inc = d.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    TX.shingles_of(TX.tokens(F.col("text")), 3)
+                )
+            ).alias("g"),
+        )
+        row = (
+            inc.groupBy("source", "g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("m"))
+            .collect()[0]
+        )
+        _NGRAM_MAX_DF[key] = int(row.m or 0)
+    return _NGRAM_MAX_DF[key]
 
 
 def _ivf_sql(n_iters: int = 2, dim: int = 64) -> str:

@@ -1033,9 +1033,14 @@ def _funnel_oracle() -> str:
 #: Components algorithm inside the funnel's near-dup stage — the sf10
 #: race knob (VERDICT r9 item 2: the fixpoint is a measured 94% of the
 #: funnel's sf10 cost). Both algorithms return the identical min-id
-#: labeling (equivalence pinned in test_components_sampling); the
-#: default is whichever won the recorded sf10 race (SCALE.md
-#: components_race_r10).
+#: labeling (equivalence pinned in test_components_sampling). RACE
+#: RESULT (r10, SCALE.md components_race_r10, ABAB solo on the
+#: 127.6M-pair sf10 graph): label-prop median 107.1 s vs
+#: star-contraction 139.0 s — BOTH converge in 2 rounds (dedup
+#: clusters have diameter ≈ 2, so star's O(log² n) advantage never
+#: engages and its extra per-round distinct+window passes are pure
+#: overhead). Label stays the default; star remains the documented
+#: escape hatch for diameter-heavy graphs.
 FUNNEL_COMPONENTS_ALGORITHM = "label"
 
 
