@@ -1034,13 +1034,15 @@ def _funnel_oracle() -> str:
 #: race knob (VERDICT r9 item 2: the fixpoint is a measured 94% of the
 #: funnel's sf10 cost). Both algorithms return the identical min-id
 #: labeling (equivalence pinned in test_components_sampling). RACE
-#: RESULT (r10, SCALE.md components_race_r10, ABAB solo on the
-#: 127.6M-pair sf10 graph): label-prop median 107.1 s vs
-#: star-contraction 139.0 s — BOTH converge in 2 rounds (dedup
-#: clusters have diameter ≈ 2, so star's O(log² n) advantage never
-#: engages and its extra per-round distinct+window passes are pure
-#: overhead). Label stays the default; star remains the documented
-#: escape hatch for diameter-heavy graphs.
+#: RESULT (r10, three solo sessions, 7 ABAB samples per arm on the
+#: 127.6M-pair sf10 graph — SCALE.md "Components race" + its
+#: REPLICATION entry): pooled medians label 151.7 s vs star 161.9 s,
+#: within-arm same-code spread 3–5.6×, BOTH converge in 2 rounds in
+#: all 14 runs (dedup clusters have diameter ≈ 2, so star's O(log² n)
+#: advantage never engages). The arms are equivalent on this topology
+#: and single-session deltas are box state; label stays the default
+#: (2 shuffles/round vs star's 4), star remains the documented escape
+#: hatch for diameter-heavy graphs.
 FUNNEL_COMPONENTS_ALGORITHM = "label"
 
 

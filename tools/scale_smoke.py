@@ -280,6 +280,17 @@ SWEEP_R16 = [
     "emb_pq_codebook_balance",
 ]
 
+#: round-10 wave-13: MWU (distinct-value prefix sum), priority sample
+#: (WindowGroupLimit top-k), bigram LM (ref-vocab-bounded joins),
+#: threshold sweep (one pass over floor-threshold pairs) — all
+#: expected ~linear in corpus
+SWEEP_R17 = [
+    "events_mann_whitney_u",
+    "events_priority_sample_estimator",
+    "docs_bigram_lm_ppl",
+    "emb_dup_threshold_sweep",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -828,6 +839,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R15, key="sweep_r15")
     if "sweep_r16" in sections:
         run_sweep(spark, results, names=SWEEP_R16, key="sweep_r16")
+    if "sweep_r17" in sections:
+        run_sweep(spark, results, names=SWEEP_R17, key="sweep_r17")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
