@@ -647,11 +647,13 @@ _GATE_PRIORITY: list[str] = [
     # Cumulative driver-green coverage entering round 10: 248/248. --
     "parts_copurchase_3hop_bfs",  # NEW r10: level-synchronous BFS twin
     # -- wave-13 (NEW r10): rank-based A/B guardrail, priority-sample
-    # estimator, held-out bigram-LM scoring, near-dup threshold sweep --
+    # estimator, held-out bigram-LM scoring, near-dup threshold sweep,
+    # CUPED variance reduction --
     "events_mann_whitney_u",
     "events_priority_sample_estimator",
     "docs_bigram_lm_ppl",
     "emb_dup_threshold_sweep",
+    "events_cuped_adjustment",
     # -- changed-implementation re-gates: dedup_ngram_jaccard now
     # probe-dispatches (max per-(source,shingle) df <= 10k -> checked
     # incidence expansion; above -> lossless PPJoin prefix filter --

@@ -534,3 +534,188 @@ def q_emb_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_x100")
     )
+
+
+# ===========================================================================
+# CUPED variance reduction (Deng et al. 2013)
+# ===========================================================================
+def _cuped_oracle() -> str:
+    bucket = SAMP.sample_bucket_sql("user_id", salt="ab")
+    return f"""
+    WITH ev AS (
+      SELECT event_type, user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+    u AS (
+      SELECT event_type, user_id,
+             CASE WHEN {bucket} < 50 THEN 'A' ELSE 'B' END AS arm,
+             CAST(COALESCE(SUM(CASE WHEN us < mid.mid_us THEN m END), 0)
+                  AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN us >= mid.mid_us THEN m END), 0)
+                  AS BIGINT) AS y
+      FROM ev CROSS JOIN mid GROUP BY event_type, user_id, mid.mid_us),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(CASE WHEN arm = 'A' THEN x ELSE 0 END AS HUGEINT)) AS sxa,
+             SUM(CAST(CASE WHEN arm = 'A' THEN y ELSE 0 END AS HUGEINT)) AS sya,
+             SUM(CAST(CASE WHEN arm = 'B' THEN x ELSE 0 END AS HUGEINT)) AS sxb,
+             SUM(CAST(CASE WHEN arm = 'B' THEN y ELSE 0 END AS HUGEINT)) AS syb
+      FROM u GROUP BY event_type),
+    c AS (
+      SELECT event_type, n_users, n_a, n_b,
+             CAST(n_users * sxx - sx * sx AS DOUBLE) AS sxx_c,
+             CAST(n_users * sxy - sx * sy AS DOUBLE) AS sxy_c,
+             CAST(n_users * syy - sy * sy AS DOUBLE) AS syy_c,
+             CAST(sxa AS DOUBLE) AS sxa_d, CAST(sya AS DOUBLE) AS sya_d,
+             CAST(sxb AS DOUBLE) AS sxb_d, CAST(syb AS DOUBLE) AS syb_d
+      FROM g)
+    SELECT event_type, n_users, n_a, n_b,
+           CASE WHEN sxx_c > 0.0 THEN sxy_c / sxx_c END AS theta,
+           CASE WHEN sxx_c > 0.0 AND syy_c > 0.0 THEN
+             (sxy_c * sxy_c) / (sxx_c * syy_c) END AS var_reduction,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             ((syb_d / n_b) - (sya_d / n_a)) / 1000000.0 END AS diff_raw,
+           CASE WHEN n_a > 0 AND n_b > 0 AND sxx_c > 0.0 THEN
+             (((syb_d / n_b) - ((sxy_c / sxx_c) * (sxb_d / n_b)))
+              - ((sya_d / n_a) - ((sxy_c / sxx_c) * (sxa_d / n_a))))
+             / 1000000.0 END AS diff_cuped
+    FROM c ORDER BY event_type
+    """
+
+
+@_register("events_cuped_adjustment", _cuped_oracle())
+def q_events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) per event type: the
+    data's time range splits at its midpoint into pre/post periods,
+    each user's pre-period value total is the covariate X and the
+    post-period total the metric Y, θ = Cov(X,Y)/Var(X) is fitted
+    POOLED (arm-blind, as the method requires to stay unbiased), and
+    the readout is the achieved variance reduction ρ² = Corr(X,Y)²
+    next to the raw and CUPED-adjusted B−A mean lifts. This completes
+    the experimentation guardrail suite — ``events_ab_test`` (moments),
+    ``events_mann_whitney_u`` (ranks), ``events_srm_check``
+    (assignment health) — with the sensitivity lever production
+    platforms apply before any of them read significance.
+
+    Arithmetic: per-event values floor-quantize to micro-units ONCE;
+    per-user (X, Y) are exact integer sums; all corpus-level moments
+    (Σx, Σxy, …) accumulate in HUGEINT/DECIMAL(38,0); the centered
+    second moments n·Σxy − ΣxΣy convert to double in ONE cast each
+    (their squares would overflow any fixed decimal, so ρ² is a
+    pinned-order double expression), divisions ordered identically on
+    both engines. Period split uses exact epoch MICROS (`unix_micros`
+    ↔ `epoch_us` — the truncating-vs-fractional `epoch()` trap).
+
+    Scale: one map-combinable (type, user) exchange builds the
+    per-user frame (the midpoint is a broadcast 1-row frame), one
+    O(types) rollup computes every moment — a metrics pass, no joins
+    beyond the broadcast, nothing driver-side."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = e.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("m"),
+    )
+    mid = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid_us"))
+    arm = F.when(
+        SAMP.sample_bucket(F.col("user_id"), salt="ab") < 50, "A"
+    ).otherwise("B")
+    u = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "user_id", "mid_us")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("us") < F.col("mid_us"), F.col("m"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("us") >= F.col("mid_us"), F.col("m"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .select("event_type", "user_id", arm.alias("arm"), "x", "y")
+    )
+    x_dec = F.col("x").cast(_DEC)
+    y_dec = F.col("y").cast(_DEC)
+    g = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(x_dec).alias("sx"),
+        F.sum(y_dec).alias("sy"),
+        F.sum(x_dec * F.col("x")).alias("sxx"),
+        F.sum(x_dec * F.col("y")).alias("sxy"),
+        F.sum(y_dec * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x")).otherwise(0).cast(_DEC))
+        .alias("sxa"),
+        F.sum(F.when(F.col("arm") == "A", F.col("y")).otherwise(0).cast(_DEC))
+        .alias("sya"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x")).otherwise(0).cast(_DEC))
+        .alias("sxb"),
+        F.sum(F.when(F.col("arm") == "B", F.col("y")).otherwise(0).cast(_DEC))
+        .alias("syb"),
+    )
+    n_dec = F.col("n_users").cast(_DEC)
+    c = g.select(
+        "event_type",
+        "n_users",
+        "n_a",
+        "n_b",
+        (n_dec * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("sxx_c"),
+        (n_dec * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("sxy_c"),
+        (n_dec * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("syy_c"),
+        F.col("sxa").cast("double").alias("sxa_d"),
+        F.col("sya").cast("double").alias("sya_d"),
+        F.col("sxb").cast("double").alias("sxb_d"),
+        F.col("syb").cast("double").alias("syb_d"),
+    )
+    theta = F.col("sxy_c") / F.col("sxx_c")
+    n_a_d, n_b_d = F.col("n_a"), F.col("n_b")
+    return c.select(
+        "event_type",
+        "n_users",
+        "n_a",
+        "n_b",
+        F.when(F.col("sxx_c") > 0.0, theta).alias("theta"),
+        F.when(
+            (F.col("sxx_c") > 0.0) & (F.col("syy_c") > 0.0),
+            (F.col("sxy_c") * F.col("sxy_c"))
+            / (F.col("sxx_c") * F.col("syy_c")),
+        ).alias("var_reduction"),
+        F.when(
+            (n_a_d > 0) & (n_b_d > 0),
+            ((F.col("syb_d") / n_b_d) - (F.col("sya_d") / n_a_d)) / 1000000.0,
+        ).alias("diff_raw"),
+        F.when(
+            (n_a_d > 0) & (n_b_d > 0) & (F.col("sxx_c") > 0.0),
+            (
+                ((F.col("syb_d") / n_b_d) - (theta * (F.col("sxb_d") / n_b_d)))
+                - ((F.col("sya_d") / n_a_d) - (theta * (F.col("sxa_d") / n_a_d)))
+            )
+            / 1000000.0,
+        ).alias("diff_cuped"),
+    ).orderBy("event_type")

@@ -217,3 +217,65 @@ def test_dup_threshold_sweep_monotone_and_consistent(spark):
     at40 = next(r for r in rows if r.threshold_x100 == 40)
     assert at40.n_pairs == near.count()
     assert at40.n_removed == near.select("id_b").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+def test_cuped_python_replay(spark):
+    """θ, ρ² and the adjusted lift must equal a numpy-free Python
+    replay of the pooled-θ CUPED construction; ρ² ∈ [0, 1]; CUPED
+    leaves the EXPECTED lift structure intact (adjustment uses only
+    the pre-period covariate)."""
+    from ipeds_etl_spark.queries_wave13 import q_events_cuped_adjustment
+    from ipeds_etl_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF, "events")
+        .selectExpr("event_type", "user_id", "unix_micros(ts) AS us", "value")
+        .collect()
+    )
+    evs = [r for r in rows if r.value is not None]
+    mid = (min(r.us for r in evs) + max(r.us for r in evs)) // 2
+    per: dict[tuple[str, int], list[int]] = defaultdict(lambda: [0, 0])
+    for r in evs:
+        xy = per[(r.event_type, r.user_id)]
+        xy[0 if r.us < mid else 1] += math.floor(r.value * 1e6)
+
+    got = {r.event_type: r for r in q_events_cuped_adjustment(spark, SF).collect()}
+    types = {et for et, _ in per}
+    assert set(got) == types
+    for et in types:
+        users = [(u, v) for (t, u), v in per.items() if t == et]
+        n = len(users)
+        xs = [v[0] for _, v in users]
+        ys = [v[1] for _, v in users]
+        sxx_c = n * sum(x * x for x in xs) - sum(xs) ** 2
+        sxy_c = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        syy_c = n * sum(y * y for y in ys) - sum(ys) ** 2
+        g = got[et]
+        assert g.n_users == n
+        assert g.n_a + g.n_b == n
+        if sxx_c > 0:
+            assert math.isclose(g.theta, sxy_c / sxx_c, rel_tol=1e-9), et
+            if syy_c > 0:
+                rho2 = (sxy_c * sxy_c) / (sxx_c * syy_c)
+                assert math.isclose(g.var_reduction, rho2, rel_tol=1e-9)
+                assert 0.0 <= g.var_reduction <= 1.0
+        arms = {
+            u: _arm(u) for u, _ in users
+        }
+        a = [(x, y) for (u, (x, y)) in users if arms[u] == "A"]
+        b = [(x, y) for (u, (x, y)) in users if arms[u] == "B"]
+        if a and b:
+            raw = (
+                sum(y for _, y in b) / len(b) - sum(y for _, y in a) / len(a)
+            ) / 1e6
+            assert math.isclose(g.diff_raw, raw, rel_tol=1e-9, abs_tol=1e-12)
+            if sxx_c > 0:
+                th = sxy_c / sxx_c
+                adj = (
+                    (sum(y for _, y in b) / len(b) - th * sum(x for x, _ in b) / len(b))
+                    - (sum(y for _, y in a) / len(a) - th * sum(x for x, _ in a) / len(a))
+                ) / 1e6
+                assert math.isclose(g.diff_cuped, adj, rel_tol=1e-9, abs_tol=1e-12)
