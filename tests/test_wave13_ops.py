@@ -279,3 +279,18 @@ def test_cuped_python_replay(spark):
                     - (sum(y for _, y in a) / len(a) - th * sum(x for x, _ in a) / len(a))
                 ) / 1e6
                 assert math.isclose(g.diff_cuped, adj, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_priority_sample_plan_has_window_group_limit(spark):
+    """The docstring's scale claim, pinned: the per-type row_number
+    ranked filter must compile to WindowGroupLimit (partial map-side
+    top-k BEFORE the exchange), so the shuffle carries O(partitions·k)
+    rows — if a Spark upgrade or a rewrite loses the rank-limit
+    pushdown, this fails before the 100 TB run does."""
+    from ipeds_etl_spark.queries_wave13 import (
+        q_events_priority_sample_estimator,
+    )
+
+    df = q_events_priority_sample_estimator(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
