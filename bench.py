@@ -227,7 +227,7 @@ def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
 #: ranged 0.92x-1.44x across sessions (r9's three generations, r10's
 #: two back-to-back runs at a uniform ~1.3-1.4x over r9 including
 #: map-only constants and fresh-JVM isolates) — the box, not the code.
-#: Two fixed probes timed EVERY run turn that from argument into a
+#: Two fixed probes, timed every run, turn that argument into a
 #: recorded denominator: a single-thread CPU hash (pure CPython/
 #: OpenSSL, no JVM — detects clock/steal differences) and a fixed
 #: parquet scan-agg run in every chunk's JVM (detects IO/page-cache/

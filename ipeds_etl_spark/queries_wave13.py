@@ -57,11 +57,13 @@ def _mwu_oracle() -> str:
       SELECT event_type,
              CAST(SUM(ca) AS BIGINT) AS n_a,
              CAST(SUM(cb) AS BIGINT) AS n_b,
-             CAST(SUM(ca * (2 * cb_less + cb)) AS BIGINT) AS two_u_a,
+             CAST(SUM(CAST(ca AS HUGEINT) * (2 * cb_less + cb))
+                  AS DECIMAL(38,0)) AS two_u_a,
              CAST(SUM(CAST((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)
                            AS HUGEINT)) AS DECIMAL(38,0)) AS tie_term
       FROM pre GROUP BY event_type)
-    SELECT event_type, n_a, n_b, two_u_a,
+    SELECT event_type, n_a, n_b,
+           CAST(two_u_a AS DOUBLE) AS two_u_a,
            CAST(tie_term AS DOUBLE) AS tie_term,
            CASE WHEN n_a * n_b > 0 THEN
              CAST(two_u_a AS DOUBLE)
@@ -93,7 +95,12 @@ def q_events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one whale; rank statistics don't) and ``events_srm_check``'s
     assignment audit. Emitted as exact sufficient statistics:
     ``two_u_a`` = 2·U_A with the standard half-credit tie convention
-    (doubling keeps it integral), the tie-correction term Σ(t³−t)
+    (doubling keeps it integral), accumulated in DECIMAL(38,0) —
+    per-row the product ca·(2·cb_less+cb) is computed in decimal/
+    HUGEINT too, since it is quadratic in per-(type,value) arm counts
+    (ADVICE r10: a long sum would silently wrap past ~4.3e9 events of
+    one value while DuckDB's checked cast errors) — and the
+    tie-correction term Σ(t³−t)
     accumulated in DECIMAL(38,0) (per-row t³ fits int64 up to ~2.09M
     duplicates of ONE exact double value inside one event type;
     everything ACCUMULATED is checked decimal — the
@@ -144,8 +151,8 @@ def q_events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = pre.groupBy("event_type").agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),
-        F.sum(F.col("ca") * (2 * F.col("cb_less") + F.col("cb")))
-        .cast("long")
+        F.sum(F.col("ca").cast(_DEC) * (2 * F.col("cb_less") + F.col("cb")))
+        .cast(_DEC)
         .alias("two_u_a"),
         F.sum((t * t * t - t).cast(_DEC)).cast(_DEC).alias("tie_term"),
     )
@@ -159,7 +166,7 @@ def q_events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        "two_u_a",
+        F.col("two_u_a").cast("double").alias("two_u_a"),
         F.col("tie_term").cast("double").alias("tie_term"),
         F.when(
             n_a * n_b > 0,
@@ -215,7 +222,7 @@ def _psamp_oracle() -> str:
              SUM(m) AS em
       FROM samp GROUP BY event_type)
     SELECT t.event_type, t.n_events, e.k_used,
-           CAST(floor(ta.tau * 1000000.0) AS BIGINT) AS tau_x1e6,
+           ta.tau AS tau,
            CAST(e.em AS DOUBLE) / 1000000.0 AS est_sum,
            CAST(t.tm AS DOUBLE) / 1000000.0 AS true_sum,
            ((CAST(e.em AS DOUBLE) - CAST(t.tm AS DOUBLE))
@@ -302,7 +309,12 @@ def q_events_priority_sample_estimator(
             "event_type",
             "n_events",
             "k_used",
-            F.floor(F.col("tau") * 1000000.0).cast("long").alias("tau_x1e6"),
+            # tau ships as the raw double (ADVICE r10: floor(tau*1e6)
+            # → BIGINT was the one unchecked narrowing cast here — a
+            # heavy stratum can push it past int64, where DuckDB
+            # errors and Spark wraps; the double quotient itself is
+            # op-order-pinned and engine-identical)
+            F.col("tau").alias("tau"),
             (em_d / 1000000.0).alias("est_sum"),
             (tm_d / 1000000.0).alias("true_sum"),
             (((em_d - tm_d) / tm_d) * 1000.0).alias("err_permille"),

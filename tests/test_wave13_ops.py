@@ -126,11 +126,11 @@ def test_priority_sample_python_replay(spark):
         g = got[et]
         assert g.n_events == len(vw)
         assert g.k_used == min(_PS_K, len(vw))
-        assert g.tau_x1e6 == math.floor(tau * 1e6)
+        assert g.tau == tau
         assert math.isclose(g.est_sum, est_micro / 1e6, rel_tol=1e-12)
         assert math.isclose(g.true_sum, true_micro / 1e6, rel_tol=1e-12)
         if len(vw) <= _PS_K:
-            assert g.tau_x1e6 == 0 and g.est_sum == g.true_sum
+            assert g.tau == 0.0 and g.est_sum == g.true_sum
         # the estimator should land in the right ballpark even at k=32
         assert abs(g.err_permille) < 1000.0
 

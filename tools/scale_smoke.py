@@ -289,6 +289,7 @@ SWEEP_R17 = [
     "events_priority_sample_estimator",
     "docs_bigram_lm_ppl",
     "emb_dup_threshold_sweep",
+    "events_cuped_adjustment",
 ]
 
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
