@@ -624,6 +624,7 @@ def _load_extensions() -> None:
         queries_wave11,
         queries_wave12,
         queries_wave13,
+        queries_wave14,
     )
 
 
@@ -639,41 +640,25 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- round 10 window. Freeze discipline (VERDICT r9 item 6): lead
+    # -- round 11 window. Freeze discipline (VERDICT r9 item 6): lead
     # with everything newly registered this round, then re-gate every
-    # query whose implementation round 10 changed, then canaries/
-    # veterans. (The r9 window's lead block was the 8 wave-12 queries
-    # — eight, not five; comment corrected per ADVICE r9.)
-    # Cumulative driver-green coverage entering round 10: 248/248. --
-    "parts_copurchase_3hop_bfs",  # NEW r10: level-synchronous BFS twin
-    # -- wave-13 (NEW r10): rank-based A/B guardrail, priority-sample
-    # estimator, held-out bigram-LM scoring, near-dup threshold sweep,
-    # CUPED variance reduction --
+    # query whose implementation round 11 changed, then canaries/
+    # veterans. Cumulative driver-green coverage entering round 11:
+    # 254/254. --
+    # NEW r11: alignment-robust global span-dedup rewrite (CDC
+    # boundaries + global first occurrence — VERDICT r10 gap 1) and
+    # the mergeable quantile-sketch readout (gap 2).
+    "docs_cdc_dedup_rewrite",
+    "events_value_qsketch",
+    # -- changed-implementation re-gates: events_mann_whitney_u's 2U
+    # statistic moved to decimal(38,0) accumulation / double output,
+    # events_priority_sample_estimator ships tau as the raw double
+    # (both ADVICE r10 overflow-envelope fixes, output schemas
+    # changed); docs_cdc_chunk_dedup's chunker factored into the
+    # shared cdc_chunks helper the rewrite composes. --
     "events_mann_whitney_u",
     "events_priority_sample_estimator",
-    "docs_bigram_lm_ppl",
-    "emb_dup_threshold_sweep",
-    "events_cuped_adjustment",
-    # -- changed-implementation re-gates: dedup_ngram_jaccard now
-    # probe-dispatches (max per-(source,shingle) df <= 10k -> checked
-    # incidence expansion; above -> lossless PPJoin prefix filter --
-    # VERDICT r9 item 1 + ADVICE NULL-source fix);
-    # customer_revenue_gini moved to decimal(38,0) arithmetic (ADVICE
-    # r9 int64-wrap fix); jaccard_prefix_pairs gained block_cols (re-
-    # gate its direct consumer docs_jaccard_prefix_join);
-    # parts_copurchase_3hop's edge build factored into a shared
-    # helper; docs_curation_funnel + components consumers re-gated for
-    # the components-algorithm race knob (VERDICT r9 item 2). --
-    "dedup_ngram_jaccard",
-    "customer_revenue_gini",
-    "docs_jaccard_prefix_join",
-    "parts_copurchase_3hop",
-    "docs_curation_funnel",
-    "docs_dedup_resolution",
-    "dedup_components",
-    "dedup_components_star",
-    "docs_golden_record",
-    "docs_dedup_survivorship",
+    "docs_cdc_chunk_dedup",
     # -- load-bearing veterans (multi-round green; regression canaries
     # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
     "kpi_yearly",
@@ -720,10 +705,18 @@ _GATE_PRIORITY: list[str] = [
     "docs_concat_chunk_packing",
     "emb_kmeans_lloyd",
     "emb_semdedup",
-    "docs_cdc_chunk_dedup",
     "emb_pq_codebook_balance",
+    # -- r10 lead block, kept in the tail of the window (d10-green;
+    # these fill the remaining slots ahead of rotation) --
+    "docs_bigram_lm_ppl",
+    "emb_dup_threshold_sweep",
+    "events_cuped_adjustment",
+    "dedup_ngram_jaccard",
+    "customer_revenue_gini",
+    "docs_jaccard_prefix_join",
+    "parts_copurchase_3hop_bfs",
     # -- rotated out this round (driver-green rows recorded in
-    # CORRECTNESS_r0{1..9}.json; still in the local mirror). --
+    # CORRECTNESS_r0{1..10}.json; still in the local mirror). --
 ]
 
 

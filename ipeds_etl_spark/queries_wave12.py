@@ -41,11 +41,13 @@ _HASH10 = "CAST(concat('0x', substr(sha256({x}), 1, 10)) AS BIGINT)"
 _CDC_W = 4
 _CDC_D = 8
 
-
-@_register(
-    "docs_cdc_chunk_dedup",
-    f"""
-    WITH t AS (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w
+#: shared oracle CTE chain ending in ``ch(doc_id, source, chunk_no,
+#: clen, chunk)`` — the content-defined chunking of every document,
+#: reused verbatim by the dedup ACCOUNTING query below and the dedup
+#: REWRITE (``queries_wave14.docs_cdc_dedup_rewrite``) so both engines
+#: chunk identically.
+CDC_CH_SQL = f"""
+    t AS (SELECT doc_id, source, {_WS_TOKENS.format(x='text')} AS w
                FROM documents),
     tk0 AS (SELECT doc_id, source, w, unnest(range(len(w))) AS i0 FROM t),
     tk AS (SELECT doc_id, source, i0, w[i0 + 1] AS tok,
@@ -65,45 +67,26 @@ _CDC_D = 8
            FROM tk),
     ch AS (SELECT doc_id, source, chunk_no,
                   CAST(count(*) AS BIGINT) AS clen,
-                  {_HASH10.format(x="string_agg(tok, ' ' ORDER BY i0)")} AS h
-           FROM tc GROUP BY doc_id, source, chunk_no),
-    freq AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
-             FROM ch GROUP BY h),
-    j AS (SELECT ch.*, freq.nd FROM ch JOIN freq USING (h))
-    SELECT source,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(clen) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-           CAST(sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_tokens,
-           (1000 * CAST(sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT))
-             // CAST(sum(clen) AS BIGINT) AS dup_token_permille,
-           (10 * CAST(sum(clen) AS BIGINT)) // CAST(count(*) AS BIGINT)
-             AS avg_chunk_len_x10
-    FROM j GROUP BY source ORDER BY source
-    """,
-)
-def q_docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunk dedup (LBFS/FastCDC boundaries over
-    tokens): cut after any token whose trailing 4-gram hashes ≡ 0
-    (mod 8), hash each variable-length chunk, and report — per source
-    — how much of the corpus is chunk-level duplicated across
-    documents (a chunk is duplicated when ≥2 distinct docs contain
-    it). Because boundaries depend only on LOCAL content, two
-    documents that share a long passage at different offsets still
-    produce identical chunks — the shift-robustness fixed 8-word
-    chunking (``docs_boilerplate_chunks``) lacks, and the reason
-    storage dedup systems pay for rolling hashes.
+                  string_agg(tok, ' ' ORDER BY i0) AS chunk
+           FROM tc GROUP BY doc_id, source, chunk_no)"""
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """Content-defined chunks of every document's whitespace tokens:
+    ``(doc_id, source, chunk_no, clen, chunk)``. A boundary falls AFTER
+    any token whose trailing ``_CDC_W``-gram hash ≡ 0 (mod ``_CDC_D``)
+    — boundaries depend only on LOCAL content, so they re-synchronize
+    after insertions/deletions (LBFS, Muthitacharoen et al. 2001).
+    Spark twin of the ``CDC_CH_SQL`` oracle CTE chain; shared by the
+    chunk-dedup accounting and the global dedup rewrite.
 
     Scale: boundary flags are computed MAP-SIDE inside one
     ``transform`` over the token array (each doc touches only its own
     tokens); the cumulative chunk number is a per-doc window (sorts a
     document, never the corpus); chunk assembly is one (doc, chunk)
-    agg; document frequency is one exchange on the chunk hash, and
-    the accounting join reuses that same hash key. Nothing is ever
-    corpus² — total work tracks token count."""
+    agg. Zero-token docs simply produce no chunks (explode of an empty
+    array drops the row)."""
     W, D = _CDC_W, _CDC_D
-    d = load_table(spark, sf_dir, "documents")
     pos = F.expr(
         f"transform(w, (tok, i) -> named_struct("
         f"'i0', i, 'tok', tok, 'cut', CASE WHEN i >= {W - 1} AND "
@@ -134,17 +117,60 @@ def q_docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = tk.withColumn(
         "chunk_no", F.coalesce(F.sum("cut").over(wcum), F.lit(0)).cast("long")
     )
-    ch = tc.groupBy("doc_id", "source", "chunk_no").agg(
+    return tc.groupBy("doc_id", "source", "chunk_no").agg(
         F.count(F.lit(1)).cast("long").alias("clen"),
-        parity_hash(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i0", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            )
-        ).alias("h"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+
+
+@_register(
+    "docs_cdc_chunk_dedup",
+    f"""
+    WITH {CDC_CH_SQL},
+    hh AS (SELECT doc_id, source, chunk_no, clen,
+                  {_HASH10.format(x="chunk")} AS h
+           FROM ch),
+    freq AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+             FROM hh GROUP BY h),
+    j AS (SELECT hh.*, freq.nd FROM hh JOIN freq USING (h))
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(clen) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_tokens,
+           (1000 * CAST(sum(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT))
+             // CAST(sum(clen) AS BIGINT) AS dup_token_permille,
+           (10 * CAST(sum(clen) AS BIGINT)) // CAST(count(*) AS BIGINT)
+             AS avg_chunk_len_x10
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def q_docs_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (LBFS/FastCDC boundaries over
+    tokens): cut after any token whose trailing 4-gram hashes ≡ 0
+    (mod 8), hash each variable-length chunk, and report — per source
+    — how much of the corpus is chunk-level duplicated across
+    documents (a chunk is duplicated when ≥2 distinct docs contain
+    it). Because boundaries depend only on LOCAL content, two
+    documents that share a long passage at different offsets still
+    produce identical chunks — the shift-robustness fixed 8-word
+    chunking (``docs_boilerplate_chunks``) lacks, and the reason
+    storage dedup systems pay for rolling hashes.
+
+    Scale: chunking is the map-side ``cdc_chunks`` shape (see its
+    docstring); document frequency is one exchange on the chunk hash,
+    and the accounting join reuses that same hash key. Nothing is ever
+    corpus² — total work tracks token count."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(d).withColumn("h", parity_hash(F.col("chunk"))).drop(
+        "chunk"
     )
     freq = ch.groupBy("h").agg(
         F.countDistinct("doc_id").cast("long").alias("nd")

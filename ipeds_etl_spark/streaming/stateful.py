@@ -589,3 +589,119 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+QSK_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("level", T.LongType(), False),
+        T.StructField("n_retained", T.LongType(), False),
+        T.StructField("est_p500", T.DoubleType(), True),
+    ]
+)
+
+_QSK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.DoubleType()), True),
+        T.StructField("ids", T.ArrayType(T.LongType()), True),
+        T.StructField("ctzs", T.ArrayType(T.LongType()), True),
+        T.StructField("lev", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def quantile_sketch_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming twin of ``operators/qsketch.py``: the mergeable
+    hash-level quantile sketch maintained incrementally, O(k) state
+    per key. Each micro-batch appends its rows' (value, id, trailing-
+    zero level) triples — levels are computed JVM-side with the SAME
+    ``qsketch.ctz`` expression the batch operator and the DuckDB
+    oracle use — then the compaction rule re-applies: raise L while
+    more than ``k`` rows have level ≥ L, dropping the filtered rows.
+
+    Because retention sets are nested and counts only grow, the
+    incremental L equals the batch L at every prefix (induction:
+    any level the batch rule would reject was already rejected when
+    its count first crossed k), so the FINAL state is bit-identical
+    to the batch sketch over all rows seen — asserted by
+    ``test_wave14_ops::test_qsketch_stream_equals_batch``, the same
+    replay-equality bar as the KMV/HLL stream twins. Emits the p50
+    readout per batch with the batch operator's exact rule
+    (smallest retained value whose 2^L-weighted rank reaches ⌈n/2⌉)."""
+    from pyspark.sql import functions as F
+
+    from ipeds_etl_spark.operators.qsketch import ctz
+
+    kk = int(k)
+
+    def handler(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        (ktype,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        vals, ids, ctzs, lev, n = (
+            state.get if state.exists else ([], [], [], 0, 0)
+        )
+        vals, ids, ctzs = list(vals), list(ids), list(ctzs)
+        lev, n = int(lev), int(n)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v, i, c in zip(pdf["value"], pdf["id"], pdf["ctz"]):
+                c = int(c)
+                if c >= lev:  # below-level rows can never re-enter
+                    vals.append(float(v))
+                    ids.append(int(i))
+                    ctzs.append(c)
+        while len(vals) > kk:
+            lev += 1
+            keep = [j for j, c in enumerate(ctzs) if c >= lev]
+            vals = [vals[j] for j in keep]
+            ids = [ids[j] for j in keep]
+            ctzs = [ctzs[j] for j in keep]
+        state.update((vals, ids, ctzs, lev, n))
+        target = (n * 500 + 999) // 1000
+        est = None
+        if vals:
+            ranked = sorted(zip(vals, ids))
+            est = ranked[-1][0]
+            for rn, (v, _) in enumerate(ranked, start=1):
+                if rn * (1 << lev) >= target:
+                    est = v
+                    break
+        yield _pd.DataFrame(
+            {
+                "event_type": [ktype],
+                "n": [n],
+                "level": [lev],
+                "n_retained": [len(vals)],
+                "est_p500": [est],
+            }
+        )
+
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("event_type"),
+            F.col(value_col).alias("value"),
+            F.col(id_col).alias("id"),
+            ctz(F.col(id_col)).alias("ctz"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            handler,
+            outputStructType=QSK_STREAM_SCHEMA,
+            stateStructType=_QSK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
