@@ -596,9 +596,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     item 1 — closing the last silent-n² exposure without paying for
     the cure on corpora that don't need it):
 
-    * **Probe**: one memoized map-combinable aggregate — the max
-      per-(source, shingle) document frequency, i.e. the largest
-      bucket the incidence expansion would ever create. The same
+    * **Probe**: the max per-(source, shingle) document frequency —
+      the largest bucket the incidence expansion would ever create —
+      memoized per corpus version and TIERED (r11, VERDICT r10 item
+      6): a metadata-cheap parquet row count picks the tier; corpora
+      ≤ 100k docs pay the exact one-integer aggregate, larger ones a
+      deterministic 1/16 doc-sampled estimate with 2× conservative
+      slack (``_ngram_corpus_is_hot`` — sampling docs thins every
+      shingle's df binomially, so the max is estimable; mis-detection
+      needs Chernoff mass e^-78 and costs only plan choice, both
+      branches being row-identical). The same
       know-your-data-then-pick-the-plan discipline as
       ``similarity.REATTACH_BROADCAST_MAX_BYTES`` (optimizer
       estimates are not trusted for quadratic risks; a measured row
@@ -625,7 +632,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus version like the LSH memo; first call pays one agg, billed
     medians measure the dispatched plan."""
     d = _docs(spark, sf_dir)
-    if _ngram_blocked_max_df(spark, sf_dir) <= NGRAM_HOT_DF_BOUND:
+    if not _ngram_corpus_is_hot(spark, sf_dir):
         return DD.ngram_jaccard_incidence_pairs(
             d, "text", "doc_id", k=3, threshold=0.2, block_cols=["source"]
         )
@@ -982,31 +989,99 @@ NGRAM_HOT_DF_BOUND = 10_000
 
 #: Memoized max per-(source, 3-shingle) document frequency per corpus
 #: version — the quadratic-risk probe for dedup_ngram_jaccard's plan
-#: dispatch (see its docstring). One map-combinable agg; at 100 TB
-#: this is a metadata-cheap pass next to the expansion it guards.
+#: dispatch (see its docstring). One map-combinable agg.
 _NGRAM_MAX_DF: dict[tuple, int] = {}
+
+#: Memoized documents row count per corpus version (parquet row-group
+#: metadata count — no data pages read); decides which probe tier the
+#: dispatch uses.
+_DOC_COUNTS: dict[tuple, int] = {}
+
+#: Probe tiers (VERDICT r10 item 6: the exact probe paid a dedicated
+#: full shingle explode+agg whose only output is one integer). Corpora
+#: up to this many docs keep the EXACT probe — at that size the pass
+#: is trivially cheap and the unit-test corpora stay bit-deterministic.
+NGRAM_PROBE_EXACT_MAX_DOCS = 100_000
+#: Above the cutoff: deterministic 1-in-16 DOC sample (hash on doc_id,
+#: every sampled doc contributes ALL its shingles, so every shingle's
+#: df is binomially thinned at rate 1/16 — sampling SHINGLES instead
+#: would simply miss hot keys and is unsound for a max).
+NGRAM_PROBE_SAMPLE_MOD = 16
+#: Conservative slack: the corpus is treated as hot when the scaled
+#: sample estimate reaches BOUND/2. A truly-hot bucket (df ≥ 10k,
+#: expected sampled df 625) evaluating below 312 has Chernoff mass
+#: e^-78 — and the failure mode is only PERFORMANCE (the incidence
+#: branch streams its expansion), never correctness; erring hot picks
+#: the lossless prefix branch.
+NGRAM_PROBE_SLACK = 2
+_NGRAM_HOT: dict[tuple, bool] = {}
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    key = _corpus_fingerprint(sf_dir, "documents")
+    if key not in _DOC_COUNTS:
+        _DOC_COUNTS[key] = load_table(spark, sf_dir, "documents").count()
+    return _DOC_COUNTS[key]
+
+
+def _ngram_df_agg(docs: DataFrame) -> int:
+    """Max per-(source, 3-shingle) df over ``docs`` — one
+    map-combinable aggregate, one integer out."""
+    inc = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(TX.shingles_of(TX.tokens(F.col("text")), 3))
+        ).alias("g"),
+    )
+    row = (
+        inc.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("m"))
+        .collect()[0]
+    )
+    return int(row.m or 0)
 
 
 def _ngram_blocked_max_df(spark: SparkSession, sf_dir: str) -> int:
+    """EXACT probe (memoized): true max per-(source, shingle) df."""
     key = _corpus_fingerprint(sf_dir, "documents")
     if key not in _NGRAM_MAX_DF:
-        d = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
-        inc = d.select(
-            "source",
-            F.explode(
-                F.array_distinct(
-                    TX.shingles_of(TX.tokens(F.col("text")), 3)
-                )
-            ).alias("g"),
+        _NGRAM_MAX_DF[key] = _ngram_df_agg(
+            _docs(spark, sf_dir).filter(F.col("source").isNotNull())
         )
-        row = (
-            inc.groupBy("source", "g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.max("df").alias("m"))
-            .collect()[0]
-        )
-        _NGRAM_MAX_DF[key] = int(row.m or 0)
     return _NGRAM_MAX_DF[key]
+
+
+def _ngram_corpus_is_hot(spark: SparkSession, sf_dir: str) -> bool:
+    """Dispatch predicate for ``dedup_ngram_jaccard`` (memoized per
+    corpus version): small corpora (metadata-cheap row count ≤
+    ``NGRAM_PROBE_EXACT_MAX_DOCS``) pay the exact probe; large corpora
+    pay a 1/16 deterministic doc-sampled probe with 2× slack — a
+    ~6%-CPU pass instead of the full shingle explode the r10 form
+    burned for one integer (VERDICT r10 item 6)."""
+    key = _corpus_fingerprint(sf_dir, "documents")
+    if key not in _NGRAM_HOT:
+        if _doc_count(spark, sf_dir) <= NGRAM_PROBE_EXACT_MAX_DOCS:
+            hot = _ngram_blocked_max_df(spark, sf_dir) > NGRAM_HOT_DF_BOUND
+        else:
+            keep = (
+                parity_hash(
+                    F.concat(F.lit("ngprobe|"), F.col("doc_id").cast("string"))
+                )
+                % NGRAM_PROBE_SAMPLE_MOD
+                == 0
+            )
+            sampled = _ngram_df_agg(
+                _docs(spark, sf_dir)
+                .filter(F.col("source").isNotNull())
+                .filter(keep)
+            )
+            hot = (
+                sampled * NGRAM_PROBE_SAMPLE_MOD
+                >= NGRAM_HOT_DF_BOUND // NGRAM_PROBE_SLACK
+            )
+        _NGRAM_HOT[key] = hot
+    return _NGRAM_HOT[key]
 
 
 def _ivf_sql(n_iters: int = 2, dim: int = 64) -> str:
