@@ -43,6 +43,13 @@ Usage:
                                     # separates real plan regressions
                                     # from suite-context noise);
                                     # appends to BENCH_ISOLATE.json
+    python bench.py --paired REV    # interleaved same-session A/B vs
+                                    # the engine code at git rev REV
+                                    # (r11, VERDICT r10 item 1): the
+                                    # ONLY protocol under which
+                                    # round-over-round perf claims
+                                    # carry signal on this box;
+                                    # appends to BENCH_PAIRED.json
 """
 
 from __future__ import annotations
@@ -124,12 +131,16 @@ SUITE_CRITERION = (
 
 SF1_CRITERION = (
     "second billed suite line (VERDICT r8 item 3): the BENCH_SF1_TOP "
-    "(default 30) heaviest queries by this run's sf0.1 medians, re-timed "
+    "(default 60 from r11 — VERDICT r10 item 5: sf0.1 medians are "
+    "~0.6 s/query session constants while genuine plan changes only "
+    "register at 10x, so the bench budget shifted toward sf1) heaviest "
+    "queries by this run's sf0.1 medians, re-timed "
     "at a 10x corpus (scale_smoke's key-offset sf1 replica build, reused "
     "across runs via an in-dir stamp) with median-of-BENCH_SF1_RUNS "
-    "(default 2) in BENCH_SF1_CHUNKS (default 2) fresh child JVMs — the "
-    "sf0.1 suite is saturated at ~0.6 s/query session constants, so "
-    "genuine plan changes only register here; sf1 shared-index builds "
+    "(default 2) in BENCH_SF1_CHUNKS (default 3) fresh child JVMs; "
+    "every query REGISTERED in the current round is force-included "
+    "(one sf1 row minimum for new registrations, r11 policy); "
+    "sf1 shared-index builds "
     "billed separately under index_builds_sf1; the sf1 top-5 heaviest "
     "get solo fresh-JVM isolate medians appended to BENCH_ISOLATE.json "
     "(VERDICT r9 item 5 — the sf1 line is the scaling signal and shows "
@@ -145,6 +156,14 @@ SF1_FORCE_INCLUDE = {
         "level-synchronous BFS twin registered (r10) to REPLACE "
         "parts_copurchase_3hop's sf1 exclusion — its sf1 row is the "
         "deliverable (VERDICT r9 item 3)"
+    ),
+    "docs_cdc_dedup_rewrite": (
+        "registered r11 — every new registration gets an sf1 row "
+        "from r11 on (VERDICT r10 item 5)"
+    ),
+    "events_value_qsketch": (
+        "registered r11 — every new registration gets an sf1 row "
+        "from r11 on (VERDICT r10 item 5)"
     ),
 }
 
@@ -349,6 +368,192 @@ def _append_isolate(here: Path, line: str) -> None:
         f.write(line.rstrip("\n") + "\n")
 
 
+# ---------------------------------------------------------------------------
+# Paired A/B mode (VERDICT r10 item 1): same-code suite totals have
+# spanned 0.92x-1.44x ACROSS sessions and the r10 calibration probes
+# proved the swing un-normalizable by a static constant — so
+# cross-round deltas only carry signal when both arms run interleaved
+# in ONE session. ``bench.py --paired <git-rev>`` checks the reference
+# revision out into a git worktree and alternates fresh child JVMs
+# between the two ENGINE trees (the harness — this file — is always
+# the current one, so arms differ only in engine code), ABBA order to
+# cancel drift, one pair per round, ratios computed WITHIN each round.
+# ---------------------------------------------------------------------------
+PAIRED_CRITERION = (
+    "per-query ratio = current/ref within each ABBA round (fresh JVM "
+    "per arm per round, BENCH_PAIRED_ROUNDS default 3, one noop-sink "
+    "timing per query per JVM), reported as the median of per-round "
+    "ratios; query list = top BENCH_PAIRED_TOP (default 20) sf0.1 "
+    "queries of the last full run plus its entire sf1 track; ref arm "
+    "imports engine code from a detached worktree of the given rev"
+)
+
+
+def _run_paired_chunk() -> None:
+    """Child body for --paired: one timing pass over the given list,
+    with ENGINE code imported from $BENCH_ENGINE_ROOT when set (the
+    ref-revision worktree) and from this repo otherwise."""
+    root = os.environ.get("BENCH_ENGINE_ROOT")
+    if root:
+        sys.path.insert(0, root)
+    from ipeds_etl_spark import queries as q
+
+    sf_dir = os.environ["BENCH_PAIRED_SF_DIR"]
+    names = os.environ["BENCH_PAIRED_LIST"].split(",")
+    n_runs = int(os.environ.get("BENCH_PAIRED_RUNS", "1"))
+
+    spark = _warm_session(sf_dir)
+    if not root and os.environ.get("BENCH_PAIRED_ENSURE_SF1") == "1":
+        # current-arm child refreshes the sf1 replica corpus if the
+        # stamp is stale (no-op when it matches); the ref arm never
+        # builds data — both arms must read IDENTICAL bytes
+        _ensure_sf1_corpus(
+            spark,
+            sf_dir,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    try:
+        _build_indexes(spark, sf_dir)  # consumption-only parity
+    except Exception as e:  # noqa: BLE001 - older revs may lack an index
+        sys.stderr.write(f"paired: index build failed: {e}\n")
+
+    registered = q.queries()
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        if name not in registered:
+            errors[name] = "not registered in this revision"
+            continue
+        try:
+            timings[name] = round(
+                statistics.median(
+                    _time_query(spark, registered[name], sf_dir, n_runs)
+                ),
+                3,
+            )
+        except Exception as e:  # noqa: BLE001 - recorded per query
+            errors[name] = str(e).split("\n")[0][:200]
+    Path(__file__).resolve().parent.joinpath("BENCH_PAIRED_PART.json").write_text(
+        json.dumps({"timings": timings, "errors": errors}) + "\n"
+    )
+
+
+def _paired_worktree(here: Path, rev: str) -> Path:
+    """Detached worktree of ``rev`` under /tmp (reused if present)."""
+    import subprocess
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", rev)
+    ref_dir = Path("/tmp") / f"ipeds_bench_ref_{safe}"
+    if not ref_dir.exists():
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", str(ref_dir), rev],
+            cwd=here,
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+    return ref_dir
+
+
+def _paired_main(rev: str) -> None:
+    here = Path(__file__).resolve().parent
+    summary_path = here / "BENCH_SUMMARY.json"
+    if not summary_path.exists():
+        print(
+            "bench --paired needs BENCH_SUMMARY.json from a prior full "
+            "run (it defines the query lists)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    summary = json.loads(summary_path.read_text())
+    top = int(os.environ.get("BENCH_PAIRED_TOP", "20"))
+    rounds = int(os.environ.get("BENCH_PAIRED_ROUNDS", "3"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_dir = os.environ.get("BENCH_SF1_DIR", _SF1_DIR_DEFAULT)
+
+    sf01_list = sorted(
+        summary["queries"], key=summary["queries"].get, reverse=True
+    )[:top]
+    tracks: list[tuple[str, str, list[str]]] = [("sf0.1", sf_dir, sf01_list)]
+    sf1_list = list(summary.get("queries_sf1", {}))
+    if sf1_list and os.environ.get("BENCH_SF1", "1") != "0":
+        tracks.append(("sf1", sf1_dir, sf1_list))
+
+    ref_dir = _paired_worktree(here, rev)
+    part_path = here / "BENCH_PAIRED_PART.json"
+    record: dict = {
+        "metric": "paired_bench",
+        "ref_rev": rev,
+        "rounds": rounds,
+        "criterion": PAIRED_CRITERION,
+        "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "tracks": {},
+    }
+    compact_tracks: dict[str, dict] = {}
+    for label, d, names in tracks:
+        samples: dict[str, dict[str, list[float | None]]] = {
+            "ref": {}, "cur": {}
+        }
+        errors: dict[str, str] = {}
+        for rnd in range(rounds):
+            arm_order = (
+                ("cur", None), ("ref", str(ref_dir))
+            ) if rnd % 2 == 0 else ((("ref", str(ref_dir)), ("cur", None)))
+            per_round: dict[str, dict[str, float]] = {}
+            for arm, root in arm_order:
+                part_path.unlink(missing_ok=True)
+                env = {
+                    "BENCH_CHILD": "pairedchunk",
+                    "BENCH_PAIRED_SF_DIR": d,
+                    "BENCH_PAIRED_LIST": ",".join(names),
+                }
+                if root:
+                    env["BENCH_ENGINE_ROOT"] = root
+                elif label == "sf1":
+                    env["BENCH_PAIRED_ENSURE_SF1"] = "1"
+                _spawn_child(env)
+                part = json.loads(part_path.read_text())
+                part_path.unlink()
+                per_round[arm] = part["timings"]
+                for n, e in part.get("errors", {}).items():
+                    errors[f"{arm}:{n}"] = e
+            for n in names:
+                for arm in ("ref", "cur"):
+                    samples[arm].setdefault(n, []).append(
+                        per_round[arm].get(n)
+                    )
+        ratios: dict[str, float] = {}
+        for n in names:
+            per_round_ratios = [
+                round(c / r, 3)
+                for c, r in zip(samples["cur"][n], samples["ref"][n])
+                if c is not None and r is not None and r > 0
+            ]
+            if per_round_ratios:
+                ratios[n] = round(statistics.median(per_round_ratios), 3)
+        med = (
+            round(statistics.median(ratios.values()), 3) if ratios else None
+        )
+        record["tracks"][label] = {
+            "sf_dir": d,
+            "queries": names,
+            "samples_ref": samples["ref"],
+            "samples_cur": samples["cur"],
+            "ratios": ratios,
+            "median_ratio": med,
+            "errors": errors,
+        }
+        compact_tracks[label] = {"median_ratio": med, "n": len(ratios)}
+
+    with open(here / "BENCH_PAIRED.json", "a") as f:
+        f.write(json.dumps(record) + "\n")
+    line = json.dumps(
+        {"metric": "paired_bench", "ref_rev": rev, "tracks": compact_tracks}
+    )
+    print(line)
+    print(line)
+
+
 _SF1_DIR_DEFAULT = "/tmp/scale_smoke_sf1"
 
 
@@ -454,8 +659,18 @@ def main() -> None:
     if role == "sf1chunk":
         _run_sf1_chunk()
         return
+    if role == "pairedchunk":
+        _run_paired_chunk()
+        return
 
     here = Path(__file__).resolve().parent
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--paired":
+        if len(sys.argv) < 3:
+            print("usage: python bench.py --paired <git-rev>", file=sys.stderr)
+            sys.exit(2)
+        _paired_main(sys.argv[2])
+        return
 
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolate" and len(sys.argv) < 3:
         # a typo'd invocation must not silently fall through to the
@@ -550,8 +765,8 @@ def main() -> None:
         # fail-soft like the isolates: the sf1 line is the second
         # billed metric, but losing it must not lose the first
         try:
-            sf1_top = int(os.environ.get("BENCH_SF1_TOP", "30"))
-            sf1_chunks = max(1, int(os.environ.get("BENCH_SF1_CHUNKS", "2")))
+            sf1_top = int(os.environ.get("BENCH_SF1_TOP", "60"))
+            sf1_chunks = max(1, int(os.environ.get("BENCH_SF1_CHUNKS", "3")))
             sf1_list = [
                 n
                 for n in sorted(timings, key=timings.get, reverse=True)
