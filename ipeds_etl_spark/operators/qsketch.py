@@ -86,6 +86,18 @@ def pick_level(
     smallest L with |{ctz ≥ L}| ≤ k.
     Output: key cols + ``lev``. The histogram is one map-combinable
     exchange; the suffix-count window runs over ≤ 41 rows per key."""
+    return _levels_from_hist(leveled, key_cols, k).select(
+        *key_cols, "lev"
+    )
+
+
+def _levels_from_hist(
+    leveled: DataFrame, key_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Level AND total count from ONE pass: the histogram that sizes
+    the level also carries n as Σcnt, so no second corpus scan is paid
+    for the count (caught at the r11 sf1 sweep: the count join doubled
+    the hashed scans). Output: key cols + (lev, n)."""
     keys = list(key_cols)
     hist = leveled.groupBy(*keys, "ctz").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -99,7 +111,9 @@ def pick_level(
     lev = F.coalesce(
         F.max(F.when(F.col("ge_c") > k, F.col("ctz") + 1)), F.lit(0)
     ).cast("long")
-    return ge.groupBy(*keys).agg(lev.alias("lev"))
+    return ge.groupBy(*keys).agg(
+        lev.alias("lev"), F.sum("cnt").cast("long").alias("n")
+    )
 
 
 def quantile_sketch(
@@ -112,7 +126,12 @@ def quantile_sketch(
     """Build the sketch: returns ``(retained, levels)`` where
     ``retained`` = key cols + (value, id, ctz) rows with ctz ≥ L and
     ``levels`` = key cols + (lev, n). ``levels`` is metadata-sized and
-    broadcast onto the corpus for the retention filter."""
+    broadcast onto the corpus for the retention filter. Both outputs
+    are eagerly materialized (``localCheckpoint``) — they are O(keys)
+    and O(k·keys) rows, and every downstream consumer (quantile
+    readout, retained-count, audit, merge) would otherwise re-run the
+    hash-ctz corpus scans per consumer (measured at the r11 sf1 sweep:
+    the un-checkpointed plan paid ~6 hashed scans for 3 of work)."""
     keys = list(key_cols)
     lv = df.select(
         *keys,
@@ -120,14 +139,12 @@ def quantile_sketch(
         F.col(id_col).alias("id"),
         ctz(F.col(id_col)).alias("ctz"),
     )
-    levels = pick_level(lv, keys, k).join(
-        df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n")),
-        keys,
-    )
+    levels = _levels_from_hist(lv, keys, k).localCheckpoint()
     retained = (
         lv.join(F.broadcast(levels.select(*keys, "lev")), keys)
         .filter(F.col("ctz") >= F.col("lev"))
         .drop("lev")
+        .localCheckpoint()
     )
     return retained, levels
 
@@ -162,11 +179,13 @@ def merge_sketches(
             F.greatest(F.col("lev"), F.col("floor_lev")).alias("lev"),
             "n",
         )
+        .localCheckpoint()
     )
     retained = (
         lv.join(F.broadcast(levels.select(*keys, "lev")), keys)
         .filter(F.col("ctz") >= F.col("lev"))
         .drop("lev")
+        .localCheckpoint()
     )
     return retained, levels
 

@@ -370,6 +370,7 @@ def semdedup_report(
     k: int = _SD_K,
     rounds: int = _SD_ROUNDS,
     cluster_cap: int = _SD_CLUSTER_CAP,
+    profile: dict | None = None,
 ) -> DataFrame:
     """Parameterized SemDeDup core (see ``q_emb_semdedup`` for
     semantics). Two scale guards beyond the registered gate instance:
@@ -393,10 +394,21 @@ def semdedup_report(
     Norms are computed once per point, not per pair; the expensive
     dot products run after the id-keyed ``shuffle_hash`` re-attach
     spreads pairs across the full shuffle space. BIGINT envelope:
-    |coord| ≤ ~10³, dim 64 ⇒ den·dot² ≤ ~4·10¹⁷ < 2⁶³."""
+    |coord| ≤ ~10³, dim 64 ⇒ den·dot² ≤ ~4·10¹⁷ < 2⁶³.
+
+    ``profile`` (optional dict, VERDICT r10 item 2 — the funnel's
+    stage-instrumentation pattern): records incremental wall seconds
+    under ``quantize`` / ``kmeans_rounds`` / ``assignment`` /
+    ``pair_expand``; the remainder of an end-to-end run is the
+    verdict+report share. Profile mode adds one materialization
+    boundary (the candidate frame) the production plan doesn't have —
+    a measurement tool, not the benched path."""
+    import time as _time
+
     from ipeds_etl_spark.operators.coreset import quantize_vec
     from ipeds_etl_spark.operators.dedup import pairs_within_buckets
 
+    t0 = _time.perf_counter()
     pts = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -405,6 +417,9 @@ def semdedup_report(
         )
         .localCheckpoint()
     )
+    if profile is not None:
+        profile["quantize"] = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
     seed_rows = pts.orderBy("vec_id").limit(k).collect()
     centroids = [(cid, list(r["v"])) for cid, r in enumerate(seed_rows)]
 
@@ -473,12 +488,17 @@ def semdedup_report(
                 for cid, comps in sorted(by_cid.items())
             ]
 
+    if profile is not None:
+        profile["kmeans_rounds"] = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
     # materialize the final assignment ONCE: the pair stage consumes it
     # from four branches (two join sides, sizes, norms) and each would
     # otherwise re-evaluate the k×dim argmin expression per branch
     # (sweep_r14 caught this at sf1: 479 s before, dominated by the
     # recomputed assignment + an 8-key join doing ALL the work)
     assigned = assigned.localCheckpoint()
+    if profile is not None:
+        profile["assignment"] = round(_time.perf_counter() - t0, 2)
     n2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -492,12 +512,17 @@ def semdedup_report(
     # emb_near_dups re-attach pattern, see SCALE.md). cid re-attaches
     # with the vectors — pairs never cross a cluster by construction.
     ids = assigned.select("cid", "vec_id")
+    t0 = _time.perf_counter()
     cand = pairs_within_buckets(
         ids,
         ["cid"],
         F.struct(F.col("vec_id").alias("id")),
         max_bucket_size=cluster_cap,
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if profile is not None:
+        # profile-only materialization boundary (see docstring)
+        cand = cand.localCheckpoint()
+        profile["pair_expand"] = round(_time.perf_counter() - t0, 2)
     side_a = assigned.select(
         F.col("vec_id").alias("id_a"),
         "cid",

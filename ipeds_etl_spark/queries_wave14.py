@@ -93,7 +93,13 @@ def q_docs_cdc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort; the chunk-hash spelling trades their byte-exact span
     boundaries for exchange-reuse and no global order)."""
     d = load_table(spark, sf_dir, "documents")
-    ch = cdc_chunks(d)
+    # ONE chunker pass: three consumers (first-occurrence agg, keep
+    # join, per-doc totals) would each re-run the sha2-per-token CDC
+    # scan otherwise (the r11 sf1 plan showed the documents scan +
+    # Generate + Window tripled); the chunk frame is the materialized
+    # artifact span dedup systems keep anyway — at cluster scale this
+    # localCheckpoint becomes a distributed checkpoint/table write
+    ch = cdc_chunks(d).localCheckpoint()
     pos = F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_no")
     firsts = ch.groupBy("chunk").agg(F.min(pos).alias("first_pos"))
     kept = ch.join(firsts, "chunk").filter(pos == F.col("first_pos"))

@@ -292,6 +292,14 @@ SWEEP_R17 = [
     "events_cuped_adjustment",
 ]
 
+#: round-11 wave-14: CDC global span-dedup rewrite (token-linear:
+#: chunk min-agg + same-key re-join), mergeable quantile sketch
+#: (3 scans, zero corpus exchanges)
+SWEEP_R18 = [
+    "docs_cdc_dedup_rewrite",
+    "events_value_qsketch",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -842,6 +850,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R16, key="sweep_r16")
     if "sweep_r17" in sections:
         run_sweep(spark, results, names=SWEEP_R17, key="sweep_r17")
+    if "sweep_r18" in sections:
+        run_sweep(spark, results, names=SWEEP_R18, key="sweep_r18")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
