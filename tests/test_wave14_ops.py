@@ -294,3 +294,72 @@ def test_ngram_probe_sampled_tier(spark, tmp_path, monkeypatch):
     assert QE._ngram_corpus_is_hot(spark, cold_path) is False
     # memoized
     assert QE._ngram_corpus_is_hot(spark, hot_path) is True
+
+
+def test_qsketch_stream_checkpoint_resume(spark, tmp_path):
+    """State survives a restart: run the stream over half the corpus
+    with a checkpoint + file sink (memory sinks cannot resume — the
+    house gotcha — so the twin goes through foreachBatch), land the
+    second half, restart the SAME query: only the new file is
+    processed (checkpointed offsets), the restored state continues,
+    and the final per-key emission equals the batch sketch over
+    everything."""
+    from ipeds_etl_spark.streaming.stateful import quantile_sketch_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    schema = ev.schema
+    k = 64
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        (
+            quantile_sketch_stream(stream, k=k)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        if r.event_type not in final or r.n >= final[r.event_type].n:
+            final[r.event_type] = r
+    e = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    ret, lvl = QS.quantile_sketch(e, ["event_type"], "value", "event_id", k=k)
+    est = QS.sketch_quantiles(ret, lvl, ["event_type"], [500])
+    batch = {r.event_type: r for r in lvl.join(est, "event_type").collect()}
+    nr = {
+        r.event_type: r.cnt
+        for r in ret.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for et, fr in final.items():
+        assert fr.n == batch[et].n, et
+        assert fr.level == batch[et].lev, et
+        assert fr.n_retained == nr[et], et
+        assert fr.est_p500 == batch[et].est_p500, et
