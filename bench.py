@@ -385,7 +385,11 @@ PAIRED_CRITERION = (
     "timing per query per JVM), reported as the median of per-round "
     "ratios; query list = top BENCH_PAIRED_TOP (default 20) sf0.1 "
     "queries of the last full run plus its entire sf1 track; ref arm "
-    "imports engine code from a detached worktree of the given rev"
+    "imports engine code from a detached worktree of the given rev. "
+    "Measured resolution (r11, two invocations of the same rev pair): "
+    "the sf0.1 top-20 median has a +-~15% band (its queries are the "
+    "iterative JVM-sensitive ones) - sf0.1 medians inside [0.85, 1.18] "
+    "are noise; the sf1 track is the claim-bearing record"
 )
 
 
@@ -436,6 +440,30 @@ def _run_paired_chunk() -> None:
     Path(__file__).resolve().parent.joinpath("BENCH_PAIRED_PART.json").write_text(
         json.dumps({"timings": timings, "errors": errors}) + "\n"
     )
+
+
+def paired_ratios(
+    samples_cur: dict[str, list[float | None]],
+    samples_ref: dict[str, list[float | None]],
+) -> tuple[dict[str, float], float | None]:
+    """Per-query median of WITHIN-ROUND cur/ref ratios, plus the
+    median across queries. Rounds where either arm is missing (query
+    errored or not registered in that revision) are dropped pairwise —
+    a ratio is only ever formed from two timings taken in the same
+    ABBA round. Pure function so the protocol arithmetic is unit-
+    testable without spawning JVMs."""
+    ratios: dict[str, float] = {}
+    for n, cur in samples_cur.items():
+        ref = samples_ref.get(n, [])
+        per_round = [
+            round(c / r, 3)
+            for c, r in zip(cur, ref)
+            if c is not None and r is not None and r > 0
+        ]
+        if per_round:
+            ratios[n] = round(statistics.median(per_round), 3)
+    med = round(statistics.median(ratios.values()), 3) if ratios else None
+    return ratios, med
 
 
 def _paired_worktree(here: Path, rev: str) -> Path:
@@ -522,18 +550,7 @@ def _paired_main(rev: str) -> None:
                     samples[arm].setdefault(n, []).append(
                         per_round[arm].get(n)
                     )
-        ratios: dict[str, float] = {}
-        for n in names:
-            per_round_ratios = [
-                round(c / r, 3)
-                for c, r in zip(samples["cur"][n], samples["ref"][n])
-                if c is not None and r is not None and r > 0
-            ]
-            if per_round_ratios:
-                ratios[n] = round(statistics.median(per_round_ratios), 3)
-        med = (
-            round(statistics.median(ratios.values()), 3) if ratios else None
-        )
+        ratios, med = paired_ratios(samples["cur"], samples["ref"])
         record["tracks"][label] = {
             "sf_dir": d,
             "queries": names,
