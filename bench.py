@@ -126,7 +126,15 @@ SUITE_CRITERION = (
     "chunk JVMs) — same-code suite totals have ranged 0.92x-1.44x across "
     "sessions, so cross-round comparisons should normalize by the "
     "calibration constants carried in the same compact line; "
-    "isolated re-timing of any query: bench.py --isolate NAME"
+    "isolated re-timing of any query: bench.py --isolate NAME; "
+    "r12 rotation (VERDICT r11 item 6): sf0.1 per-query medians are "
+    "session constants, so each full run times HEADLINE + the current "
+    "round's registrations + 1/BENCH_ROTATE (default 3) of the rest, "
+    "rotating the slice via BENCH_ROTATION.json so 3 consecutive runs "
+    "cover the registry; reclaimed wall-time funds the sf1 track where "
+    "plan changes actually register; sf1 ranking uses queries_known "
+    "(the cumulative last-known sf0.1 medians carried across runs), "
+    "BENCH_ROTATE=1 restores the full sweep"
 )
 
 SF1_CRITERION = (
@@ -200,6 +208,22 @@ def _suite_list() -> list[str]:
     return HEADLINE + sorted(
         n for n in registered if n not in HEADLINE and n not in EXCLUDED
     )
+
+
+def rotation_plan(
+    suite_all: list[str], always: set[str], rotate: int, slice_idx: int
+) -> list[str]:
+    """The sf0.1 suite slice for one full run (VERDICT r11 item 6):
+    ``always`` (HEADLINE + this round's force-includes) every run, plus
+    every ``rotate``-th remaining query by position — so ``rotate``
+    consecutive runs cover the whole registry, each name landing in
+    exactly one slice. Pure function, pinned by
+    ``tests/test_bench_paired.py``."""
+    tail = [n for n in suite_all if n not in always]
+    keep = (always & set(suite_all)) | {
+        n for i, n in enumerate(tail) if i % rotate == slice_idx
+    }
+    return [n for n in suite_all if n in keep]
 
 
 def _warm_session(sf_dir: str):
@@ -305,8 +329,11 @@ def _run_chunk() -> None:
     index_builds = _build_indexes(spark, sf_dir)
 
     registered = q.queries()
-    # round-robin slice: spreads each round's heavy additions evenly
-    chunk = _suite_list()[idx::total]
+    # parent passes the (possibly rotation-reduced) suite; round-robin
+    # slice spreads each round's heavy additions evenly across chunks
+    names_env = os.environ.get("BENCH_SUITE_LIST")
+    suite = names_env.split(",") if names_env else _suite_list()
+    chunk = suite[idx::total]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in chunk:
@@ -385,11 +412,19 @@ PAIRED_CRITERION = (
     "timing per query per JVM), reported as the median of per-round "
     "ratios; query list = top BENCH_PAIRED_TOP (default 20) sf0.1 "
     "queries of the last full run plus its entire sf1 track; ref arm "
-    "imports engine code from a detached worktree of the given rev. "
-    "Measured resolution (r11, two invocations of the same rev pair): "
-    "the sf0.1 top-20 median has a +-~15% band (its queries are the "
-    "iterative JVM-sensitive ones) - sf0.1 medians inside [0.85, 1.18] "
-    "are noise; the sf1 track is the claim-bearing record"
+    "imports engine code from a detached worktree pinned to the rev's "
+    "RESOLVED SHA (recorded as ref_sha; a reused worktree is HEAD-"
+    "verified and recreated on mismatch, so movable refs cannot bench "
+    "a stale checkout). Every invocation PREPENDS a same-code A/A "
+    "round set per track (BENCH_PAIRED_AA_ROUNDS, default 1: both arms "
+    "= current tree, same ABBA child protocol): the spread of the A/A "
+    "per-query ratios is that track's MEASURED null band for this "
+    "invocation, recorded as aa_band — an A/B ratio is a claimable "
+    "delta only OUTSIDE the same-record aa_band (r11's inferred "
+    "[0.85, 1.18] sf0.1 band is superseded by the measured one). "
+    "Per-arm index-build failures are recorded in the errors map "
+    "(arm:roundN:index_build) so a ref arm silently paying build cost "
+    "inside query timings is identifiable, not invisible."
 )
 
 
@@ -416,9 +451,15 @@ def _run_paired_chunk() -> None:
             sf_dir,
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         )
+    index_build_error: str | None = None
     try:
         _build_indexes(spark, sf_dir)  # consumption-only parity
     except Exception as e:  # noqa: BLE001 - older revs may lack an index
+        # ADVICE r11: a swallowed ref-arm build failure means that arm
+        # pays index-build cost INSIDE query timings, biasing ratios
+        # toward "current faster" invisibly — record it in the part so
+        # the parent surfaces it in the record's errors map
+        index_build_error = str(e).split("\n")[0][:200]
         sys.stderr.write(f"paired: index build failed: {e}\n")
 
     registered = q.queries()
@@ -438,7 +479,14 @@ def _run_paired_chunk() -> None:
         except Exception as e:  # noqa: BLE001 - recorded per query
             errors[name] = str(e).split("\n")[0][:200]
     Path(__file__).resolve().parent.joinpath("BENCH_PAIRED_PART.json").write_text(
-        json.dumps({"timings": timings, "errors": errors}) + "\n"
+        json.dumps(
+            {
+                "timings": timings,
+                "errors": errors,
+                "index_build_error": index_build_error,
+            }
+        )
+        + "\n"
     )
 
 
@@ -466,21 +514,54 @@ def paired_ratios(
     return ratios, med
 
 
-def _paired_worktree(here: Path, rev: str) -> Path:
-    """Detached worktree of ``rev`` under /tmp (reused if present)."""
+def _paired_worktree(here: Path, rev: str) -> tuple[Path, str]:
+    """Detached worktree of ``rev`` under /tmp, keyed and verified by
+    the rev's RESOLVED commit SHA (ADVICE r11: keying on the raw rev
+    string let a movable ref — branch, tag, ``HEAD~1`` after new
+    commits — silently reuse a stale checkout and write wrong ratios
+    into the claim-bearing record). Returns ``(dir, sha)``; a reused
+    dir whose HEAD differs from the SHA is removed and recreated."""
+    import shutil
     import subprocess
 
-    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", rev)
-    ref_dir = Path("/tmp") / f"ipeds_bench_ref_{safe}"
+    def _git(args: list[str], cwd: Path) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=cwd, check=True, capture_output=True, text=True
+        ).stdout.strip()
+
+    sha = _git(["rev-parse", f"{rev}^{{commit}}"], here)
+    ref_dir = Path("/tmp") / f"ipeds_bench_ref_{sha[:16]}"
+    if ref_dir.exists():
+        try:
+            head = _git(["rev-parse", "HEAD"], ref_dir)
+        except subprocess.CalledProcessError:
+            head = ""
+        if head != sha:
+            try:
+                subprocess.run(
+                    ["git", "worktree", "remove", "--force", str(ref_dir)],
+                    cwd=here,
+                    check=True,
+                    capture_output=True,
+                    text=True,
+                )
+            except subprocess.CalledProcessError:
+                shutil.rmtree(ref_dir, ignore_errors=True)
+                subprocess.run(
+                    ["git", "worktree", "prune"],
+                    cwd=here,
+                    capture_output=True,
+                    text=True,
+                )
     if not ref_dir.exists():
         subprocess.run(
-            ["git", "worktree", "add", "--detach", str(ref_dir), rev],
+            ["git", "worktree", "add", "--detach", str(ref_dir), sha],
             cwd=here,
             check=True,
             capture_output=True,
             text=True,
         )
-    return ref_dir
+    return ref_dir, sha
 
 
 def _paired_main(rev: str) -> None:
@@ -499,57 +580,97 @@ def _paired_main(rev: str) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf1_dir = os.environ.get("BENCH_SF1_DIR", _SF1_DIR_DEFAULT)
 
-    sf01_list = sorted(
-        summary["queries"], key=summary["queries"].get, reverse=True
-    )[:top]
+    known = summary.get("queries_known") or summary["queries"]
+    sf01_list = sorted(known, key=known.get, reverse=True)[:top]
     tracks: list[tuple[str, str, list[str]]] = [("sf0.1", sf_dir, sf01_list)]
     sf1_list = list(summary.get("queries_sf1", {}))
     if sf1_list and os.environ.get("BENCH_SF1", "1") != "0":
         tracks.append(("sf1", sf1_dir, sf1_list))
 
-    ref_dir = _paired_worktree(here, rev)
+    ref_dir, ref_sha = _paired_worktree(here, rev)
+    aa_rounds = int(os.environ.get("BENCH_PAIRED_AA_ROUNDS", "1"))
     part_path = here / "BENCH_PAIRED_PART.json"
     record: dict = {
         "metric": "paired_bench",
         "ref_rev": rev,
+        "ref_sha": ref_sha,
         "rounds": rounds,
+        "aa_rounds": aa_rounds,
         "criterion": PAIRED_CRITERION,
         "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "tracks": {},
     }
     compact_tracks: dict[str, dict] = {}
     for label, d, names in tracks:
+        errors: dict[str, str] = {}
+
+        def run_arm(
+            root: str | None, tag: str, *, _d=d, _names=names, _label=label,
+            _errors=errors,
+        ) -> dict[str, float]:
+            part_path.unlink(missing_ok=True)
+            env = {
+                "BENCH_CHILD": "pairedchunk",
+                "BENCH_PAIRED_SF_DIR": _d,
+                "BENCH_PAIRED_LIST": ",".join(_names),
+            }
+            if root:
+                env["BENCH_ENGINE_ROOT"] = root
+            elif _label == "sf1":
+                env["BENCH_PAIRED_ENSURE_SF1"] = "1"
+            _spawn_child(env)
+            part = json.loads(part_path.read_text())
+            part_path.unlink()
+            for n, e in part.get("errors", {}).items():
+                _errors[f"{tag}:{n}"] = e
+            if part.get("index_build_error"):
+                # ADVICE r11: an arm that failed its index build pays
+                # build cost inside query timings — make it visible
+                _errors[f"{tag}:index_build"] = part["index_build_error"]
+            return part["timings"]
+
+        def collect(
+            rnd_timings: dict[str, dict[str, float]],
+            samples: dict[str, dict[str, list[float | None]]],
+            _names=names,
+        ) -> None:
+            for n in _names:
+                for arm, t in rnd_timings.items():
+                    samples[arm].setdefault(n, []).append(t.get(n))
+
+        # --- A/A null arm (VERDICT r11 item 1): both arms = current
+        # tree, same ABBA child protocol. The per-query ratio spread is
+        # this track's MEASURED resolution for this invocation — the
+        # claim gate, replacing the band inferred from r11's single
+        # disagreement. ---
+        aa_samples: dict[str, dict[str, list[float | None]]] = {
+            "a": {}, "b": {}
+        }
+        for rnd in range(aa_rounds):
+            order = ("a", "b") if rnd % 2 == 0 else ("b", "a")
+            per_round = {
+                arm: run_arm(None, f"aa-{arm}:round{rnd}") for arm in order
+            }
+            collect(per_round, aa_samples)
+        aa_ratios, aa_med = paired_ratios(aa_samples["a"], aa_samples["b"])
+        aa_band = (
+            [min(aa_ratios.values()), max(aa_ratios.values())]
+            if aa_ratios
+            else None
+        )
+
         samples: dict[str, dict[str, list[float | None]]] = {
             "ref": {}, "cur": {}
         }
-        errors: dict[str, str] = {}
         for rnd in range(rounds):
             arm_order = (
                 ("cur", None), ("ref", str(ref_dir))
             ) if rnd % 2 == 0 else ((("ref", str(ref_dir)), ("cur", None)))
-            per_round: dict[str, dict[str, float]] = {}
-            for arm, root in arm_order:
-                part_path.unlink(missing_ok=True)
-                env = {
-                    "BENCH_CHILD": "pairedchunk",
-                    "BENCH_PAIRED_SF_DIR": d,
-                    "BENCH_PAIRED_LIST": ",".join(names),
-                }
-                if root:
-                    env["BENCH_ENGINE_ROOT"] = root
-                elif label == "sf1":
-                    env["BENCH_PAIRED_ENSURE_SF1"] = "1"
-                _spawn_child(env)
-                part = json.loads(part_path.read_text())
-                part_path.unlink()
-                per_round[arm] = part["timings"]
-                for n, e in part.get("errors", {}).items():
-                    errors[f"{arm}:{n}"] = e
-            for n in names:
-                for arm in ("ref", "cur"):
-                    samples[arm].setdefault(n, []).append(
-                        per_round[arm].get(n)
-                    )
+            per_round = {
+                arm: run_arm(root, f"{arm}:round{rnd}")
+                for arm, root in arm_order
+            }
+            collect(per_round, samples)
         ratios, med = paired_ratios(samples["cur"], samples["ref"])
         record["tracks"][label] = {
             "sf_dir": d,
@@ -558,14 +679,29 @@ def _paired_main(rev: str) -> None:
             "samples_cur": samples["cur"],
             "ratios": ratios,
             "median_ratio": med,
+            "aa_samples_a": aa_samples["a"],
+            "aa_samples_b": aa_samples["b"],
+            "aa_ratios": aa_ratios,
+            "aa_median_ratio": aa_med,
+            "aa_band": aa_band,
             "errors": errors,
         }
-        compact_tracks[label] = {"median_ratio": med, "n": len(ratios)}
+        compact_tracks[label] = {
+            "median_ratio": med,
+            "n": len(ratios),
+            "aa_median": aa_med,
+            "aa_band": aa_band,
+        }
 
     with open(here / "BENCH_PAIRED.json", "a") as f:
         f.write(json.dumps(record) + "\n")
     line = json.dumps(
-        {"metric": "paired_bench", "ref_rev": rev, "tracks": compact_tracks}
+        {
+            "metric": "paired_bench",
+            "ref_rev": rev,
+            "ref_sha": ref_sha[:12],
+            "tracks": compact_tracks,
+        }
     )
     print(line)
     print(line)
@@ -707,14 +843,59 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_chunks = max(1, int(os.environ.get("BENCH_CHUNKS", "4")))
     out_path = here / "BENCH_SUMMARY.json"
+    # cumulative last-known sf0.1 medians (for sf1 ranking under
+    # rotation) must be carried BEFORE the stale summary is dropped
+    prior_known: dict[str, float] = {}
+    if out_path.exists():
+        try:
+            prior = json.loads(out_path.read_text())
+            prior_known = dict(prior.get("queries_known") or prior["queries"])
+        except (ValueError, KeyError, OSError):
+            prior_known = {}
     out_path.unlink(missing_ok=True)  # never serve a stale summary
+
+    # --- sf0.1 rotation (VERDICT r11 item 6): the sf0.1 loop is
+    # saturated by session constants, so each run times HEADLINE + this
+    # round's registrations + 1/BENCH_ROTATE of the remaining registry,
+    # advancing the slice each run via BENCH_ROTATION.json ---
+    suite_all = _suite_list()
+    rotate = max(1, int(os.environ.get("BENCH_ROTATE", "3")))
+    rotation_slice = None
+    if rotate > 1:
+        state_path = here / "BENCH_ROTATION.json"
+        prev_slice = -1
+        if state_path.exists():
+            try:
+                prev_slice = int(json.loads(state_path.read_text())["slice"])
+            except (ValueError, KeyError, OSError):
+                prev_slice = -1
+        rotation_slice = (prev_slice + 1) % rotate
+        suite_run = rotation_plan(
+            suite_all,
+            set(HEADLINE) | set(SF1_FORCE_INCLUDE),
+            rotate,
+            rotation_slice,
+        )
+        state_path.write_text(
+            json.dumps(
+                {
+                    "slice": rotation_slice,
+                    "rotate": rotate,
+                    "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                }
+            )
+            + "\n"
+        )
+    else:
+        suite_run = suite_all
 
     parts = []
     for i in range(n_chunks):
         part_path = here / f"BENCH_PART_{i}.json"
         part_path.unlink(missing_ok=True)
         _spawn_child({"BENCH_CHILD": "chunk", "BENCH_CHUNK_IDX": str(i),
-                      "BENCH_CHUNK_TOTAL": str(n_chunks)})
+                      "BENCH_CHUNK_TOTAL": str(n_chunks),
+                      "BENCH_SUITE_LIST": ",".join(suite_run)})
         parts.append(json.loads(part_path.read_text()))
         part_path.unlink()
 
@@ -723,7 +904,13 @@ def main() -> None:
     for p in parts:
         merged.update(p["timings"])
         errors.update(p.get("errors", {}))
-    timings = {name: merged[name] for name in _suite_list() if name in merged}
+    timings = {name: merged[name] for name in suite_run if name in merged}
+    # last-known medians: prior rounds' values overlaid with this run's
+    # (restricted to the current registry so renamed/removed queries age
+    # out instead of haunting the sf1 ranking)
+    queries_known = {
+        n: v for n, v in {**prior_known, **timings}.items() if n in suite_all
+    }
     for name, err in errors.items():
         sys.stderr.write(f"bench: {name} FAILED: {err}\n")
     # Per-index MEDIAN across chunks (VERDICT r7 item 4): each chunk
@@ -784,15 +971,20 @@ def main() -> None:
         try:
             sf1_top = int(os.environ.get("BENCH_SF1_TOP", "60"))
             sf1_chunks = max(1, int(os.environ.get("BENCH_SF1_CHUNKS", "3")))
+            # rank by the CUMULATIVE last-known medians — under
+            # rotation this run's timings only cover ~1/3 of the
+            # registry, which would otherwise skew the sf1 pick
             sf1_list = [
                 n
-                for n in sorted(timings, key=timings.get, reverse=True)
+                for n in sorted(
+                    queries_known, key=queries_known.get, reverse=True
+                )
                 if n not in SF1_EXCLUDED
             ][:sf1_top]
             sf1_list += [
                 n
                 for n in SF1_FORCE_INCLUDE
-                if n in timings and n not in sf1_list
+                if n in queries_known and n not in sf1_list
             ]
             sf1_parts = []
             for i in range(sf1_chunks):
@@ -877,6 +1069,8 @@ def main() -> None:
         # headline totals (ADVICE r9): a nonzero n_errors flags that
         # this run's totals are not comparable to a clean run's
         "n_errors": len(errors),
+        # sf0.1 rotation slice of this run (None = full sweep)
+        "rotation": f"{rotation_slice}/{rotate}" if rotate > 1 else None,
         # box calibration (see _cpu_probe/_spark_probe): fixed-workload
         # denominators for cross-session suite-total comparisons
         "calib_cpu_s": _cpu_probe(),
@@ -897,6 +1091,7 @@ def main() -> None:
     full = dict(
         compact,
         queries=timings,
+        queries_known=queries_known,
         runs_per_query=int(os.environ.get("BENCH_RUNS", "3")),
         aggregation="median",
         n_chunks=n_chunks,

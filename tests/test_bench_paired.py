@@ -5,7 +5,7 @@ median-of-medians."""
 
 from __future__ import annotations
 
-from bench import paired_ratios
+from bench import paired_ratios, rotation_plan
 
 
 def test_within_round_pairing_and_median():
@@ -41,3 +41,72 @@ def test_zero_ref_timing_never_divides():
     ref = {"q": [0.0]}
     ratios, med = paired_ratios(cur, ref)
     assert ratios == {} and med is None
+
+
+def test_rotation_covers_registry_exactly_once():
+    """Three consecutive slices must partition the non-always tail:
+    every query appears in exactly one slice, always-queries in all."""
+    suite = [f"q{i}" for i in range(10)]
+    always = {"q0", "q7"}
+    slices = [rotation_plan(suite, always, 3, s) for s in range(3)]
+    for s in slices:
+        assert set(always) <= set(s)
+        # order preserved from suite_all
+        assert s == [n for n in suite if n in set(s)]
+    tail_seen = [n for s in slices for n in s if n not in always]
+    assert sorted(tail_seen) == sorted(set(suite) - always)
+
+
+def test_rotation_always_names_absent_from_suite_ignored():
+    # a force-include not in the registry must not appear in the slice
+    suite = ["a", "b", "c"]
+    out = rotation_plan(suite, {"zz", "a"}, 2, 0)
+    assert "zz" not in out and "a" in out
+
+
+def test_rotation_rotate_one_is_identity():
+    suite = ["a", "b", "c"]
+    assert rotation_plan(suite, {"a"}, 1, 0) == suite
+
+
+def test_paired_worktree_pins_sha_and_recreates_on_drift(tmp_path):
+    """ADVICE r11 (medium): the ref worktree must be keyed on the
+    RESOLVED SHA, and a reused dir whose HEAD drifted (movable ref,
+    manual checkout) must be recreated — never silently benched."""
+    import subprocess
+
+    from bench import _paired_worktree
+
+    here = tmp_path / "repo"
+    here.mkdir()
+
+    def git(*args, cwd=here):
+        return subprocess.run(
+            ["git", *args], cwd=cwd, check=True, capture_output=True, text=True
+        ).stdout.strip()
+
+    git("init", "-q", "-b", "main")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (here / "f.txt").write_text("one\n")
+    git("add", "f.txt")
+    git("commit", "-qm", "c1")
+    sha1 = git("rev-parse", "HEAD")
+    (here / "f.txt").write_text("two\n")
+    git("commit", "-aqm", "c2")
+    sha2 = git("rev-parse", "HEAD")
+
+    d, sha = _paired_worktree(here, "main")
+    assert sha == sha2 and sha[:16] in d.name
+    assert git("rev-parse", "HEAD", cwd=d) == sha2
+    # drift the worktree's HEAD, then ask for the same rev again:
+    # the stale checkout must be detected and recreated at the SHA
+    git("checkout", "-q", sha1, cwd=d)
+    d2, sha_again = _paired_worktree(here, "main")
+    assert d2 == d and sha_again == sha2
+    assert git("rev-parse", "HEAD", cwd=d2) == sha2
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", str(d2)],
+        cwd=here,
+        capture_output=True,
+    )
