@@ -107,6 +107,7 @@ EXCLUDED = {
     "emb_rp_lsh_banded_recall": "O(n²) brute-force neighbor gold standard",
     "dedup_bcubed_eval": "O(n²) exact-Jaccard truth clustering gold standard",
     "emb_ivf_probe_sweep": "O(n²) brute-force neighbor gold standard (3-arm sweep)",
+    "emb_ivfpq_recall": "O(n²) brute-force neighbor gold standard",
 }
 
 SUITE_CRITERION = (
@@ -172,6 +173,14 @@ SF1_FORCE_INCLUDE = {
     "events_value_qsketch": (
         "registered r11 — every new registration gets an sf1 row "
         "from r11 on (VERDICT r10 item 5)"
+    ),
+    "emb_ivfpq_topk": (
+        "registered r12 (IVF-PQ composition, VERDICT r11 item 4) — "
+        "new registrations get an sf1 row"
+    ),
+    "docs_vocab_apply_fertility": (
+        "registered r12 (vocab-scale tokenizer apply, VERDICT r11 "
+        "item 5) — new registrations get an sf1 row"
     ),
 }
 

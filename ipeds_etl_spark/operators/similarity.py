@@ -662,6 +662,36 @@ def pq_encode(
     return corpus.select(*cols)
 
 
+def adc_cosine(
+    qvec: Column,
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int = 16,
+    code_prefix: str = "code_",
+) -> Column:
+    """The ADC (asymmetric-distance) scoring expression shared by
+    ``pq_topk`` and ``ivfpq_topk``: cosine of the exact query against
+    the corpus vector RECONSTRUCTED from its per-subspace codewords.
+    Every float op is order-pinned (left-fold dot products, left-fold
+    subspace sums, one division) so DuckDB replays it bit-identically.
+    Expects ``{code_prefix}{s}`` columns in scope (see ``pq_encode``)."""
+    partial_dots, partial_n2 = [], []
+    for s, book in enumerate(books):
+        cids = F.lit([int(cid) for cid, _ in book])
+        cvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in book])
+        pos = F.array_position(cids, F.col(f"{code_prefix}{s}")).cast("int")
+        cw = F.element_at(cvecs, pos)
+        qsub = F.slice(qvec, s * sub_dim + 1, sub_dim)
+        partial_dots.append(dot(qsub, cw))
+        partial_n2.append(dot(cw, cw))
+    approx_dot = partial_dots[0]
+    for p in partial_dots[1:]:
+        approx_dot = approx_dot + p
+    recon2 = partial_n2[0]
+    for p in partial_n2[1:]:
+        recon2 = recon2 + p
+    return approx_dot / (F.sqrt(dot(qvec, qvec)) * F.sqrt(recon2))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -694,24 +724,7 @@ def pq_topk(
         .crossJoin(codes.withColumnRenamed(id_col, "neighbor_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    partial_dots, partial_n2 = [], []
-    for s, book in enumerate(books):
-        cids = F.lit([int(cid) for cid, _ in book])
-        cvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in book])
-        pos = F.array_position(cids, F.col(f"code_{s}")).cast("int")
-        cw = F.element_at(cvecs, pos)
-        qsub = F.slice(F.col("qvec"), s * sub_dim + 1, sub_dim)
-        partial_dots.append(dot(qsub, cw))
-        partial_n2.append(dot(cw, cw))
-    approx_dot = partial_dots[0]
-    for p in partial_dots[1:]:
-        approx_dot = approx_dot + p
-    recon2 = partial_n2[0]
-    for p in partial_n2[1:]:
-        recon2 = recon2 + p
-    approx_cos = approx_dot / (
-        F.sqrt(dot(F.col("qvec"), F.col("qvec"))) * F.sqrt(recon2)
-    )
+    approx_cos = adc_cosine(F.col("qvec"), books, sub_dim=sub_dim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id").asc()
     )
@@ -750,6 +763,116 @@ def pq_topk_rerank(
     rer = (
         shortlist.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed production index (FAISS IndexIVFPQ shape)
+# ---------------------------------------------------------------------------
+def ivfpq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    sub_dim: int = 16,
+) -> DataFrame:
+    """The IVF-PQ index table: ``(id, centroid_id, code_0..code_{M-1})``
+    in ONE map-only projection over the corpus scan — coarse cell
+    argmax plus per-subspace codeword argmax, both against plan-literal
+    codebooks (no join, no shuffle). This is the ``add`` step of
+    FAISS's train/add/search split: at 100 TB the persisted index table
+    is 1+M small ints per vector (~8 bytes vs 256 for raw float32),
+    and every search reads ONLY this table plus the probed queries."""
+    best = F.array_max(_scored_centroids(F.col(vec_col), cent_rows))
+    cols = [F.col(id_col), best["cid"].alias("centroid_id")]
+    for s, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+        cols.append(
+            F.array_max(_scored_centroids(sub, book))["cid"].alias(f"code_{s}")
+        )
+    return corpus.select(*cols)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    n_probe: int = 2,
+    n_short: int = 50,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """IVF-PQ search — the composition production ANN actually runs at
+    100 TB (Jégou et al. 2011 §V; FAISS ``IndexIVFPQ`` with
+    ``by_residual=false``): the IVF coarse quantizer prunes WHICH rows
+    are scored (each query touches only its ``n_probe`` nearest cells,
+    ~n_probe/n_cells of the corpus), PQ compresses WHAT is read to
+    score them (ADC over the codes — the raw vectors never enter the
+    candidate stage), and the exact re-rank touches full vectors for
+    only ``n_short`` shortlisted ids per query. Both building blocks
+    are this module's existing deterministic seed+quantized-Lloyd
+    codebooks, so a SQL engine replays training, encoding, probing,
+    ADC, and re-rank end-to-end and value-hashes the ranking.
+
+    Plan shape: one corpus map (``ivfpq_encode``), one equi-join on
+    centroid_id (queries exploded to n_probe rows each — the shuffle
+    moves queries to cells, never the corpus), a per-query window over
+    the ADC scores, then an equi-join re-fetch of n_queries × n_short
+    full vectors. Nothing is corpus × queries and no stage reads the
+    embedding column for non-shortlisted rows."""
+    enc = ivfpq_encode(corpus, id_col, vec_col, cent_rows, books, sub_dim=sub_dim)
+    probes = F.slice(
+        F.reverse(F.array_sort(_scored_centroids(F.col(vec_col), cent_rows))),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(F.transform(probes, lambda p: p["cid"])).alias("centroid_id"),
+    )
+    pairs = F.broadcast(q).join(
+        enc.withColumnRenamed(id_col, "neighbor_id"), "centroid_id"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        adc_cosine(F.col("qvec"), books, sub_dim=sub_dim).alias("approx_cos"),
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    rer = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

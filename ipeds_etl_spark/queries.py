@@ -625,6 +625,7 @@ def _load_extensions() -> None:
         queries_wave12,
         queries_wave13,
         queries_wave14,
+        queries_wave15,
     )
 
 
@@ -640,22 +641,26 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- round 11 window. Freeze discipline (VERDICT r9 item 6): lead
+    # -- round 12 window. Freeze discipline (VERDICT r11 item 7): lead
     # with everything newly registered this round, then re-gate every
-    # query whose implementation round 11 changed, then canaries/
-    # veterans. Cumulative driver-green coverage entering round 11:
-    # 254/254. --
-    # NEW r11: alignment-robust global span-dedup rewrite (CDC
-    # boundaries + global first occurrence — VERDICT r10 gap 1) and
-    # the mergeable quantile-sketch readout (gap 2).
+    # query whose implementation round 12 changed, then canaries/
+    # veterans. Cumulative driver-green coverage entering round 12:
+    # 256/256. --
+    # NEW r12: the IVF-PQ composition (coarse-cell pruning × ADC ×
+    # exact re-rank — VERDICT r11 item 4) and the vocab-scale
+    # longest-match tokenizer apply (item 5).
+    "emb_ivfpq_topk",
+    "emb_ivfpq_recall",
+    "docs_vocab_apply_fertility",
+    # -- changed-implementation re-gate: the span-dedup rewrite's
+    # first-occurrence key moved from the positional encoding
+    # doc_id*10^6+chunk_no to min(struct(doc_id, chunk_no)) in BOTH
+    # engines (VERDICT r11 item 2 — the ≥1M-chunk aliasing envelope);
+    # the qsketch readout re-gates alongside as the other r11
+    # registration sharing its wave file. --
     "docs_cdc_dedup_rewrite",
     "events_value_qsketch",
-    # -- changed-implementation re-gates: events_mann_whitney_u's 2U
-    # statistic moved to decimal(38,0) accumulation / double output,
-    # events_priority_sample_estimator ships tau as the raw double
-    # (both ADVICE r10 overflow-envelope fixes, output schemas
-    # changed); docs_cdc_chunk_dedup's chunker factored into the
-    # shared cdc_chunks helper the rewrite composes. --
+    # -- r11 window veterans (d11-green; ADVICE r10 envelope fixes) --
     "events_mann_whitney_u",
     "events_priority_sample_estimator",
     "docs_cdc_chunk_dedup",

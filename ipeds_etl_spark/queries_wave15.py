@@ -1,0 +1,314 @@
+"""Round-12 wave: the two operators VERDICT r11 named (items 4–5) —
+(1) the IVF-PQ composition (FAISS ``IndexIVFPQ`` shape,
+``by_residual=false``): coarse-cell pruning × compressed-domain ADC ×
+exact shortlist re-rank, composed from the existing deterministic IVF
+and PQ codebooks so the DuckDB oracle replays train/encode/probe/
+score/re-rank end-to-end; and (2) the vocab-scale tokenizer APPLY
+path: greedy longest-match segmentation of the word table against a
+frozen ≥1k-unit vocabulary derived deterministically from the corpus
+(``operators/bpe.py::segment_longest_match`` — training replays
+merges, but what a production tokenizer runs is apply, and at real
+vocab sizes that must be one linear pass per word, not one rewrite
+pass per merge).
+
+House rules as in prior waves: every float op order-pinned and
+replayed identically by DuckDB, every aggregate aliased the same in
+both engines. The reference (kebe3476/ipeds_etl) ships none of these;
+they extend its surface under the oracle-twin discipline
+(COVERAGE.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipeds_etl_spark.operators import bpe as BPE
+from ipeds_etl_spark.operators import similarity as SIM
+from ipeds_etl_spark.queries import _register
+from ipeds_etl_spark.queries_ext import (
+    _COS_AB,
+    _DOT,
+    _PQ_M,
+    _PQ_SUB_DIM,
+    _cos_sql,
+    _ivf_codebook,
+    _ivf_sql,
+    _pq_codebook,
+    _pq_sub_sql,
+)
+from ipeds_etl_spark.sources.tables import load_table
+
+# ===========================================================================
+# IVF-PQ: coarse-cell shortlist -> ADC within cells -> exact re-rank
+# ===========================================================================
+#: Search geometry: 2 of 8 coarse cells probed, ADC shortlist depth 50,
+#: exact re-rank to top-5. Shallower than the flat-PQ pipeline's 100
+#: because the cell pruning already discards ~3/4 of the corpus.
+_IVFPQ_NPROBE, _IVFPQ_SHORT = 2, 50
+
+
+def _ivfpq_sql() -> str:
+    """CTE chain: ``_ivf_sql`` (coarse codebook + corpus assignment)
+    + one ``_pq_sub_sql`` per subspace (sub-codebooks + codes), then
+    probes -> cell-pruned ADC -> shortlist -> exact re-rank. The ADC
+    fold order is parenthesized exactly as ``similarity.adc_cosine``
+    chains it, so the floats agree bitwise."""
+    ctes: list[str] = [_ivf_sql()]
+    for s in range(_PQ_M):
+        ctes.extend(_pq_sub_sql(s))
+    parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB_DIM + 1, (s + 1) * _PQ_SUB_DIM
+        parts.append(
+            (
+                _DOT.format(a=f"q.embedding[{lo}:{hi}]", b=f"n{s}.embedding"),
+                _DOT.format(a=f"n{s}.embedding", b=f"n{s}.embedding"),
+            )
+        )
+    adot, recon2 = parts[0]
+    for pd_, pn_ in parts[1:]:
+        adot = f"({adot} + {pd_})"
+        recon2 = f"({recon2} + {pn_})"
+    q2 = _DOT.format(a="q.embedding", b="q.embedding")
+    joins = "\n      ".join(
+        f"JOIN s{s}_codes n{s} ON n{s}.vec_id = a.vec_id" for s in range(_PQ_M)
+    )
+    ctes.append(
+        f"""probes AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored
+               WHERE rn <= {_IVFPQ_NPROBE} AND vec_id < 5)"""
+    )
+    ctes.append(
+        f"""ivfpq_adc AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             ({adot} / (sqrt({q2}) * sqrt({recon2}))) AS approx_cos
+      FROM probes q
+      JOIN assigned a
+        ON a.centroid_id = q.centroid_id AND a.vec_id <> q.vec_id
+      {joins})"""
+    )
+    ctes.append(
+        f"""ivfpq_short AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_cos DESC, neighbor_id ASC) AS rn
+      FROM ivfpq_adc) WHERE rn <= {_IVFPQ_SHORT})"""
+    )
+    ctes.append(
+        f"""ivfpq_ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+      FROM (SELECT s.query_id, s.neighbor_id,
+                   {_cos_sql("q.embedding", "n.embedding")} AS cos_sim
+            FROM ivfpq_short s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings n ON n.vec_id = s.neighbor_id))"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@_register(
+    "emb_ivfpq_topk",
+    f"""
+    WITH {_ivfpq_sql()}
+    SELECT query_id, neighbor_id, cos_sim, "rank"
+    FROM ivfpq_ranked WHERE "rank" <= 5
+    """,
+)
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 — the composed index production ANN runs at 100 TB
+    (VERDICT r11 item 4): IVF prunes WHICH rows are scored (each query
+    probes its 2 nearest of 8 cells, ~1/4 of the corpus), PQ
+    compresses WHAT is read to score them (ADC over the 4-int codes —
+    raw vectors never enter the candidate stage), and the exact cosine
+    touches full vectors only for the 50 shortlisted ids per query.
+    Both codebooks are the existing deterministic seed+quantized-Lloyd
+    artifacts (memoized per corpus version — build-once-query-many),
+    so the oracle replays the whole pipeline and value-hashes the
+    ranking. See ``similarity.ivfpq_topk`` for the plan shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return SIM.ivfpq_topk(
+        e, queries, "vec_id", "embedding",
+        _ivf_codebook(spark, sf_dir), _pq_codebook(spark, sf_dir),
+        k=5, n_probe=_IVFPQ_NPROBE, n_short=_IVFPQ_SHORT,
+        sub_dim=_PQ_SUB_DIM,
+    )
+
+
+@_register(
+    "emb_ivfpq_recall",
+    f"""
+    WITH {_ivfpq_sql()},
+    ivfpq AS (SELECT query_id, neighbor_id FROM ivfpq_ranked
+              WHERE "rank" <= 5),
+    brute AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5)
+      WHERE rnk <= 5)
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM brute b LEFT JOIN ivfpq p
+      ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF-PQ pipeline against exact brute
+    force, per query — the quality gate that prices BOTH
+    approximations at once (cell pruning can drop a true neighbor the
+    re-rank can never recover; ADC can mis-order the shortlist
+    boundary). Sits alongside ``emb_ivf_recall`` (pruning only),
+    ``emb_pq_recall`` (compression only) and ``emb_pq_rerank_recall``
+    (compression + re-rank) — the four points that chart where the
+    recall actually goes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+    pq = SIM.ivfpq_topk(
+        e, queries, "vec_id", "embedding",
+        _ivf_codebook(spark, sf_dir), _pq_codebook(spark, sf_dir),
+        k=5, n_probe=_IVFPQ_NPROBE, n_short=_IVFPQ_SHORT,
+        sub_dim=_PQ_SUB_DIM,
+    )
+    hits = brute.alias("b").join(
+        pq.alias("p"),
+        on=[
+            F.col("b.query_id") == F.col("p.query_id"),
+            F.col("b.neighbor_id") == F.col("p.neighbor_id"),
+        ],
+        how="left",
+    )
+    return (
+        hits.groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count("*").alias("k"),
+            F.count(F.col("p.neighbor_id")).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_5"),
+        )
+    )
+
+
+# ===========================================================================
+# Vocab-scale tokenizer APPLY: longest-match against a frozen vocabulary
+# ===========================================================================
+_VOCAB_N_GRAMS = 1000
+_VOCAB_MAX_LEN = 6
+
+_W0_SQL = r"""
+    w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      t -> regexp_matches(t, '^[a-z]+$'))) AS w
+            FROM documents)
+      GROUP BY w)"""
+
+
+def _vocab_apply_oracle() -> str:
+    """The oracle replays vocabulary derivation and greedy apply
+    RELATIONALLY — positions/lengths from ``unnest(range(...))`` +
+    equi-joins, and the maximal-munch walk as a recursive CTE (each
+    word follows exactly one path: bl is unique per (w, i), so the
+    recursion is vocabulary-sized per round and word-length deep) —
+    instead of mirroring Spark's HOF fold. Deliberate: DuckDB 1.0
+    MISBINDS an outer lambda variable when a lambda NESTS inside a
+    ``list_reduce`` lambda under vectorized join plans (observed:
+    word 'column' segmented with pieces of a different row's word, and
+    the same CTE returning different values depending on the outer
+    plan). No existing oracle nests lambdas; this one's first draft
+    did and tripped it. The relational spelling computes the identical
+    integer function, so the value-hash still pins the Spark fold."""
+    alpha = ", ".join(f"('{c}')" for c in BPE.ALPHABET)
+    return rf"""
+    WITH RECURSIVE {_W0_SQL},
+    grams AS (
+      SELECT substr(p.w, CAST(p.i AS INT), CAST(t.l AS INT)) AS g,
+             CAST(SUM(p.n) AS BIGINT) AS cnt
+      FROM (SELECT w, n, unnest(range(1, length(w) + 1)) AS i FROM w0) p
+      CROSS JOIN range(2, {_VOCAB_MAX_LEN} + 1) t(l)
+      WHERE p.i + t.l <= length(p.w) + 1
+      GROUP BY g),
+    topg AS (SELECT g FROM grams ORDER BY cnt DESC, g LIMIT {_VOCAB_N_GRAMS}),
+    vocab_t AS (SELECT g FROM topg
+                UNION SELECT a FROM (VALUES {alpha}) letters(a)),
+    bl AS (
+      SELECT c.w, c.i, CAST(MAX(c.l) AS INT) AS bl
+      FROM (SELECT p.w, CAST(p.i AS INT) AS i, CAST(t.l AS INT) AS l
+            FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM w0) p
+            CROSS JOIN range(1, {_VOCAB_MAX_LEN} + 1) t(l)
+            WHERE p.i + t.l <= length(p.w) + 1) c
+      JOIN vocab_t v ON v.g = substr(c.w, c.i, c.l)
+      GROUP BY c.w, c.i),
+    walk AS (
+      SELECT w, CAST(1 AS INT) AS pos, CAST(0 AS BIGINT) AS ntok FROM w0
+      UNION ALL
+      SELECT k.w, k.pos + b.bl, k.ntok + 1
+      FROM walk k JOIN bl b ON b.w = k.w AND b.i = k.pos),
+    segw AS (SELECT w, ntok AS word_tokens FROM walk
+             WHERE pos = length(w) + 1),
+    doc_words AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        t -> regexp_matches(t, '^[a-z]+$'))) AS w
+      FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(word_tokens) AS BIGINT) AS n_subword_tokens,
+           CAST(SUM(word_tokens) AS DOUBLE) / count(*) AS fertility
+    FROM doc_words JOIN segw USING (w)
+    GROUP BY doc_id
+    """
+
+
+@_register("docs_vocab_apply_fertility", _vocab_apply_oracle())
+def q_docs_vocab_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at a realistic vocabulary (VERDICT r11 item 5):
+    per-document subword token counts and fertility under a FROZEN
+    1026-unit vocabulary (top-1000 character n-grams by corpus
+    frequency + the 26 single letters, derived deterministically so
+    the oracle re-derives the identical artifact), applied by greedy
+    longest-match segmentation — ONE linear pass per distinct word
+    against the broadcast vocabulary literal, the shape a production
+    tokenization pipeline runs, vs the 6-unrolled-merge replay
+    ``docs_bpe_fertility`` times (honest for training, not for apply
+    at ≥1k merges). Scale: the corpus is touched twice (word extract +
+    word join); the segmentation fold and the vocab derivation both
+    run on the vocabulary-sized distinct-word table; the vocabulary
+    rides every task as one constant-folded ~6 KB array literal."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r["g"]
+        for r in BPE.top_ngram_vocab(
+            d, "text", n_grams=_VOCAB_N_GRAMS, max_len=_VOCAB_MAX_LEN
+        ).collect()  # frozen artifact: bounded at _VOCAB_N_GRAMS rows
+    ]
+    words = BPE.word_frequencies(d, "text")
+    seg = BPE.segment_longest_match(
+        words, vocab, max_len=_VOCAB_MAX_LEN
+    ).select("w", "word_tokens")
+    doc_words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        doc_words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_subword_tokens"),
+            (
+                F.sum("word_tokens").cast("double") / F.count(F.lit(1))
+            ).alias("fertility"),
+        )
+    )
