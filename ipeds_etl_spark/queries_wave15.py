@@ -208,6 +208,27 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_N_GRAMS = 1000
 _VOCAB_MAX_LEN = 6
 
+#: Memoized frozen vocabulary per corpus version (the ``_ivf_codebook``
+#: pattern): a tokenizer vocabulary is build-once-apply-many — the
+#: (mtime, size) fingerprint invalidates on regeneration, and every
+#: apply against the same corpus version shares one derivation.
+_VOCABS: dict[tuple, list[str]] = {}
+
+
+def _frozen_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
+    from ipeds_etl_spark.operators.indexes import corpus_fingerprint
+
+    key = (corpus_fingerprint(sf_dir, "documents"), _VOCAB_N_GRAMS, _VOCAB_MAX_LEN)
+    if key not in _VOCABS:
+        d = load_table(spark, sf_dir, "documents")
+        _VOCABS[key] = [
+            r["g"]
+            for r in BPE.top_ngram_vocab(
+                d, "text", n_grams=_VOCAB_N_GRAMS, max_len=_VOCAB_MAX_LEN
+            ).collect()  # frozen artifact: bounded at _VOCAB_N_GRAMS rows
+        ]
+    return _VOCABS[key]
+
 _W0_SQL = r"""
     w0 AS (
       SELECT w, CAST(count(*) AS BIGINT) AS n
@@ -288,12 +309,7 @@ def q_docs_vocab_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on the vocabulary-sized distinct-word table; the vocabulary
     rides every task as one constant-folded ~6 KB array literal."""
     d = load_table(spark, sf_dir, "documents")
-    vocab = [
-        r["g"]
-        for r in BPE.top_ngram_vocab(
-            d, "text", n_grams=_VOCAB_N_GRAMS, max_len=_VOCAB_MAX_LEN
-        ).collect()  # frozen artifact: bounded at _VOCAB_N_GRAMS rows
-    ]
+    vocab = _frozen_vocab(spark, sf_dir)
     words = BPE.word_frequencies(d, "text")
     seg = BPE.segment_longest_match(
         words, vocab, max_len=_VOCAB_MAX_LEN

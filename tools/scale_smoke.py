@@ -300,6 +300,13 @@ SWEEP_R18 = [
     "events_value_qsketch",
 ]
 
+#: round-12 registrations (VERDICT r11 items 4-5): the IVF-PQ composed
+#: ANN search and the vocab-scale longest-match tokenizer apply.
+SWEEP_R19 = [
+    "emb_ivfpq_topk",
+    "docs_vocab_apply_fertility",
+]
+
 #: round-6 final wave: frame dedup, global rownum, variant extraction,
 #: point-in-time SCD2, incremental dedup, two-pass exact quantiles
 SWEEP_R7 = [
@@ -357,6 +364,82 @@ def build_quad_corpus(spark) -> None:
         )
         eout = rep if eout is None else eout.unionByName(rep)
     eout.repartition(64).write.parquet(f"{SF10_DIR}/embeddings.parquet")
+
+
+def build_quad_events(spark) -> None:
+    """Extend the sf10 corpus with a 100x key-offset events replica
+    (the r11 registrations' screen needs it: events never entered the
+    quad corpus before). event_id offsets keep ids unique; the qsketch
+    level sampling hashes the id, so replicas draw fresh levels — the
+    distributional shape the sketch faces at a real 100x."""
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    rest = [c for c in ev.columns if c != "event_id"]
+    out = None
+    for r in range(QUAD_REPLICAS):
+        rep = ev.select(
+            (F.col("event_id") + F.lit(r * 100_000_000)).alias("event_id"),
+            *rest,
+        )
+        out = rep if out is None else out.unionByName(rep)
+    out.repartition(64).write.parquet(f"{SF10_DIR}/events.parquet")
+
+
+def run_quad_r12(spark, results: dict) -> None:
+    """sf10 (100x sf0.1) screens for the round-11 registrations
+    (VERDICT r11 item 3) with stage attribution: their scale claims
+    were argued from plan shape at sf1, this measures them at 10x
+    that. docs_cdc_dedup_rewrite: work must track token count — the
+    chunker scan (sha2-per-token map + per-doc window) is timed alone
+    next to the full rewrite, and the chunk-string min-agg's key
+    width rides as n_chunks/avg_chunk_len. events_value_qsketch: 3
+    corpus scans, 0 corpus exchanges — the levels-histogram pass is
+    timed alone next to the full readout."""
+    from ipeds_etl_spark import queries as q
+    from ipeds_etl_spark.operators import qsketch as QS
+    from ipeds_etl_spark.queries_wave12 import cdc_chunks
+
+    reg = q.queries()
+    out: dict[str, dict] = {}
+
+    d = load_table(spark, SF10_DIR, "documents")
+    t0 = time.perf_counter()
+    stats = cdc_chunks(d).agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.length("chunk")).alias("w")
+    ).collect()[0]
+    t_chunk = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    reg["docs_cdc_dedup_rewrite"](spark, SF10_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["docs_cdc_dedup_rewrite"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "chunker_scan_sec": t_chunk,
+        "n_chunks": int(stats["n"]),
+        "avg_chunk_chars": round(float(stats["w"]), 1),
+    }
+
+    e = (
+        load_table(spark, SF10_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    t0 = time.perf_counter()
+    retained, levels = QS.quantile_sketch(
+        e, ["event_type"], "value", "event_id"
+    )
+    lev_rows = levels.collect()
+    t_levels = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    reg["events_value_qsketch"](spark, SF10_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["events_value_qsketch"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "levels_pass_sec": t_levels,
+        "n_events": int(sum(r["n"] for r in lev_rows)),
+        "levels": {r["event_type"]: int(r["lev"]) for r in lev_rows},
+    }
+    results["quad_r12"] = out
 
 
 def run_sweep_quad(spark, results: dict) -> None:
@@ -816,6 +899,19 @@ def main() -> None:
         if sections == ["sweep_quad"]:
             print(json.dumps(results))
             return
+    if "quad_r12" in sections:
+        # BEFORE build_corpus: a session that just built the sf1
+        # replica inflates one-shot timings 10x+ (the sweep_r18
+        # lesson, reproduced this round: the chunker pass read 238 s
+        # in-session vs 15 s fresh) — quad_r12 alone must run clean
+        if not Path(SF10_DIR).exists():
+            build_quad_corpus(spark)
+        if not Path(f"{SF10_DIR}/events.parquet").exists():
+            build_quad_events(spark)
+        run_quad_r12(spark, results)
+        if sections == ["quad_r12"]:
+            print(json.dumps(results))
+            return
     build_corpus(spark)
     results["n_docs"] = spark.read.parquet(f"{SF1_DIR}/documents.parquet").count()
     if "iterative" in sections:
@@ -852,6 +948,8 @@ def main() -> None:
         run_sweep(spark, results, names=SWEEP_R17, key="sweep_r17")
     if "sweep_r18" in sections:
         run_sweep(spark, results, names=SWEEP_R18, key="sweep_r18")
+    if "sweep_r19" in sections:
+        run_sweep(spark, results, names=SWEEP_R19, key="sweep_r19")
     if "quad_r6" in sections:
         if not Path(SF10_DIR).exists():
             build_quad_corpus(spark)
