@@ -108,6 +108,7 @@ EXCLUDED = {
     "dedup_bcubed_eval": "O(n²) exact-Jaccard truth clustering gold standard",
     "emb_ivf_probe_sweep": "O(n²) brute-force neighbor gold standard (3-arm sweep)",
     "emb_ivfpq_recall": "O(n²) brute-force neighbor gold standard",
+    "emb_ivfpq_residual_recall": "O(n²) brute-force neighbor gold standard",
 }
 
 SUITE_CRITERION = (
@@ -177,6 +178,10 @@ SF1_FORCE_INCLUDE = {
     "emb_ivfpq_topk": (
         "registered r12 (IVF-PQ composition, VERDICT r11 item 4) — "
         "new registrations get an sf1 row"
+    ),
+    "emb_ivfpq_residual_topk": (
+        "registered r12 (residual IVF-PQ, the FAISS by_residual=true "
+        "default) — new registrations get an sf1 row"
     ),
     "docs_vocab_apply_fertility": (
         "registered r12 (vocab-scale tokenizer apply, VERDICT r11 "

@@ -856,6 +856,25 @@ def ivfpq_topk(
         "neighbor_id",
         adc_cosine(F.col("qvec"), books, sub_dim=sub_dim).alias("approx_cos"),
     )
+    return _shortlist_exact_rerank(
+        scored, corpus, queries, id_col, vec_col, k=k, n_short=n_short
+    )
+
+
+def _shortlist_exact_rerank(
+    scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_short: int,
+) -> DataFrame:
+    """Shared tail of the two-stage pipelines: rank the approximate
+    scores per query, keep the ``n_short`` shortlist, re-fetch ONLY
+    those ids' full vectors by equi-join, exact-cosine re-rank to
+    top-``k``. At scale the re-fetch shuffles n_queries × n_short rows,
+    never a full-vector corpus scan."""
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id").asc()
     )
@@ -886,4 +905,109 @@ def ivfpq_topk(
         rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def residual_frame(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """``(id, centroid_id, vec_col = v − coarse_centroid(v))`` — the
+    residual view PQ trains and encodes on in FAISS's default
+    ``by_residual=true`` IVF-PQ (Jégou et al. 2011 §V.B: residuals
+    concentrate near zero, so the same codeword budget spends its
+    resolution on the part the coarse quantizer didn't explain).
+    Map-only: assignment argmax + one exact-IEEE subtraction per
+    component against the plan-literal centroid, no join."""
+    assigned = assign_centroids(corpus, id_col, vec_col, None, cent_rows=cent_rows)
+    cids = F.lit([int(cid) for cid, _ in cent_rows])
+    cvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in cent_rows])
+    cvec = F.element_at(
+        cvecs, F.array_position(cids, F.col("centroid_id")).cast("int")
+    )
+    res = F.zip_with(
+        F.col(vec_col), cvec, lambda x, y: x.cast("double") - y
+    )
+    return assigned.select(
+        F.col(id_col), F.col("centroid_id"), res.alias(vec_col)
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    n_probe: int = 2,
+    n_short: int = 50,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Residual IVF-PQ search (FAISS ``IndexIVFPQ`` with its DEFAULT
+    ``by_residual=true``): identical plan shape to ``ivfpq_topk`` —
+    probe n_probe cells, ADC over codes, exact re-rank of the
+    shortlist — but the codes quantize RESIDUALS (``books`` must come
+    from ``build_pq_codebooks`` over ``residual_frame``), and ADC
+    reconstructs ``centroid + codeword`` before scoring, so the
+    codeword budget refines around each cell's centroid instead of
+    re-describing the whole space. Every reconstruction component is
+    one exact-IEEE addition and the fold order matches the oracle
+    bit-for-bit."""
+    res = residual_frame(corpus, id_col, vec_col, cent_rows)
+    enc_cols = [F.col(id_col), F.col("centroid_id")]
+    for s, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+        enc_cols.append(
+            F.array_max(_scored_centroids(sub, book))["cid"].alias(f"code_{s}")
+        )
+    enc = res.select(*enc_cols)
+    probes = F.slice(
+        F.reverse(F.array_sort(_scored_centroids(F.col(vec_col), cent_rows))),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(F.transform(probes, lambda p: p["cid"])).alias("centroid_id"),
+    )
+    pairs = F.broadcast(q).join(
+        enc.withColumnRenamed(id_col, "neighbor_id"), "centroid_id"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    coarse_cids = F.lit([int(cid) for cid, _ in cent_rows])
+    coarse_vecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in cent_rows])
+    cvec = F.element_at(
+        coarse_vecs, F.array_position(coarse_cids, F.col("centroid_id")).cast("int")
+    )
+    partial_dots, partial_n2 = [], []
+    for s, book in enumerate(books):
+        bcids = F.lit([int(cid) for cid, _ in book])
+        bvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in book])
+        cw = F.element_at(
+            bvecs, F.array_position(bcids, F.col(f"code_{s}")).cast("int")
+        )
+        recon = F.zip_with(
+            F.slice(cvec, s * sub_dim + 1, sub_dim), cw, lambda x, y: x + y
+        )
+        qsub = F.slice(F.col("qvec"), s * sub_dim + 1, sub_dim)
+        partial_dots.append(dot(qsub, recon))
+        partial_n2.append(dot(recon, recon))
+    approx_dot = partial_dots[0]
+    for p in partial_dots[1:]:
+        approx_dot = approx_dot + p
+    recon2 = partial_n2[0]
+    for p in partial_n2[1:]:
+        recon2 = recon2 + p
+    approx_cos = approx_dot / (
+        F.sqrt(dot(F.col("qvec"), F.col("qvec"))) * F.sqrt(recon2)
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", approx_cos.alias("approx_cos")
+    )
+    return _shortlist_exact_rerank(
+        scored, corpus, queries, id_col, vec_col, k=k, n_short=n_short
     )

@@ -651,6 +651,8 @@ _GATE_PRIORITY: list[str] = [
     # longest-match tokenizer apply (item 5).
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
+    "emb_ivfpq_residual_topk",
+    "emb_ivfpq_residual_recall",
     "docs_vocab_apply_fertility",
     # -- changed-implementation re-gate: the span-dedup rewrite's
     # first-occurrence key moved from the positional encoding

@@ -3441,16 +3441,19 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
     return _PQ_CODEBOOKS[key]
 
 
-def _pq_sub_sql(s: int) -> list[str]:
+def _pq_sub_sql(s: int, src: str = "embeddings", prefix: str | None = None) -> list[str]:
     """CTEs replaying subspace ``s``'s codebook training + encoding:
     the seed/Lloyd pipeline of ``_ivf_sql`` applied to the 16-dim
     slice. ``{p}_codes`` ends with (vec_id, cid, embedding) — the
-    assigned codeword vector rides along so ADC needs no extra join."""
+    assigned codeword vector rides along so ADC needs no extra join.
+    ``src`` selects the training frame (r12: the residual IVF-PQ chain
+    trains on a ``res`` CTE of coarse residuals); ``prefix`` namespaces
+    the CTEs so residual and plain chains can coexist in one query."""
     from ipeds_etl_spark.operators.similarity import KMEANS_SCALE
 
-    p = f"s{s}"
+    p = prefix if prefix is not None else f"s{s}"
     lo, hi = s * _PQ_SUB_DIM + 1, (s + 1) * _PQ_SUB_DIM
-    sub = f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings)"
+    sub = f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM {src})"
     cos_vc = _cos_sql("v.embedding", "c.embedding")
     parts = [
         f"{p}_cent0 AS (SELECT vec_id AS cid, embedding FROM {sub} t ORDER BY vec_id LIMIT {_PQ_K})"

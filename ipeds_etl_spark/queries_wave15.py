@@ -203,6 +203,208 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Residual IVF-PQ: the FAISS default (by_residual=true)
+# ===========================================================================
+#: Memoized residual sub-codebooks per corpus version (trained on
+#: v − coarse_centroid(v) — same geometry as the plain PQ books).
+_RES_BOOKS: dict[tuple, list] = {}
+
+
+def _res_books(spark: SparkSession, sf_dir: str) -> list:
+    from ipeds_etl_spark.operators.indexes import corpus_fingerprint
+    from ipeds_etl_spark.queries_ext import _PQ_ITERS, _PQ_K
+
+    key = (
+        corpus_fingerprint(sf_dir, "embeddings"),
+        "residual", _PQ_M, _PQ_SUB_DIM, _PQ_K, _PQ_ITERS,
+    )
+    if key not in _RES_BOOKS:
+        e = load_table(spark, sf_dir, "embeddings")
+        res = SIM.residual_frame(
+            e, "vec_id", "embedding", _ivf_codebook(spark, sf_dir)
+        )
+        _RES_BOOKS[key] = SIM.build_pq_codebooks(
+            res, "vec_id", "embedding",
+            n_subspaces=_PQ_M, sub_dim=_PQ_SUB_DIM,
+            n_centroids=_PQ_K, n_iters=_PQ_ITERS,
+        )
+    return _RES_BOOKS[key]
+
+
+def _ivfpq_residual_sql() -> str:
+    """Oracle chain for residual IVF-PQ: coarse train/assign
+    (``_ivf_sql`` → cent2/assigned), residuals (one exact-IEEE
+    subtraction per component against the refined centroid), one
+    ``_pq_sub_sql`` per subspace TRAINED ON the ``res`` CTE
+    (namespaced ``r{s}_``), per-subspace reconstruction CTEs
+    (centroid slice + codeword — materialized as their own CTEs so no
+    lambda nests inside another lambda's body, the DuckDB 1.0
+    misbinding documented on ``_vocab_apply_oracle``), then the same
+    probe → ADC → shortlist → exact re-rank tail as the plain chain."""
+    ctes: list[str] = [_ivf_sql()]  # ends at cent2 / scored / assigned
+    ctes.append(
+        """res AS (
+      SELECT a.vec_id, a.centroid_id,
+             list_transform(range(64),
+               i -> CAST(a.embedding[i+1] AS DOUBLE)
+                    - CAST(c.embedding[i+1] AS DOUBLE)) AS embedding
+      FROM assigned a JOIN cent2 c ON c.cid = a.centroid_id)"""
+    )
+    for s in range(_PQ_M):
+        ctes.extend(_pq_sub_sql(s, src="res", prefix=f"r{s}"))
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB_DIM  # 0-based slice start; +i+1 gives 1-based
+        ctes.append(
+            f"""rrec{s} AS (
+      SELECT a.vec_id,
+             list_transform(range({_PQ_SUB_DIM}),
+               i -> CAST(c.embedding[{lo} + i + 1] AS DOUBLE)
+                    + CAST(n.embedding[i+1] AS DOUBLE)) AS embedding
+      FROM assigned a
+      JOIN cent2 c ON c.cid = a.centroid_id
+      JOIN r{s}_codes n ON n.vec_id = a.vec_id)"""
+        )
+    parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB_DIM + 1, (s + 1) * _PQ_SUB_DIM
+        parts.append(
+            (
+                _DOT.format(a=f"q.embedding[{lo}:{hi}]", b=f"rc{s}.embedding"),
+                _DOT.format(a=f"rc{s}.embedding", b=f"rc{s}.embedding"),
+            )
+        )
+    adot, recon2 = parts[0]
+    for pd_, pn_ in parts[1:]:
+        adot = f"({adot} + {pd_})"
+        recon2 = f"({recon2} + {pn_})"
+    q2 = _DOT.format(a="q.embedding", b="q.embedding")
+    joins = "\n      ".join(
+        f"JOIN rrec{s} rc{s} ON rc{s}.vec_id = a.vec_id"
+        for s in range(_PQ_M)
+    )
+    ctes.append(
+        f"""probes AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored
+               WHERE rn <= {_IVFPQ_NPROBE} AND vec_id < 5)"""
+    )
+    ctes.append(
+        f"""r_adc AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             ({adot} / (sqrt({q2}) * sqrt({recon2}))) AS approx_cos
+      FROM probes q
+      JOIN assigned a
+        ON a.centroid_id = q.centroid_id AND a.vec_id <> q.vec_id
+      {joins})"""
+    )
+    ctes.append(
+        f"""r_short AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_cos DESC, neighbor_id ASC) AS rn
+      FROM r_adc) WHERE rn <= {_IVFPQ_SHORT})"""
+    )
+    ctes.append(
+        f"""r_ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS "rank"
+      FROM (SELECT s.query_id, s.neighbor_id,
+                   {_cos_sql("q.embedding", "n.embedding")} AS cos_sim
+            FROM r_short s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings n ON n.vec_id = s.neighbor_id))"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@_register(
+    "emb_ivfpq_residual_topk",
+    f"""
+    WITH {_ivfpq_residual_sql()}
+    SELECT query_id, neighbor_id, cos_sim, "rank"
+    FROM r_ranked WHERE "rank" <= 5
+    """,
+)
+def q_emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-5 — FAISS's DEFAULT IVF-PQ configuration
+    (``by_residual=true``): the sub-codebooks quantize
+    ``v − coarse_centroid(v)`` instead of ``v``, spending the same
+    4-int code budget on what the coarse quantizer didn't explain
+    (Jégou et al. 2011 §V.B); ADC reconstructs ``centroid + codeword``
+    per subspace before scoring. Same plan shape and geometry as
+    ``emb_ivfpq_topk`` — the measured recall delta between the two IS
+    the value of residual encoding at this code size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return SIM.ivfpq_residual_topk(
+        e, queries, "vec_id", "embedding",
+        _ivf_codebook(spark, sf_dir), _res_books(spark, sf_dir),
+        k=5, n_probe=_IVFPQ_NPROBE, n_short=_IVFPQ_SHORT,
+        sub_dim=_PQ_SUB_DIM,
+    )
+
+
+@_register(
+    "emb_ivfpq_residual_recall",
+    f"""
+    WITH {_ivfpq_residual_sql()},
+    ivfpqr AS (SELECT query_id, neighbor_id FROM r_ranked
+               WHERE "rank" <= 5),
+    brute AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5)
+      WHERE rnk <= 5)
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM brute b LEFT JOIN ivfpqr p
+      ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_emb_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of residual IVF-PQ against brute force — read next to
+    ``emb_ivfpq_recall`` (non-residual, same cells/probes/shortlist):
+    the difference is purely what residual encoding buys at a fixed
+    code budget."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(e, queries, "vec_id", "embedding", k=5)
+    pq = SIM.ivfpq_residual_topk(
+        e, queries, "vec_id", "embedding",
+        _ivf_codebook(spark, sf_dir), _res_books(spark, sf_dir),
+        k=5, n_probe=_IVFPQ_NPROBE, n_short=_IVFPQ_SHORT,
+        sub_dim=_PQ_SUB_DIM,
+    )
+    hits = brute.alias("b").join(
+        pq.alias("p"),
+        on=[
+            F.col("b.query_id") == F.col("p.query_id"),
+            F.col("b.neighbor_id") == F.col("p.neighbor_id"),
+        ],
+        how="left",
+    )
+    return (
+        hits.groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count("*").alias("k"),
+            F.count(F.col("p.neighbor_id")).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_5"),
+        )
+    )
+
+
+# ===========================================================================
 # Vocab-scale tokenizer APPLY: longest-match against a frozen vocabulary
 # ===========================================================================
 _VOCAB_N_GRAMS = 1000

@@ -129,6 +129,52 @@ def test_ivfpq_full_probe_equals_flat_pq_rerank(spark):
     assert a == b and len(a) == 15
 
 
+def test_residual_frame_exact_python_replay(spark):
+    """Residuals are one exact-IEEE subtraction per component: a pure
+    Python replay (same doubles, same op) must match bit-for-bit, and
+    every row's centroid_id must agree with assign_centroids."""
+    e = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 50)
+    cents = SIM.build_ivf_centroids(e, "vec_id", "embedding", n_centroids=4)
+    cmap = dict(cents)
+    assigned = {
+        r["vec_id"]: r.centroid_id
+        for r in SIM.assign_centroids(
+            e, "vec_id", "embedding", None, cent_rows=cents
+        ).collect()
+    }
+    raw = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    for r in SIM.residual_frame(e, "vec_id", "embedding", cents).collect():
+        assert r.centroid_id == assigned[r["vec_id"]]
+        want = [
+            float(x) - y
+            for x, y in zip(raw[r["vec_id"]], cmap[r.centroid_id])
+        ]
+        assert list(r["embedding"]) == want, r["vec_id"]
+
+
+def test_ivfpq_residual_full_probe_deep_shortlist_is_exact(spark):
+    """With every cell probed and the shortlist deeper than the
+    corpus, the exact re-rank sees ALL candidates — residual IVF-PQ
+    must then return exactly brute force, whatever the ADC ordering
+    did: the approximation is confined to candidate selection."""
+    e = load_table(spark, SF, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") < 3)
+    cents = SIM.build_ivf_centroids(e, "vec_id", "embedding", n_centroids=8)
+    res = SIM.residual_frame(e, "vec_id", "embedding", cents)
+    books = SIM.build_pq_codebooks(
+        res, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_centroids=16
+    )
+    out = SIM.ivfpq_residual_topk(
+        e, q, "vec_id", "embedding", cents, books,
+        k=5, n_probe=8, n_short=n, sub_dim=16,
+    )
+    brute = SIM.brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    a = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in out.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in brute.collect()}
+    assert a == b and len(a) == 15
+
+
 def test_ivfpq_neighbors_come_from_probed_cells(spark):
     """Cell pruning is real: every returned neighbor belongs to one of
     its query's n_probe nearest cells."""

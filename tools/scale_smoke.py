@@ -304,6 +304,7 @@ SWEEP_R18 = [
 #: ANN search and the vocab-scale longest-match tokenizer apply.
 SWEEP_R19 = [
     "emb_ivfpq_topk",
+    "emb_ivfpq_residual_topk",
     "docs_vocab_apply_fertility",
 ]
 
