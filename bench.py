@@ -109,6 +109,7 @@ EXCLUDED = {
     "emb_ivf_probe_sweep": "O(n²) brute-force neighbor gold standard (3-arm sweep)",
     "emb_ivfpq_recall": "O(n²) brute-force neighbor gold standard",
     "emb_ivfpq_residual_recall": "O(n²) brute-force neighbor gold standard",
+    "emb_sq8_recall": "O(n²) brute-force neighbor gold standard",
 }
 
 SUITE_CRITERION = (
@@ -182,6 +183,10 @@ SF1_FORCE_INCLUDE = {
     "emb_ivfpq_residual_topk": (
         "registered r12 (residual IVF-PQ, the FAISS by_residual=true "
         "default) — new registrations get an sf1 row"
+    ),
+    "emb_sq8_topk": (
+        "registered r12 (SQ8 scalar quantization, the 4x compression "
+        "point) — new registrations get an sf1 row"
     ),
     "docs_vocab_apply_fertility": (
         "registered r12 (vocab-scale tokenizer apply, VERDICT r11 "

@@ -908,6 +908,137 @@ def _shortlist_exact_rerank(
     )
 
 
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): int8-per-dimension compressed ANN
+# ---------------------------------------------------------------------------
+def sq8_train(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[float, float]]:
+    """Train the SQ8 quantizer (FAISS ``IndexScalarQuantizer``/QT_8bit
+    shape): per-DIMENSION [min, max] bounds — one map-combinable
+    posexplode aggregate whose output is dim rows, collected as the
+    driver-side artifact (dim × 2 doubles, build-once-query-many like
+    the IVF/PQ codebooks). min/max are pure SELECTIONS of input floats
+    (no arithmetic), so the artifact is bit-identical on any engine or
+    partitioning and the oracle re-derives it exactly."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("col").cast("double")).alias("mn"),
+            F.max(F.col("col").cast("double")).alias("mx"),
+        )
+        .collect()  # dim rows — metadata-sized
+    )
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    return [by_pos[i] for i in range(len(by_pos))]
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bounds: list[tuple[float, float]],
+) -> DataFrame:
+    """``(id, codes array<int>)``: each component linearly quantized to
+    0..255 within its dimension's trained bounds —
+    ``clamp(floor(((x − mn) / (mx − mn)) · 256))``, a flat-dim (mx=mn)
+    encoding to 0. Map-only over the scan; the persisted codes column
+    is 1 byte/dim of information (64 B vs 256 B float32 — the 4×
+    compression point between raw vectors and PQ's 64×). floor-then-
+    clamp runs in integer domain after one pinned IEEE chain, so codes
+    are engine-exact (house rule: never CAST an unfloored double to
+    INT — DuckDB rounds where Spark truncates)."""
+    mns = F.lit([float(mn) for mn, _ in bounds])
+    mxs = F.lit([float(mx) for _, mx in bounds])
+    idx = F.sequence(F.lit(1), F.lit(len(bounds)))
+    codes = F.transform(
+        idx,
+        lambda i: F.when(
+            F.element_at(mxs, i.cast("int")) == F.element_at(mns, i.cast("int")),
+            F.lit(0),
+        ).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (
+                            F.element_at(F.col(vec_col), i.cast("int")).cast("double")
+                            - F.element_at(mns, i.cast("int"))
+                        )
+                        / (
+                            F.element_at(mxs, i.cast("int"))
+                            - F.element_at(mns, i.cast("int"))
+                        )
+                        * F.lit(256.0)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_dequant(codes: Column, bounds: list[tuple[float, float]]) -> Column:
+    """Reconstructed vector from SQ8 codes: ``mn + (((c + 0.5) ·
+    (mx − mn)) / 256)`` per dimension — the bin-center dequantization,
+    op order pinned to the oracle."""
+    mns = F.lit([float(mn) for mn, _ in bounds])
+    mxs = F.lit([float(mx) for _, mx in bounds])
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(mns, (i + 1).cast("int"))
+        + (
+            (c.cast("double") + F.lit(0.5))
+            * (
+                F.element_at(mxs, (i + 1).cast("int"))
+                - F.element_at(mns, (i + 1).cast("int"))
+            )
+        )
+        / F.lit(256.0),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bounds: list[tuple[float, float]],
+    k: int = 5,
+) -> DataFrame:
+    """SQ8 asymmetric top-k: exact query against dequantized corpus
+    codes — the ranking reads ONLY the codes column (column pruning
+    drops the embedding from the scan, as with PQ/ADC). Same broadcast-
+    queries × codes-scan shape as ``pq_topk``; every float op is
+    order-pinned so DuckDB value-hashes the ranking."""
+    enc = sq8_encode(corpus, id_col, vec_col, bounds)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(enc.withColumnRenamed(id_col, "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    dq = sq8_dequant(F.col("codes"), bounds)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("qvec"), dq)
+            / (F.sqrt(dot(F.col("qvec"), F.col("qvec"))) * F.sqrt(dot(dq, dq)))
+        ).alias("approx_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_cos", "rank")
+    )
+
+
 def residual_frame(
     corpus: DataFrame,
     id_col: str,

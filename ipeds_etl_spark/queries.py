@@ -653,6 +653,8 @@ _GATE_PRIORITY: list[str] = [
     "emb_ivfpq_recall",
     "emb_ivfpq_residual_topk",
     "emb_ivfpq_residual_recall",
+    "emb_sq8_topk",
+    "emb_sq8_recall",
     "docs_vocab_apply_fertility",
     # -- changed-implementation re-gate: the span-dedup rewrite's
     # first-occurrence key moved from the positional encoding

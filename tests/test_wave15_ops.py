@@ -129,6 +129,48 @@ def test_ivfpq_full_probe_equals_flat_pq_rerank(spark):
     assert a == b and len(a) == 15
 
 
+def test_sq8_encode_python_replay_and_ranges(spark):
+    """SQ8 codes: exact Python replay of the pinned quantization chain
+    (((x−mn)/(mx−mn))·256, floor, clamp) on real vectors; all codes in
+    [0, 255]; a flat dimension (mx = mn) encodes 0 and dequantizes back
+    to mn exactly."""
+    import math
+
+    e = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40)
+    bounds = SIM.sq8_train(e, "vec_id", "embedding")
+    assert len(bounds) == 64 and all(mn <= mx for mn, mx in bounds)
+    raw = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+    enc = {
+        r["vec_id"]: list(r["codes"])
+        for r in SIM.sq8_encode(e, "vec_id", "embedding", bounds).collect()
+    }
+    for vid, codes in enc.items():
+        assert all(0 <= c <= 255 for c in codes)
+        for x, c, (mn, mx) in zip(raw[vid], codes, bounds):
+            want = 0 if mx == mn else min(
+                255, max(0, math.floor((float(x) - mn) / (mx - mn) * 256.0))
+            )
+            assert c == want, (vid, x, mn, mx)
+    # flat-dim behavior on synthetic data
+    flat = spark.createDataFrame(
+        [(0, [1.5, 2.0]), (1, [1.5, 3.0])], "vec_id long, embedding array<float>"
+    )
+    b2 = SIM.sq8_train(flat, "vec_id", "embedding")
+    assert b2[0][0] == b2[0][1] == 1.5
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in SIM.sq8_encode(flat, "vec_id", "embedding", b2).collect()
+    }
+    assert codes[0][0] == 0 and codes[1][0] == 0
+    dq = flat.select(
+        "vec_id",
+        SIM.sq8_dequant(
+            F.lit([0, 0]).cast("array<int>"), b2
+        )[0].alias("d0"),
+    ).collect()
+    assert all(abs(r.d0 - 1.5) == 0.0 for r in dq)
+
+
 def test_residual_frame_exact_python_replay(spark):
     """Residuals are one exact-IEEE subtraction per component: a pure
     Python replay (same doubles, same op) must match bit-for-bit, and

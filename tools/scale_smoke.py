@@ -305,6 +305,7 @@ SWEEP_R18 = [
 SWEEP_R19 = [
     "emb_ivfpq_topk",
     "emb_ivfpq_residual_topk",
+    "emb_sq8_topk",
     "docs_vocab_apply_fertility",
 ]
 
