@@ -110,6 +110,7 @@ EXCLUDED = {
     "emb_ivfpq_recall": "O(n²) brute-force neighbor gold standard",
     "emb_ivfpq_residual_recall": "O(n²) brute-force neighbor gold standard",
     "emb_sq8_recall": "O(n²) brute-force neighbor gold standard",
+    "emb_ivfpq_filtered_recall": "O(n²) brute-force neighbor gold standard",
 }
 
 SUITE_CRITERION = (
@@ -187,6 +188,11 @@ SF1_FORCE_INCLUDE = {
     "emb_sq8_topk": (
         "registered r12 (SQ8 scalar quantization, the 4x compression "
         "point) — new registrations get an sf1 row"
+    ),
+    "emb_ivfpq_filtered_topk": (
+        "registered r12 (filtered vector search: predicate composed "
+        "with the globally-trained index, filter-then-rank) — new "
+        "registrations get an sf1 row"
     ),
     "docs_vocab_apply_fertility": (
         "registered r12 (vocab-scale tokenizer apply, VERDICT r11 "

@@ -655,6 +655,8 @@ _GATE_PRIORITY: list[str] = [
     "emb_ivfpq_residual_recall",
     "emb_sq8_topk",
     "emb_sq8_recall",
+    "emb_ivfpq_filtered_topk",
+    "emb_ivfpq_filtered_recall",
     "docs_vocab_apply_fertility",
     # -- changed-implementation re-gate: the span-dedup rewrite's
     # first-occurrence key moved from the positional encoding

@@ -48,12 +48,15 @@ from ipeds_etl_spark.sources.tables import load_table
 _IVFPQ_NPROBE, _IVFPQ_SHORT = 2, 50
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(adc_pred: str = "") -> str:
     """CTE chain: ``_ivf_sql`` (coarse codebook + corpus assignment)
     + one ``_pq_sub_sql`` per subspace (sub-codebooks + codes), then
     probes -> cell-pruned ADC -> shortlist -> exact re-rank. The ADC
     fold order is parenthesized exactly as ``similarity.adc_cosine``
-    chains it, so the floats agree bitwise."""
+    chains it, so the floats agree bitwise. ``adc_pred`` appends a
+    candidate-side predicate to the ADC join (the filtered-search
+    variant: the filter composes with the index BEFORE ranking, so
+    top-k semantics are filter-then-rank, never rank-then-filter)."""
     ctes: list[str] = [_ivf_sql()]
     for s in range(_PQ_M):
         ctes.extend(_pq_sub_sql(s))
@@ -85,6 +88,7 @@ def _ivfpq_sql() -> str:
       FROM probes q
       JOIN assigned a
         ON a.centroid_id = q.centroid_id AND a.vec_id <> q.vec_id
+        {adc_pred}
       {joins})"""
     )
     ctes.append(
@@ -175,6 +179,118 @@ def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = SIM.brute_force_topk(e, queries, "vec_id", "embedding", k=5)
     pq = SIM.ivfpq_topk(
         e, queries, "vec_id", "embedding",
+        _ivf_codebook(spark, sf_dir), _pq_codebook(spark, sf_dir),
+        k=5, n_probe=_IVFPQ_NPROBE, n_short=_IVFPQ_SHORT,
+        sub_dim=_PQ_SUB_DIM,
+    )
+    hits = brute.alias("b").join(
+        pq.alias("p"),
+        on=[
+            F.col("b.query_id") == F.col("p.query_id"),
+            F.col("b.neighbor_id") == F.col("p.neighbor_id"),
+        ],
+        how="left",
+    )
+    return (
+        hits.groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count("*").alias("k"),
+            F.count(F.col("p.neighbor_id")).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_5"),
+        )
+    )
+
+
+# ===========================================================================
+# Filtered vector search: predicate + ANN index, filter-then-rank
+# ===========================================================================
+#: Search-time metadata predicate (~30% selectivity on the uniform
+#: 0..9 labels). The INDEX stays globally trained — production filtered
+#: search never retrains per predicate.
+_FILTER_LABELS = (2, 5, 7)
+_FILTER_PRED_SQL = (
+    "AND a.vec_id IN (SELECT vec_id FROM embeddings "
+    f"WHERE label IN {_FILTER_LABELS})"
+)
+
+
+@_register(
+    "emb_ivfpq_filtered_topk",
+    f"""
+    WITH {_ivfpq_sql(adc_pred=_FILTER_PRED_SQL)}
+    SELECT query_id, neighbor_id, cos_sim, "rank"
+    FROM ivfpq_ranked WHERE "rank" <= 5
+    """,
+)
+def q_emb_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production shape vector stores call
+    pre-filtering: top-5 under a metadata predicate (label ∈ {2,5,7},
+    ~30% of the corpus), evaluated with the GLOBALLY-trained IVF-PQ
+    index. Two semantics this pins: (1) filter-then-rank — the
+    predicate restricts the CANDIDATE set before any ranking, so the
+    result is the true top-k of the filtered corpus (post-filtering a
+    global top-k silently returns < k or wrong rows — the classic
+    filtered-ANN bug); (2) the index is NOT retrained per predicate —
+    encode is a pure per-row function of the frozen codebooks, so
+    filtering the corpus input composes with the same index artifacts
+    at zero build cost. Plan: the predicate lands on the codes-side
+    scan (pushed filter), everything else is the ``emb_ivfpq_topk``
+    plan unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    filtered = e.filter(F.col("label").isin(*_FILTER_LABELS))
+    return SIM.ivfpq_topk(
+        filtered, queries, "vec_id", "embedding",
+        _ivf_codebook(spark, sf_dir), _pq_codebook(spark, sf_dir),
+        k=5, n_probe=_IVFPQ_NPROBE, n_short=_IVFPQ_SHORT,
+        sub_dim=_PQ_SUB_DIM,
+    )
+
+
+@_register(
+    "emb_ivfpq_filtered_recall",
+    f"""
+    WITH {_ivfpq_sql(adc_pred=_FILTER_PRED_SQL)},
+    filt AS (SELECT query_id, neighbor_id FROM ivfpq_ranked
+             WHERE "rank" <= 5),
+    brute AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS rnk
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND c.label IN {_FILTER_LABELS}
+      WHERE q.vec_id < 5)
+      WHERE rnk <= 5)
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(p.neighbor_id) AS DOUBLE) / count(*) AS recall_at_5
+    FROM brute b LEFT JOIN filt p
+      ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def q_emb_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of filtered IVF-PQ against the FILTERED brute force —
+    the gold standard is the true top-5 of the predicate-restricted
+    corpus (rank-then-filter would be the wrong oracle as well as the
+    wrong operator). Filtered recall is structurally LOWER than
+    unfiltered at the same n_probe: the true filtered neighbors spread
+    over more cells because in-cell competitors are thinned — the
+    measured number is the honest price, and n_probe is the documented
+    knob."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    filtered = e.filter(F.col("label").isin(*_FILTER_LABELS))
+    brute = SIM.brute_force_topk(filtered, queries, "vec_id", "embedding", k=5)
+    pq = SIM.ivfpq_topk(
+        filtered, queries, "vec_id", "embedding",
         _ivf_codebook(spark, sf_dir), _pq_codebook(spark, sf_dir),
         k=5, n_probe=_IVFPQ_NPROBE, n_short=_IVFPQ_SHORT,
         sub_dim=_PQ_SUB_DIM,

@@ -129,6 +129,32 @@ def test_ivfpq_full_probe_equals_flat_pq_rerank(spark):
     assert a == b and len(a) == 15
 
 
+def test_filtered_search_is_filter_then_rank(spark):
+    """Filtered ANN semantics: every returned neighbor satisfies the
+    predicate, and with all cells probed + a corpus-deep shortlist the
+    result EQUALS brute force over the filtered corpus — i.e. the
+    filter restricts candidates before ranking (post-filtering a
+    global top-k would return different/fewer rows)."""
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    filt = e.filter(F.col("label").isin(2, 5, 7))
+    n = filt.count()
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    cents = SIM.build_ivf_centroids(e, "vec_id", "embedding", n_centroids=8)
+    books = SIM.build_pq_codebooks(
+        e, "vec_id", "embedding", n_subspaces=4, sub_dim=16, n_centroids=16
+    )
+    out = SIM.ivfpq_topk(
+        filt, q, "vec_id", "embedding", cents, books,
+        k=5, n_probe=8, n_short=n, sub_dim=16,
+    ).collect()
+    assert all(labels[r.neighbor_id] in (2, 5, 7) for r in out)
+    brute = SIM.brute_force_topk(filt, q, "vec_id", "embedding", k=5)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in out}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in brute.collect()}
+    assert a == b and len(a) == 15
+
+
 def test_sq8_encode_python_replay_and_ranges(spark):
     """SQ8 codes: exact Python replay of the pinned quantization chain
     (((x−mn)/(mx−mn))·256, floor, clamp) on real vectors; all codes in

@@ -306,6 +306,7 @@ SWEEP_R19 = [
     "emb_ivfpq_topk",
     "emb_ivfpq_residual_topk",
     "emb_sq8_topk",
+    "emb_ivfpq_filtered_topk",
     "docs_vocab_apply_fertility",
 ]
 
