@@ -124,7 +124,10 @@ SUITE_CRITERION = (
     "stable round-over-round where chunk 0 was not); r10 adds the PQ "
     "codebook train to the billed builds (VERDICT r9 item 4 — "
     "build-once-query-many, same class as the LSH memo), so PQ-family "
-    "query lines measure encode/search/audit only from r10 on; r10 also "
+    "query lines measure encode/search/audit only from r10 on; r12 adds "
+    "the IVF coarse codebook, residual sub-codebooks, SQ8 bounds, and "
+    "the frozen 1k vocabulary to the billed builds on the same policy; "
+    "r10 also "
     "adds box calibration (calib_cpu_s: 400 MiB single-thread sha256 in "
     "the parent; calib_scan_s: fixed lineitem scan-agg median across "
     "chunk JVMs) — same-code suite totals have ranged 0.92x-1.44x across "
@@ -288,6 +291,21 @@ def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     QE._pq_codebook(spark, sf_dir)
     builds["pq_codebook"] = round(time.perf_counter() - t0, 3)
+    # r12 artifacts, same billed-build class (driver-side memos):
+    # IVF coarse codebook (shared by the whole IVF/IVF-PQ family),
+    # residual sub-codebooks, SQ8 bounds, the frozen 1k vocabulary —
+    # so per-query lines measure search/apply only, not training
+    from ipeds_etl_spark import queries_wave15 as W15
+
+    for label, builder in (
+        ("ivf_codebook", QE._ivf_codebook),
+        ("residual_pq_books", W15._res_books),
+        ("sq8_bounds", W15._sq8_bounds),
+        ("vocab_1k", W15._frozen_vocab),
+    ):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir)
+        builds[label] = round(time.perf_counter() - t0, 3)
     return builds
 
 
