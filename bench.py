@@ -294,15 +294,25 @@ def _build_indexes(spark, sf_dir: str) -> dict[str, float]:
     # r12 artifacts, same billed-build class (driver-side memos):
     # IVF coarse codebook (shared by the whole IVF/IVF-PQ family),
     # residual sub-codebooks, SQ8 bounds, the frozen 1k vocabulary —
-    # so per-query lines measure search/apply only, not training
-    from ipeds_etl_spark import queries_wave15 as W15
+    # so per-query lines measure search/apply only, not training.
+    # The IVF build comes FIRST and unconditionally: paired ref arms
+    # of pre-r12 revisions lack queries_wave15, and an import failure
+    # before the IVF build would leave only ONE arm prebuilt — a
+    # silent bias on every IVF-family common query.
+    t0 = time.perf_counter()
+    QE._ivf_codebook(spark, sf_dir)
+    builds["ivf_codebook"] = round(time.perf_counter() - t0, 3)
+    try:
+        from ipeds_etl_spark import queries_wave15 as W15
 
-    for label, builder in (
-        ("ivf_codebook", QE._ivf_codebook),
-        ("residual_pq_books", W15._res_books),
-        ("sq8_bounds", W15._sq8_bounds),
-        ("vocab_1k", W15._frozen_vocab),
-    ):
+        wave15_builders = (
+            ("residual_pq_books", W15._res_books),
+            ("sq8_bounds", W15._sq8_bounds),
+            ("vocab_1k", W15._frozen_vocab),
+        )
+    except ImportError:  # pre-r12 engine (paired ref arm): no wave15
+        wave15_builders = ()
+    for label, builder in wave15_builders:
         t0 = time.perf_counter()
         builder(spark, sf_dir)
         builds[label] = round(time.perf_counter() - t0, 3)
