@@ -668,6 +668,88 @@ def q_emb_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Semantic decontamination: eval-set leakage by embedding cosine
+# ===========================================================================
+#: The held-out "eval set" (first 20 vectors by id) and the
+#: contamination threshold (the corpus has no planted eval clones;
+#: 0.4 exercises the operator on real near-neighbors, the same level
+#: emb_near_dups verifies at).
+_DECON_EVAL_N = 20
+_DECON_TAU = 0.4
+
+
+@_register(
+    "emb_semantic_decontaminate",
+    f"""
+    WITH ev AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < {_DECON_EVAL_N}),
+    mx AS (
+      SELECT c.vec_id, c.label,
+             max({_cos_sql("c.embedding", "e.embedding")}) AS max_eval_sim
+      FROM embeddings c JOIN ev e ON c.vec_id >= {_DECON_EVAL_N}
+      GROUP BY c.vec_id, c.label)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN max_eval_sim >= {_DECON_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           max(max_eval_sim) AS max_sim
+    FROM mx
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    the n-gram `docs_decontaminate`: for every training vector, the
+    max cosine to any held-out eval vector; vectors at ≥ τ are leakage
+    (an eval example paraphrased/re-encoded in the training set, which
+    n-gram overlap misses). Reported per label: corpus size,
+    contaminated count, max similarity.
+
+    Scale (the reason this spelling exists): the eval set embeds as ONE
+    plan-literal matrix and the per-vector max-cosine is a map-side
+    fold — the 100 TB corpus is scanned once with NO join and NO
+    shuffle before the label-sized final aggregate, while the naive
+    corpus × eval broadcast join would materialize |corpus| × |eval|
+    intermediate rows. max() is a pure selection over identically
+    computed cosines, so the map-fold and the oracle's join-then-max
+    agree bitwise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < _DECON_EVAL_N)
+        .select("vec_id", "embedding")
+        .collect()  # eval set: bounded tiny artifact
+    )
+    from ipeds_etl_spark.operators.similarity import _matrix_lit, cosine
+
+    evecs = _matrix_lit([v for _, v in ev_rows])
+    max_sim = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(ev_rows))),
+            lambda i: cosine(
+                F.col("embedding"), F.element_at(evecs, i.cast("int"))
+            ),
+        )
+    )
+    return (
+        e.filter(F.col("vec_id") >= _DECON_EVAL_N)
+        .select("label", max_sim.alias("max_eval_sim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("max_eval_sim") >= _DECON_TAU, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+            F.max("max_eval_sim").alias("max_sim"),
+        )
+        .orderBy("label")
+    )
+
+
+# ===========================================================================
 # Vocab-scale tokenizer APPLY: longest-match against a frozen vocabulary
 # ===========================================================================
 _VOCAB_N_GRAMS = 1000
