@@ -117,6 +117,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def eval_max_cosine(vec: Column, eval_vecs: list[list[float]]) -> Column:
+    """Max cosine of ``vec`` against a FROZEN eval matrix embedded as
+    one plan-literal (`_matrix_lit`) — the semantic-decontamination
+    primitive shared by the batch gate (`emb_semantic_decontaminate`)
+    and its incremental crawl-over-crawl twin.
+
+    Scale contract: the eval set is a bounded artifact (tens to low
+    thousands of vectors), so it constant-folds into the plan and the
+    per-row max is a MAP-SIDE fold — a 100 TB corpus (or an unbounded
+    incoming stream) is scanned once with no join and no shuffle. The
+    naive corpus × eval join would materialize |corpus| × |eval| rows."""
+    m = _matrix_lit([[float(v) for v in row] for row in eval_vecs])
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(eval_vecs))),
+            lambda i: cosine(vec, F.element_at(m, i.cast("int"))),
+        )
+    )
+
+
 def _collect_centroids(
     centroids: DataFrame, id_col: str, vec_col: str
 ) -> list[tuple[int, list[float]]]:

@@ -641,14 +641,20 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- round 12 window. Freeze discipline (VERDICT r11 item 7): lead
-    # with everything newly registered this round, then re-gate every
-    # query whose implementation round 12 changed, then canaries/
-    # veterans. Cumulative driver-green coverage entering round 12:
-    # 256/256. --
-    # NEW r12: the IVF-PQ composition (coarse-cell pruning × ADC ×
-    # exact re-rank — VERDICT r11 item 4) and the vocab-scale
-    # longest-match tokenizer apply (item 5).
+    # -- round 13 window. Freeze discipline: lead with everything that
+    # has never had a driver row, then this round's new registrations,
+    # then canaries/veterans. Cumulative driver-green coverage entering
+    # round 13: 265/265 (every query EXCEPT emb_semantic_decontaminate,
+    # which was registered post-gate in r12 — VERDICT r12 What's-wrong 1
+    # — and therefore leads this window for its first driver row). --
+    "emb_semantic_decontaminate",
+    # NEW r13: filtered-ANN selectivity×n_probe sweep (VERDICT r12
+    # item 4), production-scale vocab apply (item 5), incremental
+    # semantic-decontamination twin (item 7).
+    "emb_ivfpq_filtered_sweep",
+    "docs_vocab8k_apply_fertility",
+    "emb_incremental_decontaminate",
+    # -- r12 window veterans (d12-green) --
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
     "emb_ivfpq_residual_topk",
@@ -658,12 +664,6 @@ _GATE_PRIORITY: list[str] = [
     "emb_ivfpq_filtered_topk",
     "emb_ivfpq_filtered_recall",
     "docs_vocab_apply_fertility",
-    # -- changed-implementation re-gate: the span-dedup rewrite's
-    # first-occurrence key moved from the positional encoding
-    # doc_id*10^6+chunk_no to min(struct(doc_id, chunk_no)) in BOTH
-    # engines (VERDICT r11 item 2 — the ≥1M-chunk aliasing envelope);
-    # the qsketch readout re-gates alongside as the other r11
-    # registration sharing its wave file. --
     "docs_cdc_dedup_rewrite",
     "events_value_qsketch",
     # -- r11 window veterans (d11-green; ADVICE r10 envelope fixes) --

@@ -721,17 +721,7 @@ def q_emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()  # eval set: bounded tiny artifact
     )
-    from ipeds_etl_spark.operators.similarity import _matrix_lit, cosine
-
-    evecs = _matrix_lit([v for _, v in ev_rows])
-    max_sim = F.array_max(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(len(ev_rows))),
-            lambda i: cosine(
-                F.col("embedding"), F.element_at(evecs, i.cast("int"))
-            ),
-        )
-    )
+    max_sim = SIM.eval_max_cosine(F.col("embedding"), [v for _, v in ev_rows])
     return (
         e.filter(F.col("vec_id") >= _DECON_EVAL_N)
         .select("label", max_sim.alias("max_eval_sim"))
