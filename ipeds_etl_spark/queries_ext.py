@@ -1013,12 +1013,23 @@ def _parquet_num_rows(sf_dir: str, name: str) -> int | None:
     p = _Path(sf_dir) / f"{name}.parquet"
     try:
         if p.is_dir():
+            files = sorted(p.glob("**/*.parquet"))
+            if not files:
+                # A directory table with zero part files is NOT an
+                # empty corpus we can vouch for (e.g. a staging dir
+                # mid-write) — returning 0 here would be memoized as
+                # the doc count and silently flip the probe-tier
+                # dispatch (ADVICE r12). Let Spark decide.
+                return None
             return sum(
-                _pq.ParquetFile(str(f)).metadata.num_rows
-                for f in sorted(p.glob("**/*.parquet"))
+                _pq.ParquetFile(str(f)).metadata.num_rows for f in files
             )
         return _pq.ParquetFile(str(p)).metadata.num_rows
-    except OSError:
+    except Exception:
+        # Not just OSError: pyarrow raises ArrowInvalid (a ValueError
+        # subclass) on corrupt/non-parquet data — any footer-read
+        # failure means "fall back to the Spark count", never a crash
+        # of the query build (ADVICE r12).
         return None
 
 #: Probe tiers (VERDICT r10 item 6: the exact probe paid a dedicated
