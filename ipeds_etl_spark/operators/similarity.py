@@ -931,9 +931,7 @@ def _shortlist_exact_rerank(
 # ---------------------------------------------------------------------------
 # Scalar quantization (SQ8): int8-per-dimension compressed ANN
 # ---------------------------------------------------------------------------
-def sq8_train(
-    corpus: DataFrame, id_col: str, vec_col: str
-) -> list[tuple[float, float]]:
+def sq8_train(corpus: DataFrame, vec_col: str) -> list[tuple[float, float]]:
     """Train the SQ8 quantizer (FAISS ``IndexScalarQuantizer``/QT_8bit
     shape): per-DIMENSION [min, max] bounds — one map-combinable
     posexplode aggregate whose output is dim rows, collected as the

@@ -321,8 +321,6 @@ def q_emb_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Scalar quantization (SQ8): the 4x compression point
 # ===========================================================================
-_SQ8_DIM = 64
-
 #: Memoized SQ8 bounds per corpus version (dim x 2 doubles).
 _SQ8_BOUNDS: dict[tuple, list] = {}
 
@@ -333,7 +331,7 @@ def _sq8_bounds(spark: SparkSession, sf_dir: str) -> list:
     key = (corpus_fingerprint(sf_dir, "embeddings"), "sq8")
     if key not in _SQ8_BOUNDS:
         e = load_table(spark, sf_dir, "embeddings")
-        _SQ8_BOUNDS[key] = SIM.sq8_train(e, "vec_id", "embedding")
+        _SQ8_BOUNDS[key] = SIM.sq8_train(e, "embedding")
     return _SQ8_BOUNDS[key]
 
 
@@ -341,35 +339,42 @@ def _sq8_sql() -> str:
     """Train (per-dim min/max — pure selections, engine-exact), encode
     (floor-then-clamp in integer domain: DuckDB CAST rounds where Spark
     truncates, so the unfloored double never touches INT), dequant
-    (bin-center, op order pinned), score. All lambdas single-level."""
-    d = _SQ8_DIM
+    (bin-center, op order pinned), score. All lambdas single-level.
+
+    The dimension is DERIVED FROM THE DATA on both sides (ADVICE r12):
+    the train CTE unnests positions via ``generate_subscripts`` and the
+    encode/dequant lambdas run over ``range(length(embedding))`` — no
+    hardcoded dim to desynchronize from ``sq8_train``'s data-derived
+    bounds when the embedding width changes."""
     enc = (
-        f"CASE WHEN mxs[i+1] = mns[i+1] THEN 0 "
-        f"ELSE LEAST(255, GREATEST(0, CAST(floor("
-        f"(CAST(embedding[i+1] AS DOUBLE) - mns[i+1]) / (mxs[i+1] - mns[i+1])"
-        f" * 256.0) AS INT))) END"
+        "CASE WHEN mxs[i+1] = mns[i+1] THEN 0 "
+        "ELSE LEAST(255, GREATEST(0, CAST(floor("
+        "(CAST(embedding[i+1] AS DOUBLE) - mns[i+1]) / (mxs[i+1] - mns[i+1])"
+        " * 256.0) AS INT))) END"
     )
     deq = (
-        f"mns[i+1] + ((CAST(codes[i+1] AS DOUBLE) + 0.5)"
-        f" * (mxs[i+1] - mns[i+1])) / 256.0"
+        "mns[i+1] + ((CAST(codes[i+1] AS DOUBLE) + 0.5)"
+        " * (mxs[i+1] - mns[i+1])) / 256.0"
     )
     qd = _DOT.format(a="q.embedding", b="d.embedding")
     dd = _DOT.format(a="d.embedding", b="d.embedding")
     q2 = _DOT.format(a="q.embedding", b="q.embedding")
     return f"""
     mm AS (
-      SELECT t.i + 1 AS pos,
-             min(CAST(embedding[t.i + 1] AS DOUBLE)) AS mn,
-             max(CAST(embedding[t.i + 1] AS DOUBLE)) AS mx
-      FROM embeddings, range({d}) t(i)
-      GROUP BY t.i + 1),
+      SELECT pos, min(v) AS mn, max(v) AS mx
+      FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings)
+      GROUP BY pos),
     mml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
             FROM mm),
     sq_codes AS (
-      SELECT vec_id, list_transform(range({d}), i -> {enc}) AS codes
+      SELECT vec_id,
+             list_transform(range(length(embedding)), i -> {enc}) AS codes
       FROM embeddings, mml),
     sq_dq AS (
-      SELECT vec_id, list_transform(range({d}), i -> {deq}) AS embedding
+      SELECT vec_id,
+             list_transform(range(length(codes)), i -> {deq}) AS embedding
       FROM sq_codes, mml),
     sq_ranked AS (
       SELECT query_id, neighbor_id, approx_cos,

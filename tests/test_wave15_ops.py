@@ -163,7 +163,7 @@ def test_sq8_encode_python_replay_and_ranges(spark):
     import math
 
     e = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 40)
-    bounds = SIM.sq8_train(e, "vec_id", "embedding")
+    bounds = SIM.sq8_train(e, "embedding")
     assert len(bounds) == 64 and all(mn <= mx for mn, mx in bounds)
     raw = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
     enc = {
@@ -181,7 +181,7 @@ def test_sq8_encode_python_replay_and_ranges(spark):
     flat = spark.createDataFrame(
         [(0, [1.5, 2.0]), (1, [1.5, 3.0])], "vec_id long, embedding array<float>"
     )
-    b2 = SIM.sq8_train(flat, "vec_id", "embedding")
+    b2 = SIM.sq8_train(flat, "embedding")
     assert b2[0][0] == b2[0][1] == 1.5
     codes = {
         r["vec_id"]: list(r["codes"])
