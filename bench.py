@@ -469,12 +469,17 @@ PAIRED_CRITERION = (
     "RESOLVED SHA (recorded as ref_sha; a reused worktree is HEAD-"
     "verified and recreated on mismatch, so movable refs cannot bench "
     "a stale checkout). Every invocation PREPENDS a same-code A/A "
-    "round set per track (BENCH_PAIRED_AA_ROUNDS, default 1: both arms "
-    "= current tree, same ABBA child protocol): the spread of the A/A "
-    "per-query ratios is that track's MEASURED null band for this "
-    "invocation, recorded as aa_band — an A/B ratio is a claimable "
-    "delta only OUTSIDE the same-record aa_band (r11's inferred "
-    "[0.85, 1.18] sf0.1 band is superseded by the measured one). "
+    "round set per track (BENCH_PAIRED_AA_ROUNDS, default 2, ABBA-"
+    "counterbalanced: rounds alternate a-then-b / b-then-a, so the "
+    "warm-cache arm-order bias — measured ~7% when a single "
+    "un-counterbalanced round was the default in r12 — cancels in the "
+    "null exactly as it does in the A/B arms; both arms = current "
+    "tree, same ABBA child protocol): the per-query A/A ratios (each "
+    "the median of its counterbalanced per-round ratios) span that "
+    "track's MEASURED, order-neutral null band for this invocation, "
+    "recorded as aa_band — an A/B ratio is a claimable delta only "
+    "OUTSIDE the same-record aa_band (r11's inferred [0.85, 1.18] "
+    "sf0.1 band is superseded by the measured one). "
     "Per-arm index-build failures are recorded in the errors map "
     "(arm:roundN:index_build) so a ref arm silently paying build cost "
     "inside query timings is identifiable, not invisible."
@@ -641,7 +646,11 @@ def _paired_main(rev: str) -> None:
         tracks.append(("sf1", sf1_dir, sf1_list))
 
     ref_dir, ref_sha = _paired_worktree(here, rev)
-    aa_rounds = int(os.environ.get("BENCH_PAIRED_AA_ROUNDS", "1"))
+    # Default 2: the A/A rounds MUST come in counterbalanced pairs
+    # (round 0 a-then-b, round 1 b-then-a) or the null band inherits
+    # the ~7% warm-cache arm-order bias the A/B's ABBA cancels
+    # (VERDICT r12 What's-wrong 2 / ADVICE r12).
+    aa_rounds = int(os.environ.get("BENCH_PAIRED_AA_ROUNDS", "2"))
     part_path = here / "BENCH_PAIRED_PART.json"
     record: dict = {
         "metric": "paired_bench",

@@ -110,3 +110,24 @@ def test_paired_worktree_pins_sha_and_recreates_on_drift(tmp_path):
         cwd=here,
         capture_output=True,
     )
+
+
+def test_aa_counterbalancing_cancels_order_bias():
+    """The A/A null arm runs in counterbalanced pairs (round 0
+    a-then-b, round 1 b-then-a — bench._paired_main's `rnd % 2`
+    order flip). With a pure arm-order effect (second arm runs
+    fraction beta faster on a warm cache), the per-query median over
+    one ABBA pair must land at 1.0 (the bias cancels), while a single
+    un-counterbalanced round reads 1/(1-beta) — the ~7% shift r12
+    measured. Verified through the same paired_ratios arithmetic the
+    record uses."""
+    base, beta = 2.0, 0.07
+    first, second = base, base * (1 - beta)
+    # round 0: a first, b second; round 1: b first, a second
+    a = {"q": [first, second]}
+    b = {"q": [second, first]}
+    ratios, med = paired_ratios(a, b)
+    assert abs(ratios["q"] - 1.0) < 0.005  # pair median centers at 1.0
+    # one un-counterbalanced round carries the full bias
+    solo, _ = paired_ratios({"q": [first]}, {"q": [second]})
+    assert solo["q"] > 1.05
