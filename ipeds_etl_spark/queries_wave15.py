@@ -720,13 +720,9 @@ def q_emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed cosines, so the map-fold and the oracle's join-then-max
     agree bitwise."""
     e = load_table(spark, sf_dir, "embeddings")
-    ev_rows = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < _DECON_EVAL_N)
-        .select("vec_id", "embedding")
-        .collect()  # eval set: bounded tiny artifact
+    max_sim = SIM.eval_max_cosine(
+        F.col("embedding"), _decon_eval_vecs(spark, sf_dir)
     )
-    max_sim = SIM.eval_max_cosine(F.col("embedding"), [v for _, v in ev_rows])
     return (
         e.filter(F.col("vec_id") >= _DECON_EVAL_N)
         .select("label", max_sim.alias("max_eval_sim"))
@@ -741,6 +737,68 @@ def q_emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_eval_sim").alias("max_sim"),
         )
         .orderBy("label")
+    )
+
+
+#: Incoming-batch split for the incremental twin (the
+#: ``docs_incremental_dedup`` convention: the second half of the
+#: sf0.01 corpus stands in for a new crawl batch).
+_DECON_BATCH_SPLIT = 250
+
+
+def _decon_eval_vecs(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The frozen eval matrix, id-sorted — collected once per call
+    (bounded tiny artifact, `_DECON_EVAL_N` rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return [
+        v
+        for _, v in sorted(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in e.filter(F.col("vec_id") < _DECON_EVAL_N)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    ]
+
+
+@_register(
+    "emb_incremental_decontaminate",
+    f"""
+    WITH ev AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < {_DECON_EVAL_N})
+    SELECT c.vec_id,
+           max({_cos_sql("c.embedding", "e.embedding")}) AS max_eval_sim,
+           max({_cos_sql("c.embedding", "e.embedding")}) < {_DECON_TAU} AS keep
+    FROM embeddings c JOIN ev e ON c.vec_id >= {_DECON_BATCH_SPLIT}
+    GROUP BY c.vec_id
+    """,
+)
+def q_emb_incremental_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL semantic decontamination — the crawl-over-crawl
+    twin of `emb_semantic_decontaminate` (VERDICT r12 item 7): the
+    batch form re-scans the full corpus per eval-set freeze, but the
+    production cadence is an INCOMING batch (vec_id ≥ the split,
+    standing in for a new crawl) checked against the FROZEN eval
+    matrix. Per incoming vector: max cosine to any eval vector and the
+    keep verdict (max < τ).
+
+    Scale: strictly map-only ON THE BATCH — the eval matrix is one
+    plan-literal, the fold is per-row (`similarity.eval_max_cosine`),
+    and there is no aggregate at all, so the plan has ZERO exchanges
+    and never touches the existing corpus (cross-side-only: an eval
+    clone already in the reference corpus is the batch's problem only
+    if the batch re-crawls it — pinned by test). Each batch costs one
+    scan of the batch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    max_sim = SIM.eval_max_cosine(
+        F.col("embedding"), _decon_eval_vecs(spark, sf_dir)
+    )
+    return e.filter(F.col("vec_id") >= _DECON_BATCH_SPLIT).select(
+        "vec_id",
+        max_sim.alias("max_eval_sim"),
+        (max_sim < F.lit(_DECON_TAU)).alias("keep"),
     )
 
 

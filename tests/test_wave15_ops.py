@@ -330,3 +330,52 @@ def test_semantic_decontaminate_flags_planted_clone(spark, tmp_path):
     assert (got[1].n_vecs, got[1].n_contaminated, got[1].max_sim) == (1, 1, 1.0)
     assert (got[2].n_vecs, got[2].n_contaminated, got[2].max_sim) == (1, 1, 0.4)
     assert (got[3].n_vecs, got[3].n_contaminated, got[3].max_sim) == (1, 0, 0.0)
+
+
+def test_incremental_decontaminate_cross_side_only(spark, tmp_path):
+    """The incremental twin's contract (VERDICT r12 item 7): verdicts
+    are incoming-batch x eval-matrix ONLY. (a) existing-corpus rows
+    never appear in the output — an eval clone already in the
+    reference corpus is invisible to the batch pass; (b) an incoming
+    eval clone is dropped (keep=False); (c) an incoming clone of an
+    existing NON-eval vector keeps — the decontamination gate is
+    against the eval set, not a dedup pass; (d) the plan is map-only:
+    zero exchanges on the batch scan."""
+    from ipeds_etl_spark.queries_wave15 import (
+        _DECON_BATCH_SPLIT,
+        _DECON_EVAL_N,
+        q_emb_incremental_decontaminate,
+    )
+
+    evals = [[1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0]] + [
+        [0, 0, 1, 0, 0, 0]
+    ] * (_DECON_EVAL_N - 2)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(evals)]
+    rows += [
+        (_DECON_EVAL_N, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),  # existing eval clone
+        (_DECON_EVAL_N + 1, [0.0, 0.0, 0.0, 5.0, 0.0, 0.0], 0),  # existing non-eval
+        (_DECON_BATCH_SPLIT, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),  # incoming eval clone
+        (_DECON_BATCH_SPLIT + 1, [0.0, 0.0, 0.0, 5.0, 0.0, 0.0], 0),  # incoming clone of existing
+        (_DECON_BATCH_SPLIT + 2, [0.0, 0.0, 0.0, 0.0, 3.0, 4.0], 0),  # incoming fresh
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_emb_incremental_decontaminate(spark, str(tmp_path))
+    got = {r.vec_id: r for r in out.collect()}
+    # (a) only incoming rows
+    assert set(got) == {
+        _DECON_BATCH_SPLIT, _DECON_BATCH_SPLIT + 1, _DECON_BATCH_SPLIT + 2
+    }
+    # (b) incoming eval clone dropped
+    assert got[_DECON_BATCH_SPLIT].max_eval_sim == 1.0
+    assert got[_DECON_BATCH_SPLIT].keep is False
+    # (c) clone of an EXISTING non-eval vector keeps (orthogonal to evals)
+    assert got[_DECON_BATCH_SPLIT + 1].max_eval_sim == 0.0
+    assert got[_DECON_BATCH_SPLIT + 1].keep is True
+    assert got[_DECON_BATCH_SPLIT + 2].keep is True
+    # (d) map-only plan: no exchange, no join
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "exchange" not in plan
+    assert "join" not in plan
