@@ -48,18 +48,29 @@ from ipeds_etl_spark.sources.tables import load_table
 _IVFPQ_NPROBE, _IVFPQ_SHORT = 2, 50
 
 
-def _ivfpq_sql(adc_pred: str = "") -> str:
-    """CTE chain: ``_ivf_sql`` (coarse codebook + corpus assignment)
-    + one ``_pq_sub_sql`` per subspace (sub-codebooks + codes), then
-    probes -> cell-pruned ADC -> shortlist -> exact re-rank. The ADC
-    fold order is parenthesized exactly as ``similarity.adc_cosine``
-    chains it, so the floats agree bitwise. ``adc_pred`` appends a
-    candidate-side predicate to the ADC join (the filtered-search
-    variant: the filter composes with the index BEFORE ranking, so
-    top-k semantics are filter-then-rank, never rank-then-filter)."""
+def _ivfpq_base_sql() -> list[str]:
+    """Shared leading CTEs: ``_ivf_sql`` (coarse codebook + corpus
+    assignment) + one ``_pq_sub_sql`` per subspace (sub-codebooks +
+    codes). Emitted ONCE per oracle even when several probe/filter
+    chains hang off it (the sweep)."""
     ctes: list[str] = [_ivf_sql()]
     for s in range(_PQ_M):
         ctes.extend(_pq_sub_sql(s))
+    return ctes
+
+
+def _ivfpq_chain_sql(
+    sfx: str = "", n_probe: int | None = None, adc_pred: str = ""
+) -> list[str]:
+    """One probe -> cell-pruned ADC -> shortlist -> exact re-rank
+    chain over the base CTEs, with every CTE name suffixed by ``sfx``
+    so multiple parameterizations (the selectivity x n_probe sweep)
+    coexist in one WITH. The ADC fold order is parenthesized exactly
+    as ``similarity.adc_cosine`` chains it, so the floats agree
+    bitwise. ``adc_pred`` appends a candidate-side predicate to the
+    ADC join (filter-then-rank, never rank-then-filter)."""
+    if n_probe is None:
+        n_probe = _IVFPQ_NPROBE
     parts = []
     for s in range(_PQ_M):
         lo, hi = s * _PQ_SUB_DIM + 1, (s + 1) * _PQ_SUB_DIM
@@ -77,40 +88,39 @@ def _ivfpq_sql(adc_pred: str = "") -> str:
     joins = "\n      ".join(
         f"JOIN s{s}_codes n{s} ON n{s}.vec_id = a.vec_id" for s in range(_PQ_M)
     )
-    ctes.append(
-        f"""probes AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored
-               WHERE rn <= {_IVFPQ_NPROBE} AND vec_id < 5)"""
-    )
-    ctes.append(
-        f"""ivfpq_adc AS (
+    return [
+        f"""probes{sfx} AS (SELECT vec_id, embedding, cid AS centroid_id FROM scored
+               WHERE rn <= {n_probe} AND vec_id < 5)""",
+        f"""ivfpq_adc{sfx} AS (
       SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
              ({adot} / (sqrt({q2}) * sqrt({recon2}))) AS approx_cos
-      FROM probes q
+      FROM probes{sfx} q
       JOIN assigned a
         ON a.centroid_id = q.centroid_id AND a.vec_id <> q.vec_id
         {adc_pred}
-      {joins})"""
-    )
-    ctes.append(
-        f"""ivfpq_short AS (SELECT query_id, neighbor_id FROM (
+      {joins})""",
+        f"""ivfpq_short{sfx} AS (SELECT query_id, neighbor_id FROM (
       SELECT query_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY approx_cos DESC, neighbor_id ASC) AS rn
-      FROM ivfpq_adc) WHERE rn <= {_IVFPQ_SHORT})"""
-    )
-    ctes.append(
-        f"""ivfpq_ranked AS (
+      FROM ivfpq_adc{sfx}) WHERE rn <= {_IVFPQ_SHORT})""",
+        f"""ivfpq_ranked{sfx} AS (
       SELECT query_id, neighbor_id, cos_sim,
              CAST(row_number() OVER (
                PARTITION BY query_id
                ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS "rank"
       FROM (SELECT s.query_id, s.neighbor_id,
                    {_cos_sql("q.embedding", "n.embedding")} AS cos_sim
-            FROM ivfpq_short s
+            FROM ivfpq_short{sfx} s
             JOIN embeddings q ON q.vec_id = s.query_id
-            JOIN embeddings n ON n.vec_id = s.neighbor_id))"""
-    )
-    return ",\n    ".join(ctes)
+            JOIN embeddings n ON n.vec_id = s.neighbor_id))""",
+    ]
+
+
+def _ivfpq_sql(adc_pred: str = "") -> str:
+    """The single-chain form every pre-sweep oracle uses (CTE names
+    unsuffixed: ``probes`` .. ``ivfpq_ranked``)."""
+    return ",\n    ".join(_ivfpq_base_sql() + _ivfpq_chain_sql("", adc_pred=adc_pred))
 
 
 @_register(
@@ -316,6 +326,133 @@ def q_emb_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_5"),
         )
     )
+
+
+# ===========================================================================
+# Filtered-search sweep: recall vs selectivity x n_probe (VERDICT r12 item 4)
+# ===========================================================================
+#: Selectivity arms as (percent, predicate-on-embeddings) — ONE source
+#: of truth: the same SQL string filters the Spark corpus (F.expr) and
+#: parameterizes the oracle. Labels are uniform 0..9, so label sets
+#: give 30%/10%; the 3% arm sharpens with a deterministic id residue.
+_SWEEP_SELS: tuple[tuple[int, str], ...] = (
+    (30, "label IN (2, 5, 7)"),
+    (10, "label = 5"),
+    (3, "label = 5 AND vec_id % 3 = 0"),
+)
+#: Probe depths: 2 (the production default here), 4, and 8 = FULL probe
+#: of the 8-cell codebook (the ceiling where only ADC + shortlist cost
+#: recall).
+_SWEEP_NPROBES = (2, 4, 8)
+
+
+def _ivfpq_filtered_sweep_oracle() -> str:
+    ctes = _ivfpq_base_sql()
+    arms = []
+    for pct, pred in _SWEEP_SELS:
+        ctes.append(
+            f"""brute_s{pct} AS (SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_AB} DESC, c.vec_id ASC) AS rnk
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id <> c.vec_id
+       AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE {pred})
+      WHERE q.vec_id < 5)
+      WHERE rnk <= 5)"""
+        )
+        for p in _SWEEP_NPROBES:
+            sfx = f"_s{pct}p{p}"
+            ctes.extend(
+                _ivfpq_chain_sql(
+                    sfx,
+                    n_probe=p,
+                    adc_pred=(
+                        "AND a.vec_id IN (SELECT vec_id FROM embeddings "
+                        f"WHERE {pred})"
+                    ),
+                )
+            )
+            arms.append(
+                f"""SELECT CAST({pct} AS BIGINT) AS sel_pct,
+             CAST({p} AS BIGINT) AS n_probe,
+             CAST(count(*) AS BIGINT) AS k_total,
+             CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+             CAST(count(i.neighbor_id) AS DOUBLE) / count(*) AS recall
+      FROM brute_s{pct} b
+      LEFT JOIN (SELECT query_id, neighbor_id FROM ivfpq_ranked{sfx}
+                 WHERE "rank" <= 5) i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+            )
+    joined = ",\n    ".join(ctes)
+    unioned = "\n      UNION ALL\n      ".join(arms)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({unioned})
+    ORDER BY sel_pct DESC, n_probe
+    """
+
+
+@_register("emb_ivfpq_filtered_sweep", _ivfpq_filtered_sweep_oracle())
+def q_emb_ivfpq_filtered_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ANN degradation surface (VERDICT r12 item 4): recall@5
+    of filtered IVF-PQ against FILTERED brute force over selectivity
+    {30%, 10%, 3%} x n_probe {2, 4, 8}. The single-point
+    ``emb_ivfpq_filtered_recall`` measures the easy ~30% predicate;
+    production filtered ANN degrades as the predicate sharpens — the
+    true filtered neighbors spread over more cells because in-cell
+    competitors are thinned, so a fixed probe budget misses more of
+    them and n_probe is the knob that buys recall back (full probe,
+    the 8/8 arm, is the ceiling where only ADC + shortlist cost
+    recall). This query IS the measured surface.
+
+    Scale: one shared assignment/encode pass (memoized codebooks)
+    feeds all nine arms; each arm's ADC join touches only its probed
+    cells' FILTERED candidates; the brute-force gold standard is the
+    sanctioned O(anchors x filtered-corpus) recall-gate shape
+    (bench-excluded with the other recall gates at production scale)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    out = None
+    for pct, pred in _SWEEP_SELS:
+        filtered = e.filter(F.expr(pred))
+        brute = SIM.brute_force_topk(
+            filtered, queries, "vec_id", "embedding", k=5
+        )
+        for p in _SWEEP_NPROBES:
+            pq = SIM.ivfpq_topk(
+                filtered, queries, "vec_id", "embedding",
+                _ivf_codebook(spark, sf_dir), _pq_codebook(spark, sf_dir),
+                k=5, n_probe=p, n_short=_IVFPQ_SHORT,
+                sub_dim=_PQ_SUB_DIM,
+            )
+            arm = (
+                brute.alias("b")
+                .join(
+                    pq.alias("i"),
+                    on=[
+                        F.col("b.query_id") == F.col("i.query_id"),
+                        F.col("b.neighbor_id") == F.col("i.neighbor_id"),
+                    ],
+                    how="left",
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("k_total"),
+                    F.count(F.col("i.neighbor_id")).cast("long").alias("n_hit"),
+                )
+                .select(
+                    F.lit(pct).cast("long").alias("sel_pct"),
+                    F.lit(p).cast("long").alias("n_probe"),
+                    "k_total",
+                    "n_hit",
+                    (F.col("n_hit").cast("double") / F.col("k_total")).alias(
+                        "recall"
+                    ),
+                )
+            )
+            out = arm if out is None else out.unionByName(arm)
+    return out.orderBy(F.desc("sel_pct"), "n_probe")
 
 
 # ===========================================================================
