@@ -975,7 +975,7 @@ _W0_SQL = r"""
       GROUP BY w)"""
 
 
-def _vocab_apply_oracle() -> str:
+def _vocab_apply_oracle(fill_23: bool = False) -> str:
     """The oracle replays vocabulary derivation and greedy apply
     RELATIONALLY — positions/lengths from ``unnest(range(...))`` +
     equi-joins, and the maximal-munch walk as a recursive CTE (each
@@ -988,8 +988,22 @@ def _vocab_apply_oracle() -> str:
     the same CTE returning different values depending on the outer
     plan). No existing oracle nests lambdas; this one's first draft
     did and tripped it. The relational spelling computes the identical
-    integer function, so the value-hash still pins the Spark fold."""
+    integer function, so the value-hash still pins the Spark fold.
+
+    ``fill_23`` unions the deterministic production-scale filler (all
+    26² 2-grams + 26³ 3-grams) into the vocabulary — the ≥8k-unit
+    variant's artifact, derived identically on both engines."""
     alpha = ", ".join(f"('{c}')" for c in BPE.ALPHABET)
+    fill = (
+        """
+                UNION SELECT chr(CAST(97 + a.i AS INT)) || chr(CAST(97 + b.i AS INT))
+                FROM range(26) a(i), range(26) b(i)
+                UNION SELECT chr(CAST(97 + a.i AS INT)) || chr(CAST(97 + b.i AS INT))
+                             || chr(CAST(97 + c.i AS INT))
+                FROM range(26) a(i), range(26) b(i), range(26) c(i)"""
+        if fill_23
+        else ""
+    )
     return rf"""
     WITH RECURSIVE {_W0_SQL},
     grams AS (
@@ -1001,7 +1015,7 @@ def _vocab_apply_oracle() -> str:
       GROUP BY g),
     topg AS (SELECT g FROM grams ORDER BY cnt DESC, g LIMIT {_VOCAB_N_GRAMS}),
     vocab_t AS (SELECT g FROM topg
-                UNION SELECT a FROM (VALUES {alpha}) letters(a)),
+                UNION SELECT a FROM (VALUES {alpha}) letters(a){fill}),
     bl AS (
       SELECT c.w, c.i, CAST(MAX(c.l) AS INT) AS bl
       FROM (SELECT p.w, CAST(p.i AS INT) AS i, CAST(t.l AS INT) AS l
@@ -1047,6 +1061,67 @@ def q_docs_vocab_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides every task as one constant-folded ~6 KB array literal."""
     d = load_table(spark, sf_dir, "documents")
     vocab = _frozen_vocab(spark, sf_dir)
+    words = BPE.word_frequencies(d, "text")
+    seg = BPE.segment_longest_match(
+        words, vocab, max_len=_VOCAB_MAX_LEN
+    ).select("w", "word_tokens")
+    doc_words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    return (
+        doc_words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_subword_tokens"),
+            (
+                F.sum("word_tokens").cast("double") / F.count(F.lit(1))
+            ).alias("fertility"),
+        )
+    )
+
+
+# ===========================================================================
+# Vocab apply at PRODUCTION vocab size (VERDICT r12 item 5)
+# ===========================================================================
+def _vocab_8k(spark: SparkSession, sf_dir: str) -> list[str]:
+    """The ≥8k-unit composite vocabulary: the corpus-derived top grams
+    (the benchmark corpus's word diversity caps those at ~235) unioned
+    with a DETERMINISTIC production-scale filler — all 26² two-letter
+    and 26³ three-letter grams (~18.3k units total, past the ≥8k bar
+    and approaching real 32k tokenizers). Both engines derive the
+    identical artifact: the filler is a pure enumeration, no corpus
+    dependence."""
+    fill2 = [a + b for a in BPE.ALPHABET for b in BPE.ALPHABET]
+    fill3 = [a + b + c for a in BPE.ALPHABET for b in BPE.ALPHABET for c in BPE.ALPHABET]
+    return sorted(set(_frozen_vocab(spark, sf_dir)) | set(fill2) | set(fill3))
+
+
+@_register("docs_vocab8k_apply_fertility", _vocab_apply_oracle(fill_23=True))
+def q_docs_vocab8k_apply_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer APPLY at PRODUCTION vocabulary size (VERDICT r12
+    item 5): the 1026-unit saturation proof said the algorithm is
+    linear; real tokenizers run 32k–100k units, and at ≥8k the plan-
+    literal vocabulary is no longer a ~6 KB constant — this query runs
+    the identical fertility pipeline against the ~18.3k-unit composite
+    vocabulary (``_vocab_8k``) and is the registered proof the
+    longest-match fold survives production vocab scale.
+
+    Literal-vs-broadcast decision (measured at sf1, 3-run medians, one
+    process — see SCALE.md "Vocab apply at production vocab size"):
+    the element-wise ``F.lit(list)`` spelling collapses at this size
+    (11.8 s median, 44.6 s first sample — an 18k-child array
+    expression bloats analysis + per-task serialization); rewriting
+    the literal as ONE constant-folded ``from_json`` string (the
+    ``_matrix_lit`` trick) wins at 2.2 s, with the broadcast 1-row
+    DataFrame close behind at 2.9 s. The json-literal is now what
+    ``vocab_via="literal"`` means and stays the default (no extra
+    join in the plan); ``"broadcast"`` is the escape hatch for
+    ≫1M-unit vocabularies."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = _vocab_8k(spark, sf_dir)
     words = BPE.word_frequencies(d, "text")
     seg = BPE.segment_longest_match(
         words, vocab, max_len=_VOCAB_MAX_LEN
