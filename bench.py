@@ -238,6 +238,22 @@ def _suite_list() -> list[str]:
     )
 
 
+def next_rotation_slice(state_path, rotate: int) -> int:
+    """The slice the NEXT run must time: successor (mod ``rotate``) of
+    the recorded slice, 0 when no/invalid state. Factored so the
+    advance is unit-pinned (VERDICT r12 item 6: cumulative bench
+    coverage closes over the registry only if consecutive runs really
+    advance — a stuck slice re-times one third forever and silently
+    looks complete)."""
+    prev = -1
+    if state_path.exists():
+        try:
+            prev = int(json.loads(state_path.read_text())["slice"])
+        except (ValueError, KeyError, OSError):
+            prev = -1
+    return (prev + 1) % rotate
+
+
 def rotation_plan(
     suite_all: list[str], always: set[str], rotate: int, slice_idx: int
 ) -> list[str]:
@@ -925,13 +941,7 @@ def main() -> None:
     rotation_slice = None
     if rotate > 1:
         state_path = here / "BENCH_ROTATION.json"
-        prev_slice = -1
-        if state_path.exists():
-            try:
-                prev_slice = int(json.loads(state_path.read_text())["slice"])
-            except (ValueError, KeyError, OSError):
-                prev_slice = -1
-        rotation_slice = (prev_slice + 1) % rotate
+        rotation_slice = next_rotation_slice(state_path, rotate)
         suite_run = rotation_plan(
             suite_all,
             set(HEADLINE) | set(SF1_FORCE_INCLUDE),

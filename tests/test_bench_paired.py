@@ -131,3 +131,26 @@ def test_aa_counterbalancing_cancels_order_bias():
     # one un-counterbalanced round carries the full bias
     solo, _ = paired_ratios({"q": [first]}, {"q": [second]})
     assert solo["q"] > 1.05
+
+
+def test_rotation_slice_advances_each_run(tmp_path):
+    """VERDICT r12 item 6: the sf0.1 bench rotation must ADVANCE the
+    slice every run so cumulative coverage closes over the registry —
+    pinned on the factored successor function: fresh state starts at
+    0, each recorded slice yields its successor, the last slice wraps
+    to 0, and corrupt/invalid state restarts at 0 rather than
+    sticking."""
+    import json as _json
+
+    from bench import next_rotation_slice
+
+    state = tmp_path / "BENCH_ROTATION.json"
+    assert next_rotation_slice(state, 3) == 0  # no state yet
+    state.write_text(_json.dumps({"slice": 0, "rotate": 3}))
+    assert next_rotation_slice(state, 3) == 1  # the r13 requirement
+    state.write_text(_json.dumps({"slice": 1, "rotate": 3}))
+    assert next_rotation_slice(state, 3) == 2
+    state.write_text(_json.dumps({"slice": 2, "rotate": 3}))
+    assert next_rotation_slice(state, 3) == 0  # wraps, never sticks
+    state.write_text("not json")
+    assert next_rotation_slice(state, 3) == 0
