@@ -111,6 +111,10 @@ EXCLUDED = {
     "emb_ivfpq_residual_recall": "O(n²) brute-force neighbor gold standard",
     "emb_sq8_recall": "O(n²) brute-force neighbor gold standard",
     "emb_ivfpq_filtered_recall": "O(n²) brute-force neighbor gold standard",
+    "emb_ivfpq_filtered_sweep": (
+        "O(n²) brute-force neighbor gold standard (9-arm "
+        "selectivity × n_probe sweep)"
+    ),
 }
 
 SUITE_CRITERION = (
@@ -200,6 +204,19 @@ SF1_FORCE_INCLUDE = {
     "docs_vocab_apply_fertility": (
         "registered r12 (vocab-scale tokenizer apply, VERDICT r11 "
         "item 5) — new registrations get an sf1 row"
+    ),
+    "emb_semantic_decontaminate": (
+        "registered r12 post-gate, first bench rows r13 — the "
+        "map-side eval-matrix fold's scale story is the point"
+    ),
+    "emb_incremental_decontaminate": (
+        "registered r13 (crawl-over-crawl decontamination twin) — "
+        "new registrations get an sf1 row"
+    ),
+    "docs_vocab8k_apply_fertility": (
+        "registered r13 (18k-unit production-vocab apply; the "
+        "json-literal decision it carries was measured at sf1) — "
+        "new registrations get an sf1 row"
     ),
 }
 

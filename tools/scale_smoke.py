@@ -445,6 +445,127 @@ def run_quad_r12(spark, results: dict) -> None:
     results["quad_r12"] = out
 
 
+def run_ann_r13(spark, results: dict) -> None:
+    """sf10 (200k-vector) screen for the wave-15 ANN family (VERDICT
+    r12 item 3): the r12 registrations' scale claims for
+    IVF-PQ/residual/SQ8/filtered were argued from plan shape — this
+    measures them, with the three named watchpoints attributed:
+    (a) index-build cost at 10x, residual_pq_books especially;
+    (b) ADC join fan-out per probed cell (candidates actually scored
+    per query = sum of its probed cells' populations);
+    (c) the filtered variant's candidate THINNING — per
+    (selectivity, n_probe) arm, how many in-cell candidates survive
+    the predicate (the quantity that makes sharp filters need more
+    probes)."""
+    from ipeds_etl_spark.operators.similarity import _scored_centroids
+    from ipeds_etl_spark import queries as q
+    from ipeds_etl_spark.operators import similarity as SIM
+    from ipeds_etl_spark.queries_ext import _ivf_codebook, _pq_codebook
+    from ipeds_etl_spark.queries_wave15 import (
+        _SWEEP_NPROBES,
+        _SWEEP_SELS,
+        _res_books,
+        _sq8_bounds,
+    )
+
+    reg = q.queries()
+    out: dict[str, dict] = {}
+
+    # (a) index builds, individually attributed (memoized artifacts —
+    # these are the one-time costs bench bills under index_builds)
+    builds: dict[str, float] = {}
+    t0 = time.perf_counter()
+    cents = _ivf_codebook(spark, SF10_DIR)
+    builds["ivf_codebook"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    _pq_codebook(spark, SF10_DIR)
+    builds["pq_codebooks"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    _res_books(spark, SF10_DIR)
+    builds["residual_pq_books"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    _sq8_bounds(spark, SF10_DIR)
+    builds["sq8_bounds"] = round(time.perf_counter() - t0, 2)
+    out["index_builds_sec"] = builds
+
+    # (b) ADC fan-out: per-query candidates = sum of probed cells'
+    # populations (the rows the ADC join actually scores)
+    e = load_table(spark, SF10_DIR, "embeddings")
+    assigned = SIM.assign_centroids(
+        e, "vec_id", "embedding", None, cent_rows=cents
+    ).select("vec_id", "centroid_id")
+    cell_counts = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    probes = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            "vec_id",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        _scored_centroids(F.col("embedding"), cents)
+                    )
+                ),
+                1,
+                max(_SWEEP_NPROBES),
+            ).alias("p"),
+        )
+        .collect()
+    )
+    probe_cells = {
+        int(r["vec_id"]): [int(s["cid"]) for s in r["p"]] for r in probes
+    }
+    out["cell_counts"] = cell_counts
+    out["adc_fanout_nprobe2"] = {
+        qid: sum(cell_counts[c] for c in cells[:2])
+        for qid, cells in probe_cells.items()
+    }
+
+    # (c) filtered candidate thinning per (selectivity, n_probe) arm
+    lab = e.select("vec_id", "label")
+    thinning: dict[str, dict[str, int]] = {}
+    for pct, pred in _SWEEP_SELS:
+        fcounts = {
+            int(r["centroid_id"]): int(r["n"])
+            for r in assigned.join(lab, "vec_id")
+            .filter(F.expr(pred))
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        per_arm: dict[str, int] = {}
+        for p in _SWEEP_NPROBES:
+            per_arm[f"nprobe{p}"] = sum(
+                sum(fcounts.get(c, 0) for c in cells[:p])
+                for cells in probe_cells.values()
+            )
+        thinning[f"sel{pct}"] = per_arm
+    out["filtered_candidates_total"] = thinning
+
+    # searches (the registered queries, 2 samples each, noop sink)
+    searches: dict[str, list[float]] = {}
+    for name in (
+        "emb_ivfpq_topk",
+        "emb_ivfpq_residual_topk",
+        "emb_sq8_topk",
+        "emb_ivfpq_filtered_topk",
+    ):
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            reg[name](spark, SF10_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(round(time.perf_counter() - t0, 2))
+        searches[name] = ts
+    out["search_sec"] = searches
+    results["ann_r13"] = out
+
+
 def run_sweep_quad(spark, results: dict) -> None:
     """dedup_simhash / emb_near_dups at 100x sf0.1: report wall seconds
     AND emitted pair counts, so the superlinear wall ratio can be read
@@ -900,6 +1021,15 @@ def main() -> None:
         ).count()
         run_sweep_quad(spark, results)
         if sections == ["sweep_quad"]:
+            print(json.dumps(results))
+            return
+    if "ann_r13" in sections:
+        # fresh-session discipline (the sweep_r18 inflation lesson):
+        # run this section alone, before any corpus build in-session
+        if not Path(SF10_DIR).exists():
+            build_quad_corpus(spark)
+        run_ann_r13(spark, results)
+        if sections == ["ann_r13"]:
             print(json.dumps(results))
             return
     if "quad_r12" in sections:
