@@ -1,4 +1,11 @@
-"""Round-12 wave: the two operators VERDICT r11 named (items 4–5) —
+"""Rounds 12–13 wave. Round 13 adds the four VERDICT-r12 items:
+`emb_semantic_decontaminate`'s missing test/coverage (What's-wrong 1),
+`emb_ivfpq_filtered_sweep` (item 4: the selectivity × n_probe recall
+surface), `docs_vocab8k_apply_fertility` (item 5: apply at production
+vocab size, with the measured json-literal-vs-broadcast decision), and
+`emb_incremental_decontaminate` (item 7: the crawl-over-crawl twin).
+
+Round-12 wave: the two operators VERDICT r11 named (items 4–5) —
 (1) the IVF-PQ composition (FAISS ``IndexIVFPQ`` shape,
 ``by_residual=false``): coarse-cell pruning × compressed-domain ADC ×
 exact shortlist re-rank, composed from the existing deterministic IVF
