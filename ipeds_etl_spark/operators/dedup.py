@@ -153,6 +153,7 @@ def pairs_within_buckets(
     max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
     overflow_col: str | None = None,
     cap_mode: str = "window",
+    expand_slices: int | None = None,
 ) -> DataFrame:
     """All unordered pairs of ``payload`` values sharing a bucket,
     WITHOUT a self-join: groupBy bucket → sorted distinct payload array
@@ -187,6 +188,16 @@ def pairs_within_buckets(
       sf0.1). Requires bucket rows distinct per payload (duplicates
       would perturb the overflow count vs the window form; pair output
       is identical either way for distinct inputs).
+
+    ``expand_slices`` (optimization round r13): when the bucket COUNT
+    is small (centroid-bucketed similarity: n_centroids buckets), the
+    quadratic expansion serializes on n_buckets tasks. Setting
+    ``expand_slices=k`` fans each bucket's a-side positions into k
+    contiguous ranges and repartitions the (bucket, range) rows before
+    expanding, so expansion (and whatever pipelines after it) runs
+    n_buckets × k wide. The emitted pair SET is identical. Leave None
+    (default) when buckets are plentiful (LSH bands) — the fan-out
+    shuffle would only add a pass over the bucket arrays.
     """
     grouped_keys = [F.col(c) for c in bucket_cols]
     if max_bucket_size is None:
@@ -227,24 +238,84 @@ def pairs_within_buckets(
     # i+1.. suffix slice: every allocation stays O(bucket), the B²
     # pairs exist only as a row stream the engine can pipeline and
     # spill. Same output set, same single shuffle.
-    out = (
-        grouped.select(
-            F.col("__overflow"),
-            F.col("xs"),
-            F.posexplode("xs").alias("__i", "a"),
+    if expand_slices and expand_slices > 1:
+        # a-side RANGE SPLIT (opt round r13, guide §2.5/2.6): with few
+        # buckets (n_centroids-bucketed similarity) the quadratic
+        # expansion — and everything pipelined after it, e.g. the
+        # broadcast-attach dot products — runs in n_buckets tasks. Fan
+        # each bucket's a-positions into ``expand_slices`` contiguous
+        # ranges and repartition the (bucket, slice) rows, so the
+        # expansion runs n_buckets × slices wide. Shuffled bytes are
+        # slices copies of each capped bucket array (O(buckets ×
+        # slices × cap) — KBs to MBs), not pairs. Pair set is
+        # IDENTICAL: each a-position lands in exactly one slice.
+        n_part = int(
+            bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            or 32
         )
-        .select(
-            "a",
-            # 0-based position i → partners start at 1-based i+2; the
-            # over-length slice clamps, the last element's empty slice
-            # drops its row in the explode
-            F.explode(
-                F.slice("xs", F.col("__i") + F.lit(2), F.size("xs"))
-            ).alias("b"),
-            F.col("__overflow"),
+        # STRIDED slices, round-robin spread (first cut used contiguous
+        # a-ranges + hash partitioning and measured 2× SLOWER than the
+        # unsplit form: position i owns n-1-i partners, so range slice
+        # 0 carried ~15× slice 7's pairs, and hashing tens of slice
+        # rows into n_part partitions left some partitions with several
+        # heavy slices and others empty — guide §2.5's too-few-
+        # distinct-keys skew, both ways). Slice s takes positions
+        # i ≡ s (mod slices): per-slice work is equal by construction,
+        # and the keyless repartition deals the slice rows out evenly.
+        sliced = (
+            grouped.select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(expand_slices - 1))
+                ).alias("__s"),
+            )
+            # a slice whose first position is past the last pairable
+            # position (n-2, 0-based) is empty; dropping it also
+            # guarantees lo <= hi for the strided sequence below
+            # (sequence with lo > hi would generate DESCENDING indices)
+            .filter(F.col("__s") < F.size("xs") - 1)
+            .repartition(n_part)
         )
-        .select("a", "b", F.col("__overflow"))
-    )
+        out = (
+            sliced.select(
+                F.col("__overflow"),
+                F.col("xs"),
+                F.explode(
+                    F.sequence(
+                        F.col("__s"),
+                        F.size("xs") - F.lit(2),
+                        F.lit(expand_slices),
+                    )
+                ).alias("__i"),
+            )
+            .select(
+                F.element_at("xs", F.col("__i") + 1).alias("a"),
+                F.explode(
+                    F.slice("xs", F.col("__i") + F.lit(2), F.size("xs"))
+                ).alias("b"),
+                F.col("__overflow"),
+            )
+            .select("a", "b", F.col("__overflow"))
+        )
+    else:
+        out = (
+            grouped.select(
+                F.col("__overflow"),
+                F.col("xs"),
+                F.posexplode("xs").alias("__i", "a"),
+            )
+            .select(
+                "a",
+                # 0-based position i → partners start at 1-based i+2; the
+                # over-length slice clamps, the last element's empty slice
+                # drops its row in the explode
+                F.explode(
+                    F.slice("xs", F.col("__i") + F.lit(2), F.size("xs"))
+                ).alias("b"),
+                F.col("__overflow"),
+            )
+            .select("a", "b", F.col("__overflow"))
+        )
     if overflow_col:
         return out.withColumnRenamed("__overflow", overflow_col)
     return out.drop("__overflow")
@@ -575,6 +646,13 @@ def jaccard_prefix_pairs(
         .withColumn("pos", F.row_number().over(w_rank))
         .filter(F.col("pos") <= prefix_len)
         .select("id", *freq_keys, "n")
+        # both sides of the candidate self-join consume this frame;
+        # without a barrier each side re-runs the token explode, the
+        # df agg exchange, the freq join, and the rarity window (the
+        # r13 sf1 plan showed the whole subtree TWICE — the round-11
+        # repeated-subtree class). The prefix table is the (1-t)-sized
+        # sliver of token occurrences, so materializing it is cheap.
+        .localCheckpoint(eager=False)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # length filter (also from the published family): J(a,b) >= t

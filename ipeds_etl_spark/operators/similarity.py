@@ -372,6 +372,7 @@ def _verified_pairs_within_buckets(
     dedup_pairs: bool = False,
     corpus_rows: int | None = None,
     vec_dim: int = 64,
+    expand_slices: int | None = None,
 ) -> DataFrame:
     """Cosine-verified unordered pairs sharing a bucket, via the SAME
     capped in-bucket expansion the dedup side uses
@@ -412,10 +413,16 @@ def _verified_pairs_within_buckets(
         bucket_cols,
         payload,
         max_bucket_size=max_bucket_size,
+        expand_slices=expand_slices,
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     if dedup_pairs:
         id_pairs = id_pairs.distinct()
-    else:
+    elif not expand_slices:
+        # spread the pair stream beyond the n_buckets expansion tasks
+        # before the verify work. With expand_slices the expansion is
+        # ALREADY n_buckets × slices wide, so this exchange of the
+        # biggest intermediate (the id-pair stream) is pure waste and
+        # is skipped (opt r13, guide §2.4).
         n_part = int(
             corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
@@ -592,6 +599,20 @@ def rp_lsh_near_dups(
     )
 
 
+def expand_slices_for(spark, n_buckets: int) -> int | None:
+    """a-side expansion fan-out for FEW-bucket pair expansions (see
+    ``pairs_within_buckets`` ``expand_slices``): enough slices that
+    n_buckets × slices ≈ 2× the shuffle partition count, so the
+    quadratic expansion and the pipelined verify work use the full
+    task space instead of n_buckets tasks. Scale-adaptive by
+    construction — on a cluster with thousands of shuffle partitions
+    AND thousands of centroids this returns None (no fan-out needed);
+    it only engages when the bucket count is the parallelism limiter."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    slices = -(-2 * n_part // max(1, n_buckets))  # ceil
+    return slices if slices > 1 else None
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     id_col: str,
@@ -617,6 +638,13 @@ def embedding_near_dups(
             corpus, id_col, vec_col, n_centroids=n_centroids, n_iters=n_iters
         )
     assigned = assign_centroids(corpus, id_col, vec_col, None, cent_rows=cent_rows)
+    # NOTE (opt r13): the a-side expansion split (``expand_slices``) was
+    # measured here and REJECTED: with the broadcast re-attach the
+    # expansion pipelines straight into the dot-product probes, and the
+    # split arm ran 15.6 → 18.7 s at sf1 (and OOMed the pipelined
+    # expand+probe stage at slices=4). The id-pair repartition below is
+    # what parallelizes the verify work on this path; the split only
+    # pays where the re-attach is a shuffle join (see semdedup_report).
     return _verified_pairs_within_buckets(
         corpus, assigned, ["centroid_id"], id_col, vec_col, threshold,
         max_bucket_size, corpus_rows=corpus_rows,

@@ -655,7 +655,12 @@ def q_parts_copurchase_3hop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh = nxt.join(
             visited.hint("shuffle_hash"), ["seed", "node"], "left_anti"
         ).localCheckpoint(eager=False)
-        visited = visited.unionByName(fresh).localCheckpoint(eager=False)
+        # fresh is the only newly-computed frame per level; visited is
+        # a union of ALREADY-checkpointed levels, so re-checkpointing
+        # it re-serialized the whole growing closure every round (opt
+        # r13) — the lazy union reads the per-level checkpoint blocks
+        # directly and lineage stays O(levels), which is bounded (3).
+        visited = visited.unionByName(fresh)
         frontier = fresh
     return (
         visited.groupBy("seed")

@@ -476,6 +476,12 @@ def q_docs_shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shp = toks.select(
         "doc_id", F.posexplode(TX.shingles_of(F.col("w"))).alias("pos0", "sh")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    # NOTE (opt r13): shp is consumed by both the a-side attach and
+    # the b-side distinct set, but materializing it (localCheckpoint)
+    # measured SLOWER at sf1 (10.7 → 14.7 s) — the exploded frame is
+    # wide (per-shingle strings), so serializing it costs more than
+    # the second tokenize+explode pass it saves (the round-6
+    # wide-row-materialization lesson). Left recomputed on purpose.
     a = pairs.join(shp.withColumnRenamed("doc_id", "id_a"), "id_a")
     bset = shp.select(F.col("doc_id").alias("id_b"), "sh").distinct()
     shared = a.join(bset, ["id_b", "sh"]).select("id_a", "id_b", "pos")

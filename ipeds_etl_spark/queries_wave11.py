@@ -513,11 +513,17 @@ def semdedup_report(
     # with the vectors — pairs never cross a cluster by construction.
     ids = assigned.select("cid", "vec_id")
     t0 = _time.perf_counter()
+    from ipeds_etl_spark.operators.similarity import expand_slices_for
+
     cand = pairs_within_buckets(
         ids,
         ["cid"],
         F.struct(F.col("vec_id").alias("id")),
         max_bucket_size=cluster_cap,
+        # k buckets is the parallelism limiter of the quadratic
+        # expansion (opt r13): fan the a-side so expansion + the
+        # pipelined pair work use the full task space
+        expand_slices=expand_slices_for(spark, k),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     if profile is not None:
         # profile-only materialization boundary (see docstring)
@@ -553,6 +559,14 @@ def semdedup_report(
             >= F.lit(_SD_T2_NUM) * F.col("na2") * F.col("nb2")
         )
     ).select("cid", "id_a", "id_b")
+    # dup feeds TWO downstream branches (dp2 pair counts + drops →
+    # dr); without a barrier each branch re-executes the whole pair
+    # expansion + dot-product verify subtree — the r13 sf1 plan showed
+    # the Window→collect→Generate×2→2-join tree TWICE (the round-11
+    # repeated-subtree class). dup itself is the post-threshold sliver
+    # (qualifying pairs only), so materializing it is cheap and halves
+    # the dominant stage.
+    dup = dup.localCheckpoint(eager=False)
     drops = dup.select("cid", "id_b").distinct()
     per = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),

@@ -514,20 +514,42 @@ def q_emb_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_rows=_ivf_codebook(spark, sf_dir),
         corpus_rows=_emb_count(spark, sf_dir),
     )
-    aggs = []
+    # ONE pass over the pair stream (opt r13, guide §2.3 "aggregate
+    # before you shuffle"): the former 5× countDistinct(when(...))
+    # spelling forced an Expand of the whole pair stream (5 rows per
+    # pair) through the two-phase distinct machinery. Instead fold to
+    # one row per id_b first — per-threshold pair counts as partial
+    # sums plus max(cos_sim) — then finish on the id_b-sized frame:
+    # a vector is removed at threshold t iff it is the b-side of ANY
+    # pair with cos_sim >= t, i.e. iff max(cos_sim over its pairs) >=
+    # t, so countDistinct collapses to a conditional count over maxes.
+    # (pairs are pre-filtered at the floor, so cos_sim is never NaN
+    # and max is the exact same comparison set.) Rows out: identical.
+    per_b_aggs = [F.max("cos_sim").alias("mc")]
     for t in _SWEEP_T100:
         hit = F.col("cos_sim") >= F.lit(float(t)) / 100.0
+        per_b_aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"pnp_{t}")
+        )
+    per_b = pairs.groupBy("id_b").agg(*per_b_aggs)
+    aggs = []
+    for t in _SWEEP_T100:
         aggs.append(
-            F.coalesce(F.sum(F.when(hit, 1).otherwise(0)), F.lit(0))
-            .cast("long")
-            .alias(f"np_{t}")
+            F.coalesce(F.sum(f"pnp_{t}"), F.lit(0)).cast("long").alias(f"np_{t}")
         )
         aggs.append(
-            F.countDistinct(F.when(hit, F.col("id_b")))
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mc") >= F.lit(float(t)) / 100.0, 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"nr_{t}")
         )
-    wide = pairs.agg(*aggs)
+    wide = per_b.agg(*aggs)
     stack_args = ", ".join(
         f"{t}, np_{t}, nr_{t}" for t in _SWEEP_T100
     )

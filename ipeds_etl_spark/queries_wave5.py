@@ -523,6 +523,12 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_id",
         )
+        # NOTE (opt r13): feats is consumed by both pair sides and the
+        # plan shows the signature subtree twice, but a localCheckpoint
+        # barrier measured NEUTRAL at sf1 (8.4 → 8.6 s) — the frame is
+        # wide (signature + shingle arrays), so serializing it costs
+        # what the second signature pass saves (round-6 wide-row
+        # lesson). Left recomputed on purpose.
     )
     n_match = F.size(
         F.filter(

@@ -1248,15 +1248,28 @@ def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = pairs.join(pa, "id_a").join(pb, "id_b")
     # equality short-circuit: candidate pairs in clone-heavy corpora
     # mostly share IDENTICAL prefixes, and string equality is O(len)
-    # where the DP matrix is O(len²) — free when it fires; the sf0.1 near-dups diverge inside the prefix so the win shows on exact-dup-heavy corpora
+    # where the DP matrix is O(len²) — free when it fires.
+    # DISTINCT-TEXT-PAIR fold (opt r13, guide §1.2 "don't compute
+    # things you throw away"): the histogram depends on each pair only
+    # through (pa, pb), and candidate sets are clone-heavy by
+    # construction (that is what LSH surfaces), so many pairs share
+    # the identical prefix TEXTS. Group to one row per distinct
+    # (pa, pb) with its multiplicity, run the O(len²) DP once per
+    # distinct text pair, and weight the histogram by the count —
+    # same rows out, Levenshtein invocations drop from |pairs| to
+    # |distinct text pairs| (10× on replica corpora; ≥1× always, and
+    # the map-side partial agg keeps the added exchange ≤ the pair
+    # stream it replaced).
+    grp = j.groupBy("pa", "pb").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     lev = (
         F.when(F.col("pa") == F.col("pb"), F.lit(0))
         .otherwise(F.levenshtein(F.col("pa"), F.col("pb")))
         .cast("long")
     )
     mx = F.greatest(F.length("pa"), F.length("pb"), F.lit(1)).cast("long")
-    n = j.select(lev.alias("lev"), mx.alias("mx")).select(
-        F.expr("CAST((1000 * lev) div mx AS BIGINT)").alias("norm_x1000")
+    n = grp.select(lev.alias("lev"), mx.alias("mx"), "cnt").select(
+        F.expr("CAST((1000 * lev) div mx AS BIGINT)").alias("norm_x1000"),
+        "cnt",
     )
     return (
         n.groupBy(
@@ -1265,7 +1278,7 @@ def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("cnt").cast("long").alias("n_pairs"),
             F.min("norm_x1000").cast("long").alias("min_norm_x1000"),
             F.max("norm_x1000").cast("long").alias("max_norm_x1000"),
         )

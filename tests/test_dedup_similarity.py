@@ -273,6 +273,35 @@ def test_pairs_within_buckets_equals_naive_self_join(spark):
     assert capped == {p for p in want if p[0] in (1,2,3,10,11,20,30,31,32) and p[1] in (1,2,3,10,11,20,30,31,32)}
 
 
+def test_pairs_within_buckets_expand_slices_identical(spark):
+    """The strided a-side expansion split (opt r13: fans few-bucket
+    quadratic expansions across expand_slices × n_buckets tasks) must
+    emit the EXACT same multiset of pairs as the unsplit form — for
+    slice counts below, equal to, and above the bucket population,
+    with and without the cap, overflow column riding through."""
+    rows = (
+        [("hot", i) for i in range(17)]
+        + [("two", 100), ("two", 101)]
+        + [("one", 200)]
+    )
+    df = spark.createDataFrame(rows, "bucket string, id long")
+    payload = F.struct(F.col("id"))
+
+    def pairs(**kw):
+        return sorted(
+            (r["a"]["id"], r["b"]["id"], r["ov"])
+            for r in DD.pairs_within_buckets(
+                df, ["bucket"], payload, overflow_col="ov", **kw
+            ).collect()
+        )
+
+    base = pairs(max_bucket_size=None)
+    for slices in (2, 5, 17, 64):
+        assert pairs(max_bucket_size=None, expand_slices=slices) == base, slices
+    capped = pairs(max_bucket_size=5)
+    assert pairs(max_bucket_size=5, expand_slices=3) == capped
+
+
 def test_jaccard_prefix_join_equals_bruteforce(spark):
     """The prefix filter must be lossless at any threshold: compare
     against the O(n^2) verifier on synthetic docs with heavy overlap."""
