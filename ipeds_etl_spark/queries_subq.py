@@ -662,6 +662,14 @@ def q_parts_copurchase_3hop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # directly and lineage stays O(levels), which is bounded (3).
         visited = visited.unionByName(fresh)
         frontier = fresh
+    # NOTE (opt r13): folding the LAST level into a countDistinct
+    # readout (raw expansion ∪ visited, no distinct/anti-join/
+    # checkpoint on the final level) was measured ABAB at sf1 and came
+    # out equal-to-slightly-slower (23.7 vs 20.6 s medians) — the
+    # partial-aggregate dedup of the ~240M-row expansion costs what
+    # the distinct + anti-join it replaced cost. Rejected; only the
+    # visited-union change above (no per-level re-checkpoint of the
+    # growing closure) survives, measured 27.3 → ~21-23 s.
     return (
         visited.groupBy("seed")
         .agg((F.count(F.lit(1)) - 1).cast("long").alias("n_reachable_3hop"))
