@@ -423,23 +423,15 @@ def semdedup_report(
     seed_rows = pts.orderBy("vec_id").limit(k).collect()
     centroids = [(cid, list(r["v"])) for cid, r in enumerate(seed_rows)]
 
-    def dist_to(center):
-        lit = F.array(*[F.lit(int(c)).cast("long") for c in center])
-        diffs = F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
     def assign(cents) -> DataFrame:
         if len(cents) <= _SD_LITERAL_K_MAX:
-            best = F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            dist_to(c).alias("dist"), F.lit(cid).alias("cid")
-                        )
-                        for cid, c in cents
-                    ]
-                )
-            )
+            # matrix-literal loop argmin (opt r13, argmin_sqdist_int):
+            # the k-unrolled spelling re-paid O(k·dim) Catalyst
+            # analysis + codegen per round — 4.4 s build / 0.4 s exec
+            # at sf0.1; bit-identical distances and tie-break.
+            from ipeds_etl_spark.operators.similarity import argmin_sqdist_int
+
+            best = argmin_sqdist_int(F.col("v"), cents)
             return pts.select("vec_id", "v", best["cid"].alias("cid"))
         cdf = spark.createDataFrame(
             [(cid, [int(x) for x in c]) for cid, c in cents],

@@ -890,6 +890,7 @@ def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF build). Corpus crosses the wire zero times; total cost is
     `rounds` scans of the cached integer projection."""
     from ipeds_etl_spark.operators.coreset import quantize_vec
+    from ipeds_etl_spark.operators.similarity import argmin_sqdist_int
 
     pts = (
         load_table(spark, sf_dir, "embeddings")
@@ -902,25 +903,14 @@ def q_emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = pts.orderBy("vec_id").limit(_KM_K).collect()
     centroids = [(cid, list(r["v"])) for cid, r in enumerate(seed_rows)]
 
-    def dist_to(center):
-        lit = F.array(*[F.lit(int(c)).cast("long") for c in center])
-        diffs = F.zip_with(F.col("v"), lit, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
     assigned = None
     for rnd in range(1, _KM_ROUNDS + 1):
-        # argmin over k centroid literals: min of (dist, cid) structs —
-        # a pure codegen expression, no join
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        dist_to(c).alias("dist"), F.lit(cid).alias("cid")
-                    )
-                    for cid, c in centroids
-                ]
-            )
-        )
+        # argmin against the k centroids as ONE matrix-literal loop
+        # expression (opt r13, argmin_sqdist_int): the k-unrolled
+        # zip_with chains cost ~1.6 s of Catalyst analysis + codegen
+        # per round on the driver — 5.2 s build / 0.3 s exec at sf0.1
+        # — with bit-identical distances and tie-break.
+        best = argmin_sqdist_int(F.col("v"), centroids)
         assigned = pts.select(
             "vec_id",
             "v",
