@@ -146,6 +146,53 @@ def lsh_band_buckets(
 MAX_BUCKET_SIZE_DEFAULT = 10_000
 
 
+def capped_bucket_arrays(
+    bucketed: DataFrame,
+    bucket_cols: Sequence[str],
+    payload: Column,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    cap_mode: str = "window",
+) -> DataFrame:
+    """The shared first stage of every in-bucket pair expansion: one row
+    per bucket with the sorted distinct ``payload`` array (``xs``,
+    rank-capped at ``max_bucket_size`` per the ``cap_mode`` contract
+    documented on :func:`pairs_within_buckets`) and the ``__overflow``
+    count of dropped members. Buckets with fewer than two members are
+    dropped (no pairs). Extracted (opt r13) so the similarity side's
+    FUSED expand+verify can reuse the identical cap semantics without
+    going through the id-pair + re-attach-join spelling."""
+    grouped_keys = [F.col(c) for c in bucket_cols]
+    if max_bucket_size is None:
+        grouped = bucketed.groupBy(*grouped_keys).agg(
+            F.array_sort(F.collect_set(payload)).alias("xs"),
+            F.lit(0).cast("long").alias("__overflow"),
+        )
+    elif cap_mode == "agg":
+        grouped = bucketed.groupBy(*grouped_keys).agg(
+            F.array_sort(F.collect_set(payload)).alias("__all")
+        ).select(
+            *grouped_keys,
+            F.slice(F.col("__all"), 1, max_bucket_size).alias("xs"),
+            F.greatest(
+                F.size("__all") - max_bucket_size, F.lit(0)
+            ).cast("long").alias("__overflow"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols).orderBy(payload)
+        ranked = bucketed.withColumn("__rn", F.row_number().over(w))
+        grouped = ranked.groupBy(*grouped_keys).agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("__rn") <= max_bucket_size, payload))
+            ).alias("xs"),
+            F.sum(
+                F.when(F.col("__rn") > max_bucket_size, 1).otherwise(0)
+            ).alias("__overflow"),
+        )
+    return grouped.filter(F.size("xs") > 1)
+
+
 def pairs_within_buckets(
     bucketed: DataFrame,
     bucket_cols: Sequence[str],
@@ -199,36 +246,9 @@ def pairs_within_buckets(
     (default) when buckets are plentiful (LSH bands) — the fan-out
     shuffle would only add a pass over the bucket arrays.
     """
-    grouped_keys = [F.col(c) for c in bucket_cols]
-    if max_bucket_size is None:
-        grouped = bucketed.groupBy(*grouped_keys).agg(
-            F.array_sort(F.collect_set(payload)).alias("xs"),
-            F.lit(0).cast("long").alias("__overflow"),
-        )
-    elif cap_mode == "agg":
-        grouped = bucketed.groupBy(*grouped_keys).agg(
-            F.array_sort(F.collect_set(payload)).alias("__all")
-        ).select(
-            *grouped_keys,
-            F.slice(F.col("__all"), 1, max_bucket_size).alias("xs"),
-            F.greatest(
-                F.size("__all") - max_bucket_size, F.lit(0)
-            ).cast("long").alias("__overflow"),
-        )
-    else:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*bucket_cols).orderBy(payload)
-        ranked = bucketed.withColumn("__rn", F.row_number().over(w))
-        grouped = ranked.groupBy(*grouped_keys).agg(
-            F.array_sort(
-                F.collect_set(F.when(F.col("__rn") <= max_bucket_size, payload))
-            ).alias("xs"),
-            F.sum(
-                F.when(F.col("__rn") > max_bucket_size, 1).otherwise(0)
-            ).alias("__overflow"),
-        )
-    grouped = grouped.filter(F.size("xs") > 1)
+    grouped = capped_bucket_arrays(
+        bucketed, bucket_cols, payload, max_bucket_size, cap_mode
+    )
     # TWO-LEVEL explode, not a one-shot flatten: a single
     # `flatten(transform(xs, ...))` materializes the ENTIRE B²/2-pair
     # array as one generated value — at the 10k cap that is ~5·10⁷

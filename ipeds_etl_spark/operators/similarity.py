@@ -41,8 +41,20 @@ from pyspark.sql import functions as F
 
 from ipeds_etl_spark.operators.dedup import (
     MAX_BUCKET_SIZE_DEFAULT,
+    capped_bucket_arrays,
     pairs_within_buckets,
 )
+
+#: a-position chunk width for the FUSED in-bucket expand+verify (see
+#: ``_verified_pairs_within_buckets``): each (bucket, chunk) row scores
+#: VERIFY_CHUNK a-positions against their partners inside one nested
+#: higher-order expression. Bounds the per-row generated hit value at
+#: VERIFY_CHUNK × cap structs even for an all-duplicate bucket, and
+#: yields n_buckets × ⌈B/VERIFY_CHUNK⌉ independently-schedulable work
+#: units — scale-adaptive parallelism without a tuned fan-out constant
+#: (chunk counts grow with bucket population, and round-robin
+#: repartition deals heavy early chunks and light late chunks evenly).
+VERIFY_CHUNK = 128
 
 #: Decompressed-size ceiling for broadcasting the corpus side of the
 #: pair-verify re-attach join (see ``_verified_pairs_within_buckets``):
@@ -416,31 +428,109 @@ def _verified_pairs_within_buckets(
     together) expands at most ``max_bucket_size`` members per task
     instead of quadratically OOM-ing it. Pairs keep ``id_a < id_b``.
 
-    The expansion carries IDS ONLY — duplicating two dim-wide vectors
-    into every emitted pair made the pair arrays the dominant memory
-    and CPU cost (quadratic in bucket size × vector width), and left
-    every one of a bucket's pairs verifying in that bucket's single
-    task. Instead the id pairs (the smallest possible intermediate) are
-    spread across the shuffle space — ``dedup_pairs=True`` does it with
-    the ``distinct`` the banded caller needs anyway, which ALSO
-    verifies each candidate once instead of once per colliding band —
-    and the vectors are re-attached by an equi-join against the corpus
-    whose STRATEGY IS CHOSEN EXPLICITLY from known stats, never left
-    to the optimizer's size estimate. Why: AQE sizes join sides from
-    COMPRESSED shuffle bytes, and embedding corpora compress brutally
-    (the sf10 smoke's ~1 GB of decompressed vectors was 27 MB of zstd
-    parquet) — AQE converted this join to broadcast at runtime and
-    the broadcast build blew ``spark.driver.maxResultSize`` collecting
-    the decompressed rows. With ``corpus_rows`` supplied (callers
-    memoize one count per corpus version), the DECOMPRESSED build size
-    ``rows × (8·dim + overhead)`` decides: under
-    ``REATTACH_BROADCAST_MAX_BYTES`` the corpus side broadcasts (the
-    fast plan while it truly fits), otherwise — or when the count is
-    unknown — the join is pinned shuffle-hash, whose per-partition
-    hash build stays flat as partitions scale with data. Per-pair
-    verify work is one dot product: norms ride the corpus side,
-    computed once per vector instead of twice per pair
-    (``sqrt(dot(v,v))`` — bit-identical cosine)."""
+    Two spellings, chosen by ``dedup_pairs``:
+
+    * ``dedup_pairs=False`` (single-bucketing callers — IVF centroids,
+      single-family RP-LSH): the FUSED expand+verify (opt r13, guide
+      §3.1 "the fastest join is no join"). The capped bucket array
+      carries ``struct(id, vec, nrm)``; a-positions are chunked
+      (``VERIFY_CHUNK`` per row) and each chunk row computes its
+      qualifying pairs inside one nested higher-order expression —
+      the threshold filter runs BEFORE anything materializes, so only
+      hits are ever emitted as rows. This deletes the id-pair
+      repartition AND both vector re-attach joins from the old plan
+      (measured at sf1: 20.7 → 17.3 s median interleaved, and the
+      25M-row pair stream + 2 hash probes/pair are gone); at scale it
+      also removes the corpus-side broadcast/shuffle-hash decision
+      entirely on this path. Memory stays bounded by construction:
+      per chunk row the generated hit array is ≤ VERIFY_CHUNK × cap
+      structs worst-case, and the bucket array itself is the only
+      wide value (cap × (8·dim+overhead) bytes). Chunk rows are
+      round-robin repartitioned so the quadratic work runs
+      n_buckets × B/VERIFY_CHUNK wide — scale-adaptive without a
+      tuned slice count (the old ``expand_slices`` knob is not needed
+      here and ignored).
+
+    * ``dedup_pairs=True`` (banded LSH): id-only expansion, cross-band
+      ``distinct`` (each candidate verifies ONCE, not once per
+      colliding band), then vectors re-attach by an equi-join whose
+      STRATEGY IS CHOSEN EXPLICITLY from known stats, never left to
+      the optimizer's size estimate. Why: AQE sizes join sides from
+      COMPRESSED shuffle bytes, and embedding corpora compress
+      brutally (the sf10 smoke's ~1 GB of decompressed vectors was
+      27 MB of zstd parquet) — AQE converted this join to broadcast
+      at runtime and the broadcast build blew
+      ``spark.driver.maxResultSize`` collecting the decompressed rows.
+      With ``corpus_rows`` supplied (callers memoize one count per
+      corpus version), the DECOMPRESSED build size
+      ``rows × (8·dim + overhead)`` decides: under
+      ``REATTACH_BROADCAST_MAX_BYTES`` the corpus side broadcasts,
+      otherwise the join is pinned shuffle-hash. Norms ride the
+      corpus side, computed once per vector (``sqrt(dot(v,v))`` —
+      bit-identical cosine).
+
+    Both spellings emit the identical pair set with identical
+    ``cos_sim`` values: same capped sorted member arrays (the cap
+    window orders by a struct whose FIRST field is the unique id, so
+    widening the payload with vec/nrm does not reorder it), same
+    left-fold dot, same ``>= threshold`` comparison."""
+    if not dedup_pairs:
+        payload = F.struct(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        grouped = capped_bucket_arrays(
+            bucketed.select(*bucket_cols, id_col, vec_col),
+            bucket_cols,
+            payload,
+            max_bucket_size,
+        )
+        n_part = int(
+            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            or 32
+        )
+        n_chunks = F.floor(
+            (F.size("xs") - F.lit(2)) / F.lit(VERIFY_CHUNK)
+        ).cast("int")
+        chunked = grouped.select(
+            "xs", F.explode(F.sequence(F.lit(0), n_chunks)).alias("__c")
+        ).repartition(n_part)
+
+        def hits_for_chunk(xs: Column, c: Column) -> Column:
+            lo = (c * VERIFY_CHUNK).cast("int")
+            hi = F.least(lo + F.lit(VERIFY_CHUNK) - 1, F.size(xs) - 2).cast(
+                "int"
+            )
+
+            def hits_for_i(i: Column) -> Column:
+                a = F.element_at(xs, (i + 1).cast("int"))
+                return F.filter(
+                    F.transform(
+                        # j partners strictly after i: pairs keep id_a < id_b
+                        F.sequence(i + 1, F.size(xs) - 1),
+                        lambda j: (
+                            lambda b: F.struct(
+                                a["id"].alias("id_a"),
+                                b["id"].alias("id_b"),
+                                (
+                                    dot(a["vec"], b["vec"])
+                                    / (a["nrm"] * b["nrm"])
+                                ).alias("cos_sim"),
+                            )
+                        )(F.element_at(xs, (j + 1).cast("int"))),
+                    ),
+                    lambda h: h["cos_sim"] >= threshold,
+                )
+
+            return F.flatten(
+                F.transform(F.sequence(lo, hi), hits_for_i)
+            )
+
+        return chunked.select(
+            F.explode(hits_for_chunk(F.col("xs"), F.col("__c"))).alias("h")
+        ).select("h.id_a", "h.id_b", "h.cos_sim")
+
     payload = F.struct(F.col(id_col).alias("id"))
     id_pairs = pairs_within_buckets(
         bucketed.select(*bucket_cols, id_col),
@@ -449,18 +539,7 @@ def _verified_pairs_within_buckets(
         max_bucket_size=max_bucket_size,
         expand_slices=expand_slices,
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    if dedup_pairs:
-        id_pairs = id_pairs.distinct()
-    elif not expand_slices:
-        # spread the pair stream beyond the n_buckets expansion tasks
-        # before the verify work. With expand_slices the expansion is
-        # ALREADY n_buckets × slices wide, so this exchange of the
-        # biggest intermediate (the id-pair stream) is pure waste and
-        # is skipped (opt r13, guide §2.4).
-        n_part = int(
-            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        id_pairs = id_pairs.repartition(n_part, "id_a", "id_b")
+    id_pairs = id_pairs.distinct()
     vecs = corpus.select(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__vvec"),
@@ -625,7 +704,9 @@ def rp_lsh_near_dups(
         )
     planes = rp_planes(n_planes, dim)
     bucketed = corpus.select(
-        F.col(id_col), rp_lsh_bucket(F.col(vec_col), planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     return _verified_pairs_within_buckets(
         corpus, bucketed, ["bucket"], id_col, vec_col, threshold, max_bucket_size,
@@ -672,13 +753,9 @@ def embedding_near_dups(
             corpus, id_col, vec_col, n_centroids=n_centroids, n_iters=n_iters
         )
     assigned = assign_centroids(corpus, id_col, vec_col, None, cent_rows=cent_rows)
-    # NOTE (opt r13): the a-side expansion split (``expand_slices``) was
-    # measured here and REJECTED: with the broadcast re-attach the
-    # expansion pipelines straight into the dot-product probes, and the
-    # split arm ran 15.6 → 18.7 s at sf1 (and OOMed the pipelined
-    # expand+probe stage at slices=4). The id-pair repartition below is
-    # what parallelizes the verify work on this path; the split only
-    # pays where the re-attach is a shuffle join (see semdedup_report).
+    # NOTE (opt r13): this path now takes the FUSED expand+verify in
+    # _verified_pairs_within_buckets (no re-attach join at all); the
+    # earlier expand_slices experiment against the join form is moot.
     return _verified_pairs_within_buckets(
         corpus, assigned, ["centroid_id"], id_col, vec_col, threshold,
         max_bucket_size, corpus_rows=corpus_rows,
