@@ -193,6 +193,89 @@ def capped_bucket_arrays(
     return grouped.filter(F.size("xs") > 1)
 
 
+#: a-position chunk width for the FUSED in-bucket expand+verify
+#: (``fused_pair_hits_within_buckets``): each (bucket, chunk) row scores
+#: FUSED_PAIR_CHUNK a-positions against their partners inside one nested
+#: higher-order expression. Bounds the per-row generated hit value at
+#: chunk × cap structs even for an all-duplicate bucket, and yields
+#: n_buckets × ⌈B/chunk⌉ independently-schedulable work units —
+#: scale-adaptive parallelism without a tuned fan-out constant (chunk
+#: counts grow with bucket population, and the round-robin repartition
+#: deals heavy early chunks and light late chunks evenly).
+FUSED_PAIR_CHUNK = 128
+
+
+def fused_pair_hits_within_buckets(
+    bucketed: DataFrame,
+    bucket_cols: Sequence[str],
+    payload: Column,
+    pair_hit,
+    keep,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    cap_mode: str = "window",
+    chunk: int = FUSED_PAIR_CHUNK,
+) -> DataFrame:
+    """FUSED expand+verify over in-bucket pairs (opt r13, guide §3.1
+    "the fastest join is no join"): compute ``pair_hit(a, b)`` for every
+    unordered payload pair sharing a bucket and keep only rows passing
+    ``keep(hit)`` — WITHOUT materializing the pair stream and WITHOUT
+    re-attaching per-id state by joins afterwards. The payload carries
+    whatever the verify needs (vector, norm, …); the filter runs INSIDE
+    the generating expression, so only qualifying hits ever become rows.
+
+    Compared to ``pairs_within_buckets`` + re-attach joins this deletes
+    the candidate exchange and two hash probes + wide-row copies per
+    candidate from the plan (measured −9% wall on the sf1 cosine
+    verify, and structurally removes the corpus-side join-strategy
+    decision). Use it when per-pair state is per-ID (carried in the
+    payload); keep the id-pair spelling when candidates must be
+    DEDUPED across bucketings before an expensive verify (banded LSH).
+
+    Cap semantics are IDENTICAL to ``pairs_within_buckets`` (shared
+    ``capped_bucket_arrays``; the cap window orders by the payload
+    struct whose FIRST field must be the unique orderable id, so
+    widening the payload does not change the selected members). Pairs
+    visit each ``a < b`` combination exactly once (sorted array,
+    partners strictly after the a-position).
+
+    Returns one row per hit: ``*bucket_cols, h`` where ``h`` is the
+    ``pair_hit`` struct — select ``h.<field>`` downstream.
+    """
+    grouped = capped_bucket_arrays(
+        bucketed, bucket_cols, payload, max_bucket_size, cap_mode
+    )
+    n_part = int(
+        bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        or 32
+    )
+    n_chunks = F.floor((F.size("xs") - F.lit(2)) / F.lit(chunk)).cast("int")
+    chunked = grouped.select(
+        *bucket_cols, "xs", F.explode(F.sequence(F.lit(0), n_chunks)).alias("__c")
+    ).repartition(n_part)
+
+    def hits_for_chunk(xs: Column, c: Column) -> Column:
+        lo = (c * chunk).cast("int")
+        hi = F.least(lo + F.lit(chunk) - 1, F.size(xs) - 2).cast("int")
+
+        def hits_for_i(i: Column) -> Column:
+            a = F.element_at(xs, (i + 1).cast("int"))
+            return F.filter(
+                F.transform(
+                    # partners strictly after i: each a < b pair once
+                    F.sequence(i + 1, F.size(xs) - 1),
+                    lambda j: pair_hit(a, F.element_at(xs, (j + 1).cast("int"))),
+                ),
+                keep,
+            )
+
+        return F.flatten(F.transform(F.sequence(lo, hi), hits_for_i))
+
+    return chunked.select(
+        *bucket_cols,
+        F.explode(hits_for_chunk(F.col("xs"), F.col("__c"))).alias("h"),
+    )
+
+
 def pairs_within_buckets(
     bucketed: DataFrame,
     bucket_cols: Sequence[str],

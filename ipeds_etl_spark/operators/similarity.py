@@ -41,20 +41,9 @@ from pyspark.sql import functions as F
 
 from ipeds_etl_spark.operators.dedup import (
     MAX_BUCKET_SIZE_DEFAULT,
-    capped_bucket_arrays,
+    fused_pair_hits_within_buckets,
     pairs_within_buckets,
 )
-
-#: a-position chunk width for the FUSED in-bucket expand+verify (see
-#: ``_verified_pairs_within_buckets``): each (bucket, chunk) row scores
-#: VERIFY_CHUNK a-positions against their partners inside one nested
-#: higher-order expression. Bounds the per-row generated hit value at
-#: VERIFY_CHUNK × cap structs even for an all-duplicate bucket, and
-#: yields n_buckets × ⌈B/VERIFY_CHUNK⌉ independently-schedulable work
-#: units — scale-adaptive parallelism without a tuned fan-out constant
-#: (chunk counts grow with bucket population, and round-robin
-#: repartition deals heavy early chunks and light late chunks evenly).
-VERIFY_CHUNK = 128
 
 #: Decompressed-size ceiling for broadcasting the corpus side of the
 #: pair-verify re-attach join (see ``_verified_pairs_within_buckets``):
@@ -434,7 +423,7 @@ def _verified_pairs_within_buckets(
       single-family RP-LSH): the FUSED expand+verify (opt r13, guide
       §3.1 "the fastest join is no join"). The capped bucket array
       carries ``struct(id, vec, nrm)``; a-positions are chunked
-      (``VERIFY_CHUNK`` per row) and each chunk row computes its
+      (``FUSED_PAIR_CHUNK`` per row) and each chunk row computes its
       qualifying pairs inside one nested higher-order expression —
       the threshold filter runs BEFORE anything materializes, so only
       hits are ever emitted as rows. This deletes the id-pair
@@ -443,11 +432,11 @@ def _verified_pairs_within_buckets(
       25M-row pair stream + 2 hash probes/pair are gone); at scale it
       also removes the corpus-side broadcast/shuffle-hash decision
       entirely on this path. Memory stays bounded by construction:
-      per chunk row the generated hit array is ≤ VERIFY_CHUNK × cap
+      per chunk row the generated hit array is ≤ FUSED_PAIR_CHUNK × cap
       structs worst-case, and the bucket array itself is the only
       wide value (cap × (8·dim+overhead) bytes). Chunk rows are
       round-robin repartitioned so the quadratic work runs
-      n_buckets × B/VERIFY_CHUNK wide — scale-adaptive without a
+      n_buckets × B/FUSED_PAIR_CHUNK wide — scale-adaptive without a
       tuned slice count (the old ``expand_slices`` knob is not needed
       here and ignored).
 
@@ -480,56 +469,21 @@ def _verified_pairs_within_buckets(
             F.col(vec_col).alias("vec"),
             norm(F.col(vec_col)).alias("nrm"),
         )
-        grouped = capped_bucket_arrays(
+        hits = fused_pair_hits_within_buckets(
             bucketed.select(*bucket_cols, id_col, vec_col),
             bucket_cols,
             payload,
-            max_bucket_size,
+            pair_hit=lambda a, b: F.struct(
+                a["id"].alias("id_a"),
+                b["id"].alias("id_b"),
+                (dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])).alias(
+                    "cos_sim"
+                ),
+            ),
+            keep=lambda h: h["cos_sim"] >= threshold,
+            max_bucket_size=max_bucket_size,
         )
-        n_part = int(
-            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-            or 32
-        )
-        n_chunks = F.floor(
-            (F.size("xs") - F.lit(2)) / F.lit(VERIFY_CHUNK)
-        ).cast("int")
-        chunked = grouped.select(
-            "xs", F.explode(F.sequence(F.lit(0), n_chunks)).alias("__c")
-        ).repartition(n_part)
-
-        def hits_for_chunk(xs: Column, c: Column) -> Column:
-            lo = (c * VERIFY_CHUNK).cast("int")
-            hi = F.least(lo + F.lit(VERIFY_CHUNK) - 1, F.size(xs) - 2).cast(
-                "int"
-            )
-
-            def hits_for_i(i: Column) -> Column:
-                a = F.element_at(xs, (i + 1).cast("int"))
-                return F.filter(
-                    F.transform(
-                        # j partners strictly after i: pairs keep id_a < id_b
-                        F.sequence(i + 1, F.size(xs) - 1),
-                        lambda j: (
-                            lambda b: F.struct(
-                                a["id"].alias("id_a"),
-                                b["id"].alias("id_b"),
-                                (
-                                    dot(a["vec"], b["vec"])
-                                    / (a["nrm"] * b["nrm"])
-                                ).alias("cos_sim"),
-                            )
-                        )(F.element_at(xs, (j + 1).cast("int"))),
-                    ),
-                    lambda h: h["cos_sim"] >= threshold,
-                )
-
-            return F.flatten(
-                F.transform(F.sequence(lo, hi), hits_for_i)
-            )
-
-        return chunked.select(
-            F.explode(hits_for_chunk(F.col("xs"), F.col("__c"))).alias("h")
-        ).select("h.id_a", "h.id_b", "h.cos_sim")
+        return hits.select("h.id_a", "h.id_b", "h.cos_sim")
 
     payload = F.struct(F.col(id_col).alias("id"))
     id_pairs = pairs_within_buckets(

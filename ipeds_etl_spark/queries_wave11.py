@@ -384,16 +384,17 @@ def semdedup_report(
       O(k·dim). The point set crosses the wire once per round (partial
       aggregation collapses it to one row per point pre-shuffle).
     * **Per-cluster examination cap** (VERDICT r8 stretch): the pair
-      expansion goes through ``pairs_within_buckets(cap_mode='window')``
-      — the rank-capped in-bucket expansion — so ONE degenerate
-      mega-cluster costs at most cap² pairs and surfaces as a non-zero
-      ``n_overflow`` audit column (members beyond the cap are KEPT
-      unexamined), instead of silently burning an n² job. The cap
-      keeps the agg buffer itself bounded, not just the expansion.
+      stage goes through the rank-capped in-bucket expansion
+      (``fused_pair_hits_within_buckets``, window cap mode) — so ONE
+      degenerate mega-cluster costs at most cap² pairs and surfaces as
+      a non-zero ``n_overflow`` audit column (members beyond the cap
+      are KEPT unexamined), instead of silently burning an n² job. The
+      cap keeps the agg buffer itself bounded, not just the expansion.
 
-    Norms are computed once per point, not per pair; the expensive
-    dot products run after the id-keyed ``shuffle_hash`` re-attach
-    spreads pairs across the full shuffle space. BIGINT envelope:
+    Norms are computed once per point, not per pair (they ride the
+    bucket payload); the integer cosine test runs FUSED inside the
+    expansion (opt r13), so only qualifying pairs materialize and no
+    re-attach join exists on this path. BIGINT envelope:
     |coord| ≤ ~10³, dim 64 ⇒ den·dot² ≤ ~4·10¹⁷ < 2⁶³.
 
     ``profile`` (optional dict, VERDICT r10 item 2 — the funnel's
@@ -406,7 +407,6 @@ def semdedup_report(
     import time as _time
 
     from ipeds_etl_spark.operators.coreset import quantize_vec
-    from ipeds_etl_spark.operators.dedup import pairs_within_buckets
 
     t0 = _time.perf_counter()
     pts = (
@@ -496,61 +496,51 @@ def semdedup_report(
         F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
-    # pair EXPANSION carries IDS ONLY, rank-capped per cluster
-    # (pairs_within_buckets: cap bounds BOTH the agg buffer and the
-    # quadratic expansion; overflow members are kept unexamined); the
-    # expensive per-pair dot product runs AFTER the id-keyed re-attach
-    # joins, which spread the pairs across the full shuffle space (the
-    # emb_near_dups re-attach pattern, see SCALE.md). cid re-attaches
-    # with the vectors — pairs never cross a cluster by construction.
-    ids = assigned.select("cid", "vec_id")
+    # FUSED pair expand+verify (opt r13, fused_pair_hits_within_buckets):
+    # the payload carries (id, v, |v|²) per cluster member, the integer
+    # cross-multiplied cosine test runs INSIDE the generating
+    # expression, and only qualifying pairs ever materialize as rows —
+    # the previous id-pair expansion + two shuffle_hash re-attach joins
+    # (2 hash probes + 2 wide-row copies per candidate pair) are gone
+    # from the plan. Same rank-capped member selection (payload sorts
+    # by the unique vec_id first), same left-fold integer dot, same
+    # test — bit-identical qualifying set. Overflow members beyond the
+    # cap stay kept-unexamined exactly as before (n_overflow audits it).
     t0 = _time.perf_counter()
-    from ipeds_etl_spark.operators.similarity import expand_slices_for
+    from ipeds_etl_spark.operators.dedup import fused_pair_hits_within_buckets
 
-    cand = pairs_within_buckets(
-        ids,
-        ["cid"],
-        F.struct(F.col("vec_id").alias("id")),
-        max_bucket_size=cluster_cap,
-        # k buckets is the parallelism limiter of the quadratic
-        # expansion (opt r13): fan the a-side so expansion + the
-        # pipelined pair work use the full task space
-        expand_slices=expand_slices_for(spark, k),
-    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    if profile is not None:
-        # profile-only materialization boundary (see docstring)
-        cand = cand.localCheckpoint()
-        profile["pair_expand"] = round(_time.perf_counter() - t0, 2)
-    side_a = assigned.select(
-        F.col("vec_id").alias("id_a"),
-        "cid",
-        F.col("v").alias("va"),
-        n2.alias("na2"),
-    )
-    side_b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), n2.alias("nb2")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a * b),
+    idot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
-    pr = (
-        cand.join(side_a.hint("shuffle_hash"), "id_a")
-        .join(side_b.hint("shuffle_hash"), "id_b")
-        .select(
-            "cid", "id_a", "id_b",
-            dot.cast("long").alias("dp"),
-            "na2", "nb2",
-        )
-    )
-    dup = pr.filter(
-        (F.col("dp") > 0)
+    dup = fused_pair_hits_within_buckets(
+        assigned.select("cid", "vec_id", "v"),
+        ["cid"],
+        F.struct(
+            F.col("vec_id").alias("id"),
+            F.col("v").alias("v"),
+            n2.alias("n2"),
+        ),
+        pair_hit=lambda a, b: F.struct(
+            a["id"].alias("id_a"),
+            b["id"].alias("id_b"),
+            idot(a["v"], b["v"]).cast("long").alias("dp"),
+            a["n2"].alias("na2"),
+            b["n2"].alias("nb2"),
+        ),
+        keep=lambda h: (h["dp"] > 0)
         & (
-            F.lit(_SD_T2_DEN) * F.col("dp") * F.col("dp")
-            >= F.lit(_SD_T2_NUM) * F.col("na2") * F.col("nb2")
-        )
-    ).select("cid", "id_a", "id_b")
+            F.lit(_SD_T2_DEN) * h["dp"] * h["dp"]
+            >= F.lit(_SD_T2_NUM) * h["na2"] * h["nb2"]
+        ),
+        max_bucket_size=cluster_cap,
+    ).select("cid", F.col("h.id_a").alias("id_a"), F.col("h.id_b").alias("id_b"))
+    if profile is not None:
+        # profile-only materialization boundary (see docstring): with
+        # the fused spelling this stage IS expand+verify combined
+        dup = dup.localCheckpoint()
+        profile["pair_expand"] = round(_time.perf_counter() - t0, 2)
     # dup feeds TWO downstream branches (dp2 pair counts + drops →
     # dr); without a barrier each branch re-executes the whole pair
     # expansion + dot-product verify subtree — the r13 sf1 plan showed
