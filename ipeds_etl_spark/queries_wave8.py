@@ -1584,15 +1584,47 @@ def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: framing is map-only (~n/hop rows per payload); peak/landmark
     windows partition per DOCUMENT (entity-bounded frames); the match
     is an inverted-index bucket join with the DF cap bounding any
-    landmark's expansion — O(landmarks), never O(docs²)."""
-    from ipeds_etl_spark.operators.multimodal import attach_payload, window_audio
+    landmark's expansion — O(landmarks), never O(docs²).
 
+    Framing/energy run as PURE Column expressions (opt r13, guide §4):
+    this query consumes only the per-window byte-energy, so routing it
+    through ``window_audio``'s Arrow ``mapInPandas`` stage paid the
+    Python-worker spin-up (~4 s session-cold) plus a per-window sha256
+    the query never reads. The byte array is computed once per doc,
+    window energies fold over array slices (identical values: ascii
+    codepoints == payload bytes for this corpus, the SAME equivalence
+    the char-based DuckDB oracle has always relied on), and the
+    ArrowEvalPython node is gone from the plan. ``window_audio``
+    itself (the sanctioned Arrow stage) stays exercised by the
+    ``multimodal_audio_windows`` family, which reads its fingerprints."""
     d = load_table(spark, sf_dir, "documents")
-    w = window_audio(
-        attach_payload(d, "text", "doc_id", modality="audio"),
-        win=_AF_WIN,
-        hop=_AF_HOP,
-    ).select("doc_id", F.col("window_index").cast("long").alias("idx"), "energy")
+    n = F.length("text")
+    k = F.when(n <= _AF_WIN, F.lit(1)).otherwise(
+        F.floor((n - _AF_WIN + _AF_HOP - 1) / _AF_HOP).cast("int") + 1
+    )
+    byte_vals = F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.ascii(F.col("text").substr(j, F.lit(1))),
+    )).otherwise(F.array().cast("array<int>"))
+    # let-bind the per-doc byte array once (singleton-transform), then
+    # each window energy is one slice+fold — no per-window substring
+    energies = F.element_at(
+        F.transform(
+            F.array(byte_vals),
+            lambda bs: F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.aggregate(
+                    F.slice(bs, i * _AF_HOP + 1, _AF_WIN),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        ),
+        1,
+    )
+    w = d.select(
+        "doc_id", F.posexplode(energies).alias("pos", "energy")
+    ).select("doc_id", F.col("pos").cast("long").alias("idx"), "energy")
     ww = Window.partitionBy("doc_id").orderBy("idx")
     nb = w.select(
         "doc_id",
