@@ -482,6 +482,13 @@ def q_docs_shared_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide (per-shingle strings), so serializing it costs more than
     # the second tokenize+explode pass it saves (the round-6
     # wide-row-materialization lesson). Left recomputed on purpose.
+    # A second r13 experiment — per-pair shingle-ARRAY attach +
+    # native array_intersect + island stats folded over the matched
+    # positions (no 75M-row (pair, position) stream, no window) — also
+    # measured SLOWER (12.5 → 14.9 s at sf1): hashing ~266 shingle
+    # strings per pair inside array_intersect plus the per-position
+    # string-membership probes cost more than the row-stream's two
+    # broadcast probes. The relational islands spelling stays.
     a = pairs.join(shp.withColumnRenamed("doc_id", "id_a"), "id_a")
     bset = shp.select(F.col("doc_id").alias("id_b"), "sh").distinct()
     shared = a.join(bset, ["id_b", "sh"]).select("id_a", "id_b", "pos")
