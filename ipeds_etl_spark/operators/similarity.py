@@ -741,18 +741,73 @@ def build_pq_codebooks(
     its PQ code is n_subspaces small ints (4 bytes here). The
     compressed corpus fits in a fraction of the memory/IO, and
     distance evaluation never touches the original vectors — the scan
-    reads the codes column only (column pruning drops the embedding)."""
-    books = []
-    for s in range(n_subspaces):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(vec_col),
-        )
-        books.append(
-            build_ivf_centroids(
-                sub, id_col, vec_col, n_centroids=n_centroids, n_iters=n_iters
+    reads the codes column only (column pruning drops the embedding).
+
+    All subspaces train in ONE pass per step instead of running the
+    seed + Lloyd pipeline per subspace (which scanned the corpus
+    n_subspaces × (1 + n_iters) times): one seed collect slices every
+    subspace from the same first-n_centroids rows, and each Lloyd
+    iteration computes every subspace's assignment argmax in a single
+    projection, explodes (subspace, cid, component) and aggregates the
+    quantized sums map-side into n_subspaces × n_centroids × sub_dim
+    groups. Member sets, exact integer sums, and the final division
+    order are identical per subspace, so the refined codebooks are
+    bit-identical to the per-subspace pipeline's."""
+    seed_rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (r["cid"], list(r["cvec"])[s * sub_dim : (s + 1) * sub_dim])
+            for r in seed_rows
+        ]
+        for s in range(n_subspaces)
+    ]
+    for _ in range(n_iters):
+        entries = []
+        for s, book in enumerate(books):
+            sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+            best = F.array_max(_scored_centroids(sub, book))
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    best["cid"].alias("centroid_id"),
+                    sub.alias("v"),
+                )
             )
+        exploded = (
+            corpus.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.s", "e.centroid_id", F.posexplode("e.v"))
         )
+        sums = exploded.groupBy("s", "centroid_id", "pos").agg(
+            F.sum(
+                F.floor(F.col("col").cast("double") * KMEANS_SCALE + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("sm"),
+            F.count("*").alias("n"),
+        )
+        by_sub: list[dict[int, dict[int, tuple[int, int]]]] = [
+            {} for _ in range(n_subspaces)
+        ]
+        for r in sums.collect():  # ≤ n_subspaces × n_centroids × sub_dim rows
+            by_sub[r["s"]].setdefault(r["centroid_id"], {})[r["pos"]] = (
+                r["sm"],
+                r["n"],
+            )
+        books = [
+            [
+                (
+                    cid,
+                    [float(sm) / n / KMEANS_SCALE for _, (sm, n) in sorted(d.items())],
+                )
+                for cid, d in sorted(by_cid.items())
+            ]
+            for by_cid in by_sub
+        ]
     return books
 
 
