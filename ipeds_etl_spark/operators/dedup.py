@@ -585,7 +585,8 @@ def ngram_jaccard_pairs(
             )
         )
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size(F.col("l.sh")) + F.size(F.col("r.sh")) - inter
     return (
         paired.select(
             F.col(f"l.{id_col}").alias("id_a"),
@@ -789,7 +790,8 @@ def jaccard_prefix_pairs(
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     paired = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
         paired.select(
             "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")

@@ -3739,7 +3739,8 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     L, R = sets.alias("l"), sets.alias("r")
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size(F.col("l.sh")) + F.size(F.col("r.sh")) - inter
     gold = (
         L.join(R, F.col("l.doc_id") < F.col("r.doc_id"))
         .filter(10 * inter >= 7 * union)
@@ -3941,9 +3942,11 @@ def q_dedup_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
         .select(
+            # 2·I ≥ |A∪B| = |A|+|B|−I  ⟺  3·I ≥ |A|+|B| on distinct
+            # arrays — same exact integers, no union array (opt r13)
             (
-                2 * F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-                >= F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+                3 * F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+                >= F.size(F.col("sh_a")) + F.size(F.col("sh_b"))
             ).alias("is_true")
         )
     )

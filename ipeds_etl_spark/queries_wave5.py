@@ -357,7 +357,8 @@ def q_docs_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rn_left", F.col("rn") - F.col("d"))
     a, b = ranked.alias("a"), right.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
     return (
         a.join(b, F.col("a.rn") == F.col("b.rn_left"))
         .select(
@@ -537,9 +538,14 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est_j = n_match.cast("double") / F.lit(DD.N_PERMS)
-    exact_j = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # |A∪B| = |A| + |B| − |A∩B| (both sides are array_distinct'd), so
+    # the per-pair array_union — which materialized and re-deduped a
+    # ~600-string array per candidate — is pure overhead: the division
+    # operands are the same exact integers either way (opt r13).
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    exact_j = inter.cast("double") / (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    )
     return (
         pairs.join(
             feats.select(
@@ -906,7 +912,8 @@ def q_dedup_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     L, R = sets.alias("l"), sets.alias("r")
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size(F.col("l.sh")) + F.size(F.col("r.sh")) - inter
     gold = (
         L.join(R, F.col("l.doc_id") < F.col("r.doc_id"))
         .filter(2 * inter >= union)

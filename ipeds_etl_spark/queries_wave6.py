@@ -2080,7 +2080,8 @@ def q_docs_find_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("qset")
     )
     inter = F.size(F.array_intersect(F.col("s"), F.col("qset")))
-    union = F.size(F.array_union(F.col("s"), F.col("qset")))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size(F.col("s")) + F.size(F.col("qset")) - inter
     return (
         cand.join(sets, "doc_id")
         .crossJoin(F.broadcast(qset))
@@ -2227,7 +2228,8 @@ def q_docs_near_dup_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     j = pairs.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("s_a", "s_b"))
-    union = F.size(F.array_union("s_a", "s_b"))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size("s_a") + F.size("s_b") - inter
     return j.select(
         "id_a",
         "id_b",
@@ -2405,7 +2407,8 @@ def q_suppliers_similar_by_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sets.select(F.col("l_suppkey").alias("supp_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("l_suppkey").alias("supp_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
-    union = F.size(F.array_union("s_a", "s_b"))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays (opt r13)
+    union = F.size("s_a") + F.size("s_b") - inter
     return (
         pairs.join(sa, "supp_a")
         .join(sb, "supp_b")

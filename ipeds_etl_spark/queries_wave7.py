@@ -301,7 +301,9 @@ def q_dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     L, R = sets.alias("l"), sets.alias("r")
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    # |A∪B| = |A|+|B|−|A∩B| on distinct arrays — same exact integers,
+    # no per-pair union array materialized (opt r13)
+    union = F.size(F.col("l.sh")) + F.size(F.col("r.sh")) - inter
     gold = (
         L.join(R, F.col("l.doc_id") < F.col("r.doc_id"))
         .filter(10 * inter >= 7 * union)
