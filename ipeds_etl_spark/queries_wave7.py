@@ -1110,7 +1110,12 @@ def q_docs_curation_funnel(
     s1 = mark(
         dstat.filter(
             (F.col("ntok") >= 10) & (5 * F.col("maxtok") < F.col("ntok"))
-        ).select("doc_id"),
+        )
+        .select("doc_id")
+        # two consumers (the s2 join and the c1 count) each re-ran the
+        # token explode + double agg; the frame is ids-only, so the
+        # barrier is cheap where the recompute is not (opt r13)
+        .localCheckpoint(eager=False),
         "1_token_quality",
     )
     s2 = mark(
