@@ -162,12 +162,24 @@ def eval_max_cosine(vec: Column, eval_vecs: list[list[float]]) -> Column:
     thousands of vectors), so it constant-folds into the plan and the
     per-row max is a MAP-SIDE fold — a 100 TB corpus (or an unbounded
     incoming stream) is scanned once with no join and no shuffle. The
-    naive corpus × eval join would materialize |corpus| × |eval| rows."""
+    naive corpus × eval join would materialize |corpus| × |eval| rows.
+
+    Same norm hoist as ``_scored_centroids`` (opt r13): eval-row norms
+    precomputed driver-side, ``norm(vec)`` bound once per row — the
+    per-eval-row body is one dot fold; values bit-identical."""
     m = _matrix_lit([[float(v) for v in row] for row in eval_vecs])
+    nrs = F.lit([_pynorm([float(v) for v in row]) for row in eval_vecs])
     return F.array_max(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(len(eval_vecs))),
-            lambda i: cosine(vec, F.element_at(m, i.cast("int"))),
+        F.element_at(
+            F.transform(
+                F.array(norm(vec)),
+                lambda nv: F.transform(
+                    F.sequence(F.lit(1), F.lit(len(eval_vecs))),
+                    lambda i: dot(vec, F.element_at(m, i.cast("int")))
+                    / (nv * F.element_at(nrs, i.cast("int"))),
+                ),
+            ),
+            1,
         )
     )
 
@@ -184,6 +196,17 @@ def _collect_centroids(
     ]
 
 
+def _pynorm(vec_: list[float]) -> float:
+    """Driver-side replica of ``norm`` with the same IEEE op order
+    (left-fold sum of x·x in double, then one correctly-rounded sqrt)
+    — bit-identical to evaluating ``norm`` on the same literal."""
+    acc = 0.0
+    for x in vec_:
+        fx = float(x)
+        acc = acc + fx * fx
+    return math.sqrt(acc)
+
+
 def _scored_centroids(
     vec: Column, cent_rows: list[tuple[int, list[float]]]
 ) -> Column:
@@ -194,16 +217,34 @@ def _scored_centroids(
     the values and IEEE op order are identical, but Catalyst analyzes
     ~2 nodes instead of ~500, which measurably cuts per-query driver
     time for every assignment/probe expression (this projection is
-    built 3× per IVF query: two Lloyd refinements + final)."""
+    built 3× per IVF query: two Lloyd refinements + final).
+
+    The two norms in ``cosine`` are hoisted out of the per-centroid
+    loop (opt r13): centroid norms are precomputed driver-side into a
+    literal (``_pynorm`` replicates the fold order, so the doubles are
+    bit-identical), and ``norm(vec)`` is bound ONCE per row via a
+    1-element transform so the per-centroid body is a single dot fold
+    instead of three. The score stays ``dot / (nv * ncw)`` — the same
+    operands and op order as ``cosine``."""
     cids = F.lit([int(cid) for cid, _ in cent_rows])
     cvecs = _matrix_lit([[float(v) for v in vec_] for _, vec_ in cent_rows])
+    ncws = F.lit([_pynorm(vec_) for _, vec_ in cent_rows])
     idx = F.sequence(F.lit(1), F.lit(len(cent_rows)))
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            cosine(vec, F.element_at(cvecs, i.cast("int"))).alias("sim"),
-            F.element_at(cids, i.cast("int")).cast("int").alias("cid"),
+    return F.element_at(
+        F.transform(
+            F.array(norm(vec)),
+            lambda nv: F.transform(
+                idx,
+                lambda i: F.struct(
+                    (
+                        dot(vec, F.element_at(cvecs, i.cast("int")))
+                        / (nv * F.element_at(ncws, i.cast("int")))
+                    ).alias("sim"),
+                    F.element_at(cids, i.cast("int")).cast("int").alias("cid"),
+                ),
+            ),
         ),
+        1,
     )
 
 
