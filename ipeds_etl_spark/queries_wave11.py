@@ -208,11 +208,28 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min_by`` is deterministic here because ``source`` is
     functionally dependent on ``doc_id``."""
     d = _docs(spark, sf_dir)
+    # The (doc_id, source, h) distinct only ever dedupes WITHIN a doc
+    # (doc_id is in the key), so it is computed map-side as an
+    # array_distinct over the per-doc hashed-shingle array — the global
+    # distinct's reduce-side dedup aggregate (which ran once per
+    # consumer branch) disappears. The one remaining full exchange is
+    # an explicit hash repartition on h: the n_novel agg consumes it
+    # in place and the n_shingles agg shares the scan through
+    # ReusedExchange (opt r13).
     g = (
         d.select("doc_id", "source", TX.shingles_of(TX.tokens(F.col("text")), 3).alias("gs"))
-        .select("doc_id", "source", F.explode("gs").alias("x"))
-        .select("doc_id", "source", parity_hash(F.col("x")).alias("h"))
-        .distinct()
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(F.transform(F.col("gs"), lambda x: parity_hash(x)))
+            ).alias("h"),
+        )
+        .repartition("h")
+        # narrow (long, string, long) rows; the barrier guarantees the
+        # scan + sha256 pass runs once for both aggs (measured ABAB:
+        # the two branches did NOT share the repartition exchange)
+        .localCheckpoint(eager=False)
     )
     n_sh = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
     n_nv = (
