@@ -2889,11 +2889,22 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", TX.tokens(F.col("text")).alias("w")
     )
+    # per-doc map-side dedup (array_distinct over the hashed shingle
+    # array): tr's (doc_id, h) distinct only ever deduped within a doc,
+    # so its global dedup exchange disappears; ev's cross-doc distinct
+    # over the (tiny) eval slice stays (opt r13)
     sh = d.select(
-        "doc_id", F.explode(TX.shingles_of(F.col("w"), 3)).alias("g")
-    ).select("doc_id", parity_hash(F.col("g")).alias("h"))
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    TX.shingles_of(F.col("w"), 3), lambda g: parity_hash(g)
+                )
+            )
+        ).alias("h"),
+    )
     ev = sh.filter(F.col("doc_id") < 20).select("h").distinct()
-    tr = sh.filter(F.col("doc_id") >= 20).select("doc_id", "h").distinct()
+    tr = sh.filter(F.col("doc_id") >= 20).select("doc_id", "h")
     hit_frac = F.count(F.col("ev_h")).cast("double") / F.count(F.lit(1))
     return (
         tr.join(F.broadcast(ev.select(F.col("h").alias("ev_h"))),

@@ -1144,11 +1144,18 @@ def q_docs_curation_funnel(
         .localCheckpoint(eager=False),
         "3_components",
     )
-    sh = (
-        d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
-        .select("doc_id", F.explode(TX.shingles_of(F.col("w"), 3)).alias("g"))
-        .select("doc_id", parity_hash(F.col("g")).alias("h"))
-        .distinct()
+    # the (doc_id, h) distinct only dedupes within a document, so it is
+    # an array_distinct over the per-doc hashed-shingle array — no
+    # global dedup exchange (the docs_ngram_novelty rewrite, opt r13)
+    sh = d.select("doc_id", TX.tokens(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    TX.shingles_of(F.col("w"), 3), lambda g: parity_hash(g)
+                )
+            )
+        ).alias("h"),
     )
     ev = sh.filter(F.col("doc_id") < 20).select(F.col("h").alias("ev_h")).distinct()
     ov = (
