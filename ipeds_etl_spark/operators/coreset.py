@@ -56,6 +56,35 @@ def _dist_sq(vec_col, center_literal):
     return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def _min_dist_sq(vec_col, centers_vecs: list[list[int]]):
+    """Min squared euclidean distance from an array<long> column to a
+    center MATRIX embedded as one constant-folded literal — each
+    per-center fold is exactly ``_dist_sq``'s (BIGINT, exact), and
+    ``array_min`` over exact integers equals the sequential ``least``
+    chain, so the running-min value is bit-identical to the
+    round-by-round update (opt r13)."""
+    import json
+
+    m = F.from_json(
+        F.lit(json.dumps([[int(v) for v in c] for c in centers_vecs])),
+        "array<array<bigint>>",
+    )
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(centers_vecs))),
+            lambda i: F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.element_at(m, i.cast("int")),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+
+
 def kcenter_greedy(
     df: DataFrame,
     vec_col: str = "qvec",
@@ -86,16 +115,22 @@ def kcenter_greedy(
         return []
     seed = seed_rows[0]
     centers = [(0, int(seed["id"]), 0)]
-    cur = pts.withColumn("mind", _dist_sq(F.col("v"), list(seed["v"])))
+    cvecs = [[int(v) for v in seed["v"]]]
 
     for rnd in range(1, k):
-        cur = cur.localCheckpoint()
         # argmax(mind), tie -> min id; carry the vector in the struct so
         # ONE aggregation yields both the winner and its coordinates
         # (struct max orders field-by-field; v never decides because
-        # (mind, -id) is already unique).
-        picked = cur.agg(
-            F.max(F.struct(F.col("mind"), (-F.col("id")).alias("negid"), F.col("v")))
+        # (mind, -id) is already unique). The running min-distance is
+        # re-derived each round from the once-checkpointed point set
+        # via one matrix-literal loop (`_min_dist_sq`) instead of a
+        # per-round localCheckpoint of the wide (id, v, mind) frame:
+        # materializing ~|pts|·dim longs every round cost more than
+        # re-folding r tiny distance loops map-side (opt r13; exact
+        # integer distances, so the trajectory is bit-identical).
+        mind = _min_dist_sq(F.col("v"), cvecs)
+        picked = pts.agg(
+            F.max(F.struct(mind.alias("mind"), (-F.col("id")).alias("negid"), F.col("v")))
             .alias("p")
         ).collect()[0]["p"]
         pid, pdist, pvec = int(-picked["negid"]), int(picked["mind"]), list(picked["v"])
@@ -105,9 +140,7 @@ def kcenter_greedy(
             # of re-picking covered points
             break
         centers.append((rnd, pid, pdist))
-        cur = cur.withColumn(
-            "mind", F.least(F.col("mind"), _dist_sq(F.col("v"), pvec))
-        )
+        cvecs.append([int(v) for v in pvec])
     return centers
 
 
