@@ -394,15 +394,32 @@ def q_emb_sq8_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_sq8_term_sql``), integer sums thereafter."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("label", F.col("embedding").alias("v"))
-    stats = v.agg(
-        *[
-            c
-            for i in range(_SQ_DIM)
-            for c in (
-                F.min(F.col("v")[i].cast("double")).alias(f"mn{i}"),
-                F.max(F.col("v")[i].cast("double")).alias(f"mx{i}"),
-            )
-        ]
+    # dim stats via posexplode + a 64-group agg instead of 128
+    # per-index min/max aggregates over getItem extractions — the
+    # wide-agg form measured ~2.7 s vs ~0.4 s at sf0.1 (opt r13); the
+    # 64 rows pivot back into the same one-row broadcast frame, and
+    # min/max are pure selections so the values are identical
+    stat64 = (
+        v.select(F.posexplode("v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("col").cast("double")).alias("mn"),
+            F.max(F.col("col").cast("double")).alias("mx"),
+        )
+    )
+    stats = (
+        stat64.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s"))
+        .select(
+            *[
+                c
+                for i in range(_SQ_DIM)
+                for c in (
+                    F.col("s")[i]["mn"].alias(f"mn{i}"),
+                    F.col("s")[i]["mx"].alias(f"mx{i}"),
+                )
+            ]
+        )
     )
     terms = " + ".join(_sq8_term_sql(i, elem="v[{idx0}]") for i in range(_SQ_DIM))
     pv = v.crossJoin(F.broadcast(stats)).select(
