@@ -41,6 +41,7 @@ within the same pass, because the fold compares the ACCUMULATOR TAIL
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -95,17 +96,29 @@ def bpe_word_segmentation(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").alias("cnt"))
         )
-        top = (
-            pairs.orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .select(F.col("l").alias("ml"), F.col("r").alias("mr"))
-            .localCheckpoint()
+        # ONE job per round (opt r13): the deterministic top-1 pair is
+        # a 1-row collect (was: an eager checkpoint of the 1-row frame
+        # PLUS an eager checkpoint of the rewritten vocabulary — two
+        # jobs per round on a vocabulary-sized table where per-job
+        # overhead dominates). The collected (ml, mr) embeds as string
+        # literals — symbols are [a-z]+ by word_frequencies' filter —
+        # and the rewrite becomes a pure projection, lazily
+        # checkpointed so the next round's aggregate materializes it
+        # in the same job. Same merges, same segmentations.
+        top_rows = (
+            pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
         )
-        syms = (
-            syms.crossJoin(F.broadcast(top))
-            .select("w", "n", F.expr(_REWRITE).alias("s"))
-            .localCheckpoint()
-        )
+        if not top_rows:
+            # mirror the previous crossJoin-with-empty-top semantics:
+            # no mergeable pair leaves an empty vocabulary
+            syms = syms.filter(F.lit(False))
+            break
+        ml, mr = top_rows[0]["l"], top_rows[0]["r"]
+        rewrite = re.sub(r"\bml\b", f"'{ml}'", _REWRITE)
+        rewrite = re.sub(r"\bmr\b", f"'{mr}'", rewrite)
+        syms = syms.select(
+            "w", "n", F.expr(rewrite).alias("s")
+        ).localCheckpoint(eager=False)
     return syms
 
 
@@ -262,7 +275,12 @@ def learn_bpe_merges(
     syms = words.select(
         "n", F.expr("regexp_extract_all(w, '.', 0)").alias("s")
     ).localCheckpoint()
-    tops = []
+    # one job per round (the same collect-the-1-row-top restructuring
+    # as ``bpe_word_segmentation``, opt r13): the deterministic top
+    # pair is collected, the rewrite runs with literal (ml, mr), and
+    # the learned rules assemble driver-side — no per-round broadcast
+    # or 1-row checkpoint jobs. Merges and counts are unchanged.
+    rows: list[tuple] = []
     for r in range(n_merges):
         pairs = (
             syms.filter(F.size("s") > 1)
@@ -270,32 +288,21 @@ def learn_bpe_merges(
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").alias("cnt"))
         )
-        top = (
-            pairs.orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .select(
-                F.col("l").alias("ml"),
-                F.col("r").alias("mr"),
-                F.col("cnt").alias("mc"),
-            )
-            .localCheckpoint()  # 1 row; truncates the round's lineage
+        top_rows = (
+            pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
         )
-        tops.append(
-            top.select(
-                F.lit(r + 1).alias("merge_rank"),
-                F.col("ml").alias("left_sym"),
-                F.col("mr").alias("right_sym"),
-                F.concat("ml", "mr").alias("merged"),
-                F.col("mc").alias("pair_count"),
-            )
-        )
+        if not top_rows:
+            break  # no mergeable pair: later rounds are empty too
+        ml, mr, mc = top_rows[0]["l"], top_rows[0]["r"], top_rows[0]["cnt"]
+        rows.append((r + 1, ml, mr, ml + mr, int(mc)))
         if r < n_merges - 1:
-            syms = (
-                syms.crossJoin(F.broadcast(top))
-                .select("n", F.expr(_REWRITE).alias("s"))
-                .localCheckpoint()
-            )
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionByName(t)
-    return out.orderBy("merge_rank")
+            rewrite = re.sub(r"\bml\b", f"'{ml}'", _REWRITE)
+            rewrite = re.sub(r"\bmr\b", f"'{mr}'", rewrite)
+            syms = syms.select(
+                "n", F.expr(rewrite).alias("s")
+            ).localCheckpoint(eager=False)
+    return corpus.sparkSession.createDataFrame(
+        rows,
+        "merge_rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT",
+    ).orderBy("merge_rank")
