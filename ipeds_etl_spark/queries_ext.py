@@ -869,14 +869,13 @@ def q_orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = orders.filter(
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 250000)
     ).select("o_orderkey")
-    # parallelism floor: per-row sha256 probing dwarfs the scan, same
-    # rationale as _docs (a 3-row-group local file would serialize it)
-    li = load_table(
-        spark,
-        sf_dir,
-        "lineitem",
-        min_partitions=spark.sparkContext.defaultParallelism,
-    ).select("l_orderkey", "l_returnflag", "l_extendedprice")
+    # no parallelism floor (opt r13): the floor dated from the sha256
+    # probe family; the default probe is two-seed xxhash64, within
+    # noise of the scan itself, so the round-robin exchange of the
+    # fact table was pure overhead (ABAB at sf0.1: 2.7 -> 2.3 s)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
     pruned = bloom_semi_join(li, "l_orderkey", qualifying, "o_orderkey")
     return pruned.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
