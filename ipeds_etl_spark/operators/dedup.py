@@ -167,6 +167,17 @@ def capped_bucket_arrays(
             F.array_sort(F.collect_set(payload)).alias("xs"),
             F.lit(0).cast("long").alias("__overflow"),
         )
+    elif cap_mode == "drop":
+        # stop-key semantics (winnowing MAX_DF, HAVING count <= cap):
+        # a bucket over the cap is dropped WHOLE — boilerplate keys
+        # yield no pairs at all — instead of sliced to its smallest
+        # members. Buffer grows with the actual bucket like "agg";
+        # use only where a separate DF filter would otherwise re-scan
+        # the bucket input (opt r13).
+        grouped = bucketed.groupBy(*grouped_keys).agg(
+            F.array_sort(F.collect_set(payload)).alias("xs"),
+            F.lit(0).cast("long").alias("__overflow"),
+        ).filter(F.size("xs") <= max_bucket_size)
     elif cap_mode == "agg":
         grouped = bucketed.groupBy(*grouped_keys).agg(
             F.array_sort(F.collect_set(payload)).alias("__all")
@@ -318,6 +329,10 @@ def pairs_within_buckets(
       sf0.1). Requires bucket rows distinct per payload (duplicates
       would perturb the overflow count vs the window form; pair output
       is identical either way for distinct inputs).
+    * ``"drop"`` — buckets over the cap are dropped WHOLE (the
+      stop-key / HAVING count <= cap convention: boilerplate keys
+      contribute no pairs), never sliced. ``__overflow`` is always 0
+      for surviving buckets.
 
     ``expand_slices`` (optimization round r13): when the bucket COUNT
     is small (centroid-bucketed similarity: n_centroids buckets), the

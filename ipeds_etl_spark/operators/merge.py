@@ -62,9 +62,16 @@ def _dedup_source(source: DataFrame, pk: Sequence[str]) -> DataFrame:
 
 def upsert_on_pk(target: DataFrame, source: DataFrame, pk: Sequence[str]) -> DataFrame:
     """Full-row upsert: source rows win on PK conflict; target rows
-    without a conflicting source row survive unchanged."""
+    without a conflicting source row survive unchanged.
+
+    The anti-probe is the RAW source's pk projection, not the deduped
+    frame's: an anti join ignores probe-side duplicates and the dedup
+    agg preserves the pk set exactly, so probing raw keys kicks out
+    the same target rows — without a second copy of the groupBy
+    subtree in the plan (Catalyst does not share it; opt r13 guide
+    §2.4: 6 → 4 exchanges, one fewer source scan)."""
     src = _dedup_source(source.select(*target.columns), pk)
-    kept = target.join(src.select(*pk), list(pk), "left_anti")
+    kept = target.join(source.select(*pk), list(pk), "left_anti")
     return src.unionByName(kept)
 
 
@@ -81,7 +88,12 @@ def upsert_on_hash(
     t = target.alias("t")
     s = src.alias("s")
     cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in pk]
-    # source rows that are genuinely new or changed
+    # source rows that are genuinely new or changed. Materialized once
+    # (lazy): the frame feeds BOTH the output union and the kept-rows
+    # anti-probe, and Catalyst does not share the dedup-agg + anti-join
+    # subtree between consumers — unmaterialized, the whole change
+    # detection ran twice (opt r13, guide §2.4/§5: 10 → ~6 exchanges,
+    # source scanned twice not four times).
     changed_or_new = (
         s.join(
             t.select(*pk, hash_col),
@@ -89,7 +101,7 @@ def upsert_on_hash(
             + [F.col(f"s.{hash_col}").eqNullSafe(F.col(f"t.{hash_col}"))],
             how="left_anti",
         )
-    )
+    ).localCheckpoint(eager=False)
     kept = t.join(changed_or_new.select(*pk), on=list(pk), how="left_anti")
     return changed_or_new.unionByName(kept.select(*changed_or_new.columns))
 

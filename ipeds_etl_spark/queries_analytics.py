@@ -753,7 +753,14 @@ def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_df = items.agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
-    supp = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    # supp feeds BOTH direction joins (sa, sb) and Catalyst does not
+    # share the agg subtree — materialize the part-sized frame once
+    # (opt r13, guide §2.4: one fewer items pass + exchange)
+    supp = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("s"))
+        .localCheckpoint(eager=False)
+    )
     pairs = (
         DD.pairs_within_buckets(
             items, ["l_orderkey"], F.struct(F.col("l_partkey").alias("id")),

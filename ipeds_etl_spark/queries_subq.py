@@ -123,13 +123,24 @@ def q_supplier_late_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness = shipped >80 days after the order
     date, the only date pair this schema carries): for each late
     (order, supplier) pair keep it only if the order involved ANOTHER
-    supplier (EXISTS → left-semi with the non-equi ``<>`` correlation)
-    and NO other supplier was late on it (NOT EXISTS → left-anti on
-    the same compound key). The semi/anti probes join on l_orderkey —
-    equi keys, so both are plain shuffled-hash/broadcast joins with
-    the ``<>`` as a residual condition, never a cartesian. ``late`` is
-    computed once and reused for both the candidate list and the anti
-    side; top-20 is TakeOrderedAndProject."""
+    supplier and NO other supplier was late on it.
+
+    Both correlated subqueries fold into per-ORDER aggregates instead
+    of semi/anti joins over the pair stream (opt r13, guide §2.3/2.4 —
+    the join spelling re-ran the late join+distinct subtree on the
+    anti-probe side and shuffled the full lineitem pair stream for the
+    semi probe; 18 exchanges / 10 joins / 12 scans in the plan):
+
+    * NOT EXISTS (another LATE supplier) ⇔ the order's distinct late-
+      supplier count is 1 — a count on the late table, keeping the one
+      supplier via ``min`` (with exactly one distinct value, min IS it).
+    * EXISTS (another supplier, late or not) ⇔ min/max of the order's
+      lineitem suppliers differ from the late supplier — min/max are
+      map-combinable, so the lineitem exchange carries one row per
+      order instead of every pair, and no second scan of ``late``.
+
+    Both aggregates key on l_orderkey, so the candidate join reuses
+    their partitioning; top-20 is TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -140,23 +151,25 @@ def q_supplier_late_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    # semi/anti probes ignore duplicates — no distinct needed on the
-    # probe side, which drops one full lineitem shuffle
-    pairs = li.select("l_orderkey", "l_suppkey")
-    other = pairs.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__nl"),
+            F.min("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("__nl") == 1)
+        .select("l_orderkey", "l_suppkey")
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("__mn"), F.max("l_suppkey").alias("__mx")
     )
-    cand = late.join(
-        other,
-        (late.l_orderkey == other.ok) & (late.l_suppkey != other.sk),
-        "left_semi",
-    ).join(
-        other_late,
-        (late.l_orderkey == other_late.ok) & (late.l_suppkey != other_late.sk),
-        "left_anti",
+    cand = (
+        solo.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("__mn") != F.col("l_suppkey"))
+            | (F.col("__mx") != F.col("l_suppkey"))
+        )
+        .select("l_orderkey", "l_suppkey")
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

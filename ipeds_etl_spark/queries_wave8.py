@@ -435,31 +435,31 @@ def q_docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("key").over(wmin).alias("mk"),
         F.count(F.lit(1)).over(wcnt).alias("ng"),
     )
-    # materialize the fingerprint table once: the DF-cap filter and
-    # both pair-join sides consume it — without this the gram explode
-    # and min-select window re-run per consumer (3 extra corpus scans)
-    fps = (
-        sel.filter(F.col("pos") <= F.col("ng") - _WIN_W)
-        .select("doc_id", F.expr(f"mk div {_WIN_POS_SCALE}").alias("fp"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    # Pair generation is one in-bucket expansion keyed on the
+    # fingerprint (opt r13, guide §2.4): the old rare-filter agg +
+    # fx ⋈ fx self-join re-ran the rare agg and broadcast probe on
+    # BOTH join sides (14 exchanges / 6 joins), and needed fps
+    # checkpointed for its three consumers. collect_set dedupes
+    # (doc_id, fp) inside the bucket agg (the separate distinct
+    # exchange disappears), the MAX_DF stop-fingerprint rule is
+    # cap_mode="drop" (HAVING count <= cap — bucket dropped whole,
+    # exactly the rare filter), and the a<b pair stream comes out of
+    # the sorted-array expansion with no join at all.
+    from ipeds_etl_spark.operators.dedup import pairs_within_buckets
+
+    fps = sel.filter(F.col("pos") <= F.col("ng") - _WIN_W).select(
+        "doc_id", F.expr(f"mk div {_WIN_POS_SCALE}").alias("fp")
     )
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _WIN_MAX_DF)
-        .select("fp")
+    pairs = pairs_within_buckets(
+        fps,
+        ["fp"],
+        F.struct(F.col("doc_id").alias("id")),
+        max_bucket_size=_WIN_MAX_DF,
+        cap_mode="drop",
     )
-    fx = fps.join(rare, "fp")
-    a, b = fx.alias("a"), fx.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        pairs.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)

@@ -337,6 +337,36 @@ def test_pairs_cap_modes_agree_and_agg_mode_caps(spark):
             assert len(ar) == 3 * 3
 
 
+def test_pairs_cap_mode_drop_drops_whole_buckets(spark):
+    """drop-mode = HAVING count(*) <= cap: a bucket over the cap
+    yields NO pairs (stop-fingerprint semantics), never a sliced
+    subset; buckets at/under the cap expand in full, duplicates
+    dedupe inside the agg."""
+    from ipeds_etl_spark.operators.dedup import pairs_within_buckets
+
+    rows = (
+        [(0, i) for i in range(6)]          # over cap=5 → dropped whole
+        + [(1, i) for i in (7, 8, 9)]       # under cap → all 3 pairs
+        + [(1, 7)]                          # duplicate payload deduped
+        + [(2, 42)]                         # singleton → no pairs
+    )
+    df = spark.createDataFrame(rows, "bucket int, id int")
+    pay = F.struct(F.col("id"))
+    got = {
+        (r["a"]["id"], r["b"]["id"])
+        for r in pairs_within_buckets(
+            df, ["bucket"], pay, max_bucket_size=5, cap_mode="drop"
+        ).collect()
+    }
+    assert got == {(7, 8), (7, 9), (8, 9)}
+    # at the boundary (bucket size == cap) nothing is dropped
+    full = pairs_within_buckets(
+        df.filter("bucket = 0").filter("id < 5"), ["bucket"], pay,
+        max_bucket_size=5, cap_mode="drop",
+    )
+    assert full.count() == 10
+
+
 def test_basket_rules_ratios_consistent(spark):
     from ipeds_etl_spark.queries_analytics import q_orders_basket_rules
 

@@ -62,12 +62,14 @@ def test_q17_threshold_matches_manual_join(spark):
 
 
 def test_q21_semi_anti_plan_and_exclusivity(spark):
-    """EXISTS plans as left-semi, NOT EXISTS as left-anti, no
-    cartesian; and every counted supplier was genuinely the ONLY late
-    supplier on each counted order (re-derived via groupBy)."""
+    """The correlated EXISTS/NOT EXISTS fold into per-order aggregates
+    (opt r13) — no semi/anti join over the pair stream survives in the
+    plan, and never a cartesian; and every counted supplier was
+    genuinely the ONLY late supplier on each counted order (re-derived
+    independently via countDistinct)."""
     df = q_supplier_late_only_orders(spark, SF)
     plan = _plan(df)
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "Cartesian" not in plan
     # re-derive: per order, suppliers and late-suppliers; candidates =
     # late suppliers of multi-supplier orders where n_late == 1
