@@ -171,13 +171,32 @@ def capped_bucket_arrays(
         # stop-key semantics (winnowing MAX_DF, HAVING count <= cap):
         # a bucket over the cap is dropped WHOLE — boilerplate keys
         # yield no pairs at all — instead of sliced to its smallest
-        # members. Buffer grows with the actual bucket like "agg";
-        # use only where a separate DF filter would otherwise re-scan
-        # the bucket input (opt r13).
-        grouped = bucketed.groupBy(*grouped_keys).agg(
-            F.array_sort(F.collect_set(payload)).alias("xs"),
-            F.lit(0).cast("long").alias("__overflow"),
-        ).filter(F.size("xs") <= max_bucket_size)
+        # members. The agg buffer is still BOUNDED at the cap: a
+        # dense_rank window (same bucket-key exchange as the groupBy)
+        # caps what collect_set keeps, and max(dense_rank) IS the
+        # bucket's distinct-payload count, so the drop filter needs no
+        # unbounded array. Without the rank cap a boilerplate bucket
+        # (10⁴+ members at 10×) collected its whole membership just to
+        # be thrown away — a skewed straggler task measured at sf1
+        # (opt r13).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*bucket_cols).orderBy(payload)
+        ranked = bucketed.withColumn("__dr", F.dense_rank().over(w))
+        grouped = (
+            ranked.groupBy(*grouped_keys)
+            .agg(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col("__dr") <= max_bucket_size, payload)
+                    )
+                ).alias("xs"),
+                F.lit(0).cast("long").alias("__overflow"),
+                F.max("__dr").alias("__mx"),
+            )
+            .filter(F.col("__mx") <= max_bucket_size)
+            .drop("__mx")
+        )
     elif cap_mode == "agg":
         grouped = bucketed.groupBy(*grouped_keys).agg(
             F.array_sort(F.collect_set(payload)).alias("__all")
