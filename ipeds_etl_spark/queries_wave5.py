@@ -1454,14 +1454,22 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
-    m = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
-        F.count(F.lit(1)).alias("n")
+    # The O(types²) transition matrix is consumed by every iteration
+    # AND by deg — unmaterialized, the events window+agg subtree re-ran
+    # once per power iteration (8 events scans in the plan; opt r13,
+    # guide §2.4/§5). Same for the distinct-type frame, which seeds p0
+    # and carries the k count (F.count over it skips NULLs exactly like
+    # the old countDistinct and the oracle's count(DISTINCT)).
+    m = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     deg = m.groupBy("prev_type").agg(F.sum("n").alias("d"))
-    nt = e.agg(F.countDistinct("event_type").alias("k"))
+    types = e.select("event_type").distinct().localCheckpoint(eager=False)
+    nt = types.agg(F.count("event_type").alias("k"))
     p = (
-        e.select("event_type")
-        .distinct()
+        types
         .crossJoin(F.broadcast(nt))
         .select("event_type", F.expr(f"CAST({_MK_SCALE} div k AS BIGINT)").alias("pi"))
     )

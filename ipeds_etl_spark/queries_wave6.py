@@ -1357,12 +1357,17 @@ def q_emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe through n ≈ 10⁵ vectors per this geometry; beyond that,
     promote cn to DECIMAL(38,0) (the oracle's HUGEINT already is).
 
-    Scale: the corpus is touched ONCE — the (i,j) cross-moment agg
-    rides a single vec_id-keyed self-join whose fan-out is the fixed
-    64×64 dim grid, partial-aggregated map-side (this outer-product
-    partial agg IS distributed PCA's canonical shape). Everything
-    after is O(dims²) = 4096 rows, localCheckpointed between rounds
-    like every iterative operator here."""
+    Scale: the (i,j) cross-moment agg rides a single vec_id-keyed
+    self-join whose fan-out is the fixed 64×64 dim grid, partial-
+    aggregated map-side (a per-row map-side outer-product fold was
+    measured 2× SLOWER at sf0.1 — the 4096-struct array allocation per
+    row costs more than the join machinery — and reverted, opt r13).
+    The dim-marginal frame (64 rows) and each iteration's w (64 rows)
+    are lazily checkpointed (opt r13, guide §2.4/§5): w feeds both the
+    renorm max and the next v, and v0 fed every iteration's chain —
+    unmaterialized, the corpus-sized marginal agg re-ran 2^ITERS = 8
+    times (measured: 8 embeddings scans in the plan). Everything after
+    the corpus passes is O(dims²) = 4096 rows."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id", F.posexplode("embedding").alias("dim0", "x")
@@ -1371,8 +1376,10 @@ def q_emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("i"),
         F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("qv"),
     )
-    s = q.groupBy("i").agg(
-        F.sum("qv").alias("si"), F.count(F.lit(1)).alias("n")
+    s = (
+        q.groupBy("i")
+        .agg(F.sum("qv").alias("si"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     a, b = q.alias("a"), q.alias("b")
     sij = (
@@ -1398,6 +1405,7 @@ def q_emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.join(v.select(F.col("i").alias("j"), "v"), "j")
             .groupBy("i")
             .agg(F.sum(F.col("cn") * F.col("v")).alias("w"))
+            .localCheckpoint(eager=False)
         )
         m = w.agg(F.max(F.abs("w")).alias("m"))
         v = (
