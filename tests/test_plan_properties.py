@@ -51,10 +51,12 @@ EXPECTATIONS = {
     "orders_profile": (2, 0, 0),          # countDistinct Expand rewrite
     "nation_top2_customers": (1, 1, 0),   # decorrelated to broadcast + window
     "orders_range_join_bucketed": (2, 1, 0),
-    # round-3 additions: id-only pair expansion re-attaches vectors via
-    # joins AQE broadcasts while the corpus fits (2 bcast, never SMJ)
-    "emb_near_dups": (2, 2, 0),
-    "emb_rp_lsh_near_dups": (2, 2, 0),
+    # round-3 additions, re-shaped opt r13 (c3247de): the fused
+    # in-bucket expand+verify computes threshold hits INSIDE the bucket
+    # expansion — both vector re-attach joins (and their broadcasts)
+    # are gone; only the bucket groupBy + pair-dedup exchanges remain
+    "emb_near_dups": (2, 0, 0),
+    "emb_rp_lsh_near_dups": (2, 0, 0),
     "docs_repetition_filters": (1, 0, 0),  # map-only + scan-widening floor
     "docs_decontaminate": (3, 1, 0),       # eval shingle set broadcast
     "docs_token_diversity": (2, 0, 0),
