@@ -641,93 +641,86 @@ def _load_extensions() -> None:
 # local mirror (tools/check_correctness.py) as the last pre-handoff step.
 # ---------------------------------------------------------------------------
 _GATE_PRIORITY: list[str] = [
-    # -- round 13 window. Freeze discipline: lead with everything that
-    # has never had a driver row, then this round's new registrations,
-    # then canaries/veterans. Cumulative driver-green coverage entering
-    # round 13: 265/265 (every query EXCEPT emb_semantic_decontaminate,
-    # which was registered post-gate in r12 — VERDICT r12 What's-wrong 1
-    # — and therefore leads this window for its first driver row). --
+    # -- round 14 window (optimization round 2 of 2). VERDICT r13
+    # "Next round" item 1: every query semantically RESTRUCTURED in
+    # round 13 leads this window so it gets a driver oracle row
+    # (their equivalence so far rests on builder-side sweeps + pytest
+    # alone). Then this round's planned rewrite targets (VERDICT r13
+    # items 3-8), then the r13 mechanical-rewrite sites without rows,
+    # then load-bearing canaries. Reordered at round start only. --
+    # r13 semantic rewrites, never driver-verified (VERDICT item 1):
+    "supplier_late_only_orders",
+    "docs_winnowing_fingerprints",
+    "emb_kmeans_lloyd",
+    "emb_semdedup",
+    "emb_semantic_dedup",
+    "multimodal_audio_fingerprint",
+    "emb_pca_power_iteration",
+    "events_markov_stationary",
+    "orders_basket_rules",
+    "dedup_minhash_estimate",
+    # r14 planned rewrite targets (VERDICT items 3-8: PPJoin filters,
+    # BFS last level, threshold-sweep/edit-verify fusion, PQ codegen,
+    # scaling-gap fix, driver-bound sf0.1 tier):
+    "docs_jaccard_prefix_join",
+    "parts_copurchase_3hop_bfs",
+    "emb_dup_threshold_sweep",
+    "dedup_edit_verify",
+    "emb_pq_codebook_balance",
+    "emb_pq_topk",
+    "emb_pq_rerank_recall",
+    "parts_copurchase_pagerank",
+    "docs_quality_label_propagation",
+    "customer_decile_transition",
+    # r13 mechanical rewrites (union-size arithmetic, norm hoist,
+    # map-side shingle dedup, BPE fold, checkpoint hygiene) without a
+    # post-rewrite driver row:
+    "emb_kcenter_coreset",
+    "docs_ngram_novelty",
+    "docs_curation_funnel",
+    "docs_bpe_merges",
+    "docs_bpe_fertility",
+    "emb_sq8_distortion",
+    "emb_pq_distortion",
+    "orders_bloom_semi_join",
+    "emb_rp_lsh_near_dups",
+    "dedup_ngram_jaccard",
+    "docs_snm_pairs",
+    "docs_find_near_copies",
+    "docs_near_dup_diff",
+    "suppliers_similar_by_parts",
+    "docs_shared_span_profile",
+    "emb_ivfpq_residual_topk",
+    "emb_sq8_topk",
+    "docs_decontaminate",
+    # load-bearing veterans / canaries (VERDICT r5 item 1 policy):
+    "kpi_yearly",
+    "upsert_on_pk",
+    "upsert_on_hash",
+    "dedup_minhash_lsh",
+    "registry_mapper",
+    "lineitem_pricing_summary",
+    "enrich_join",
+    "emb_ivf_topk",
+    "events_sessionize",
+    "emb_near_dups",
+    "docs_hybrid_rrf",
+    "events_hll_sliding",
+    # -- below the 50-slot window: the r13 window occupants rotate out
+    # with driver-green rows recorded in CORRECTNESS_r13.json --
     "emb_semantic_decontaminate",
-    # NEW r13: filtered-ANN selectivity×n_probe sweep (VERDICT r12
-    # item 4), production-scale vocab apply (item 5), incremental
-    # semantic-decontamination twin (item 7).
     "emb_ivfpq_filtered_sweep",
     "docs_vocab8k_apply_fertility",
     "emb_incremental_decontaminate",
-    # -- r12 window veterans (d12-green) --
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
-    "emb_ivfpq_residual_topk",
     "emb_ivfpq_residual_recall",
-    "emb_sq8_topk",
     "emb_sq8_recall",
     "emb_ivfpq_filtered_topk",
     "emb_ivfpq_filtered_recall",
     "docs_vocab_apply_fertility",
     "docs_cdc_dedup_rewrite",
     "events_value_qsketch",
-    # -- r11 window veterans (d11-green; ADVICE r10 envelope fixes) --
-    "events_mann_whitney_u",
-    "events_priority_sample_estimator",
-    "docs_cdc_chunk_dedup",
-    # -- load-bearing veterans (multi-round green; regression canaries
-    # per VERDICT r5 item 1: mapper, merge, KPI, dedup/LSH) --
-    "kpi_yearly",
-    "upsert_on_pk",
-    "dedup_minhash_lsh",
-    "registry_mapper",
-    # -- veteran slots (one per operator family: TPC-H Q1 scan-agg,
-    # broadcast dim chain, decontamination anti-join, IVF ANN,
-    # sessionization) --
-    "lineitem_pricing_summary",
-    "enrich_join",
-    "docs_decontaminate",
-    "emb_ivf_topk",
-    "events_sessionize",
-    # -- family veterans filling the remaining window slots (raw
-    # roundtrip, cleaning, hashing, JSON, merge-on-hash, windows/dims,
-    # filters, text analysis, dedup variants, CDC, ANN, streaming-twin
-    # dedup, sliding HLL, components consumers, retrieval pair) --
-    "json_page_roundtrip",
-    "sentinel_clean",
-    "coalesce_pick",
-    "stable_hash",
-    "json_extract_agg",
-    "upsert_on_hash",
-    "latest_per_key_agg",
-    "dim_lookup_agg",
-    "count_star",
-    "filter_between_topk",
-    "filter_in_agg",
-    "text_token_stats",
-    "text_quality",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "orders_snapshot_diff",
-    "emb_topk_bruteforce",
-    "emb_near_dups",
-    "events_window_dedup",
-    "events_hll_sliding",
-    "docs_hybrid_rrf",
-    "docs_hard_negatives",
-    "docs_ngram_novelty",
-    "docs_stratified_split_exact",
-    "docs_concat_chunk_packing",
-    "emb_kmeans_lloyd",
-    "emb_semdedup",
-    "emb_pq_codebook_balance",
-    # -- r10 lead block, kept in the tail of the window (d10-green;
-    # these fill the remaining slots ahead of rotation) --
-    "docs_bigram_lm_ppl",
-    "emb_dup_threshold_sweep",
-    "events_cuped_adjustment",
-    "dedup_ngram_jaccard",
-    "customer_revenue_gini",
-    "docs_jaccard_prefix_join",
-    "parts_copurchase_3hop_bfs",
-    # -- rotated out this round (driver-green rows recorded in
-    # CORRECTNESS_r0{1..10}.json; still in the local mirror). --
 ]
 
 
