@@ -145,7 +145,16 @@ SUITE_CRITERION = (
     "cover the registry; reclaimed wall-time funds the sf1 track where "
     "plan changes actually register; sf1 ranking uses queries_known "
     "(the cumulative last-known sf0.1 medians carried across runs), "
-    "BENCH_ROTATE=1 restores the full sweep"
+    "BENCH_ROTATE=1 restores the full sweep; r14 restores per-query "
+    "round-over-round comparability (VERDICT r13 item 2): the compact "
+    "stdout line carries a bounded prefix of the per-query medians "
+    "(HEADLINE + force-includes first — timed every run, so rounds "
+    "intersect on them; capped at BENCH_LINE_BUDGET chars because an "
+    "unbounded map overflowed the driver's stdout tail in r04), the "
+    "full map is appended per run to BENCH_QUERIES.jsonl, and scaling/"
+    "diagnostic runs at a LOWER $SPARK_GRAFT_CPUS than the recorded "
+    "main run re-time the SAME rotation slice without advancing it "
+    "(BENCH_ROTATE_PIN=<slice> is the explicit override)"
 )
 
 SF1_CRITERION = (
@@ -253,6 +262,74 @@ def _suite_list() -> list[str]:
     return HEADLINE + sorted(
         n for n in registered if n not in HEADLINE and n not in EXCLUDED
     )
+
+
+#: Stdout-line budget. The driver keeps a ~2000-char tail of stdout and
+#: parses the LAST JSON line in it; in round 4 an unbounded per-query
+#: map pushed the line past the tail and the round lost its parsed
+#: record entirely (BENCH_r04.json: parsed null). The per-query map on
+#: the line is therefore a bounded PREFIX (see compact_query_map); the
+#: full map lives in BENCH_SUMMARY.json and BENCH_QUERIES.jsonl.
+BENCH_LINE_BUDGET = 1900
+
+
+def compact_query_map(
+    timings: dict[str, float], priority: list[str], room: int
+) -> dict[str, float]:
+    """Largest prefix of the per-query medians whose JSON encoding fits
+    in ``room`` chars (VERDICT r13 item 2: the compact line must carry
+    per-query numbers again so the driver's PERF can intersect common
+    queries across rounds, without repeating the r04 tail overflow).
+
+    Order: ``priority`` names first (HEADLINE + force-includes — timed
+    EVERY run, so consecutive rounds intersect on them), then remaining
+    queries heaviest-first. Stops at the first entry that does not fit
+    (prefix rule keeps the emitted set deterministic round-over-round).
+    Pure function, unit-pinned."""
+    seen = set()
+    order = [n for n in priority if n in timings and not (n in seen or seen.add(n))]
+    order += sorted(
+        (n for n in timings if n not in seen), key=lambda n: (-timings[n], n)
+    )
+    out: dict[str, float] = {}
+    for n in order:
+        cand = dict(out)
+        cand[n] = timings[n]
+        if len(json.dumps(cand)) > room:
+            break
+        out = cand
+    return out
+
+
+def resolve_rotation(
+    state_path, rotate: int, cpus: int | None, pin: str | None
+) -> tuple[int, bool]:
+    """Which sf0.1 rotation slice this run times, and whether it may
+    ADVANCE the shared rotation state (VERDICT r13 item 2 / What's-wrong
+    3: the r13 low-core scaling run consumed and advanced the rotation,
+    so the 8-core and 32-core runs timed DIFFERENT sf0.1 subsets and the
+    next round's slice pointer moved).
+
+    * ``pin`` (env BENCH_ROTATE_PIN) forces that slice, never advances —
+      the explicit override for diagnostic runs.
+    * A run at FEWER cpus than the recorded state's (the driver's
+      scaling arm re-runs bench.py at a lower $SPARK_GRAFT_CPUS after
+      the main run) re-times the SAME slice the main run just timed and
+      does not advance — scaling ratios then compare identical subsets.
+    * Otherwise: the successor slice, advancing state. Pure decision
+      function, unit-pinned; the caller writes the state file."""
+    if pin is not None:
+        return int(pin) % rotate, False
+    if cpus is not None and state_path.exists():
+        try:
+            state = json.loads(state_path.read_text())
+            prev_cpus = int(state["cpus"])
+            prev_slice = int(state["slice"])
+        except (ValueError, KeyError, OSError, TypeError):
+            prev_cpus = None
+        if prev_cpus is not None and cpus < prev_cpus:
+            return prev_slice % rotate, False
+    return next_rotation_slice(state_path, rotate), True
 
 
 def next_rotation_slice(state_path, rotate: int) -> int:
@@ -955,26 +1032,35 @@ def main() -> None:
     # advancing the slice each run via BENCH_ROTATION.json ---
     suite_all = _suite_list()
     rotate = max(1, int(os.environ.get("BENCH_ROTATE", "3")))
+    try:
+        run_cpus: int | None = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        run_cpus = None
     rotation_slice = None
+    rotation_advanced = False
     if rotate > 1:
         state_path = here / "BENCH_ROTATION.json"
-        rotation_slice = next_rotation_slice(state_path, rotate)
+        rotation_slice, rotation_advanced = resolve_rotation(
+            state_path, rotate, run_cpus, os.environ.get("BENCH_ROTATE_PIN")
+        )
         suite_run = rotation_plan(
             suite_all,
             set(HEADLINE) | set(SF1_FORCE_INCLUDE),
             rotate,
             rotation_slice,
         )
-        state_path.write_text(
-            json.dumps(
-                {
-                    "slice": rotation_slice,
-                    "rotate": rotate,
-                    "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                }
+        if rotation_advanced:
+            state_path.write_text(
+                json.dumps(
+                    {
+                        "slice": rotation_slice,
+                        "rotate": rotate,
+                        "cpus": run_cpus,
+                        "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    }
+                )
+                + "\n"
             )
-            + "\n"
-        )
     else:
         suite_run = suite_all
 
@@ -1177,6 +1263,17 @@ def main() -> None:
     if sf1_timings:
         compact["sf1_total"] = round(sum(sf1_timings.values()), 3)
         compact["sf1_n_queries"] = len(sf1_timings)
+    # Bounded per-query map on the line itself (VERDICT r13 item 2:
+    # PERF round-over-round intersection needs per-query numbers in the
+    # driver-parsed artifact; the r04 lesson caps the line size).
+    # HEADLINE + force-includes lead — they are timed every run, so the
+    # same names appear round after round regardless of rotation.
+    line_priority = HEADLINE + sorted(SF1_FORCE_INCLUDE)
+    compact["queries"] = compact_query_map(
+        timings,
+        line_priority,
+        BENCH_LINE_BUDGET - len(json.dumps(compact)) - len(', "queries": '),
+    )
     full = dict(
         compact,
         queries=timings,
@@ -1199,6 +1296,29 @@ def main() -> None:
         errors=errors,
     )
     out_path.write_text(json.dumps(full) + "\n")
+    # Per-run per-query history (VERDICT r13 item 2): BENCH_SUMMARY.json
+    # is overwritten each run, so round-over-round per-query
+    # comparability needs an append-only record keyed by timestamp —
+    # the judge/driver can intersect any two rounds' medians from here
+    # even when the bounded stdout line could not carry every entry.
+    with open(here / "BENCH_QUERIES.jsonl", "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "sf": _sf_of(sf_dir),
+                    "cpus": run_cpus,
+                    "rotation": compact["rotation"],
+                    "rotation_advanced": rotation_advanced,
+                    "n_errors": len(errors),
+                    "queries": timings,
+                    "queries_sf1": sf1_timings,
+                    "index_builds": index_builds,
+                    "index_builds_sf1": sf1_builds,
+                }
+            )
+            + "\n"
+        )
 
     line = json.dumps(compact)
     print(line)

@@ -83,6 +83,15 @@ def upsert_on_hash(
     Rows whose hash is unchanged keep the *target* version — preserving
     e.g. the original ``ingested_at`` provenance, exactly like the
     reference's ``DO UPDATE ... WHERE t.hash IS DISTINCT FROM s.hash``.
+
+    Failure semantics (ADVICE r13): ``changed_or_new`` is pinned on
+    executor block storage by the lazy ``localCheckpoint`` with lineage
+    truncated, so losing an executor mid-job fails the merge job
+    instead of recomputing the lost partitions. Acceptable here because
+    the write path is staged (txn commit publishes only after success —
+    a failed job is re-run, not partially applied); deployments with
+    expected executor churn should swap in reliable checkpointing
+    (``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``).
     """
     src = _dedup_source(source.select(*target.columns), pk)
     t = target.alias("t")

@@ -445,12 +445,10 @@ def q_docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     # cap_mode="drop" (HAVING count <= cap — bucket dropped whole,
     # exactly the rare filter), and the a<b pair stream comes out of
     # the sorted-array expansion with no join at all.
-    from ipeds_etl_spark.operators.dedup import pairs_within_buckets
-
     fps = sel.filter(F.col("pos") <= F.col("ng") - _WIN_W).select(
         "doc_id", F.expr(f"mk div {_WIN_POS_SCALE}").alias("fp")
     )
-    pairs = pairs_within_buckets(
+    pairs = DD.pairs_within_buckets(
         fps,
         ["fp"],
         F.struct(F.col("doc_id").alias("id")),

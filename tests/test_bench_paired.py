@@ -154,3 +154,54 @@ def test_rotation_slice_advances_each_run(tmp_path):
     assert next_rotation_slice(state, 3) == 0  # wraps, never sticks
     state.write_text("not json")
     assert next_rotation_slice(state, 3) == 0
+
+
+def test_compact_query_map_priority_then_heaviest_prefix():
+    """r14 (VERDICT r13 item 2): the stdout line's per-query map is a
+    deterministic bounded prefix — priority names (timed every run)
+    first, then heaviest-first, stopping at the first entry that would
+    overflow the room so the emitted set is stable round-over-round."""
+    import json as _json
+
+    from bench import compact_query_map
+
+    timings = {"aa": 1.0, "heavy": 9.0, "light": 0.1, "head1": 2.0}
+    # generous room: everything fits, order = priority then by weight
+    out = compact_query_map(timings, ["head1", "missing"], 10_000)
+    assert list(out) == ["head1", "heavy", "aa", "light"]
+    # tight room: prefix stops at first non-fitting entry (never skips
+    # ahead to a shorter name)
+    room = len(_json.dumps({"head1": 2.0, "heavy": 9.0}))
+    out = compact_query_map(timings, ["head1"], room)
+    assert list(out) == ["head1", "heavy"]
+    # degenerate room: empty map, never a broken line
+    assert compact_query_map(timings, ["head1"], 3) == {}
+
+
+def test_resolve_rotation_low_cpu_run_reuses_slice(tmp_path):
+    """r14 (VERDICT r13 What's-wrong 3): the driver's low-core scaling
+    arm must re-time the SAME sf0.1 slice the main run just timed and
+    must NOT advance the shared rotation state; BENCH_ROTATE_PIN is the
+    explicit diagnostic override; equal/higher cpu counts advance as
+    before."""
+    import json as _json
+
+    from bench import resolve_rotation
+
+    state = tmp_path / "BENCH_ROTATION.json"
+    # main 32-core run: advances (successor of nothing = 0)
+    assert resolve_rotation(state, 3, 32, None) == (0, True)
+    state.write_text(_json.dumps({"slice": 0, "rotate": 3, "cpus": 32}))
+    # low-core scaling arm: reuse slice 0, no advance
+    assert resolve_rotation(state, 3, 8, None) == (0, False)
+    # next main run at the same cpus: successor, advances
+    assert resolve_rotation(state, 3, 32, None) == (1, True)
+    # pin wins over everything and never advances
+    assert resolve_rotation(state, 3, 32, "2") == (2, False)
+    assert resolve_rotation(state, 3, None, "5") == (2, False)  # mod rotate
+    # pre-r14 state without cpus: plain successor (backward compatible)
+    state.write_text(_json.dumps({"slice": 1, "rotate": 3}))
+    assert resolve_rotation(state, 3, 8, None) == (2, True)
+    # unknown current cpus: plain successor
+    state.write_text(_json.dumps({"slice": 1, "rotate": 3, "cpus": 32}))
+    assert resolve_rotation(state, 3, None, None) == (2, True)
