@@ -630,64 +630,106 @@ def q_parts_copurchase_3hop_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Level-synchronous BFS twin of ``parts_copurchase_3hop``
     (VERDICT r9 item 3) — same output contract (depth-bounded
     reachability count per seed), same DuckDB oracle, but the
-    DataFrame-iterative form that survives dense graphs: the frontier
-    is DEDUPLICATED per level (``distinct`` + anti-join against the
-    visited set), so per-level rows are bounded by seeds × nodes
-    instead of the CTE's O(deg³) path enumeration that exceeds
-    Spark's 1M-row recursion limit on the sf1 graph.
+    DataFrame-iterative form that survives dense graphs.
 
-    Correctness of frontier-dedup BFS for "reachable within ≤ 3
-    hops": a node's FIRST-reached depth is ≤ 3 iff it is reachable
-    within 3 hops, and first-reached nodes enter exactly one frontier,
-    so ``visited`` after 3 expansions is exactly the ≤3-hop closure.
+    SEED-BITMAP spelling (opt r14, VERDICT r13 item 5; guide §8
+    "shuffle keys and metadata instead of payloads" + §2.3): the former
+    (seed, node) frontier rows made the level-3 expansion the single
+    heaviest sf1 stage measured this round — frontier₂ ⋈ edges emitted
+    ~240M pair rows whose duplicates mostly cross partitions, so the
+    distinct's partial aggregate deduped little and the exchange
+    carried nearly all of them (813 of 1188 task-seconds at 32 cores,
+    no skew — pure volume). Seeds are multiples of 100, so a seed maps
+    to a dense index ``seed div 100`` and the per-node REACHING-SEED
+    SET becomes (node, word, bits) rows — one BIGINT carries 64 seeds.
+    One BFS round is then: join the bitmap frame to edges on s,
+    bitwise-OR per (d, word) (``bit_or`` — idempotent, so map-side
+    partial aggregation dedupes REGARDLESS of partitioning, exactly
+    what the (seed, node) distinct could not do), and OR the result
+    into the previous frame via a full-outer co-keyed merge. No
+    distinct, no anti-join, no (seed, node) materialization at any
+    level; per-round rows are bounded by nodes × ceil(seeds/64).
 
-    Scale shape: 3 statically-unrolled rounds of (frontier ⋈ edges →
-    distinct → anti-join visited → union) — every join pinned
-    ``shuffle_hash`` (both sides scale with the graph; AQE's
-    compressed-bytes estimates are the measured defect class), each
-    level's frames lineage-truncated so round N's plan does not embed
-    round N−1's."""
-    edges = _copurchase_edges(spark, sf_dir)
+    The readout is exact integer bit-counting: per word, 64 codegen'd
+    conditional sums ((bits >> b) & 1 — arithmetic shift is safe under
+    the & 1 mask) give each seed's reachable count; count includes the
+    seed itself, so n_reachable = count − 1 as before. Identical rows
+    to the frontier-dedup spelling (unit-pinned against it and against
+    brute force), same DuckDB oracle.
+
+    Scale shape: 3 × (shuffle_hash join on s + one bit_or aggregate +
+    one co-keyed outer merge), every join pinned (both sides scale
+    with the graph; AQE's compressed-bytes estimates are the measured
+    defect class), each round's frame lineage-truncated."""
+    return _bfs3_seed_counts(_copurchase_edges(spark, sf_dir))
+
+
+def _bfs3_seed_counts(edges: DataFrame) -> DataFrame:
+    """Seed-bitmap 3-hop BFS over an (s, d) edge frame; seeds are the
+    sources divisible by 100 (their ``div 100`` index packs into
+    64-seed BIGINT words). Factored from the registered query so the
+    bit arithmetic is unit-testable on synthetic graphs whose seed
+    indices cross word boundaries."""
     seeds = (
         edges.filter(F.col("s") % 100 == 0)
         .select(F.col("s").alias("seed"))
         .distinct()
     )
-    visited = seeds.select("seed", F.col("seed").alias("node")).localCheckpoint(
-        eager=False
-    )
-    frontier = visited
+    reach = seeds.select(
+        F.col("seed").alias("node"),
+        F.expr("cast((seed div 100) div 64 as int)").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast((seed div 100) % 64 as int))").alias(
+            "bits"
+        ),
+    ).localCheckpoint(eager=False)
     for _ in range(3):
-        nxt = (
-            frontier.join(
-                edges.hint("shuffle_hash"), frontier["node"] == edges["s"]
-            )
-            .select("seed", F.col("d").alias("node"))
-            .distinct()
+        expanded = (
+            reach.join(edges.hint("shuffle_hash"), reach["node"] == edges["s"])
+            .select(F.col("d").alias("node"), "word", "bits")
+            .groupBy("node", "word")
+            .agg(F.bit_or("bits").alias("bits"))
         )
-        fresh = nxt.join(
-            visited.hint("shuffle_hash"), ["seed", "node"], "left_anti"
-        ).localCheckpoint(eager=False)
-        # fresh is the only newly-computed frame per level; visited is
-        # a union of ALREADY-checkpointed levels, so re-checkpointing
-        # it re-serialized the whole growing closure every round (opt
-        # r13) — the lazy union reads the per-level checkpoint blocks
-        # directly and lineage stays O(levels), which is bounded (3).
-        visited = visited.unionByName(fresh)
-        frontier = fresh
-    # NOTE (opt r13): folding the LAST level into a countDistinct
-    # readout (raw expansion ∪ visited, no distinct/anti-join/
-    # checkpoint on the final level) was measured ABAB at sf1 and came
-    # out equal-to-slightly-slower (23.7 vs 20.6 s medians) — the
-    # partial-aggregate dedup of the ~240M-row expansion costs what
-    # the distinct + anti-join it replaced cost. Rejected; only the
-    # visited-union change above (no per-level re-checkpoint of the
-    # growing closure) survives, measured 27.3 → ~21-23 s.
-    return (
-        visited.groupBy("seed")
-        .agg((F.count(F.lit(1)) - 1).cast("long").alias("n_reachable_3hop"))
-        .orderBy("seed")
+        merged = (
+            reach.withColumnRenamed("bits", "b0")
+            .join(
+                expanded.withColumnRenamed("bits", "b1").hint("shuffle_hash"),
+                ["node", "word"],
+                "full_outer",
+            )
+            .select(
+                "node",
+                "word",
+                (
+                    F.coalesce(F.col("b0"), F.lit(0).cast("long")).bitwiseOR(
+                        F.coalesce(F.col("b1"), F.lit(0).cast("long"))
+                    )
+                ).alias("bits"),
+            )
+        )
+        reach = merged.localCheckpoint(eager=False)
+    # per-(word, bit) reachable counts: 64 conditional sums per word
+    # row — one codegen'd aggregate over the nodes × words frame, no
+    # explode. Seeds always reach themselves, so every seed has a row.
+    per_word = reach.groupBy("word").agg(
+        *[
+            F.sum(F.shiftright(F.col("bits"), b).bitwiseAND(F.lit(1))).alias(
+                f"c{b}"
+            )
+            for b in range(64)
+        ]
     )
+    counts = per_word.select(
+        "word",
+        F.posexplode(F.array(*[F.col(f"c{b}") for b in range(64)])).alias(
+            "bit", "cnt"
+        ),
+    ).filter(F.col("cnt") > 0)
+    return counts.select(
+        (
+            (F.col("word").cast("long") * 64 + F.col("bit")) * 100
+        ).alias("seed"),
+        (F.col("cnt") - 1).cast("long").alias("n_reachable_3hop"),
+    ).orderBy("seed")
 
 
 # ===========================================================================

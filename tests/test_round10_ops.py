@@ -254,3 +254,48 @@ def test_funnel_components_algorithms_agree(spark):
         )
     )
     assert star == label and len(label) == 4
+
+
+def test_bfs_bitmap_matches_bruteforce_across_word_boundaries(spark):
+    """r14: the seed-bitmap BFS spelling (one BIGINT word carries 64
+    seeds; bit_or per (node, word); 64 conditional-sum readout) must
+    reproduce a Python brute-force 3-hop closure exactly — on a graph
+    whose seed indices span word 0 AND word 1+ (seed div 100 >= 64),
+    with unreachable islands, cycles, and a seed that reaches only
+    itself... which cannot happen here (seeds are edge sources), so a
+    degree-1 seed instead."""
+    import random
+
+    from ipeds_etl_spark.queries_subq import _bfs3_seed_counts
+
+    rng = random.Random(11)
+    # ~90 nodes; keys up to 13000 so seed indices reach div-100 = 130
+    # (word 2); seeds = multiples of 100 that appear as sources
+    nodes = sorted(rng.sample(range(1, 13001), 80) + [100, 6400, 6500, 12900])
+    edges = set()
+    for _ in range(300):
+        a, b = rng.sample(nodes, 2)
+        edges.add((a, b))
+        edges.add((b, a))  # symmetric, like the co-purchase graph
+    # a degree-1 seed: 12900 connects out to one node only
+    edges = {(a, b) for (a, b) in edges if 12900 not in (a, b)}
+    edges.add((12900, nodes[0]))
+    edges.add((nodes[0], 12900))
+    df = spark.createDataFrame(sorted(edges), ["s", "d"])
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    want = []
+    for seed in sorted({a for a, _ in edges if a % 100 == 0}):
+        reach = {seed}
+        frontier = {seed}
+        for _ in range(3):
+            frontier = {d for v in frontier for d in adj.get(v, ())} - reach
+            reach |= frontier
+        want.append((seed, len(reach) - 1))
+
+    got = sorted(map(tuple, _bfs3_seed_counts(df).collect()))
+    assert got == sorted(want) and len(got) >= 3
+    # the word-boundary seeds really exercised words 1 and 2
+    assert any(s >= 6400 for s, _ in got)
