@@ -306,6 +306,77 @@ def fused_pair_hits_within_buckets(
     )
 
 
+def fused_member_folds_within_buckets(
+    bucketed: DataFrame,
+    bucket_cols: Sequence[str],
+    payload: Column,
+    zero: Column,
+    merge,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
+    cap_mode: str = "window",
+    chunk: int = FUSED_PAIR_CHUNK,
+) -> DataFrame:
+    """Per-MEMBER left-fold over each member's EARLIER in-bucket
+    partners (opt r14, guide §2.3 "aggregate before you shuffle" taken
+    to its limit): for every payload at sorted position ``j ≥ 1``,
+    compute ``fold(merge, zero, [(xs[i], xs[j]) for i < j])`` inside
+    the bucket expression and emit ONE row per member —
+    ``*bucket_cols, m`` (the position-j payload struct), ``acc`` (the
+    fold result). Consumers whose readout is a per-b-side aggregate of
+    the pair stream (threshold sweeps: per-member qualifying-pair
+    counts and max similarity) get the identical values WITHOUT ever
+    materializing a hit row per pair or shuffling the pair stream into
+    a groupBy — output rows are O(members), not O(qualifying pairs).
+
+    Pair enumeration, cap semantics, and visit order are IDENTICAL to
+    ``fused_pair_hits_within_buckets`` (shared ``capped_bucket_arrays``;
+    each unordered ``a < b`` pair visits exactly once, with ``b`` the
+    later sorted position — so a per-member fold here IS the pair
+    stream's groupBy on the b-side id, fold order running i = 0..j−1).
+    ``merge(acc, a, b)`` must be insensitive to that order when the
+    consumer's groupBy was (counts, max/min are).
+
+    Chunking mirrors the pair kernel: b-positions are dealt in
+    ``chunk``-sized ranges so one bucket yields ⌈(B−1)/chunk⌉
+    independently-schedulable rows, round-robin repartitioned.
+    Position-0 members (no earlier partners) emit nothing — exactly the
+    members absent from the pair stream's b-side."""
+    grouped = capped_bucket_arrays(
+        bucketed, bucket_cols, payload, max_bucket_size, cap_mode
+    )
+    n_part = int(
+        bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        or 32
+    )
+    n_chunks = F.floor((F.size("xs") - F.lit(2)) / F.lit(chunk)).cast("int")
+    chunked = grouped.select(
+        *bucket_cols, "xs", F.explode(F.sequence(F.lit(0), n_chunks)).alias("__c")
+    ).repartition(n_part)
+
+    def folds_for_chunk(xs: Column, c: Column) -> Column:
+        # b-positions j = jm1 + 1 for jm1 in [lo, hi] (0-based)
+        lo = (c * chunk).cast("int")
+        hi = F.least(lo + F.lit(chunk) - 1, F.size(xs) - 2).cast("int")
+
+        def fold_for_j(jm1: Column) -> Column:
+            b = F.element_at(xs, (jm1 + 2).cast("int"))
+            acc = F.aggregate(
+                F.sequence(F.lit(0), jm1),
+                zero,
+                lambda a_, i: merge(
+                    a_, F.element_at(xs, (i + 1).cast("int")), b
+                ),
+            )
+            return F.struct(b.alias("m"), acc.alias("acc"))
+
+        return F.transform(F.sequence(lo, hi), fold_for_j)
+
+    return chunked.select(
+        *bucket_cols,
+        F.explode(folds_for_chunk(F.col("xs"), F.col("__c"))).alias("f"),
+    ).select(*bucket_cols, F.col("f.m").alias("m"), F.col("f.acc").alias("acc"))
+
+
 def pairs_within_buckets(
     bucketed: DataFrame,
     bucket_cols: Sequence[str],
@@ -783,7 +854,7 @@ def jaccard_prefix_pairs(
         tok.join(freq, freq_keys)
         .withColumn("pos", F.row_number().over(w_rank))
         .filter(F.col("pos") <= prefix_len)
-        .select("id", *freq_keys, "n")
+        .select("id", *freq_keys, "n", "pos")
         # both sides of the candidate self-join consume this frame;
         # without a barrier each side re-runs the token explode, the
         # df agg exchange, the freq join, and the rarity window (the
@@ -793,21 +864,63 @@ def jaccard_prefix_pairs(
         .localCheckpoint(eager=False)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # POSITIONAL filter (opt r14, PPJoin's second filter — Xiao et al.
+    # WWW'08; guide §3 "thin candidates before the verify"): J >= t
+    # needs overlap I >= t(|a|+|b|)/(1+t). For a shared token at
+    # 1-based rarity positions (i, j), shared tokens before it number
+    # at most min(i,j)-1 and after it at most min(|a|-i, |b|-j) (the
+    # rarity order is one consistent total order per block, so shared
+    # tokens appear in the same relative order in both docs), hence
+    # I <= min(i,j) + min(|a|-i, |b|-j). Comparing the multiplied-out
+    # inequality with a 1e-9 slack keeps the prune LOSSLESS under
+    # float rounding (over-keeping is free; over-pruning never
+    # happens: any qualifying pair keeps at least its first shared
+    # prefix token, where the bound is largest).
+    alpha_rhs = F.lit(threshold) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
+    match_bound = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     # length filter (also from the published family): J(a,b) >= t
     # forces t*|a| <= |b| <= |a|/t, so size-incompatible pairs are
     # pruned inside the join before the distinct sees them.
+    matches = a.join(
+        b,
+        on=[
+            *(F.col(f"a.{c}") == F.col(f"b.{c}") for c in freq_keys),
+            F.col("a.id") < F.col("b.id"),
+            F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")),
+            F.col("b.n") * F.lit(threshold) <= F.col("a.n"),
+            match_bound.cast("double") * (F.lit(1.0) + F.lit(threshold))
+            >= alpha_rhs,
+        ],
+    )
+    # First-match tightening: the min surviving positions per pair ARE
+    # the pair's first shared prefix token (same token on both sides —
+    # consistent order — and qualifying pairs always keep it, per
+    # above), where no shared token precedes: I <= 1 + min(n_a - i0,
+    # n_b - j0). Rides the same exchange the former distinct() paid;
+    # the two min aggregates replace nothing-but-dedup with
+    # dedup + a strictly stronger prune.
     cand = (
-        a.join(
-            b,
-            on=[
-                *(F.col(f"a.{c}") == F.col(f"b.{c}") for c in freq_keys),
-                F.col("a.id") < F.col("b.id"),
-                F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")),
-                F.col("b.n") * F.lit(threshold) <= F.col("a.n"),
-            ],
+        matches.groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("__na"),
+            F.col("b.n").alias("__nb"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .agg(F.min("a.pos").alias("__i0"), F.min("b.pos").alias("__j0"))
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("__na") - F.col("__i0"),
+                    F.col("__nb") - F.col("__j0"),
+                )
+            ).cast("double")
+            * (F.lit(1.0) + F.lit(threshold))
+            >= F.lit(threshold) * (F.col("__na") + F.col("__nb")) - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
     )
     if candidates_only:
         return cand

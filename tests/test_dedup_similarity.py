@@ -401,3 +401,106 @@ def test_intra_batch_dedup_greedy_min_id(spark):
     assert 1 in kept and 4 in kept
     # no surviving candidate pair
     assert not any(a in kept and b in kept for (a, b) in pairs)
+
+
+def test_member_fold_matches_pair_stream_groupby(spark):
+    """r14: ``fused_member_folds_within_buckets`` (per-b-side fold
+    inside the bucket expression) must reproduce exactly what the pair
+    stream + groupBy(id_b) computed — per-member qualifying-pair counts
+    and max cosine — on a fixture with multiple buckets, a bucket
+    bigger than the chunk size (chunking exercised), a capped bucket,
+    and members with NO qualifying pair (sentinel rows)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        bucket = i % 3
+        vec = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, bucket, vec))
+    df = spark.createDataFrame(rows, "id long, bucket int, vec array<double>")
+    payload = F.struct(
+        F.col("id"), F.col("vec"), SIM.norm(F.col("vec")).alias("nrm")
+    )
+    floor = 0.30
+    ts = [0.30, 0.50, 0.70]
+
+    def want_via_pairs(cap):
+        hits = DD.fused_pair_hits_within_buckets(
+            df.select("bucket", "id", "vec"),
+            ["bucket"],
+            payload,
+            pair_hit=lambda a, b: F.struct(
+                a["id"].alias("id_a"),
+                b["id"].alias("id_b"),
+                (SIM.dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])).alias(
+                    "cos"
+                ),
+            ),
+            keep=lambda h: h["cos"] >= floor,
+            max_bucket_size=cap,
+        ).select("h.id_b", "h.cos")
+        out = {}
+        for r in hits.groupBy("id_b").agg(
+            F.max("cos").alias("mc"),
+            *[
+                F.sum(F.when(F.col("cos") >= t, 1).otherwise(0)).alias(f"c{i}")
+                for i, t in enumerate(ts)
+            ],
+        ).collect():
+            out[r["id_b"]] = (r["mc"], tuple(r[f"c{i}"] for i in range(len(ts))))
+        return out
+
+    def got_via_fold(cap, chunk):
+        zero = F.struct(
+            *[F.lit(0).cast("long").alias(f"c{i}") for i in range(len(ts))],
+            F.lit(-1.0).alias("mc"),
+        )
+
+        def merge(acc, a, b):
+            cos = SIM.dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])
+
+            def upd(cs):
+                fields = [
+                    (acc[f"c{i}"] + F.when(cs >= t, 1).otherwise(0)).alias(
+                        f"c{i}"
+                    )
+                    for i, t in enumerate(ts)
+                ]
+                fields.append(
+                    F.greatest(
+                        acc["mc"],
+                        F.when(cs >= floor, cs).otherwise(F.lit(-1.0)),
+                    ).alias("mc")
+                )
+                return F.struct(*fields)
+
+            return F.element_at(F.transform(F.array(cos), upd), 1)
+
+        out = {}
+        for r in DD.fused_member_folds_within_buckets(
+            df.select("bucket", "id", "vec"),
+            ["bucket"],
+            payload,
+            zero,
+            merge,
+            max_bucket_size=cap,
+            chunk=chunk,
+        ).collect():
+            acc = r["acc"]
+            if acc["mc"] >= floor:  # members w/o qualifying pair absent above
+                out[r["m"]["id"]] = (
+                    acc["mc"],
+                    tuple(acc[f"c{i}"] for i in range(len(ts))),
+                )
+            else:
+                assert tuple(acc[f"c{i}"] for i in range(len(ts))) == (0,) * len(
+                    ts
+                )
+        return out
+
+    for cap, chunk in ((None, 16), (None, 128), (40, 16)):
+        want = want_via_pairs(cap)
+        got = got_via_fold(cap, chunk)
+        assert got == want, (cap, chunk, len(got), len(want))
+    assert want_via_pairs(None)  # non-trivial fixture
