@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Round-13 optimization measurement harness.
+"""Optimization measurement harness (rounds 13+).
 
 For each named query: noop-sink timings (median of N runs, one warm
 session shared by the batch — the in-process A/B discipline from the
 verify skill) and optionally the ``explain("formatted")`` plan dumped
-to ``plans/r13/<query>_<tag>.txt``.
+to ``plans/$OPT_PLAN_ROUND/<query>_<tag>.txt`` (default r14).
 
 Usage:
     python tools/opt_measure.py SF_DIR TAG [--runs N] [--plans] q1 q2 ...
@@ -57,7 +57,8 @@ def main() -> int:
     bench._build_indexes(spark, sf_dir)
 
     registered = q.queries()
-    plan_dir = Path("/root/repo/plans/r13")
+    import os
+    plan_dir = Path("/root/repo/plans") / os.environ.get("OPT_PLAN_ROUND", "r14")
     plan_dir.mkdir(parents=True, exist_ok=True)
     out = {}
     for name in names:
