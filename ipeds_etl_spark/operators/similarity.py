@@ -449,6 +449,7 @@ def _verified_pairs_within_buckets(
     corpus_rows: int | None = None,
     vec_dim: int = 64,
     expand_slices: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Cosine-verified unordered pairs sharing a bucket, via the SAME
     capped in-bucket expansion the dedup side uses
@@ -505,6 +506,27 @@ def _verified_pairs_within_buckets(
     widening the payload with vec/nrm does not reorder it), same
     left-fold dot, same ``>= threshold`` comparison."""
     if not dedup_pairs:
+        if engine == "arrow":
+            # Arrow-batched verify (opt r14, guide §4.2): identical
+            # pair enumeration and cap selection (same payload struct,
+            # same capped arrays, same chunked expansion), but the
+            # ~B²/2 per-bucket cosine folds run vectorized in numpy
+            # with the same IEEE op order — bit-identical cos_sim,
+            # measured ~2-10× faster than the interpreted HOF fold at
+            # sf1 (see arrowverify module docstring; parity pinned by
+            # test_arrow_pair_cos_matches_fused).
+            from ipeds_etl_spark.operators.arrowverify import (
+                pair_cos_hits_within_buckets,
+            )
+
+            return pair_cos_hits_within_buckets(
+                bucketed.select(*bucket_cols, id_col, vec_col),
+                bucket_cols,
+                id_col,
+                vec_col,
+                threshold,
+                max_bucket_size=max_bucket_size,
+            )
         payload = F.struct(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),

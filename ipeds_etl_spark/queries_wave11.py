@@ -508,51 +508,31 @@ def semdedup_report(
     assigned = assigned.localCheckpoint()
     if profile is not None:
         profile["assignment"] = round(_time.perf_counter() - t0, 2)
-    n2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
-    )
-    # FUSED pair expand+verify (opt r13, fused_pair_hits_within_buckets):
-    # the payload carries (id, v, |v|²) per cluster member, the integer
-    # cross-multiplied cosine test runs INSIDE the generating
-    # expression, and only qualifying pairs ever materialize as rows —
-    # the previous id-pair expansion + two shuffle_hash re-attach joins
-    # (2 hash probes + 2 wide-row copies per candidate pair) are gone
-    # from the plan. Same rank-capped member selection (payload sorts
-    # by the unique vec_id first), same left-fold integer dot, same
-    # test — bit-identical qualifying set. Overflow members beyond the
-    # cap stay kept-unexamined exactly as before (n_overflow audits it).
+    # Arrow-batched pair expand+verify (opt r14, guide §4.2; supersedes
+    # the r13 fused JVM HOF): same rank-capped member selection (the
+    # payload struct (id, v, |v|²) sorts by the unique vec_id first),
+    # same a < b enumeration, and the integer cross-multiplied cosine
+    # test ``dp > 0 AND den·dp² >= num·|a|²·|b|²`` runs vectorized in
+    # numpy int64 — exact integer arithmetic on both sides, so the
+    # qualifying set is bit-identical (pinned against the JVM fused
+    # kernel by test_arrow_int_pairs_match_fused and by the DuckDB
+    # oracle, which replays the whole trajectory). Only qualifying
+    # pairs ever materialize as rows; overflow members beyond the cap
+    # stay kept-unexamined exactly as before (n_overflow audits it).
     t0 = _time.perf_counter()
-    from ipeds_etl_spark.operators.dedup import fused_pair_hits_within_buckets
-
-    idot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, z: acc + z,
+    from ipeds_etl_spark.operators.arrowverify import (
+        pair_int_crossmul_hits_within_buckets,
     )
-    dup = fused_pair_hits_within_buckets(
+
+    dup = pair_int_crossmul_hits_within_buckets(
         assigned.select("cid", "vec_id", "v"),
         ["cid"],
-        F.struct(
-            F.col("vec_id").alias("id"),
-            F.col("v").alias("v"),
-            n2.alias("n2"),
-        ),
-        pair_hit=lambda a, b: F.struct(
-            a["id"].alias("id_a"),
-            b["id"].alias("id_b"),
-            idot(a["v"], b["v"]).cast("long").alias("dp"),
-            a["n2"].alias("na2"),
-            b["n2"].alias("nb2"),
-        ),
-        keep=lambda h: (h["dp"] > 0)
-        & (
-            F.lit(_SD_T2_DEN) * h["dp"] * h["dp"]
-            >= F.lit(_SD_T2_NUM) * h["na2"] * h["nb2"]
-        ),
+        "vec_id",
+        "v",
+        num=_SD_T2_NUM,
+        den=_SD_T2_DEN,
         max_bucket_size=cluster_cap,
-    ).select("cid", F.col("h.id_a").alias("id_a"), F.col("h.id_b").alias("id_b"))
+    )
     if profile is not None:
         # profile-only materialization boundary (see docstring): with
         # the fused spelling this stage IS expand+verify combined

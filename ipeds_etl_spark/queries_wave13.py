@@ -501,76 +501,45 @@ def q_emb_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a nested-loop broadcast, so the plan deliberately differs
     while the rows do not), plus one broadcast 1-row corpus count.
     Raising the floor never changes rows at or above it."""
-    from ipeds_etl_spark.operators import dedup as DD
+    from ipeds_etl_spark.operators import arrowverify as AV
     from ipeds_etl_spark.operators import similarity as SIM
     from ipeds_etl_spark.queries_ext import _ivf_codebook
 
     e = load_table(spark, sf_dir, "embeddings")
-    # PER-MEMBER FOLD inside the bucket expansion (opt r14, guide §2.3
-    # taken to its limit; supersedes the r13 one-pass groupBy(id_b)):
-    # the readout depends on each pair only through its b-side member —
-    # per-threshold qualifying-pair counts and max(cos_sim) — so the
-    # fold computes them INSIDE the in-bucket expression and emits ONE
-    # row per member instead of one row per qualifying hit. At the
-    # 0.30 sweep floor the hit stream was millions of rows exploded,
-    # shuffled, and re-aggregated; now rows out of the expansion are
-    # O(members). Pair enumeration, capped sorted arrays, the dot/
-    # divide cosine, and every >= comparison are unchanged
-    # (fused_member_folds_within_buckets shares capped_bucket_arrays
-    # with the near-dups path; the b-side of each a < b pair is the
-    # later sorted position, exactly the groupBy("id_b") key), so the
-    # emitted rows are identical. Members with no qualifying pair
-    # carry zero counts and a -1.0 max sentinel — they contribute
-    # nothing to any conditional aggregate, exactly like their absence
-    # from the former pair stream.
+    # PER-MEMBER stats inside the bucket expansion (opt r14, guide §2.3
+    # taken to its limit + §4.2; supersedes the r13 one-pass
+    # groupBy(id_b)): the readout depends on each pair only through its
+    # b-side member — per-threshold qualifying-pair counts and
+    # max(cos_sim) — so the expansion emits ONE row per member instead
+    # of one row per qualifying hit (at the 0.30 floor the hit stream
+    # was millions of rows exploded, shuffled, and re-aggregated), and
+    # the ~B²/2 per-bucket cosines run vectorized in an Arrow stage
+    # with the same IEEE op order as the JVM fold (bit-identical;
+    # pinned against the JVM member-fold kernel by
+    # test_arrow_member_stats_match_member_fold and by the DuckDB
+    # oracle). Pair enumeration, capped sorted arrays, the dot/divide
+    # cosine, and every >= comparison are unchanged; the b-side of
+    # each a < b pair is the later sorted position, exactly the former
+    # groupBy("id_b") key. Members with no qualifying pair carry zero
+    # counts and a -1.0 max sentinel — they contribute nothing to any
+    # conditional aggregate, exactly like their absence from the
+    # former pair stream.
     assigned = SIM.assign_centroids(
         e, "vec_id", "embedding", None, cent_rows=_ivf_codebook(spark, sf_dir)
     )
-    payload = F.struct(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").alias("vec"),
-        SIM.norm(F.col("embedding")).alias("nrm"),
-    )
-    zero = F.struct(
-        *[F.lit(0).cast("long").alias(f"pnp_{t}") for t in _SWEEP_T100],
-        F.lit(-1.0).alias("mc"),
-    )
-
-    def _merge(acc, a, b):
-        cos = SIM.dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])
-
-        def upd(cs):
-            fields = [
-                (
-                    acc[f"pnp_{t}"]
-                    + F.when(cs >= F.lit(float(t)) / 100.0, 1).otherwise(0)
-                ).alias(f"pnp_{t}")
-                for t in _SWEEP_T100
-            ]
-            fields.append(
-                F.greatest(
-                    acc["mc"],
-                    F.when(cs >= F.lit(_SWEEP_FLOOR), cs).otherwise(
-                        F.lit(-1.0)
-                    ),
-                ).alias("mc")
-            )
-            return F.struct(*fields)
-
-        # bind the cosine ONCE per pair (1-element transform let-
-        # binding, the _scored_centroids idiom) — codegen does not CSE
-        # the six conditional reads of it otherwise.
-        return F.element_at(F.transform(F.array(cos), upd), 1)
-
-    per_b = DD.fused_member_folds_within_buckets(
+    per_b = AV.member_cos_stats_within_buckets(
         assigned.select("centroid_id", "vec_id", "embedding"),
         ["centroid_id"],
-        payload,
-        zero,
-        _merge,
+        "vec_id",
+        "embedding",
+        floor=_SWEEP_FLOOR,
+        thresholds=[float(t) / 100.0 for t in _SWEEP_T100],
     ).select(
-        F.col("acc.mc").alias("mc"),
-        *[F.col(f"acc.pnp_{t}").alias(f"pnp_{t}") for t in _SWEEP_T100],
+        F.col("mc"),
+        *[
+            F.col(f"c{i}").alias(f"pnp_{t}")
+            for i, t in enumerate(_SWEEP_T100)
+        ],
     )
     aggs = []
     for t in _SWEEP_T100:

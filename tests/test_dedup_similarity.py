@@ -504,3 +504,188 @@ def test_member_fold_matches_pair_stream_groupby(spark):
         got = got_via_fold(cap, chunk)
         assert got == want, (cap, chunk, len(got), len(want))
     assert want_via_pairs(None)  # non-trivial fixture
+
+
+def _arrow_fixture(spark, dim=8, n=300, buckets=3, seed=13):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, i % buckets, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, bucket int, vec array<double>")
+
+
+def test_arrow_pair_cos_matches_fused(spark):
+    """r14: the Arrow/numpy in-bucket pair verify must emit the exact
+    pair set AND bit-identical cos_sim doubles as the fused JVM HOF —
+    uncapped, capped, and with a chunk smaller than the bucket."""
+    from ipeds_etl_spark.operators import arrowverify as AV
+
+    df = _arrow_fixture(spark)
+    payload = F.struct(
+        F.col("id"), F.col("vec"), SIM.norm(F.col("vec")).alias("nrm")
+    )
+    for cap, chunk in ((None, 16), (40, 16), (None, 128)):
+        jvm = {
+            (r["h"]["id_a"], r["h"]["id_b"]): r["h"]["cos_sim"]
+            for r in DD.fused_pair_hits_within_buckets(
+                df.select("bucket", "id", "vec"),
+                ["bucket"],
+                payload,
+                pair_hit=lambda a, b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    (SIM.dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])).alias(
+                        "cos_sim"
+                    ),
+                ),
+                keep=lambda h: h["cos_sim"] >= 0.30,
+                max_bucket_size=cap,
+            ).collect()
+        }
+        arw = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in AV.pair_cos_hits_within_buckets(
+                df.select("bucket", "id", "vec"),
+                ["bucket"],
+                "id",
+                "vec",
+                0.30,
+                max_bucket_size=cap,
+                chunk=chunk,
+            ).collect()
+        }
+        assert jvm.keys() == arw.keys(), (cap, chunk, len(jvm), len(arw))
+        assert all(jvm[k] == arw[k] for k in jvm), (cap, chunk)
+        assert jvm  # non-trivial
+
+
+def test_arrow_member_stats_match_member_fold(spark):
+    """r14: the Arrow member-stats kernel must reproduce the JVM
+    member-fold exactly (counts and max cosine, sentinel included)."""
+    from ipeds_etl_spark.operators import arrowverify as AV
+
+    df = _arrow_fixture(spark, seed=7)
+    payload = F.struct(
+        F.col("id"), F.col("vec"), SIM.norm(F.col("vec")).alias("nrm")
+    )
+    ts = [0.30, 0.50, 0.70]
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"c{i}") for i in range(len(ts))],
+        F.lit(-1.0).alias("mc"),
+    )
+
+    def merge(acc, a, b):
+        cos = SIM.dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])
+
+        def upd(cs):
+            fields = [
+                (acc[f"c{i}"] + F.when(cs >= t, 1).otherwise(0)).alias(f"c{i}")
+                for i, t in enumerate(ts)
+            ]
+            fields.append(
+                F.greatest(
+                    acc["mc"], F.when(cs >= 0.30, cs).otherwise(F.lit(-1.0))
+                ).alias("mc")
+            )
+            return F.struct(*fields)
+
+        return F.element_at(F.transform(F.array(cos), upd), 1)
+
+    for cap, chunk in ((None, 16), (40, 32)):
+        jvm = {
+            r["m"]["id"]: (
+                r["acc"]["mc"],
+                *[r["acc"][f"c{i}"] for i in range(len(ts))],
+            )
+            for r in DD.fused_member_folds_within_buckets(
+                df.select("bucket", "id", "vec"),
+                ["bucket"],
+                payload,
+                zero,
+                merge,
+                max_bucket_size=cap,
+                chunk=chunk,
+            ).collect()
+        }
+        arw = {
+            r["id"]: (r["mc"], *[r[f"c{i}"] for i in range(len(ts))])
+            for r in AV.member_cos_stats_within_buckets(
+                df.select("bucket", "id", "vec"),
+                ["bucket"],
+                "id",
+                "vec",
+                floor=0.30,
+                thresholds=ts,
+                max_bucket_size=cap,
+                chunk=chunk,
+            ).collect()
+        }
+        assert jvm == arw, (cap, chunk, len(jvm), len(arw))
+        assert jvm
+
+
+def test_arrow_int_pairs_match_fused(spark):
+    """r14: the Arrow integer cross-multiplied verify (semdedup test)
+    must emit the exact (bucket, id_a, id_b) set as the fused JVM
+    form — quantized vectors with negative coordinates included."""
+    import random
+
+    from ipeds_etl_spark.operators import arrowverify as AV
+
+    rng = random.Random(5)
+    rows = [
+        (i, i % 3, [rng.randint(-1000, 1000) for _ in range(8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, bucket int, v array<long>")
+    num, den = 1, 16  # tau^2 = 0.0625 (tau = 0.25): plenty of hits
+    n2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    idot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    for cap in (None, 50):
+        jvm = {
+            (r["bucket"], r["h"]["id_a"], r["h"]["id_b"])
+            for r in DD.fused_pair_hits_within_buckets(
+                df.select("bucket", "id", "v"),
+                ["bucket"],
+                F.struct(F.col("id"), F.col("v"), n2.alias("n2")),
+                pair_hit=lambda a, b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    idot(a["v"], b["v"]).cast("long").alias("dp"),
+                    a["n2"].alias("na2"),
+                    b["n2"].alias("nb2"),
+                ),
+                keep=lambda h: (h["dp"] > 0)
+                & (
+                    F.lit(den) * h["dp"] * h["dp"]
+                    >= F.lit(num) * h["na2"] * h["nb2"]
+                ),
+                max_bucket_size=cap,
+            ).collect()
+        }
+        arw = {
+            (r["bucket"], r["id_a"], r["id_b"])
+            for r in AV.pair_int_crossmul_hits_within_buckets(
+                df.select("bucket", "id", "v"),
+                ["bucket"],
+                "id",
+                "v",
+                num=num,
+                den=den,
+                max_bucket_size=cap,
+                chunk=16,
+            ).collect()
+        }
+        assert jvm == arw, (cap, len(jvm), len(arw))
+        assert jvm

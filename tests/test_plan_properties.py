@@ -51,12 +51,14 @@ EXPECTATIONS = {
     "orders_profile": (2, 0, 0),          # countDistinct Expand rewrite
     "nation_top2_customers": (1, 1, 0),   # decorrelated to broadcast + window
     "orders_range_join_bucketed": (2, 1, 0),
-    # round-3 additions, re-shaped opt r13 (c3247de): the fused
+    # round-3 additions, re-shaped opt r13 (c3247de) then opt r14: the
     # in-bucket expand+verify computes threshold hits INSIDE the bucket
     # expansion — both vector re-attach joins (and their broadcasts)
-    # are gone; only the bucket groupBy + pair-dedup exchanges remain
-    "emb_near_dups": (2, 0, 0),
-    "emb_rp_lsh_near_dups": (2, 0, 0),
+    # are gone; only the bucket groupBy + chunk repartition exchanges
+    # remain, and as of r14 the per-pair cosine runs in ONE sanctioned
+    # MapInArrow stage (bit-identical numpy fold, arrowverify module)
+    "emb_near_dups": (2, 0, 1),
+    "emb_rp_lsh_near_dups": (2, 0, 1),
     "docs_repetition_filters": (1, 0, 0),  # map-only + scan-widening floor
     "docs_decontaminate": (3, 1, 0),       # eval shingle set broadcast
     "docs_token_diversity": (2, 0, 0),

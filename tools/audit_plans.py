@@ -37,6 +37,7 @@ def audit(df) -> dict:
         + plan.count("BroadcastNestedLoopJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "python_stages": plan.count("MapInPandas")
+        + plan.count("MapInArrow")
         + plan.count("ArrowEvalPython")
         + plan.count("BatchEvalPython"),
         "scan_cols": [s.count(",") + 1 if s else 0 for s in scans],
