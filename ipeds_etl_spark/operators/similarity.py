@@ -504,7 +504,14 @@ def _verified_pairs_within_buckets(
     ``cos_sim`` values: same capped sorted member arrays (the cap
     window orders by a struct whose FIRST field is the unique id, so
     widening the payload with vec/nrm does not reorder it), same
-    left-fold dot, same ``>= threshold`` comparison."""
+    left-fold dot, same ``>= threshold`` comparison.
+
+    ``engine`` (opt r14, fused path only): ``"arrow"`` (default) runs
+    the per-pair cosine vectorized in a ``mapInArrow`` stage with the
+    same IEEE op order (``operators/arrowverify.py`` — bit-identical,
+    parity-pinned, measured ~2× faster at sf1); ``"jvm"`` keeps the
+    fused higher-order-function spelling as the reference
+    implementation."""
     if not dedup_pairs:
         if engine == "arrow":
             # Arrow-batched verify (opt r14, guide §4.2): identical
