@@ -48,6 +48,27 @@ from ipeds_etl_spark.operators.dedup import (
     capped_bucket_arrays,
 )
 
+#: Corpus-size cutover for the Arrow verify (the know-your-data-then-
+#: pick-the-plan discipline of ``similarity.REATTACH_BROADCAST_MAX_
+#: BYTES`` / ``NGRAM_HOT_DF_BOUND``): the Arrow stage pays a per-
+#: session constant (Python worker spawn + Arrow serialization) that
+#: the r14 paired record measured as a ~1-2 s penalty on the sf0.1
+#: corpora (2k vectors, ~250k in-bucket pairs — the JVM HOF fold does
+#: that much work in well under a second), while at 20k vectors
+#: (~25M pairs) the vectorized verify wins 1.5-3×. Callers pass their
+#: memoized corpus row count; below the cutover the JVM kernels (kept
+#: as reference implementations, bit-identical by the parity tests)
+#: run instead. Both branches are oracle-verified on the same queries.
+ARROW_VERIFY_MIN_ROWS = 10_000
+
+
+def use_arrow_verify(corpus_rows: int | None) -> bool:
+    """True when the Arrow-batched verify should run: known corpus at
+    or above ``ARROW_VERIFY_MIN_ROWS`` — or unknown size (production
+    posture: assume big; the toy regime is the exception that is
+    always knowable via a metadata row count)."""
+    return corpus_rows is None or corpus_rows >= ARROW_VERIFY_MIN_ROWS
+
 
 def _chunked_buckets(
     bucketed: DataFrame,

@@ -449,7 +449,7 @@ def _verified_pairs_within_buckets(
     corpus_rows: int | None = None,
     vec_dim: int = 64,
     expand_slices: int | None = None,
-    engine: str = "arrow",
+    engine: str | None = None,
 ) -> DataFrame:
     """Cosine-verified unordered pairs sharing a bucket, via the SAME
     capped in-bucket expansion the dedup side uses
@@ -506,13 +506,22 @@ def _verified_pairs_within_buckets(
     widening the payload with vec/nrm does not reorder it), same
     left-fold dot, same ``>= threshold`` comparison.
 
-    ``engine`` (opt r14, fused path only): ``"arrow"`` (default) runs
-    the per-pair cosine vectorized in a ``mapInArrow`` stage with the
-    same IEEE op order (``operators/arrowverify.py`` — bit-identical,
-    parity-pinned, measured ~2× faster at sf1); ``"jvm"`` keeps the
-    fused higher-order-function spelling as the reference
-    implementation."""
+    ``engine`` (opt r14, fused path only): ``"arrow"`` runs the
+    per-pair cosine vectorized in a ``mapInArrow`` stage with the same
+    IEEE op order (``operators/arrowverify.py`` — bit-identical,
+    parity-pinned, measured 1.5-3× faster at sf1); ``"jvm"`` is the
+    fused higher-order-function reference spelling; ``None`` (default)
+    dispatches by ``corpus_rows`` against
+    ``arrowverify.ARROW_VERIFY_MIN_ROWS`` (the Arrow stage's
+    worker-spawn constant loses on toy corpora — measured in the r14
+    paired record)."""
     if not dedup_pairs:
+        if engine is None:
+            # size dispatch (opt r14): the Arrow stage's per-session
+            # constant loses on toy corpora; see ARROW_VERIFY_MIN_ROWS
+            from ipeds_etl_spark.operators.arrowverify import use_arrow_verify
+
+            engine = "arrow" if use_arrow_verify(corpus_rows) else "jvm"
         if engine == "arrow":
             # Arrow-batched verify (opt r14, guide §4.2): identical
             # pair enumeration and cap selection (same payload struct,

@@ -320,20 +320,38 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct exchange. Members with no qualifying pair carry the
     # -1.0 sentinel and fail mc >= θ, exactly like their absence from
     # the former pair stream's id_b side.
-    assigned = SIM.assign_centroids(
-        e, "vec_id", "embedding", None, cent_rows=_ivf_codebook(spark, sf_dir)
-    )
-    stats = AV.member_cos_stats_within_buckets(
-        assigned.select("centroid_id", "vec_id", "embedding"),
-        ["centroid_id"],
-        "vec_id",
-        "embedding",
-        floor=0.4,
-        thresholds=[],
-    )
-    dropped = stats.filter(F.col("mc") >= 0.4).select(
-        F.col("id").alias("drop_id")
-    )
+    from ipeds_etl_spark.queries_ext import _emb_count
+
+    n = _emb_count(spark, sf_dir)
+    if AV.use_arrow_verify(n):
+        assigned = SIM.assign_centroids(
+            e, "vec_id", "embedding", None,
+            cent_rows=_ivf_codebook(spark, sf_dir),
+        )
+        stats = AV.member_cos_stats_within_buckets(
+            assigned.select("centroid_id", "vec_id", "embedding"),
+            ["centroid_id"],
+            "vec_id",
+            "embedding",
+            floor=0.4,
+            thresholds=[],
+        )
+        dropped = stats.filter(F.col("mc") >= 0.4).select(
+            F.col("id").alias("drop_id")
+        )
+    else:
+        # toy-corpus branch: the r13 pair + distinct spelling (the
+        # JVM fused verify dispatches inside embedding_near_dups)
+        pairs = SIM.embedding_near_dups(
+            e,
+            "vec_id",
+            "embedding",
+            threshold=0.4,
+            n_centroids=8,
+            cent_rows=_ivf_codebook(spark, sf_dir),
+            corpus_rows=n,
+        )
+        dropped = pairs.select(F.col("id_b").alias("drop_id")).distinct()
     return e.select("vec_id").join(
         dropped, e.vec_id == dropped.drop_id, "left"
     ).select("vec_id", F.col("drop_id").isNull().alias("keep"))

@@ -707,23 +707,32 @@ def _bfs3_seed_counts(edges: DataFrame) -> DataFrame:
             )
         )
         reach = merged.localCheckpoint(eager=False)
-    # per-(word, bit) reachable counts: 64 conditional sums per word
-    # row — one codegen'd aggregate over the nodes × words frame, no
-    # explode. Seeds always reach themselves, so every seed has a row.
-    per_word = reach.groupBy("word").agg(
-        *[
-            F.sum(F.shiftright(F.col("bits"), b).bitwiseAND(F.lit(1))).alias(
-                f"c{b}"
-            )
-            for b in range(64)
-        ]
+    # readout: explode each row's SET bits and count per (word, bit) —
+    # rows exploded = Σ closure sizes (small), ONE narrow aggregate.
+    # (The first spelling — 64 conditional sums per word in one wide
+    # aggregate — was measured 1.4× SLOWER than the r13 form at sf0.1
+    # in the paired record: the 64-aggregate expression tree is pure
+    # plan/codegen weight in the driver-bound small-scale regime, and
+    # buys nothing at sf1 where the joins dominate. Counts identical:
+    # a (word, b) group's size IS the number of nodes with that bit
+    # set.) Seeds always reach themselves, so every seed has a row and
+    # absent groups cannot correspond to seeds.
+    counts = (
+        reach.select(
+            "word",
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda b: F.call_function(
+                        "shiftright", F.col("bits"), b.cast("int")
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                )
+            ).alias("bit"),
+        )
+        .groupBy("word", "bit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    counts = per_word.select(
-        "word",
-        F.posexplode(F.array(*[F.col(f"c{b}") for b in range(64)])).alias(
-            "bit", "cnt"
-        ),
-    ).filter(F.col("cnt") > 0)
     return counts.select(
         (
             (F.col("word").cast("long") * 64 + F.col("bit")) * 100

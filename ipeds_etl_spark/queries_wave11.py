@@ -522,17 +522,61 @@ def semdedup_report(
     t0 = _time.perf_counter()
     from ipeds_etl_spark.operators.arrowverify import (
         pair_int_crossmul_hits_within_buckets,
+        use_arrow_verify,
     )
+    from ipeds_etl_spark.queries_ext import _emb_count
 
-    dup = pair_int_crossmul_hits_within_buckets(
-        assigned.select("cid", "vec_id", "v"),
-        ["cid"],
-        "vec_id",
-        "v",
-        num=_SD_T2_NUM,
-        den=_SD_T2_DEN,
-        max_bucket_size=cluster_cap,
-    )
+    if use_arrow_verify(_emb_count(spark, sf_dir)):
+        dup = pair_int_crossmul_hits_within_buckets(
+            assigned.select("cid", "vec_id", "v"),
+            ["cid"],
+            "vec_id",
+            "v",
+            num=_SD_T2_NUM,
+            den=_SD_T2_DEN,
+            max_bucket_size=cluster_cap,
+        )
+    else:
+        # toy-corpus branch: the r13 fused JVM int verify
+        # (bit-identical — test_arrow_int_pairs_match_fused)
+        from ipeds_etl_spark.operators.dedup import (
+            fused_pair_hits_within_buckets,
+        )
+
+        n2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        idot = lambda x, y: F.aggregate(  # noqa: E731
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, z: acc + z,
+        )
+        dup = fused_pair_hits_within_buckets(
+            assigned.select("cid", "vec_id", "v"),
+            ["cid"],
+            F.struct(
+                F.col("vec_id").alias("id"),
+                F.col("v").alias("v"),
+                n2.alias("n2"),
+            ),
+            pair_hit=lambda a, b: F.struct(
+                a["id"].alias("id_a"),
+                b["id"].alias("id_b"),
+                idot(a["v"], b["v"]).cast("long").alias("dp"),
+                a["n2"].alias("na2"),
+                b["n2"].alias("nb2"),
+            ),
+            keep=lambda h: (h["dp"] > 0)
+            & (
+                F.lit(_SD_T2_DEN) * h["dp"] * h["dp"]
+                >= F.lit(_SD_T2_NUM) * h["na2"] * h["nb2"]
+            ),
+            max_bucket_size=cluster_cap,
+        ).select(
+            "cid", F.col("h.id_a").alias("id_a"), F.col("h.id_b").alias("id_b")
+        )
     if profile is not None:
         # profile-only materialization boundary (see docstring): with
         # the fused spelling this stage IS expand+verify combined
